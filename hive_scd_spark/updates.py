@@ -1,0 +1,295 @@
+"""Lexer + parser for ``.updates`` SCD scripts.
+
+Reference semantics (all citations into ``/root/reference``):
+
+- ``SQLUpdater.java:121-159`` — line algorithm: strip ``--`` comments,
+  join lines until a terminating ``;``, error on incomplete trailing
+  SQL ("Incomplete SQL in updates file").
+- ``SQLUpdater.java:121-129`` — a comment line ``-- time=<value>``
+  (case-insensitive prefix) sets the effective time for all following
+  statements; the default effective time is 0 (epoch).
+- ``SQLUpdater.java:95-105`` — ``<value>`` is either a long (epoch
+  millis) or an ISO date / date-time (Joda ``dateOptionalTimeParser``);
+  an *empty* value means "the session as-of time" (the ``rootScdTime``
+  default at ``:129``), modeled here as ``effective_ms=None``.
+- ``SQLUpdater.java:54-70`` — statement classification by token
+  sniffing: ``UPDATE <t> …`` or ``DELETE FROM <t> …``; anything else
+  (including INSERT) raises "Unsupported DML"; all statements must name
+  the same table ("Multiple table names in DDL").
+
+Documented deviation (SURVEY.md §7.7): the reference's lexer strips
+``--`` and splits on ``;`` even *inside* quoted string literals
+(``SQLUpdater.java:133-135``).  This parser tracks SQL quoting
+(``'…''…'`` literals, ``"…"`` quoted identifiers) so literals may
+contain ``--`` and ``;`` — the intended semantics, covered by tests.
+
+Everything here is driver-side, pure Python; the parsed statements are
+compiled to Catalyst expressions in :mod:`hive_scd_spark.scd` — no
+per-row interpreter exists anywhere in this package.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+
+class ScdScriptError(ValueError):
+    """Raised for malformed ``.updates`` scripts (fail-fast at compile
+    time — a deliberate deviation from the reference, which logs and
+    silently drops rows on SQLException, ``SQLUpdater.java:171-174``)."""
+
+
+@dataclass(frozen=True)
+class Stmt:
+    """One parsed DML statement.
+
+    ``effective_ms=None`` means "effective at the session as-of time"
+    (produced by a bare ``-- time=`` directive, ``SQLUpdater.java:129``),
+    i.e. the statement applies whenever as-of is non-negative.
+    """
+
+    kind: str  # "update" | "delete"
+    table: str
+    sets: tuple[tuple[str, str], ...] = field(default=())  # (column, sql_expr)
+    where: str | None = None
+    effective_ms: int | None = 0
+    sql: str = ""  # original statement text (diagnostics)
+
+
+_TIME_DIRECTIVE = re.compile(r"^--\s*time=(.*)$", re.IGNORECASE)
+
+
+def parse_scd_time(value: str, default: int | None) -> int | None:
+    """Parse a ``scd.time`` / ``-- time=`` value → epoch millis.
+
+    Mirrors ``SQLUpdater.asSCDTime`` (``SQLUpdater.java:95-105``):
+    empty string → *default*; else long millis; else ISO date or
+    date-time (``yyyy-MM-dd`` / ``yyyy-MM-ddTHH:mm:ss[±hh:mm]``).
+    Offset-less values are interpreted as UTC (sessions pin
+    ``spark.sql.session.timeZone=UTC``; the reference used the JVM
+    default zone).
+    """
+    text = value.strip()
+    if not text:
+        return default
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        dt = datetime.fromisoformat(text)
+    except ValueError as exc:
+        raise ScdScriptError(f"Invalid SCD time value: {value!r}") from exc
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _scan_statements(text: str) -> list[tuple[str, int | None]]:
+    """The line algorithm of ``SQLUpdater.readLines``
+    (``SQLUpdater.java:121-159``): returns ``[(sql, effective_ms)]`` in
+    file order.  Quote-aware (see module docstring)."""
+    statements: list[tuple[str, int | None]] = []
+    current_time: int | None = 0  # default effective time = epoch, SQLUpdater.java:125
+    buf: list[str] = []
+
+    def flush(stmt_text: str) -> None:
+        stmt_text = stmt_text.strip()
+        if stmt_text:
+            statements.append((stmt_text, current_time))
+
+    in_squote = in_dquote = False
+    pending = ""  # accumulated SQL across lines
+    for raw_line in text.splitlines():
+        line = raw_line
+        stripped = line.strip()
+        if not in_squote and not in_dquote and stripped.startswith("--"):
+            m = _TIME_DIRECTIVE.match(stripped)
+            if m:
+                current_time = parse_scd_time(m.group(1), None)
+            continue
+        # scan char-by-char: track quotes, strip -- comments, split on ;
+        i = 0
+        kept: list[str] = []
+        n = len(line)
+        while i < n:
+            ch = line[i]
+            if in_squote:
+                kept.append(ch)
+                if ch == "'":
+                    if i + 1 < n and line[i + 1] == "'":  # escaped ''
+                        kept.append("'")
+                        i += 1
+                    else:
+                        in_squote = False
+            elif in_dquote:
+                kept.append(ch)
+                if ch == '"':
+                    in_dquote = False
+            elif ch == "'":
+                in_squote = True
+                kept.append(ch)
+            elif ch == '"':
+                in_dquote = True
+                kept.append(ch)
+            elif ch == "-" and i + 1 < n and line[i + 1] == "-":
+                break  # rest of line is a comment
+            elif ch == ";":
+                flush(pending + "".join(kept))
+                pending = ""
+                kept = []
+            else:
+                kept.append(ch)
+            i += 1
+        pending = pending + "".join(kept)
+        if pending.strip():
+            pending += " "  # newline → space when joining lines
+    if pending.strip():
+        # SQLUpdater.java:155-157
+        raise ScdScriptError(
+            f"Incomplete SQL statement in updates file: {pending.strip()!r}"
+        )
+    buf  # noqa: B018 — kept for symmetry; unused
+    return statements
+
+
+# -- statement-level parsing -------------------------------------------------
+
+_IDENT = r'(?:[A-Za-z_][A-Za-z_0-9$]*|"[^"]+"|`[^`]+`)'
+_UPDATE_RE = re.compile(rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.*)$", re.IGNORECASE | re.DOTALL)
+_DELETE_RE = re.compile(rf"^\s*DELETE\s+FROM\s+({_IDENT})\s*(.*)$", re.IGNORECASE | re.DOTALL)
+_WHERE_RE = re.compile(r"^\s*WHERE\s+(.*)$", re.IGNORECASE | re.DOTALL)
+
+
+def _split_top_level(text: str, is_sep) -> list[str]:
+    """Split *text* at top-level separator positions (outside quotes and
+    parens).  ``is_sep(text, i)`` returns the separator length at i, or 0."""
+    parts: list[str] = []
+    depth = 0
+    in_squote = in_dquote = False
+    start = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if in_squote:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 1
+                else:
+                    in_squote = False
+        elif in_dquote:
+            if ch == '"':
+                in_dquote = False
+        elif ch == "'":
+            in_squote = True
+        elif ch == '"':
+            in_dquote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            sep_len = is_sep(text, i)
+            if sep_len:
+                parts.append(text[start:i])
+                i += sep_len
+                start = i
+                continue
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+def _comma_sep(text: str, i: int) -> int:
+    return 1 if text[i] == "," else 0
+
+
+_WHERE_WORD = re.compile(r"WHERE\b", re.IGNORECASE)
+
+
+def _where_sep(text: str, i: int) -> int:
+    if text[i] in "Ww" and _WHERE_WORD.match(text, i):
+        # must be a standalone word: preceded by non-identifier char
+        if i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_$"):
+            return 5
+    return 0
+
+
+def _unquote(ident: str) -> str:
+    ident = ident.strip()
+    if len(ident) >= 2 and ident[0] == ident[-1] and ident[0] in ('"', "`"):
+        return ident[1:-1]
+    return ident
+
+
+def _parse_statement(sql: str, effective_ms: int | None) -> Stmt:
+    m = _UPDATE_RE.match(sql)
+    if m:
+        table = _unquote(m.group(1))
+        rest = m.group(2)
+        body, *where_parts = _split_top_level(rest, _where_sep)
+        if len(where_parts) > 1:
+            raise ScdScriptError(f"Multiple WHERE clauses in statement: {sql!r}")
+        where = where_parts[0].strip() if where_parts else None
+        sets: list[tuple[str, str]] = []
+        for assign in _split_top_level(body, _comma_sep):
+            if "=" not in assign:
+                raise ScdScriptError(f"Malformed SET clause {assign!r} in: {sql!r}")
+            col, _, expr = assign.partition("=")
+            col, expr = _unquote(col), expr.strip()
+            if not col or not expr:
+                raise ScdScriptError(f"Malformed SET clause {assign!r} in: {sql!r}")
+            sets.append((col, expr))
+        if not sets:
+            raise ScdScriptError(f"UPDATE with no SET clauses: {sql!r}")
+        return Stmt("update", table, tuple(sets), where or None, effective_ms, sql)
+    m = _DELETE_RE.match(sql)
+    if m:
+        table = _unquote(m.group(1))
+        rest = m.group(2).strip()
+        where = None
+        if rest:
+            wm = _WHERE_RE.match(rest)
+            if not wm:
+                raise ScdScriptError(f"Malformed DELETE statement: {sql!r}")
+            where = wm.group(1).strip()
+        return Stmt("delete", table, (), where, effective_ms, sql)
+    # SQLUpdater.java:62-63 — anything else, incl. INSERT, is rejected
+    raise ScdScriptError(f"Unsupported DML statement: {sql!r}")
+
+
+def parse_script(text: str) -> list[Stmt]:
+    """Parse a full ``.updates`` script into ordered :class:`Stmt` list,
+    enforcing the single-table rule (``SQLUpdater.java:64-69``)."""
+    stmts = [_parse_statement(sql, t) for sql, t in _scan_statements(text)]
+    tables = {s.table.upper() for s in stmts}
+    if len(tables) > 1:
+        # SQLUpdater.java:68
+        raise ScdScriptError(f"Multiple table names in DML: {sorted(tables)}")
+    return stmts
+
+
+def parse_updates(path_or_text: str) -> list[Stmt]:
+    """Parse an updates script given either a filesystem path or raw text."""
+    import os
+
+    if os.path.exists(path_or_text):
+        with open(path_or_text, encoding="utf-8") as fh:
+            return parse_script(fh.read())
+    return parse_script(path_or_text)
+
+
+def applicable(stmts: list[Stmt], as_of_ms: int) -> list[Stmt]:
+    """As-of statement selection (``SQLUpdater.java:128-130``,
+    ``README.md:172-217``): keep statements whose effective time ≤
+    *as_of_ms*; any negative as-of excludes everything (raw data)."""
+    if as_of_ms < 0:
+        return []
+    return [
+        s
+        for s in stmts
+        if (as_of_ms if s.effective_ms is None else s.effective_ms) <= as_of_ms
+    ]
