@@ -26,6 +26,9 @@ def get_spark(app_name: str = "hive_scd_spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores event timestamps as TIMESTAMP(NANOS),
+        # which vanilla Spark refuses; read them as long nanos instead
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry AND its oracle_sql() through DuckDB on
+the same parquet tables, compare row count + column names + an
+order-insensitive value multiset.
+
+Usage: python scripts/check_contract.py [sf0.001|sf0.01|sf0.1] [name_filter]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hive_scd_spark.queries import TABLES  # noqa: E402
+from hive_scd_spark.session import get_spark  # noqa: E402
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    sf_dir = f"/root/testdata/{sf}"
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("check-contract")
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        path = f"{sf_dir}/{tbl}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if name_filter and name_filter not in name:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        spark_cols = list(sdf.columns)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        status = []
+        if name not in oracles:
+            status.append(f"rows-only: {len(spark_rows)} rows")
+            if len(spark_rows) == 0:
+                failures.append((name, "0 rows on rows-only check"))
+        else:
+            cur = con.execute(oracles[name])
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+            ok = True
+            if sorted(spark_cols) != sorted(duck_cols):
+                status.append(f"SCHEMA MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+                ok = False
+            if len(spark_rows) != len(duck_rows):
+                status.append(f"COUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}")
+                ok = False
+            if ok:
+                ms_s = multiset(spark_rows, spark_cols)
+                ms_d = multiset(duck_rows, duck_cols)
+                if ms_s != ms_d:
+                    diff = [
+                        (a, b) for a, b in zip(ms_s, ms_d) if a != b
+                    ][:3]
+                    status.append(f"VALUE MISMATCH first-diffs={diff}")
+                    ok = False
+                else:
+                    status.append(f"match ({len(spark_rows)} rows)")
+            if not ok:
+                failures.append((name, "; ".join(status)))
+        print(f"{'OK ' if (name, '; '.join(status)) not in failures and not any(f[0]==name for f in failures) else 'FAIL'} {name:40s} {time.time()-t0:6.2f}s  {'; '.join(status)}")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for name, why in failures:
+            print(f"  {name}: {why}")
+        sys.exit(1)
+    print(f"all {len([n for n in queries if not name_filter or name_filter in n])} queries match")
+
+
+if __name__ == "__main__":
+    main()
