@@ -1,0 +1,66 @@
+"""As-of join — an operator Spark SQL lacks natively (DuckDB/kdb have
+it).  For each left row, find the latest right row with the same key
+and right.time <= left.time.
+
+Implementation: **union + single window pass** — no range-explosion
+join, no per-key driver loop.  Both sides are tagged and unioned; one
+window partitioned by key and ordered by (time, side) carries the last
+seen right-side payload forward with ``last(..., ignorenulls)``.  Cost
+is one shuffle on the key + a sort within partitions — linear at any
+scale, skew-safe under AQE.  (Alternative for few keys + dense times:
+``applyInPandas`` with ``pd.merge_asof`` per key group; this version
+avoids Python entirely.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Left as-of join: every left row, plus ``<col><suffix>`` columns
+    from the latest right row at-or-before the left row's time (NULL
+    when no prior right row exists — LEFT ASOF semantics)."""
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),  # right (0) sorts before left (1) at equal times
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_time"),
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_time).alias("__r_time"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        W.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+        F.last("__r_time", ignorenulls=True).over(w).alias(f"{right_time}{suffix}"),
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[f"{c}{suffix}" for c in value_cols], f"{right_time}{suffix}"
+    )

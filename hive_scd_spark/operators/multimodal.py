@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: treat image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas functions via ``mapInPandas``.
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked deterministic stub (:func:`fake_decode_image`) or a
+``NotImplementedError`` in strict mode — but the Spark-side plumbing
+(schema, partitioning, UDF signature, Arrow batch shape) is real and
+tested.  Swapping in PIL/torchaudio later only changes the body of the
+per-batch function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
+    """Wrap a column as an opaque binary payload + typed metadata —
+    the canonical multimodal ingest shape.  (Text is used as a stand-in
+    payload in tests; real pipelines read bytes from object storage.)"""
+    payload = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, width int, height int, checksum string"
+)
+
+
+def fake_decode_image(payload: bytes) -> tuple[int, int]:
+    """STUB decode — deterministic fake dimensions from payload length.
+    Replace with a real decoder (PIL etc.) when available; the rest of
+    the pipeline is agnostic to what runs inside the batch function."""
+    n = len(payload)
+    return (n % 1024 + 1, (n // 1024) % 1024 + 1)
+
+
+def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-batch feature extraction over the binary payload via
+    ``mapInPandas`` — Arrow moves the bytes, pandas sees a batch, Spark
+    parallelizes per partition.  This is the pattern for any
+    decode/resize/frame-sample step at scale."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        if strict:
+            raise NotImplementedError(
+                "real image decode requires an image library not present "
+                "in this environment; use strict=False for the "
+                "deterministic stub"
+            )
+        for pdf in batches:
+            dims = pdf["payload"].map(lambda b: fake_decode_image(bytes(b or b"")))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": dims.map(lambda t: t[0]).astype("int32"),
+                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "checksum": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b or b"")).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(per_batch, schema=FEATURES_SCHEMA)

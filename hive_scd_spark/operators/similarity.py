@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the query
+  set, one pass over the corpus, per-query window for the top-k.  The
+  correctness baseline; cost O(|corpus|·|queries|) — fine when the
+  query set broadcasts.
+- :func:`lsh_bucketize` — random-hyperplane LSH bucket ids with
+  *deterministic* md5-derived hyperplanes (cross-engine reproducible).
+  The scale path: bucket the corpus once (shuffle on bucket id), then
+  probe only matching buckets; recall tunable via n_planes/n_tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from hive_scd_spark.functions import cosine_similarity
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos) with deterministic tie-break
+    (higher cos first, then smaller neighbor id).  Self-matches are
+    excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
+def plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    md5 of "plane_dim" → 32-bit uniform → shift.  Same value in any
+    engine with md5 (DuckDB oracle recomputes it in SQL) — the whole
+    LSH index is reproducible."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[:8], 16)
+    return h / 4294967296.0 - 0.5
+
+
+def lsh_bucketize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign-bit pattern of the
+    vector against *n_planes* deterministic hyperplanes.
+
+    The planes are driver-computed constant arrays; each bit is one
+    ``zip_with``+``aggregate`` fold over the vector — a flat per-row
+    loop in codegen, no shuffle, no Python.  ``dim`` defaults to the
+    array length of the first row (pass it explicitly in production).
+    Output: (id, bucket) — join queries and corpus on bucket, then
+    exact-rank within the bucket."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        dim = first[0] if first else 0
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(plane_component(p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, p)
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def ann_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket both sides, rank only within the
+    query's bucket.  Recall < 1 by design; raise recall by lowering
+    n_planes (bigger buckets) or multi-probing.  At 100 TB this turns
+    an O(n·q) scan into a bucket-local join."""
+    cb = lsh_bucketize(corpus, id_col, vec_col, n_planes, dim).join(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    qb = lsh_bucketize(queries, id_col, vec_col, n_planes, dim).join(
+        queries.select(F.col(id_col), F.col(vec_col)), id_col
+    )
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col("bucket"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("bucket"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )

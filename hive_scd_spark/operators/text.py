@@ -1,0 +1,116 @@
+"""Text-analysis operators: token stats / quality scoring, language ID
+(stopword heuristic), document fingerprinting.  Everything is built-in
+column expressions — the hot path has zero Python; at 100 TB these run
+as a single codegen'd projection over the scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_scd_spark.functions import char_shingles, hash32
+
+# Small per-language stopword lists (public, common knowledge).  Kept
+# deliberately tiny and embedded so the DuckDB oracle can share them.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with", "for", "a"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "für", "ein", "nicht", "von"),
+    "fr": ("le", "la", "les", "et", "est", "pour", "dans", "que", "une", "des"),
+    "es": ("el", "la", "los", "y", "es", "para", "en", "que", "una", "de"),
+}
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: token count, char count, mean
+    token length, punctuation ratio, stopword ratio, and a composite
+    quality score in [0,1] (heuristic: length-normed minus punct-heavy,
+    plus stopword signal — the usual pre-training filter features)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    )
+    stop_hits = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(t.isin(*STOPWORDS["en"]), F.lit(1)).otherwise(F.lit(0)),
+    )
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(0.0)
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens,
+    ).otherwise(0.0)
+    score = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+    )
+    n_stop  # distinct-stopword count intentionally unused in score; kept for parity debugging
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID: count hits per language's list, pick
+    the argmax (ties → lexicographically first language; no hits →
+    'und').  A deterministic n-gram-free heuristic; swap in a real
+    model via mapInPandas when a language library is available."""
+    toks = _tokens(text_col)
+
+    def hits(words):
+        # NB: the merge lambda must take exactly (acc, x) — extra
+        # (even defaulted) params change the arity PySpark infers
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.when(t.isin(*words), F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    scores = [
+        hits(words).alias(f"score_{lang}") for lang, words in sorted(STOPWORDS.items())
+    ]
+    work = df.select(F.col(id_col), F.col(text_col), *scores)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → fold from the back
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return work.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[F.col(f"score_{lang}").alias(f"hits_{lang}") for lang in langs],
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Content fingerprint: (min, max) of shingle hashes + shingle count
+    — a cheap rolling-hash-style signature for fast pre-filtering before
+    exact comparison.  One projection, no shuffle."""
+    sh = char_shingles(text_col, k)
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(sh).alias("n_shingles"),
+    )

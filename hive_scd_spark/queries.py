@@ -40,11 +40,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expose both the raw nanos (exact) and a micros-precision timestamp."""
     ev = t(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        # integer `div`, not `/`: float division of epoch-nanos loses
+        # precision above 2^53 and truncates to the wrong microsecond
+        ev = (
+            ev.withColumn("ts_ns", F.col("ts"))
+            .withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
     else:  # pragma: no cover — future driver versions may store micros
-        ev = ev.withColumn("ts_ns", F.unix_micros("ts") * 1000)
+        ev = ev.withColumn("ts_us", F.unix_micros("ts")).withColumn(
+            "ts_ns", F.unix_micros("ts") * 1000
+        )
     return ev
 
 
@@ -310,10 +316,11 @@ def events_sessionize(spark, sf_dir):
     Partition key = user_id (high-cardinality at scale); single window
     pass, no self-join."""
     ev = load_events(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    gap_ns = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    # micros precision on both sides: DuckDB truncates TIMESTAMP_NS to us
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = F.col("ts_us") - F.lag("ts_us").over(w)
     new_sess = F.when(
-        gap_ns.isNull() | (gap_ns > 30 * 60 * 1_000_000_000), F.lit(1)
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return (
         ev.withColumn("new_sess", new_sess)
@@ -323,6 +330,383 @@ def events_sessionize(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension operators (BASELINE.json north star): dedup,
+# similarity search, text analysis, multimodal plumbing, as-of join.
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark, sf_dir):
+    """documents ∪ re-keyed copies of every 5th doc — a corpus with
+    known exact duplicates (the raw table is dup-free)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup on md5 of normalized text; keep smallest doc_id."""
+    from hive_scd_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(
+        _dup_corpus(spark, sf_dir), id_col="doc_id", text_col="text"
+    ).select("doc_id")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact near-dup pairs by 8-gram Jaccard ≥ 0.3 (threshold sits in
+    the corpus's empirical gap: planted dups ≥0.5, noise <0.2)."""
+    from hive_scd_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=8, threshold=0.3
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32)+LSH(8×4) candidates, exact-Jaccard verified ≥ 0.3."""
+    from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=8, threshold=0.3
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash fingerprint per document."""
+    from hive_scd_spark.operators.dedup import simhash
+
+    return simhash(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def text_quality_stats(spark, sf_dir):
+    from hive_scd_spark.operators.text import quality_stats
+
+    out = quality_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def text_lang_id(spark, sf_dir):
+    from hive_scd_spark.operators.text import lang_id
+
+    out = lang_id(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        *[F.col(c).cast("long").alias(c) for c in out.columns if c.startswith("hits_")],
+    )
+
+
+def text_doc_fingerprint(spark, sf_dir):
+    from hive_scd_spark.operators.text import doc_fingerprint
+
+    out = doc_fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text", k=8)
+    return out.select(
+        "doc_id", "fp_min", "fp_max", F.col("n_shingles").cast("long").alias("n_shingles")
+    )
+
+
+def knn_brute_force(spark, sf_dir):
+    """Exact top-5 cosine neighbors for query vectors vec_id < 10."""
+    from hive_scd_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-5 via deterministic random-hyperplane LSH
+    (8 planes) — bucket-local ranking; oracle replicates the same
+    md5-derived hyperplanes, so even the approximation is checked."""
+    from hive_scd_spark.operators.similarity import ann_cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ann_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_planes=8,
+        dim=64,
+    )
+
+
+def multimodal_image_features(spark, sf_dir):
+    """Binary-column plumbing: wrap text bytes as an opaque payload,
+    extract features via Arrow-batched mapInPandas (decode is a
+    deterministic stub — see operators/multimodal.py)."""
+    from hive_scd_spark.operators.multimodal import attach_binary, extract_image_features
+
+    media = attach_binary(
+        t(spark, sf_dir, "documents"), id_col="doc_id", payload_col="text", media_type="image"
+    )
+    return extract_image_features(media)
+
+
+def asof_join_click_purchase(spark, sf_dir):
+    """As-of join: each click matched to the user's latest prior (or
+    simultaneous) purchase.  Spark lacks ASOF JOIN — implemented as a
+    union + single window pass (operators/asof.py); DuckDB's native
+    ASOF JOIN is the oracle."""
+    from hive_scd_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts_ns").alias("click_ns")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ns"), F.col("event_id"), F.col("value")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="click_ns",
+        right_time="ts_ns",
+        value_cols=["event_id", "value"],
+    )
+    # DuckDB reads TIMESTAMP_NS at micros precision → compare in micros
+    return out.select(
+        "click_id",
+        "user_id",
+        F.expr("click_ns div 1000").alias("click_us"),
+        F.expr("ts_ns_matched div 1000").alias("purchase_us"),
+        F.col("event_id_matched").alias("purchase_event_id"),
+        F.col("value_matched").alias("purchase_value"),
+    )
+
+
+def events_window_counts(spark, sf_dir):
+    """Tumbling 5-minute windows over the event stream (batch form;
+    the same aggregation runs under Structured Streaming in
+    hive_scd_spark.streaming, equivalence-tested in tests/)."""
+    ev = load_events(spark, sf_dir)
+    micros = F.floor(F.col("value") * 1e6 + 0.5).cast("bigint")
+    return (
+        ev.withColumn("bucket", F.expr("ts_us div 300000000"))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(micros).alias("sum_value_micros"),
+        )
+    )
+
+
+# -- oracle SQL for the extensions ------------------------------------------
+
+_SHINGLE_CTE = """
+sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+       FROM documents,
+            LATERAL (SELECT unnest(generate_series(1, GREATEST(len(text)-7, 1))) AS i) t),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+"""
+
+
+def _minhash_oracle() -> str:
+    from hive_scd_spark.functions import minhash_perms
+
+    values = ",".join(
+        f"({j},{a},{b})" for j, (a, b) in enumerate(minhash_perms(32, 42))
+    )
+    return f"""
+        WITH {_SHINGLE_CTE},
+        h AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647 AS hv FROM sh),
+        perms(j, a, b) AS (SELECT * FROM (VALUES {values})),
+        sigs AS (SELECT doc_id, j, MIN((a*hv+b) % 2147483647) AS sig FROM h, perms GROUP BY 1,2),
+        bands AS (SELECT doc_id, j//4 AS band, string_agg(sig::VARCHAR, ',' ORDER BY j) AS key
+                  FROM sigs GROUP BY 1,2),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band=b.band AND a.key=b.key
+                                          AND a.doc_id < b.doc_id),
+        shared AS (SELECT c.id_a, c.id_b, count(*) AS cnt
+                   FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                               JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
+                   GROUP BY 1,2)
+        SELECT s.id_a, s.id_b,
+               ROUND(cnt*1.0/(sa.n+sb.n-cnt), 6) AS jaccard
+        FROM shared s JOIN sz sa ON s.id_a = sa.doc_id
+                      JOIN sz sb ON s.id_b = sb.doc_id
+        WHERE cnt*1.0/(sa.n+sb.n-cnt) >= 0.3
+    """
+
+
+_COS_SQL = """
+ROUND(
+  list_sum(list_transform(list_zip(q.embedding, c.embedding),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (SQRT(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+     * SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
+"""
+
+_LSH_BUCKET_CTE = """
+planes AS (SELECT p, d,
+                  ('0x'||substr(md5(p::VARCHAR||'_'||d::VARCHAR),1,8))::BIGINT
+                    / 4294967296.0 - 0.5 AS w
+           FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)),
+dots AS (SELECT e.vec_id, pl.p,
+                SUM(CAST(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS dot
+         FROM embeddings e, planes pl GROUP BY 1, 2),
+buckets AS (SELECT vec_id,
+                   SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+            FROM dots GROUP BY 1)
+"""
+
+EXT_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        SELECT MIN(doc_id) AS doc_id FROM corpus
+        GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLE_CTE},
+        shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS cnt
+                   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                   GROUP BY 1,2)
+        SELECT s.id_a, s.id_b,
+               ROUND(cnt*1.0/(sa.n+sb.n-cnt), 6) AS jaccard
+        FROM shared s JOIN sz sa ON s.id_a = sa.doc_id
+                      JOIN sz sb ON s.id_b = sb.doc_id
+        WHERE cnt*1.0/(sa.n+sb.n-cnt) >= 0.3
+    """,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": """
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+                      FROM documents),
+        th AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM toks),
+        n AS (SELECT doc_id, count(*) AS nt FROM th GROUP BY 1),
+        votes AS (SELECT doc_id, b, SUM((h >> b) & 1) AS v
+                  FROM th, (SELECT unnest(range(60)) AS b) GROUP BY 1, 2)
+        SELECT votes.doc_id,
+               SUM(CASE WHEN v*2 > nt THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+        FROM votes JOIN n ON votes.doc_id = n.doc_id
+        GROUP BY 1
+    """,
+    "text_quality_stats": """
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+                      FROM documents),
+        agg AS (SELECT doc_id, count(*) AS nt, SUM(len(t)) AS char_sum,
+                       SUM(CASE WHEN t IN ('the','and','of','to','in','is','that','with','for','a')
+                                THEN 1 ELSE 0 END) AS stop_hits
+                FROM toks GROUP BY 1)
+        SELECT d.doc_id,
+               agg.nt AS n_tokens,
+               len(d.text) AS n_chars,
+               ROUND(CAST(char_sum AS DOUBLE) / nt, 6) AS mean_token_len,
+               ROUND(CAST(len(d.text) - len(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                     / len(d.text), 6) AS punct_ratio,
+               ROUND(CAST(stop_hits AS DOUBLE) / nt, 6) AS stopword_ratio,
+               ROUND(LEAST(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.5
+                     + (1.0 - LEAST(CAST(len(d.text) - len(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                                    / len(d.text) * 5.0, 1.0)) * 0.3
+                     + LEAST(CAST(stop_hits AS DOUBLE) / nt * 5.0, 1.0) * 0.2, 6) AS quality_score
+        FROM documents d JOIN agg ON d.doc_id = agg.doc_id
+    """,
+    "text_lang_id": """
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+                      FROM documents),
+        hits AS (SELECT doc_id,
+                   SUM(CASE WHEN t IN ('der','die','das','und','ist','mit','für','ein','nicht','von') THEN 1 ELSE 0 END) AS hits_de,
+                   SUM(CASE WHEN t IN ('the','and','of','to','in','is','that','with','for','a') THEN 1 ELSE 0 END) AS hits_en,
+                   SUM(CASE WHEN t IN ('el','la','los','y','es','para','en','que','una','de') THEN 1 ELSE 0 END) AS hits_es,
+                   SUM(CASE WHEN t IN ('le','la','les','et','est','pour','dans','que','une','des') THEN 1 ELSE 0 END) AS hits_fr
+                 FROM toks GROUP BY 1)
+        SELECT doc_id,
+               CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                    WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                    WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                    WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               hits_de, hits_en, hits_es, hits_fr
+        FROM hits
+    """,
+    "text_doc_fingerprint": f"""
+        WITH {_SHINGLE_CTE},
+        h AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS hv FROM sh)
+        SELECT doc_id, MIN(hv) AS fp_min, MAX(hv) AS fp_max, COUNT(*) AS n_shingles
+        FROM h GROUP BY 1
+    """,
+    "knn_brute_force": f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos
+          FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+        SELECT query_id, neighbor_id, cos, rk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM scored) WHERE rk <= 5
+    """,
+    "ann_lsh_topk": f"""
+        WITH {_LSH_BUCKET_CTE},
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos
+          FROM embeddings q
+          JOIN buckets bq ON q.vec_id = bq.vec_id AND q.vec_id < 10
+          JOIN buckets bc ON bq.bucket = bc.bucket
+          JOIN embeddings c ON c.vec_id = bc.vec_id AND c.vec_id != q.vec_id)
+        SELECT query_id, neighbor_id, cos, rk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM scored) WHERE rk <= 5
+    """,
+    "multimodal_image_features": """
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes,
+               CAST(octet_length(encode(text)) % 1024 + 1 AS INT) AS width,
+               CAST((octet_length(encode(text)) // 1024) % 1024 + 1 AS INT) AS height,
+               md5(text) AS checksum
+        FROM documents
+    """,
+    "asof_join_click_purchase": """
+        SELECT c.event_id AS click_id, c.user_id,
+               epoch_us(c.ts) AS click_us,
+               epoch_us(p.ts) AS purchase_us,
+               p.event_id AS purchase_event_id,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "events_window_counts": """
+        SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS sum_value_micros
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "text_quality_stats": text_quality_stats,
+    "text_lang_id": text_lang_id,
+    "text_doc_fingerprint": text_doc_fingerprint,
+    "knn_brute_force": knn_brute_force,
+    "ann_lsh_topk": ann_lsh_topk,
+    "multimodal_image_features": multimodal_image_features,
+    "asof_join_click_purchase": asof_join_click_purchase,
+    "events_window_counts": events_window_counts,
+}
 
 
 ORACLES: dict[str, str] = {
@@ -445,8 +829,8 @@ ORACLES: dict[str, str] = {
     "events_sessionize": """
         WITH g AS (
           SELECT user_id,
-                 CASE WHEN epoch_ns(ts) - epoch_ns(LAG(ts) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000000
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS new_sess
           FROM events)
@@ -472,4 +856,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_intersect_custkeys": setop_intersect_custkeys,
     "pivot_nation_by_segment": pivot_nation_by_segment,
     "events_sessionize": events_sessionize,
+    **EXT_QUERIES,
 }
+ORACLES.update(EXT_ORACLES)

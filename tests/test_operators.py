@@ -1,0 +1,202 @@
+"""Unit tests for the LLM-pipeline operators on tiny inline corpora —
+semantics-level checks; cross-engine equivalence is covered by the
+oracle harness (scripts/check_contract.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines"),
+        (5, "  THE   QUICK brown fox jumps over the lazy dog  "),  # dup modulo norm
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    from hive_scd_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs, id_col="doc_id", text_col="text")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4]  # 2 and 5 collapse into 1
+
+
+def test_exact_dedup_no_normalize(docs):
+    from hive_scd_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs, id_col="doc_id", text_col="text", normalize=False)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_exact_dedup_key_cols(spark):
+    from hive_scd_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "b", 10)], "id long, k string, v int"
+    )
+    out = exact_dedup(df, id_col="id", key_cols=["k", "v"])
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    from hive_scd_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc in no pair
+
+
+def test_minhash_lsh_recalls_planted_dups(docs):
+    from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    # identical docs always collide in every band
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_similar_docs_close(docs):
+    from hive_scd_spark.operators.dedup import simhash
+
+    fp = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]  # identical text → identical fingerprint
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    ham14 = bin(fp[1] ^ fp[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated
+
+
+def test_quality_stats_values(spark):
+    from hive_scd_spark.operators.text import quality_stats
+
+    df = spark.createDataFrame([(1, "the cat!! sat")], "doc_id long, text string")
+    (row,) = quality_stats(df, "doc_id", "text").collect()
+    assert row.n_tokens == 3
+    assert row.n_chars == 13
+    assert row.punct_ratio == pytest.approx(2 / 13, abs=1e-6)
+    assert row.stopword_ratio == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_lang_id_votes(spark):
+    from hive_scd_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),
+            (2, "der hund und die katze ist da"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in lang_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_doc_fingerprint_deterministic(docs):
+    from hive_scd_spark.operators.text import doc_fingerprint
+
+    a = doc_fingerprint(docs, "doc_id", "text").collect()
+    b = doc_fingerprint(docs, "doc_id", "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_id = {r.doc_id: r for r in a}
+    assert by_id[1].fp_min == by_id[2].fp_min  # identical docs
+
+
+def test_cosine_topk_exact(spark):
+    from hive_scd_spark.operators.similarity import cosine_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rk)]
+    assert order == [1, 2, 3]
+    assert out[0].cos <= 1.0
+
+
+def test_lsh_bucket_deterministic_and_groups_identical(spark):
+    from hive_scd_spark.operators.similarity import lsh_bucketize
+
+    vecs = [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-5.0, 1.0, -2.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    b1 = {r.vec_id: r.bucket for r in lsh_bucketize(df, n_planes=6, dim=3).collect()}
+    b2 = {r.vec_id: r.bucket for r in lsh_bucketize(df, n_planes=6, dim=3).collect()}
+    assert b1 == b2  # deterministic
+    assert b1[0] == b1[1]  # identical vectors share a bucket
+
+
+def test_asof_join_semantics(spark):
+    from hive_scd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 100, 5), (4, 200, 50)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, 1.0), (100, 20, 2.0), (200, 60, 3.0)],
+        "k long, t long, v double",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t", value_cols=["v"]
+    )
+    got = {r.lid: (r.v_matched, r.t_matched) for r in out.collect()}
+    assert got[1] == (1.0, 10)  # equal time matches (<=)
+    assert got[2] == (2.0, 20)  # latest prior
+    assert got[3] == (None, None)  # nothing before t=5
+    assert got[4] == (None, None)  # right row at t=60 is after t=50
+
+
+def test_multimodal_plumbing(spark):
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        extract_image_features,
+    )
+    import hashlib
+
+    df = spark.createDataFrame([(1, "hello"), (2, "x" * 2000)], "doc_id long, text string")
+    media = attach_binary(df, "doc_id", "text", "image")
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "payload",
+        "media_type",
+        "n_bytes",
+    ]
+    feats = {r.media_id: r for r in extract_image_features(media).collect()}
+    assert feats[1].n_bytes == 5
+    assert feats[1].checksum == hashlib.md5(b"hello").hexdigest()
+    assert feats[2].width == 2000 % 1024 + 1
+    assert feats[2].height == (2000 // 1024) % 1024 + 1
+
+
+def test_multimodal_strict_raises(spark):
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        extract_image_features,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    media = attach_binary(df, "doc_id", "text", "image")
+    with pytest.raises(Exception) as exc_info:
+        extract_image_features(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, Py4JJavaError
+    )
