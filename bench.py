@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the built-in `noop` sink so the full plan
+runs (scan → transform → exchange) without driver-side collection —
+`count()` would let Catalyst prune the very projections we're timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_scd_spark.queries import QUERIES  # noqa: E402
+from hive_scd_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship SCD query, the heaviest host-SQL shapes,
+# and one of each extension family (dedup/similarity/text/events).
+HEADLINE = [
+    "scd_customer_asof_now",
+    "scd_customer_orders_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_revenue",
+    "window_running_supplier_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_stats",
+    "knn_brute_force",
+    "asof_join_click_purchase",
+    "events_sessionize",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    df = QUERIES[name](spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_spark("bench")
+
+    # one small warm-up action so JVM/codegen startup isn't billed to q1
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,35 +63,86 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 8,
     threshold: float = 0.3,
+    strategy: str = "count",
 ) -> DataFrame:
-    """Exact near-duplicate pairs by character-k-gram Jaccard.
+    """**Exact** near-duplicate pairs by character-k-gram Jaccard.
 
-    Inverted-index join: explode distinct shingles, self-join on the
-    shingle, count shared, compute |∩|/|∪|.  Exact but quadratic within
-    a shingle bucket — use as the correctness baseline / final verifier;
-    at 100 TB generate candidates with :func:`minhash_near_dup_pairs`
-    first."""
+    Two strategies, both exact:
+
+    - ``strategy="count"`` (default): inverted-index self-join on the
+      shingle, shared-shingle count via groupBy (map-side combined),
+      |∩|/|∪| from counts.  No arrays in the shuffle.  Cost is
+      Σ_s df(s)² over shingle buckets — right for moderate corpora and
+      low thresholds, and it's the oracle baseline for LSH.
+    - ``strategy="prefix"``: PPJoin-style prefix filter — a pair with
+      ``jaccard >= t`` must share a shingle within each doc's
+      ``floor((1-t)·n)+1`` *rarest* shingles, so candidates come only
+      from rare-shingle buckets; verify joins the shingle arrays back
+      by id.  Wins for high thresholds (t ≥ ~0.7) where the prefix is
+      short; at t=0.3 the prefix is 70% of the doc and prunes little.
+
+    At 100 TB neither exact strategy is the first move — generate
+    candidates with :func:`minhash_near_dup_pairs` (O(candidates)) and
+    use this only to verify, which is exactly what that function does.
+    """
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(char_shingles(text_col, k)).alias("__s"),
-    ).distinct()
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
+    )
+    if strategy == "count":
+        sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .agg(F.count("*").alias("__shared"))
+        )
+        sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+        sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+        jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+        return (
+            shared.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    if strategy != "prefix":
+        raise ValueError(f"unknown strategy {strategy!r}: use 'count' or 'prefix'")
+    freq = sh.groupBy("__s").agg(F.count("*").alias("__df"))
+    w = W.partitionBy("__id").orderBy(F.asc("__df"), F.asc("__s"))
+    ranked = (
+        sh.join(freq, "__s")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(W.partitionBy("__id")))
+    )
+    prefix = ranked.filter(
+        F.col("__rn") <= F.floor((1.0 - threshold) * F.col("__n")) + 1
+    ).select("__id", "__s")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("__shared"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
-    jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    shing = df.select(
+        F.col(id_col).alias("__sid"), char_shingles(text_col, k).alias("__sh")
     )
+    joined = candidates.join(
+        shing.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("__sha")), "id_a"
+    ).join(
+        shing.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("__shb")), "id_b"
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    jac = inter.cast("double") / union
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_near_dup_pairs(
@@ -115,28 +166,51 @@ def minhash_near_dup_pairs(
     recalled.  Scales as O(candidates), not O(n²)."""
     rows = num_perm // bands
     perms = minhash_perms(num_perm, seed)
-    sig = df.select(
+    # (1) signatures via explode → groupBy(min × num_perm).  The array
+    # formulation (array_min(transform(...)) × 32) inlines the md5
+    # hashing of every shingle into each of the 32 signature slots after
+    # project-collapse — a 32× recompute and a codegen tree that chokes.
+    # Exploded rows + flat min-aggregates get map-side combine instead;
+    # shuffle volume is one row per (doc, shingle), keys never skew.
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(char_shingles(text_col, k), perms).alias("__sig"),
-        char_shingles(text_col, k).alias("__sh"),
+        F.explode(char_shingles(text_col, k)).alias("__s"),
+    ).select(
+        "__id",
+        (
+            F.conv(F.substring(F.md5("__s"), 1, 8), 16, 10).cast("long")
+            % F.lit(HASH_P)
+        ).alias("__h"),
     )
+    sig = hashed.groupBy("__id").agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(HASH_P)).alias(f"__m{j}")
+            for j, (a, b) in enumerate(perms)
+        ]
+    )
+    # band rows carry ONLY (id, band, key) — shingle arrays never ride
+    # through the bands explode
     banded = sig.select(
         "__id",
-        "__sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            ",", *[F.slice("__sig", b * rows + 1, rows)[i].cast("string") for i in range(rows)]
+                            ",",
+                            *[
+                                F.col(f"__m{b * rows + i}").cast("string")
+                                for i in range(rows)
+                            ],
                         ).alias("key"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("__b"),
-    ).select("__id", "__sh", F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+    ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+    # (2) bucket-local candidate pairs (shuffle on (band, key) only)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -146,18 +220,26 @@ def minhash_near_dup_pairs(
             & (F.col("a.__key") == F.col("b.__key"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("__sha"),
-            F.col("b.__sh").alias("__shb"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # (3) verify candidates only: join the shingle sets back by id
+    shing = df.select(
+        F.col(id_col).alias("__sid"), char_shingles(text_col, k).alias("__sh")
+    )
+    joined = (
+        candidates.join(
+            shing.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("__sha")),
+            "id_a",
+        ).join(
+            shing.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("__shb")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - inter
     jac = inter.cast("double") / union
-    return candidates.select(
+    return joined.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -169,24 +251,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     64-bit on every engine).  Bit b of the fingerprint is set when the
     majority of token hashes have bit b set.  Pure array math per row;
     near-dup detection then bands the fingerprint like MinHash."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    th = F.transform(
-        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    # explode tokens → one groupBy with 60 flat bit-vote aggregates.
+    # (An array-expression formulation inlines the token hashing into
+    # every bit position after project-collapse — 60× recompute.)
+    th = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+    ).select(
+        "__id",
+        F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long").alias("__h"),
     )
-    n_tokens = F.size(tokens)
-    bit_votes = [
-        F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
-        )
-        for b in range(bits)
-    ]
+    votes = th.groupBy("__id").agg(
+        F.count("*").alias("__nt"),
+        *[
+            F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__v{b}")
+            for b in range(bits)
+        ],
+    )
     fingerprint = None
-    for b, votes in enumerate(bit_votes):
-        bit = F.when(votes * 2 > n_tokens, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    for b in range(bits):
+        bit = F.when(
+            F.col(f"__v{b}") * 2 > F.col("__nt"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fingerprint = term if fingerprint is None else fingerprint + term
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+    return votes.select(F.col("__id").alias(id_col), fingerprint.alias("simhash"))

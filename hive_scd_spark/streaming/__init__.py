@@ -1,0 +1,69 @@
+"""Structured Streaming extensions.
+
+The reference is strictly batch (read-time SCD); streaming is the
+rebuild's north-star extension (SURVEY.md §7.6).  Two pieces:
+
+- :func:`scd_stream` — the *same compiled statement chain* applied to a
+  streaming DataFrame.  Because ``apply_statements`` folds to stateless
+  projections/filters, it composes with any streaming source unchanged
+  — one code path for batch and streaming (the Catalyst payoff again).
+- :func:`windowed_event_counts` — watermarked tumbling-window
+  aggregation over an event stream, the standard late-data-tolerant
+  rollup.  Batch equivalence is tested against
+  ``queries.events_window_counts``.
+- :func:`scd_snapshot_sink` — ``foreachBatch`` writer keeping a Parquet
+  "current snapshot" in sync, the streaming version of the README's
+  compaction pattern (``README.md:239-244``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_scd_spark.scd import apply_statements
+
+
+def scd_stream(stream_df: DataFrame, stmts, as_of=None) -> DataFrame:
+    """Apply a parsed (or raw-text) .updates statement chain to a
+    streaming DataFrame.  Stateless → supported in any output mode."""
+    return apply_statements(stream_df, stmts, as_of=as_of)
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window counts/sums with a watermark for late data."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col(group_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col(group_col),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def scd_snapshot_sink(stream_df: DataFrame, stmts, path: str, checkpoint: str):
+    """writeStream.foreachBatch sink: apply the SCD chain to each
+    micro-batch and append to a Parquet snapshot directory."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_statements(batch_df, stmts, as_of=None).write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )
