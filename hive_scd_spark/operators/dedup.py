@@ -244,6 +244,53 @@ def minhash_near_dup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    use_lsh: bool = False,
+    n_planes: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    ``use_lsh=False``: exact all-pairs (self-join on id ordering) —
+    O(n²) dot products, the correctness baseline.  ``use_lsh=True``:
+    random-hyperplane bucketing first, so only bucket-local pairs are
+    scored — the 100 TB path (recall tunable via n_planes; near-dups at
+    high cosine land in the same bucket with probability
+    (1 - θ/π)^n_planes)."""
+    from hive_scd_spark.functions import cosine_similarity
+
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if use_lsh:
+        from hive_scd_spark.operators.similarity import lsh_bucketize
+
+        buckets = lsh_bucketize(df, id_col, vec_col, n_planes, dim)
+        base = base.join(buckets.withColumnRenamed(id_col, "__id"), "__id")
+        a = base.alias("a")
+        b = base.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
+        pairs = a.join(b, F.col("a.__id") < F.col("b.__id"))
+    cos = F.round(
+        cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6
+    ).alias("cos")
+    return (
+        pairs.select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), cos
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """Per-document SimHash fingerprint over whitespace tokens.
 

@@ -100,6 +100,26 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish pre-tokenization: words + punct marks
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens (cheap length proxy)
+    and a BPE-ish regex pre-tokenization (words and punctuation marks
+    counted separately — the usual LLM-cost estimator input)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX))
+    chars_per_tok = F.when(bpe > 0, F.length(text_col).cast("double") / bpe).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_regex_tokens"),
+        F.round(chars_per_tok, 6).alias("chars_per_token"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     """Content fingerprint: (min, max) of shingle hashes + shingle count
     — a cheap rolling-hash-style signature for fast pre-filtering before

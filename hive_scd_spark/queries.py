@@ -332,6 +332,188 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+def scalar_functions_showcase(spark, sf_dir):
+    """Scalar string/math/conditional functions (§2.B scalar-fns row) —
+    the H2-function surface the reference delegated (A8), on Spark."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower(F.substring("p_name", 1, 5)).alias("name5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.08, 2).alias("taxed"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dist"),
+        (F.col("p_partkey") % 10).alias("key_mod"),
+        F.when(F.col("p_size") < 10, "S")
+        .when(F.col("p_size") < 30, "M")
+        .otherwise("L")
+        .alias("size_class"),
+        F.coalesce(F.nullif("p_brand", F.lit("BRAND_0")), F.lit("(zero)")).alias(
+            "brand_nz"
+        ),
+    )
+
+
+def date_functions_showcase(spark, sf_dir):
+    """Date/time scalar functions over order timestamps."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_95"),
+    )
+
+
+def agg_cube_status_priority(spark, sf_dir):
+    """CUBE grouping sets over two dimensions."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders_v
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """
+    )
+
+
+def agg_having_big_customers(spark, sf_dir):
+    """GROUP BY + HAVING."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+def agg_distinct_parts_per_supplier(spark, sf_dir):
+    """COUNT(DISTINCT …) — exact distinct aggregation (expand+2-phase
+    in Spark; approx_count_distinct is the sketch alternative when a
+    ±2% answer is enough at 100 TB)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def join_semi_customers_with_big_order(spark, sf_dir):
+    """Semi join (EXISTS): customers having any order > 400k."""
+    cust = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_left_outer_order_counts(spark, sf_dir):
+    """Left outer join with NULL-skipping count."""
+    cust = t(spark, sf_dir, "customer")
+    early = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-01-01")
+    return (
+        cust.join(early, cust.c_custkey == early.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_early_orders"))
+    )
+
+
+def setop_except_custkeys(spark, sf_dir):
+    """EXCEPT set operation: early-period customers who vanished."""
+    orders = t(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < "1997-01-01").select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= "1997-01-01").select("o_custkey")
+    return early.exceptAll(late).distinct().withColumnRenamed("o_custkey", "custkey")
+
+
+_SQL_SURFACE_QUERIES = {
+    "scalar_functions_showcase": scalar_functions_showcase,
+    "date_functions_showcase": date_functions_showcase,
+    "agg_cube_status_priority": agg_cube_status_priority,
+    "agg_having_big_customers": agg_having_big_customers,
+    "agg_distinct_parts_per_supplier": agg_distinct_parts_per_supplier,
+    "join_semi_customers_with_big_order": join_semi_customers_with_big_order,
+    "join_left_outer_order_counts": join_left_outer_order_counts,
+    "setop_except_custkeys": setop_except_custkeys,
+}
+
+_SQL_SURFACE_ORACLES = {
+    "scalar_functions_showcase": """
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_u,
+               LOWER(SUBSTR(p_name, 1, 5)) AS name5,
+               LEN(p_name) AS name_len,
+               CONCAT_WS('/', p_brand, p_type) AS brand_type,
+               ROUND(p_retailprice * 1.08, 2) AS taxed,
+               ABS(p_size - 25) AS size_dist,
+               p_partkey % 10 AS key_mod,
+               CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M'
+                    ELSE 'L' END AS size_class,
+               COALESCE(NULLIF(p_brand, 'BRAND_0'), '(zero)') AS brand_nz
+        FROM part
+    """,
+    "date_functions_showcase": """
+        SELECT o_orderkey,
+               EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               EXTRACT(QUARTER FROM o_orderdate) AS o_quarter,
+               EXTRACT(MONTH FROM o_orderdate) AS o_month,
+               EXTRACT(DAY FROM o_orderdate) AS o_day,
+               CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+        FROM orders
+    """,
+    "agg_cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "agg_having_big_customers": """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_spent
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    "agg_distinct_parts_per_supplier": """
+        SELECT l_suppkey,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    "join_semi_customers_with_big_order": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    "join_left_outer_order_counts": """
+        SELECT c_custkey, COUNT(o_orderkey) AS n_early_orders
+        FROM customer LEFT JOIN
+             (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00') o
+          ON c_custkey = o.o_custkey
+        GROUP BY c_custkey
+    """,
+    "setop_except_custkeys": """
+        SELECT DISTINCT custkey FROM (
+          SELECT o_custkey AS custkey FROM orders
+          WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          EXCEPT ALL
+          SELECT o_custkey AS custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    """,
+}
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline extension operators (BASELINE.json north star): dedup,
 # similarity search, text analysis, multimodal plumbing, as-of join.
@@ -381,6 +563,23 @@ def dedup_simhash(spark, sf_dir):
     from hive_scd_spark.operators.dedup import simhash
 
     return simhash(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    operator's use_lsh=True path is the at-scale variant)."""
+    from hive_scd_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.35
+    )
+
+
+def text_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counting."""
+    from hive_scd_spark.operators.text import token_counts
+
+    return token_counts(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def text_quality_stats(spark, sf_dir):
@@ -587,6 +786,21 @@ EXT_ORACLES: dict[str, str] = {
         WHERE cnt*1.0/(sa.n+sb.n-cnt) >= 0.3
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_embedding_cosine": f"""
+        SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS_SQL} AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+        WHERE {_COS_SQL} >= 0.35
+    """,
+    "text_token_count": """
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_regex_tokens,
+               ROUND(CASE WHEN len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) > 0
+                          THEN CAST(len(text) AS DOUBLE)
+                               / len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                          ELSE 0.0 END, 6) AS chars_per_token
+        FROM documents
+    """,
     "dedup_simhash": """
         WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
                       FROM documents),
@@ -698,6 +912,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "text_token_count": text_token_count,
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
     "text_doc_fingerprint": text_doc_fingerprint,
@@ -856,6 +1072,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_intersect_custkeys": setop_intersect_custkeys,
     "pivot_nation_by_segment": pivot_nation_by_segment,
     "events_sessionize": events_sessionize,
+    **_SQL_SURFACE_QUERIES,
     **EXT_QUERIES,
 }
+ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
