@@ -437,7 +437,21 @@ def setop_except_custkeys(spark, sf_dir):
     return early.exceptAll(late).distinct().withColumnRenamed("o_custkey", "custkey")
 
 
+def agg_percentiles_per_segment(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per group — the
+    UDAF-shaped analytics row; at 100 TB swap to percentile_approx
+    (t-digest sketch) for a one-pass mergeable answer."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+        F.round(F.min("c_acctbal"), 4).alias("lo"),
+        F.round(F.max("c_acctbal"), 4).alias("hi"),
+    )
+
+
 _SQL_SURFACE_QUERIES = {
+    "agg_percentiles_per_segment": agg_percentiles_per_segment,
     "scalar_functions_showcase": scalar_functions_showcase,
     "date_functions_showcase": date_functions_showcase,
     "agg_cube_status_priority": agg_cube_status_priority,
@@ -449,6 +463,14 @@ _SQL_SURFACE_QUERIES = {
 }
 
 _SQL_SURFACE_ORACLES = {
+    "agg_percentiles_per_segment": """
+        SELECT c_mktsegment,
+               ROUND(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+               ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+               ROUND(MIN(c_acctbal), 4) AS lo,
+               ROUND(MAX(c_acctbal), 4) AS hi
+        FROM customer GROUP BY c_mktsegment
+    """,
     "scalar_functions_showcase": """
         SELECT p_partkey,
                UPPER(p_brand) AS brand_u,

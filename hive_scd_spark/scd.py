@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from hive_scd_spark.updates import Stmt, applicable, parse_script, parse_scd_time
 
 UPDATES_FILE_NAME = ".updates"  # SQLUpdater.java:32 / README.md:124
+SCD_TIME_CONF = "spark.scd.time"  # session as-of knob, like Hive's scd.time
 
 
 def resolve_as_of(as_of=None) -> int:
@@ -178,6 +179,13 @@ def read_scd(
     StructType) — schema evolution fills field defaults exactly like the
     reference's reader-schema handling (``AvroSCDInputFormat.java:141-154``).
     """
+    if as_of is None:
+        # session-level knob for SQL users, mirroring the reference's
+        # `set scd.time=...` (README.md:172-217): unset/"" → now,
+        # long millis or ISO string, negative → raw data
+        conf_time = spark.conf.get(SCD_TIME_CONF, None)
+        if conf_time is not None:
+            as_of = conf_time
     groups = _discover_update_dirs(path)
     if not groups:
         # no data subdirectories — treat path itself as the data dir

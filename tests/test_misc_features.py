@@ -1,0 +1,101 @@
+"""scd.time session conf, multi-format SCD sources, skew utilities."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hive_scd_spark.scd import SCD_TIME_CONF, read_scd
+
+
+@pytest.fixture()
+def dim_dir(spark, tmp_path):
+    d = tmp_path / "dim"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, name string"
+    ).write.mode("overwrite").parquet(str(d))
+    (d / ".updates").write_text(
+        "UPDATE d SET name = upper(name) WHERE id = 1;\n"
+        "-- time=2030-01-01\n"
+        "DELETE FROM d WHERE id = 3;\n"
+    )
+    return str(d)
+
+
+def test_scd_time_session_conf(spark, dim_dir):
+    # mirrors Hive `set scd.time=...` (README.md:172-217)
+    try:
+        spark.conf.set(SCD_TIME_CONF, "-1")
+        assert read_scd(spark, dim_dir, format="parquet").count() == 3
+        spark.conf.set(SCD_TIME_CONF, "2031-01-01")
+        rows = {r.id: r.name for r in read_scd(spark, dim_dir, format="parquet").collect()}
+        assert rows == {1: "A", 2: "b"}
+        spark.conf.set(SCD_TIME_CONF, "")  # empty → now (before 2030)
+        assert read_scd(spark, dim_dir, format="parquet").count() == 3
+    finally:
+        spark.conf.unset(SCD_TIME_CONF)
+    # explicit as_of still wins over the conf default path
+    assert read_scd(spark, dim_dir, format="parquet", as_of=-1).count() == 3
+
+
+@pytest.mark.parametrize("fmt", ["json", "csv", "orc"])
+def test_scd_over_other_formats(spark, tmp_path, fmt):
+    # §2.B sources row: the SCD layer is format-agnostic
+    d = tmp_path / f"dim_{fmt}"
+    d.mkdir()
+    base = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    writer = base.coalesce(1).write.mode("overwrite")
+    options = {}
+    if fmt == "csv":
+        writer = writer.option("header", True)
+        options = {"header": True, "inferSchema": True}
+    getattr(writer, fmt)(str(d))
+    (d / ".updates").write_text("DELETE FROM dim WHERE id = 2;")
+    schema = "id int, name string" if fmt == "json" else None
+    out = read_scd(spark, str(d), format=fmt, schema=schema, options=options)
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_salted_agg_matches_plain(spark):
+    from hive_scd_spark.operators.skew import salted_agg
+
+    # 90% of rows share one hot key
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").cast("double").alias("x"),
+    )
+    plain = {
+        (r.k): (r.n, r.total)
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, r.total)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.count("*"), F.sum("n")),
+                "total": (F.sum("x"), F.sum("total")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    from hive_scd_spark.operators.skew import salted_join
+
+    big = spark.range(5000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two")], "k long, label string"
+    )
+    plain = big.join(small, "k").select("v", "label")
+    salted = salted_join(big, small, on="k", n_salts=4).select("v", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
