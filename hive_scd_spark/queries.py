@@ -450,8 +450,38 @@ def agg_percentiles_per_segment(spark, sf_dir):
     )
 
 
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def subquery_correlated_max_order(spark, sf_dir):
+    """Correlated scalar subquery per outer row."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT ROUND(MAX(o_totalprice), 2) FROM orders_sq
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer_sq
+        """
+    )
+
+
 _SQL_SURFACE_QUERIES = {
     "agg_percentiles_per_segment": agg_percentiles_per_segment,
+    "agg_grouping_sets": agg_grouping_sets,
+    "subquery_correlated_max_order": subquery_correlated_max_order,
     "scalar_functions_showcase": scalar_functions_showcase,
     "date_functions_showcase": date_functions_showcase,
     "agg_cube_status_priority": agg_cube_status_priority,
@@ -463,6 +493,19 @@ _SQL_SURFACE_QUERIES = {
 }
 
 _SQL_SURFACE_ORACLES = {
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "subquery_correlated_max_order": """
+        SELECT c_custkey,
+               (SELECT ROUND(MAX(o_totalprice), 2) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+    """,
     "agg_percentiles_per_segment": """
         SELECT c_mktsegment,
                ROUND(quantile_cont(c_acctbal, 0.5), 4) AS p50,

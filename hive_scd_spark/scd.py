@@ -233,3 +233,25 @@ def snapshot(df: DataFrame, path: str | None = None, mode: str = "overwrite") ->
     if path is not None:
         df.write.mode(mode).parquet(path)
     return df
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    snapshot_path: str,
+    as_of=None,
+    format: str = "parquet",
+    **kw,
+) -> DataFrame:
+    """Incremental compaction: fold the statement log into a Parquet
+    snapshot and return the compacted DataFrame.
+
+    The README's operational pattern (``README.md:239-244``): serve
+    current-state queries from the snapshot (no DML replay at all),
+    keep the raw dir + ``.updates`` as the full history.  Statements
+    with effective time **after** *as_of* remain pending — re-running
+    compact later with a newer as_of rolls the snapshot forward.
+    A plain write job: no shuffle beyond the source layout."""
+    df = read_scd(spark, path, as_of=as_of, format=format, **kw)
+    df.write.mode("overwrite").parquet(snapshot_path)
+    return spark.read.parquet(snapshot_path)

@@ -55,6 +55,55 @@ def windowed_event_counts(
     )
 
 
+def sessionize_stream(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    an inactivity gap, via ``applyInPandasWithState``.
+
+    State per user = (session_count, last_event_ts).  Each micro-batch
+    folds its events into the state and emits one row per user with the
+    updated totals.  This is the pattern for operators Spark's built-in
+    streaming aggregations can't express (session ids spanning
+    micro-batches); state lives in the state store, partitioned by the
+    group key, so it scales horizontally like any keyed stream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_sessions long, n_events long"
+    state_schema = "n_sessions long, n_events long, last_ts double"
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            n_sessions, n_events, last_ts = state.get
+        else:
+            n_sessions, n_events, last_ts = 0, 0, None
+        for pdf in pdfs:
+            for ts in sorted(pdf[ts_col]):
+                t = ts.timestamp()
+                if last_ts is None or t - last_ts > gap_seconds:
+                    n_sessions += 1
+                n_events += 1
+                last_ts = t
+        state.update((n_sessions, n_events, last_ts))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def scd_snapshot_sink(stream_df: DataFrame, stmts, path: str, checkpoint: str):
     """writeStream.foreachBatch sink: apply the SCD chain to each
     micro-batch and append to a Parquet snapshot directory."""
