@@ -74,6 +74,18 @@ def minhash_signature(shingles: Column, perms: list[tuple[int, int]]) -> Column:
     )
 
 
+def vector_norm(a: Column) -> Column:
+    """L2 norm of a float-array column, double precision, sequential
+    fold order (matches ``SQRT(list_sum(list_transform(...)))``)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine of two float-array columns, computed in double with
     sequential left-fold order (stable across engines for hashing)."""
@@ -96,4 +108,4 @@ def cosine_similarity(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
     )
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)  # zero-norm → NULL, not ANSI error

@@ -261,9 +261,17 @@ def embedding_near_dup_pairs(
     scored — the 100 TB path (recall tunable via n_planes; near-dups at
     high cosine land in the same bucket with probability
     (1 - θ/π)^n_planes)."""
-    from hive_scd_spark.functions import cosine_similarity
+    from hive_scd_spark.functions import vector_norm
 
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # norms hoisted to the per-row projection: pairwise work is ONE dot
+    # fold instead of three (higher-order fns are interpreted, not
+    # codegen'd — at n² pairs every fold counts).  FP-identical to
+    # dot/(sqrt(sa)*sqrt(sb)) computed per pair.
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        vector_norm(F.col(vec_col)).alias("__n"),
+    )
     if use_lsh:
         from hive_scd_spark.operators.similarity import lsh_bucketize
 
@@ -280,8 +288,17 @@ def embedding_near_dup_pairs(
         a = base.alias("a")
         b = base.alias("b")
         pairs = a.join(b, F.col("a.__id") < F.col("b.__id"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.__v"), F.col("b.__v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # try_divide: zero-norm vectors have undefined cosine → NULL →
+    # dropped by the threshold filter (ANSI mode would raise instead)
     cos = F.round(
-        cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6
+        F.try_divide(dot, F.col("a.__n") * F.col("b.__n")), 6
     ).alias("cos")
     return (
         pairs.select(

@@ -15,7 +15,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from hive_scd_spark.functions import cosine_similarity
+from hive_scd_spark.functions import vector_norm
+
+
+def _pair_cos(qv, cv, qn, cn):
+    """round(dot/(|q|·|c|), 6) with norms precomputed per row — one
+    interpreted fold per pair instead of three (see dedup module note)."""
+    dot = F.aggregate(
+        F.zip_with(qv, cv, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # try_divide: zero-norm vector → NULL cosine (ANSI-safe), which
+    # sorts last under DESC ordering and never enters a top-k
+    return F.round(F.try_divide(dot, qn * cn), 6)
 
 
 def cosine_topk(
@@ -31,10 +44,14 @@ def cosine_topk(
     (higher cos first, then smaller neighbor id).  Self-matches are
     excluded."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        vector_norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        vector_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -42,7 +59,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+            _pair_cos(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -119,11 +138,13 @@ def ann_cosine_topk(
         F.col(id_col).alias("query_id"),
         F.col("bucket"),
         F.col(vec_col).alias("__qv"),
+        vector_norm(F.col(vec_col)).alias("__qn"),
     )
     c = cb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("bucket"),
         F.col(vec_col).alias("__cv"),
+        vector_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -131,7 +152,9 @@ def ann_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cos"),
+            _pair_cos(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -110,6 +110,48 @@ def scd_update_chain_preimage(spark, sf_dir):
     return apply_statements(t(spark, sf_dir, "customer"), _CHAIN_SCRIPT, as_of=None)
 
 
+_PART_SCRIPTS = {
+    0: "UPDATE customer SET c_acctbal = c_acctbal + 10 WHERE c_acctbal < 0;",
+    1: "DELETE FROM customer WHERE c_custkey % 2 = 0;",
+    # partition 2 carries no .updates → raw passthrough
+}
+
+
+def scd_partitioned_updates(spark, sf_dir):
+    """Partition-scoped update scripts (A11, SQLUpdater.java:110-116):
+    the customer dim is laid out as three partition directories (by
+    c_nationkey % 3), each carrying its own ``.updates``; read_scd
+    applies each directory's script to that directory only.
+
+    The fixture is materialized once per (sf, session) under /tmp —
+    the driver's testdata is read-only."""
+    import os
+    import tempfile
+
+    from hive_scd_spark.scd import read_scd
+
+    fixture = os.path.join(
+        tempfile.gettempdir(), f"scd_part_fixture_{os.path.basename(sf_dir)}"
+    )
+    marker = os.path.join(fixture, "_built")
+    if not os.path.exists(marker):
+        cust = t(spark, sf_dir, "customer")
+        for part in range(3):
+            pdir = os.path.join(fixture, f"part={part}")
+            cust.filter(F.col("c_nationkey") % 3 == part).write.mode(
+                "overwrite"
+            ).parquet(pdir)
+            if part in _PART_SCRIPTS:
+                with open(os.path.join(pdir, ".updates"), "w") as fh:
+                    fh.write(_PART_SCRIPTS[part] + "\n")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = read_scd(spark, fixture, as_of=None, format="parquet")
+    return out.select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
 def scd_customer_orders_revenue(spark, sf_dir):
     """Flagship: as-of dimension joined to facts — revenue per
     (post-update) market segment.  The dimension side broadcasts: at
@@ -1006,6 +1048,14 @@ ORACLES: dict[str, str] = {
                c_mktsegment
         FROM s1
     """,
+    "scd_partitioned_updates": """
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_nationkey % 3 = 0 AND c_acctbal < 0
+                    THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE NOT (c_nationkey % 3 = 1 AND c_custkey % 2 = 0)
+    """,
     "scd_customer_orders_revenue": """
         WITH cust AS (
           SELECT c_custkey,
@@ -1125,6 +1175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_customer_asof_mid": scd_customer_asof_mid,
     "scd_customer_asof_now": scd_customer_asof_now,
     "scd_update_chain_preimage": scd_update_chain_preimage,
+    "scd_partitioned_updates": scd_partitioned_updates,
     "scd_customer_orders_revenue": scd_customer_orders_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
