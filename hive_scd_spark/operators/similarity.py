@@ -115,6 +115,108 @@ def lsh_bucketize(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def _ivf_centroids(df: DataFrame, id_col: str, vec_col: str, stride: int) -> DataFrame:
+    """Deterministic sampled centroids: every vector whose id divides
+    *stride*.  Proper IVF trains centroids with k-means; an id-stride
+    sample is statistically uniform over a hash-assigned id space, is
+    reproducible in plain SQL (oracle-checkable), and can be swapped
+    for trained centroids offline without touching the query path."""
+    return df.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("list_id"),
+        F.col(vec_col).alias("__centv"),
+        vector_norm(F.col(vec_col)).alias("__centn"),
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 29,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    (by cosine, ties → smallest centroid id) sampled centroid.  One
+    broadcast of the centroids + one corpus pass.  Output: (id, list_id)
+    — at scale this is computed once and stored alongside the corpus."""
+    cent = _ivf_centroids(df, id_col, vec_col, stride)
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        vector_norm(F.col(vec_col)).alias("__n"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        "list_id",
+        _pair_cos(F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn")).alias(
+            "__sim"
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("list_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "list_id")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    stride: int = 29,
+) -> DataFrame:
+    """IVF approximate top-k: rank only the members of each query's
+    *n_probe* nearest inverted lists.  Each query touches roughly
+    n_probe/n_lists of the corpus — the knob between recall and cost."""
+    assign = ivf_assign(corpus, id_col, vec_col, stride)
+    corpus_b = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        vector_norm(F.col(vec_col)).alias("__cn"),
+    ).join(assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    cent = _ivf_centroids(corpus, id_col, vec_col, stride)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        vector_norm(F.col(vec_col)).alias("__qn"),
+    )
+    probes = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "__qv",
+        "__qn",
+        "list_id",
+        _pair_cos(
+            F.col("__qv"), F.col("__centv"), F.col("__qn"), F.col("__centn")
+        ).alias("__sim"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("list_id"))
+    probed = (
+        probes.withColumn("__rk", F.row_number().over(wp))
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", "__qv", "__qn", "list_id")
+    )
+    scored = (
+        corpus_b.join(F.broadcast(probed), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pair_cos(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
 def ann_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

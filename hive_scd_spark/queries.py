@@ -752,6 +752,19 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def ivf_cosine_topk_q(spark, sf_dir):
+    """IVF ANN: deterministic id-stride centroids → inverted lists →
+    probe 4 nearest lists per query.  The second ANN strategy next to
+    LSH; same deterministic-construction trick makes the whole index
+    reproducible in the SQL oracle."""
+    from hive_scd_spark.operators.similarity import ivf_cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4, stride=29
+    )
+
+
 def multimodal_image_features(spark, sf_dir):
     """Binary-column plumbing: wrap text bytes as an opaque payload,
     extract features via Arrow-batched mapInPandas (decode is a
@@ -988,6 +1001,45 @@ EXT_ORACLES: dict[str, str] = {
                                     ORDER BY cos DESC, neighbor_id ASC) AS rk
           FROM scored) WHERE rk <= 5
     """,
+    "ivf_cosine_topk": """
+        WITH norms AS (
+          SELECT vec_id, embedding,
+                 SQRT(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings),
+        cent AS (SELECT vec_id AS list_id, embedding AS centv, nrm AS centn
+                 FROM norms WHERE vec_id % 29 = 0),
+        assign AS (
+          SELECT vec_id, list_id FROM (
+            SELECT v.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                     ROUND(list_sum(list_transform(list_zip(v.embedding, c.centv),
+                           p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                           / (v.nrm * c.centn), 6) DESC, c.list_id ASC) AS rk
+            FROM norms v, cent c) WHERE rk = 1),
+        probes AS (
+          SELECT query_id, list_id FROM (
+            SELECT q.vec_id AS query_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     ROUND(list_sum(list_transform(list_zip(q.embedding, c.centv),
+                           p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                           / (q.nrm * c.centn), 6) DESC, c.list_id ASC) AS rk
+            FROM norms q, cent c WHERE q.vec_id < 10) WHERE rk <= 4),
+        scored AS (
+          SELECT p.query_id, n.vec_id AS neighbor_id,
+                 ROUND(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+                       x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
+                       / (q.nrm * n.nrm), 6) AS cos
+          FROM probes p
+          JOIN assign a ON a.list_id = p.list_id
+          JOIN norms n ON n.vec_id = a.vec_id AND n.vec_id != p.query_id
+          JOIN norms q ON q.vec_id = p.query_id)
+        SELECT query_id, neighbor_id, cos, rk FROM (
+          SELECT query_id, neighbor_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rk
+          FROM scored) WHERE rk <= 5
+    """,
     "multimodal_image_features": """
         SELECT doc_id AS media_id,
                octet_length(encode(text)) AS n_bytes,
@@ -1026,6 +1078,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_doc_fingerprint": text_doc_fingerprint,
     "knn_brute_force": knn_brute_force,
     "ann_lsh_topk": ann_lsh_topk,
+    "ivf_cosine_topk": ivf_cosine_topk_q,
     "multimodal_image_features": multimodal_image_features,
     "asof_join_click_purchase": asof_join_click_purchase,
     "events_window_counts": events_window_counts,
