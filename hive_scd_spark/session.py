@@ -13,10 +13,18 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "hive_scd_spark", shuffle_partitions: int | None = None):
+def get_spark(
+    app_name: str = "hive_scd_spark",
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+):
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    if warehouse_dir is None:
+        warehouse_dir = os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/hive_scd_spark_warehouse"
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -30,6 +38,7 @@ def get_spark(app_name: str = "hive_scd_spark", shuffle_partitions: int | None =
         # which vanilla Spark refuses; read them as long nanos instead
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.warehouse.dir", warehouse_dir)
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -93,7 +93,6 @@ def _scan_statements(text: str) -> list[tuple[str, int | None]]:
     file order.  Quote-aware (see module docstring)."""
     statements: list[tuple[str, int | None]] = []
     current_time: int | None = 0  # default effective time = epoch, SQLUpdater.java:125
-    buf: list[str] = []
 
     def flush(stmt_text: str) -> None:
         stmt_text = stmt_text.strip()
@@ -151,7 +150,6 @@ def _scan_statements(text: str) -> list[tuple[str, int | None]]:
         raise ScdScriptError(
             f"Incomplete SQL statement in updates file: {pending.strip()!r}"
         )
-    buf  # noqa: B018 — kept for symmetry; unused
     return statements
 
 
