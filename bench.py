@@ -51,8 +51,13 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     spark = get_spark("bench")
 
-    # one small warm-up action so JVM/codegen startup isn't billed to q1
+    # Warm-up: run every headline query once untimed.  First execution
+    # of each query *shape* pays 1-3s of whole-stage-codegen compilation
+    # (see SCALE_NOTES.md) — at 100 TB that's noise, at sf0.1 it would
+    # be most of the measurement.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for name in HEADLINE:
+        run_query(spark, name, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -35,6 +35,7 @@ from hive_scd_spark.updates import (
 )
 from hive_scd_spark.scd import (
     apply_statements,
+    compact,
     read_scd,
     resolve_as_of,
     scd_view,
@@ -48,6 +49,7 @@ __all__ = [
     "parse_updates",
     "parse_script",
     "apply_statements",
+    "compact",
     "read_scd",
     "resolve_as_of",
     "scd_view",

@@ -16,15 +16,13 @@ Jaccard.  The scale story for each:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from hive_scd_spark.functions import (
     HASH_P,
     char_shingles,
-    hash32,
     minhash_perms,
-    minhash_signature,
     norm_text,
 )
 

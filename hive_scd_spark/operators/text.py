@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hive_scd_spark.functions import char_shingles, hash32
+from hive_scd_spark.functions import char_shingles
 
 # Small per-language stopword lists (public, common knowledge).  Kept
 # deliberately tiny and embedded so the DuckDB oracle can share them.
@@ -34,9 +34,6 @@ def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_chars = F.length(F.col(text_col))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
-    n_stop = F.size(
-        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
-    )
     stop_hits = F.aggregate(
         toks,
         F.lit(0),
@@ -54,7 +51,6 @@ def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
     )
-    n_stop  # distinct-stopword count intentionally unused in score; kept for parity debugging
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
