@@ -492,6 +492,43 @@ def agg_percentiles_per_segment(spark, sf_dir):
     )
 
 
+def scd_sql_over_view(spark, sf_dir):
+    """§2.B capability: register the as-of SCD result as a temp view
+    and run plain SQL over it — the rebuild of 'Hive runs the SELECT
+    side over the SCD table' (README.md:169-170)."""
+    cust = apply_statements(t(spark, sf_dir, "customer"), CUSTOMER_SCRIPT, as_of=None)
+    cust.createOrReplaceTempView("customer_scd_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               ROUND(AVG(c_acctbal), 6) AS avg_bal
+        FROM customer_scd_v
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+def agg_approx_distinct_check(spark, sf_dir):
+    """Sketch aggregates — at 100 TB approx_count_distinct (HLL++) is
+    the one-pass mergeable alternative to exact distinct.  HLL values
+    are engine-specific, so the gate checks the *deterministic*
+    property that matters: the sketch stays within tolerance of exact
+    (HLL is deterministic for fixed input, so this is a stable check,
+    not a flaky one)."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") / F.col("exact_orders") - 1.0) <= 0.15
+        ).alias("within_15pct"),
+    )
+
+
 def agg_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (beyond rollup/cube)."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
@@ -521,6 +558,8 @@ def subquery_correlated_max_order(spark, sf_dir):
 
 
 _SQL_SURFACE_QUERIES = {
+    "scd_sql_over_view": scd_sql_over_view,
+    "agg_approx_distinct_check": agg_approx_distinct_check,
     "agg_percentiles_per_segment": agg_percentiles_per_segment,
     "agg_grouping_sets": agg_grouping_sets,
     "subquery_correlated_max_order": subquery_correlated_max_order,
@@ -535,6 +574,23 @@ _SQL_SURFACE_QUERIES = {
 }
 
 _SQL_SURFACE_ORACLES = {
+    "scd_sql_over_view": """
+        WITH v AS (
+          SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'MACHINERY'
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 CASE WHEN c_acctbal < 0 THEN c_acctbal + 100.0
+                      ELSE c_acctbal END AS c_acctbal
+          FROM customer WHERE NOT (c_custkey % 7 = 0))
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               ROUND(AVG(c_acctbal), 6) AS avg_bal
+        FROM v GROUP BY c_mktsegment
+    """,
+    "agg_approx_distinct_check": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS within_15pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "agg_grouping_sets": """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_rows,
