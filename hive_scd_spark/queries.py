@@ -31,6 +31,9 @@ TABLES = (
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # defensive: the caller may be the driver's own session — pin UTC so
+    # date/year extraction from timestamps matches the UTC-naive oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -38,6 +41,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos.
     Expose both the raw nanos (exact) and a micros-precision timestamp."""
+    # the driver may hand us a session without this legacy conf; it is
+    # a runtime (non-static) SQL conf, so set it defensively here —
+    # without it the TIMESTAMP(NANOS) column fails the whole read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = t(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
         # integer `div`, not `/`: float division of epoch-nanos loses
