@@ -564,7 +564,38 @@ def subquery_correlated_max_order(spark, sf_dir):
     )
 
 
+def unpivot_part_metrics(spark, sf_dir):
+    """Unpivot via stack(): wide part metrics → (metric, value) rows."""
+    part = t(spark, sf_dir, "part")
+    return part.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', cast(p_size as double), 'price', p_retailprice)"
+        " as (metric, value)",
+    )
+
+
+def array_functions_showcase(spark, sf_dir):
+    """Array/higher-order functions over the embedding column: size,
+    element access, slice aggregation, element-wise transform."""
+    emb = t(spark, sf_dir, "embeddings")
+    head8_sum = F.aggregate(
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n_pos = F.size(F.filter("embedding", lambda x: x > 0))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(head8_sum, 6).alias("head8_sum"),
+        n_pos.cast("long").alias("n_positive"),
+    )
+
+
 _SQL_SURFACE_QUERIES = {
+    "unpivot_part_metrics": unpivot_part_metrics,
+    "array_functions_showcase": array_functions_showcase,
     "scd_sql_over_view": scd_sql_over_view,
     "agg_approx_distinct_check": agg_approx_distinct_check,
     "agg_percentiles_per_segment": agg_percentiles_per_segment,
@@ -581,6 +612,20 @@ _SQL_SURFACE_QUERIES = {
 }
 
 _SQL_SURFACE_ORACLES = {
+    "unpivot_part_metrics": """
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'price' AS metric, p_retailprice AS value FROM part
+    """,
+    "array_functions_showcase": """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+               ROUND(list_sum(list_transform(embedding[1:8],
+                     x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+               len(list_filter(embedding, x -> x > 0)) AS n_positive
+        FROM embeddings
+    """,
     "scd_sql_over_view": """
         WITH v AS (
           SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'MACHINERY'
