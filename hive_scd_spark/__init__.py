@@ -38,6 +38,7 @@ from hive_scd_spark.scd import (
     compact,
     read_scd,
     resolve_as_of,
+    scd2_history,
     scd_view,
     snapshot,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "compact",
     "read_scd",
     "resolve_as_of",
+    "scd2_history",
     "scd_view",
     "snapshot",
 ]

@@ -159,6 +159,16 @@ def scd_partitioned_updates(spark, sf_dir):
     )
 
 
+def scd2_customer_history(spark, sf_dir):
+    """Type-2 history materialized from the Type-7 statement log
+    (scd.scd2_history): one row per (customer, state interval) with
+    valid_from/valid_to/is_current — the explicit form of the history
+    the reference keeps implicitly (README.md:24-26)."""
+    from hive_scd_spark.scd import scd2_history
+
+    return scd2_history(t(spark, sf_dir, "customer"), CUSTOMER_SCRIPT)
+
+
 def scd_customer_orders_revenue(spark, sf_dir):
     """Flagship: as-of dimension joined to facts — revenue per
     (post-update) market segment.  The dimension side broadcasts: at
@@ -1209,6 +1219,26 @@ ORACLES: dict[str, str] = {
                c_mktsegment
         FROM s1
     """,
+    "scd2_customer_history": """
+        WITH s0 AS (
+          SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                 CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'MACHINERY'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer),
+        base AS (SELECT *, c_acctbal < 0 AS neg, c_custkey % 7 = 0 AS del FROM s0)
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               0 AS valid_from_ms,
+               CASE WHEN neg THEN 1709251200000
+                    WHEN del THEN 1717200000000 END AS valid_to_ms,
+               (NOT neg AND NOT del) AS is_current
+        FROM base
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, c_mktsegment,
+               1709251200000 AS valid_from_ms,
+               CASE WHEN del THEN 1717200000000 END AS valid_to_ms,
+               NOT del AS is_current
+        FROM base WHERE neg
+    """,
     "scd_partitioned_updates": """
         SELECT c_custkey, c_name, c_nationkey,
                CASE WHEN c_nationkey % 3 = 0 AND c_acctbal < 0
@@ -1337,6 +1367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_customer_asof_now": scd_customer_asof_now,
     "scd_update_chain_preimage": scd_update_chain_preimage,
     "scd_partitioned_updates": scd_partitioned_updates,
+    "scd2_customer_history": scd2_customer_history,
     "scd_customer_orders_revenue": scd_customer_orders_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,

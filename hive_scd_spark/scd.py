@@ -235,6 +235,126 @@ def snapshot(df: DataFrame, path: str | None = None, mode: str = "overwrite") ->
     return df
 
 
+def scd2_history(df: DataFrame, stmts, tracked_cols: list[str] | None = None) -> DataFrame:
+    """Materialize a **Type-2** history table from the Type-7 statement
+    log: one row per (entity, state interval), with ``valid_from_ms`` /
+    ``valid_to_ms`` (NULL = current) and ``is_current``.
+
+    The reference keeps history *implicitly* (base + timestamped DML,
+    ``README.md:24-26``); this derives the standard explicit form in a
+    **single pass**: for each distinct effective time t_i the row's
+    state is the fold of statements with effective ≤ t_i (the same
+    when/otherwise composition as ``apply_statements``), assembled into
+    an array of (t_i, state, alive) structs, de-duplicated against the
+    previous interval, and exploded.  No self-joins, no per-time scans
+    — cost is k× the projection width for k distinct times, which is
+    tiny because k = number of timestamped script epochs, not rows."""
+    if isinstance(stmts, str):
+        stmts = parse_script(stmts)
+    stmts = list(stmts)
+    # boundaries: raw state (before everything) + each distinct effective time
+    times = sorted({0 if s.effective_ms is None else s.effective_ms for s in stmts})
+    if not times or times[0] != 0:
+        times = [0, *times]
+    cols = df.columns if tracked_cols is None else tracked_cols
+    field_types = {f.name: f.dataType for f in df.schema.fields}
+
+    # NOTE on pre-image correctness: every statement's WHERE/SET below
+    # evaluates against the *source columns* composed so far, exactly
+    # like apply_statements — but chains where a later statement's
+    # expressions read a column an earlier statement assigned cannot be
+    # re-derived per-boundary this way without sequential snapshots.
+    # Detect that case and refuse loudly rather than silently mis-state
+    # history.
+    assigned: set[str] = set()
+    for stmt in stmts:
+        refs = ((stmt.where or "") + " " + " ".join(e for _c, e in stmt.sets)).lower()
+        if any(c.lower() in refs for c in assigned):
+            raise NotImplementedError(
+                "scd2_history: statement chains where later statements read "
+                "columns assigned by earlier ones need sequential snapshots — "
+                "use apply_statements per as_of instead"
+            )
+        assigned.update(c for c, _e in stmt.sets)
+
+    def state_at(t_ms: int):
+        """(state struct, alive) after folding statements eff ≤ t_ms."""
+        exprs = {c: F.col(c) for c in df.columns}
+        alive = F.lit(True)
+        for stmt in applicable(stmts, t_ms):
+            cond = (
+                F.lit(True)
+                if stmt.where is None
+                else F.coalesce(F.expr(stmt.where).cast("boolean"), F.lit(False))
+            )
+            if stmt.kind == "delete":
+                alive = alive & ~cond
+            else:
+                for col, set_expr in stmt.sets:
+                    actual = next(
+                        (c for c in df.columns if c.lower() == col.lower()), col
+                    )
+                    exprs[actual] = F.when(
+                        cond, F.expr(set_expr).cast(field_types[actual])
+                    ).otherwise(exprs[actual])
+        return F.struct(*[exprs[c].alias(c) for c in cols]), alive
+
+    entries = []
+    for t in times:
+        state, alive = state_at(t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("valid_from_ms"),
+                state.alias("state"),
+                alive.alias("alive"),
+            )
+        )
+    arr = F.array(*entries)
+
+    def at(i):  # 1-based element_at over the boundary array
+        return F.element_at(arr, i)
+
+    # keep boundary i iff its (state, alive) differs from boundary i-1
+    idx = F.sequence(F.lit(1), F.lit(len(times)))  # 1-based positions
+    keep = F.filter(
+        idx,
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            (at(i)["state"] != at(i - 1)["state"])
+            | (at(i)["alive"] != at(i - 1)["alive"])
+        ),
+    )
+    # each kept boundary becomes an interval ending at the next kept one
+    versions = F.transform(
+        keep,
+        lambda i, pos: F.struct(
+            at(i)["valid_from_ms"].alias("valid_from_ms"),
+            F.when(
+                F.try_element_at(keep, pos + 2).isNull(), F.lit(None).cast("long")
+            )
+            .otherwise(
+                at(F.coalesce(F.try_element_at(keep, pos + 2), F.lit(1)))[
+                    "valid_from_ms"
+                ]
+            )
+            .alias("valid_to_ms"),
+            at(i)["state"].alias("state"),
+            at(i)["alive"].alias("alive"),
+        ),
+    )
+    exploded = df.select(F.explode(versions).alias("__v"))
+    out = exploded.select(
+        *[F.col(f"__v.state.{c}").alias(c) for c in cols],
+        F.col("__v.valid_from_ms").alias("valid_from_ms"),
+        F.col("__v.valid_to_ms").alias("valid_to_ms"),
+        F.col("__v.alive").alias("alive"),
+    )
+    # an interval where the row is deleted = the entity doesn't exist
+    # then; dropping it still leaves the deletion visible as the end of
+    # the preceding interval
+    out = out.filter(F.col("alive")).drop("alive")
+    return out.withColumn("is_current", F.col("valid_to_ms").isNull())
+
+
 def compact(
     spark: SparkSession,
     path: str,
