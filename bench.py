@@ -26,6 +26,8 @@ from hive_scd_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "scd_customer_asof_now",
     "scd_customer_orders_revenue",
+    "scd2_customer_history",
+    "ivf_cosine_topk",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_revenue",
