@@ -132,13 +132,18 @@ def scd_partitioned_updates(spark, sf_dir):
 
     The fixture is materialized once per (sf, session) under /tmp —
     the driver's testdata is read-only."""
+    import hashlib
     import os
     import tempfile
 
     from hive_scd_spark.scd import read_scd
 
+    # version the fixture path by its defining scripts so a stale /tmp
+    # dir from an older code revision can never poison a newer run
+    tag = hashlib.md5(repr(sorted(_PART_SCRIPTS.items())).encode()).hexdigest()[:8]
     fixture = os.path.join(
-        tempfile.gettempdir(), f"scd_part_fixture_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"scd_part_fixture_{os.path.basename(sf_dir)}_{tag}",
     )
     marker = os.path.join(fixture, "_built")
     if not os.path.exists(marker):
