@@ -43,6 +43,38 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str)
     )
 
 
+CHUNKS_SCHEMA = "media_id long, chunk_idx long, chunk_chars long, chunk_md5 string"
+
+
+def chunk_payload(df: DataFrame, chunk_chars: int = 256) -> DataFrame:
+    """Frame-sampling-shaped transform: split each payload into fixed
+    windows, emitting **multiple rows per input row** from the batch
+    function — the 1→N Arrow-batch pattern a real frame sampler or
+    audio segmenter needs.  Chunks are character-windows of the decoded
+    payload (a deterministic stand-in for time/frame windows; swap the
+    slicing for real codec logic when libraries exist)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"media_id": [], "chunk_idx": [], "chunk_chars": [], "chunk_md5": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                text = bytes(payload or b"").decode("utf-8")
+                n = max((len(text) + chunk_chars - 1) // chunk_chars, 1)
+                for i in range(n):
+                    chunk = text[i * chunk_chars : (i + 1) * chunk_chars]
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(i)
+                    out["chunk_chars"].append(len(chunk))
+                    out["chunk_md5"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(per_batch, schema=CHUNKS_SCHEMA)
+
+
 FEATURES_SCHEMA = (
     "media_id long, n_bytes long, width int, height int, checksum string"
 )

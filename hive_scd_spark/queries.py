@@ -900,6 +900,75 @@ def multimodal_image_features(spark, sf_dir):
     return extract_image_features(media)
 
 
+def multimodal_chunking(spark, sf_dir):
+    """1→N Arrow-batch transform: each payload split into 256-char
+    chunks with per-chunk checksums (the frame-sampling batch shape)."""
+    from hive_scd_spark.operators.multimodal import attach_binary, chunk_payload
+
+    media = attach_binary(
+        t(spark, sf_dir, "documents"), id_col="doc_id", payload_col="text", media_type="image"
+    )
+    return chunk_payload(media, chunk_chars=256)
+
+
+def join_full_outer_period_activity(spark, sf_dir):
+    """Full outer join: per-customer order counts in two periods,
+    including customers active in only one."""
+    orders = t(spark, sf_dir, "orders")
+    early = (
+        orders.filter(F.col("o_orderdate") < "1997-01-01")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_early"))
+    )
+    late = (
+        orders.filter(F.col("o_orderdate") >= "1999-01-01")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_late"))
+    )
+    return (
+        early.join(late, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_early", F.lit(0)).alias("n_early"),
+            F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        )
+    )
+
+
+def window_lead_ntile_orders(spark, sf_dir):
+    """lead/lag + ntile windows: per customer, gap to the next order
+    and spend-quartile within the customer's orders."""
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate is TIMESTAMP_NTZ; unix_millis needs TIMESTAMP — the
+    # cast interprets the wall clock in the (pinned-UTC) session zone
+    ts = F.col("o_orderdate").cast("timestamp")
+    next_ms = F.unix_millis(F.lead(ts, 1).over(w))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (next_ms - F.unix_millis(ts)).alias("ms_to_next_order"),
+        F.ntile(4).over(
+            W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        ).alias("spend_quartile"),
+    )
+
+
+def agg_filtered_event_stats(spark, sf_dir):
+    """Conditional aggregation with FILTER clauses per user."""
+    ev = load_events(spark, sf_dir)
+    ev.createOrReplaceTempView("events_f")
+    return spark.sql(
+        """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               COUNT(*) AS n_total
+        FROM events_f GROUP BY user_id
+        """
+    )
+
+
 def asof_join_click_purchase(spark, sf_dir):
     """As-of join: each click matched to the user's latest prior (or
     simultaneous) purchase.  Spark lacks ASOF JOIN — implemented as a
@@ -1171,6 +1240,41 @@ EXT_ORACLES: dict[str, str] = {
                md5(text) AS checksum
         FROM documents
     """,
+    "multimodal_chunking": """
+        SELECT doc_id AS media_id,
+               i AS chunk_idx,
+               len(substr(text, CAST(i*256+1 AS INT), 256)) AS chunk_chars,
+               md5(substr(text, CAST(i*256+1 AS INT), 256)) AS chunk_md5
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0,
+                        GREATEST(CAST(CEIL(len(text)/256.0) AS BIGINT), 1) - 1)) AS i) t
+    """,
+    "join_full_outer_period_activity": """
+        WITH early AS (SELECT o_custkey, COUNT(*) AS n_early FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1),
+             late AS (SELECT o_custkey, COUNT(*) AS n_late FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' GROUP BY 1)
+        SELECT COALESCE(early.o_custkey, late.o_custkey) AS o_custkey,
+               COALESCE(n_early, 0) AS n_early,
+               COALESCE(n_late, 0) AS n_late
+        FROM early FULL OUTER JOIN late ON early.o_custkey = late.o_custkey
+    """,
+    "window_lead_ntile_orders": """
+        SELECT o_custkey, o_orderkey,
+               epoch_ms(LEAD(o_orderdate, 1) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+               - epoch_ms(o_orderdate) AS ms_to_next_order,
+               NTILE(4) OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS spend_quartile
+        FROM orders
+    """,
+    "agg_filtered_event_stats": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               COUNT(*) AS n_total
+        FROM events GROUP BY user_id
+    """,
     "asof_join_click_purchase": """
         SELECT c.event_id AS click_id, c.user_id,
                epoch_us(c.ts) AS click_us,
@@ -1203,6 +1307,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_cosine_topk": ivf_cosine_topk_q,
     "multimodal_image_features": multimodal_image_features,
+    "multimodal_chunking": multimodal_chunking,
+    "join_full_outer_period_activity": join_full_outer_period_activity,
+    "window_lead_ntile_orders": window_lead_ntile_orders,
+    "agg_filtered_event_stats": agg_filtered_event_stats,
     "asof_join_click_purchase": asof_join_click_purchase,
     "events_window_counts": events_window_counts,
 }
