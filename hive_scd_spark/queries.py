@@ -1121,7 +1121,7 @@ EXT_ORACLES: dict[str, str] = {
         votes AS (SELECT doc_id, b, SUM((h >> b) & 1) AS v
                   FROM th, (SELECT unnest(range(60)) AS b) GROUP BY 1, 2)
         SELECT votes.doc_id,
-               SUM(CASE WHEN v*2 > nt THEN 1::BIGINT << b ELSE 0::BIGINT END) AS simhash
+               CAST(SUM(CASE WHEN v*2 > nt THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT) AS simhash
         FROM votes JOIN n ON votes.doc_id = n.doc_id
         GROUP BY 1
     """,
@@ -1149,10 +1149,10 @@ EXT_ORACLES: dict[str, str] = {
         WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
                       FROM documents),
         hits AS (SELECT doc_id,
-                   SUM(CASE WHEN t IN ('der','die','das','und','ist','mit','für','ein','nicht','von') THEN 1 ELSE 0 END) AS hits_de,
-                   SUM(CASE WHEN t IN ('the','and','of','to','in','is','that','with','for','a') THEN 1 ELSE 0 END) AS hits_en,
-                   SUM(CASE WHEN t IN ('el','la','los','y','es','para','en','que','una','de') THEN 1 ELSE 0 END) AS hits_es,
-                   SUM(CASE WHEN t IN ('le','la','les','et','est','pour','dans','que','une','des') THEN 1 ELSE 0 END) AS hits_fr
+                   CAST(SUM(CASE WHEN t IN ('der','die','das','und','ist','mit','für','ein','nicht','von') THEN 1 ELSE 0 END) AS BIGINT) AS hits_de,
+                   CAST(SUM(CASE WHEN t IN ('the','and','of','to','in','is','that','with','for','a') THEN 1 ELSE 0 END) AS BIGINT) AS hits_en,
+                   CAST(SUM(CASE WHEN t IN ('el','la','los','y','es','para','en','que','una','de') THEN 1 ELSE 0 END) AS BIGINT) AS hits_es,
+                   CAST(SUM(CASE WHEN t IN ('le','la','les','et','est','pour','dans','que','une','des') THEN 1 ELSE 0 END) AS BIGINT) AS hits_fr
                  FROM toks GROUP BY 1)
         SELECT doc_id,
                CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
@@ -1288,7 +1288,7 @@ EXT_ORACLES: dict[str, str] = {
     "events_window_counts": """
         SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS sum_value_micros
+               CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_micros
         FROM events GROUP BY 1, 2
     """,
 }
@@ -1435,10 +1435,10 @@ ORACLES: dict[str, str] = {
     """,
     "window_running_supplier_revenue": """
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) OVER (
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) OVER (
                  PARTITION BY l_suppkey
                  ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS running_revenue_cents
         FROM lineitem
     """,
@@ -1454,11 +1454,11 @@ ORACLES: dict[str, str] = {
     """,
     "pivot_nation_by_segment": """
         SELECT c_nationkey,
-               SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS "AUTOMOBILE",
-               SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS "BUILDING",
-               SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS "FURNITURE",
-               SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS "HOUSEHOLD",
-               SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS "MACHINERY"
+               CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+               CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+               CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+               CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+               CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
         FROM customer GROUP BY c_nationkey
     """,
     "events_sessionize": """
@@ -1469,7 +1469,7 @@ ORACLES: dict[str, str] = {
                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS new_sess
           FROM events)
-        SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         FROM g GROUP BY user_id
     """,
 }

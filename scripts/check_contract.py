@@ -42,6 +42,49 @@ def multiset(rows, cols):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+# The driver materializes both sides via pandas and hashes typed values, so
+# a DuckDB HUGEINT (int128, from SUM over integers) becomes float64 and
+# hash-mismatches Spark's int64 even when every value is identical
+# (CORRECTNESS_r01: 5 rows failed exactly this way).  Compare type
+# *families* per column name so the local gate catches it.
+def _family(type_name: str) -> str:
+    t = type_name.upper()
+    if "HUGEINT" in t:
+        return "HUGEINT"  # deliberately its own family: pandas-lossy
+    if any(k in t for k in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT", "LONG", "SHORT", "BYTE")):
+        return "int"
+    if any(k in t for k in ("DOUBLE", "FLOAT", "REAL")):
+        return "float"
+    if "DECIMAL" in t:
+        return "decimal"
+    if "BOOL" in t:
+        return "bool"
+    if "TIMESTAMP" in t:
+        return "timestamp"
+    if "DATE" in t:
+        return "date"
+    if any(k in t for k in ("VARCHAR", "STRING", "TEXT", "CHAR")):
+        return "str"
+    if any(k in t for k in ("BLOB", "BINARY")):
+        return "binary"
+    return t
+
+
+def type_mismatches(spark_dtypes, duck_cols, duck_types):
+    spark_fam = {c: _family(t) for c, t in spark_dtypes}
+    out = []
+    for c, dt in zip(duck_cols, duck_types):
+        fam_d = _family(str(dt))
+        fam_s = spark_fam.get(c)
+        if fam_s is None:
+            continue  # schema check reports missing columns separately
+        if fam_d == "HUGEINT":
+            out.append(f"{c}: duck HUGEINT (pandas→float64) vs spark {fam_s} — CAST the oracle aggregate to BIGINT")
+        elif fam_d != fam_s:
+            out.append(f"{c}: duck {fam_d} vs spark {fam_s}")
+    return out
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -73,12 +116,17 @@ def main():
             if len(spark_rows) == 0:
                 failures.append((name, "0 rows on rows-only check"))
         else:
-            cur = con.execute(oracles[name])
-            duck_cols = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_types = list(rel.types)
+            duck_rows = rel.fetchall()
             ok = True
             if sorted(spark_cols) != sorted(duck_cols):
                 status.append(f"SCHEMA MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+                ok = False
+            tmis = type_mismatches(sdf.dtypes, duck_cols, duck_types)
+            if tmis:
+                status.append(f"TYPE MISMATCH {tmis}")
                 ok = False
             if len(spark_rows) != len(duck_rows):
                 status.append(f"COUNT MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}")
