@@ -31,21 +31,29 @@ def asof_join(
     from the latest right row at-or-before the left row's time (NULL
     when no prior right row exists — LEFT ASOF semantics)."""
     lcols = left.columns
+    # All right-side payload travels as ONE struct so a single
+    # last(..., ignorenulls=True) picks the matched row atomically: a NULL
+    # *field* inside the matched row stays NULL (the struct itself is
+    # non-null) instead of being backfilled from an older right row —
+    # matching DuckDB ASOF JOIN semantics for NULL payload columns.
+    payload = F.struct(
+        F.col(right_time).alias("__time"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    null_payload_type = right.select(payload.alias("p")).schema["p"].dataType
     tagged_left = left.select(
         F.col(on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),  # right (0) sorts before left (1) at equal times
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_time"),
+        F.lit(None).cast(null_payload_type).alias("__r"),
     )
     tagged_right = right.select(
         F.col(on).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(right_time).alias("__r_time"),
+        payload.alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
@@ -54,13 +62,10 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-        F.last("__r_time", ignorenulls=True).over(w).alias(f"{right_time}{suffix}"),
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
     )
     return carried.filter(F.col("__side") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in value_cols], f"{right_time}{suffix}"
+        *lcols,
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("__m.__time").alias(f"{right_time}{suffix}"),
     )

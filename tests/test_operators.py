@@ -164,6 +164,28 @@ def test_asof_join_semantics(spark):
     assert got[4] == (None, None)  # right row at t=60 is after t=50
 
 
+def test_asof_join_null_payload_not_backfilled(spark):
+    """A NULL field in the actually-matched right row must stay NULL —
+    not be backfilled from an older right row (all matched fields come
+    from ONE struct, per DuckDB ASOF JOIN semantics)."""
+    from hive_scd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, 30)], "lid long, k long, t long")
+    right = spark.createDataFrame(
+        [(100, 10, 1.0, "a"), (100, 20, None, "b")],
+        "k long, t long, v double, tag string",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        value_cols=["v", "tag"],
+    )
+    row = out.collect()[0]
+    # matched row is t=20: its v is NULL and must NOT become 1.0 from t=10
+    assert row.t_matched == 20
+    assert row.tag_matched == "b"
+    assert row.v_matched is None
+
+
 def test_multimodal_plumbing(spark):
     from hive_scd_spark.operators.multimodal import (
         attach_binary,
