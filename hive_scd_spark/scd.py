@@ -26,13 +26,13 @@ Python in the row path — the SCD layer costs roughly a projection.
 
 from __future__ import annotations
 
-import os
 import time
 from datetime import date, datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_scd_spark.fs import fs_for
 from hive_scd_spark.updates import Stmt, applicable, parse_script, parse_scd_time
 
 UPDATES_FILE_NAME = ".updates"  # SQLUpdater.java:32 / README.md:124
@@ -130,21 +130,23 @@ def apply_statements(df: DataFrame, stmts, as_of=None) -> DataFrame:
 # -- directory-level read (A1/A11) ------------------------------------------
 
 
-def _discover_update_dirs(path: str) -> list[tuple[str, str | None]]:
-    """Walk *path*; return ``[(data_dir, updates_path|None)]`` for every
-    directory that directly contains data files.  Mirrors the
-    reference's per-split parent-directory resolution
-    (``SQLUpdater.java:110-116``) — each partition directory carries its
-    own ``.updates`` (A11)."""
+def _discover_update_dirs(fs, path: str) -> list[tuple[str, str | None]]:
+    """Walk *path* via the filesystem facade (``hive_scd_spark.fs`` —
+    ``os`` for plain local paths, Hadoop ``FileSystem`` for
+    ``hdfs://``/``s3a://``/``file:``); return
+    ``[(data_dir, updates_path|None)]`` for every directory that
+    directly contains data files.  Mirrors the reference's per-split
+    parent-directory resolution (``SQLUpdater.java:110-116``) — each
+    partition directory carries its own ``.updates`` (A11)."""
     out: list[tuple[str, str | None]] = []
-    for dirpath, _dirnames, filenames in os.walk(path):
+    for dirpath, _dirnames, filenames in fs.walk(path):
         data_files = [
             f for f in filenames if not f.startswith((".", "_"))
         ]  # Spark ignores dot/underscore files — why `.updates` can co-locate
         if not data_files:
             continue
-        upd = os.path.join(dirpath, UPDATES_FILE_NAME)
-        out.append((dirpath, upd if os.path.exists(upd) else None))
+        upd = fs.join(dirpath, UPDATES_FILE_NAME)
+        out.append((dirpath, upd if UPDATES_FILE_NAME in filenames else None))
     return sorted(out)
 
 
@@ -174,7 +176,11 @@ def read_scd(
 
     Equivalent of registering a Hive table with
     ``AvroSCDInputFormat`` and ``set scd.time=…`` (``README.md:45-46,
-    172-217``), as a plain function returning a DataFrame.  *schema* is
+    172-217``), as a plain function returning a DataFrame.  *path* may
+    be a plain local path or any URI scheme Spark can reach (``file:``,
+    ``hdfs://``, ``s3a://``) — ``.updates`` discovery follows the same
+    Hadoop ``FileSystem`` resolution the reference uses
+    (``SQLUpdater.java:110-116``; see ``hive_scd_spark.fs``).  *schema* is
     the optional reader schema (Avro JSON string/dict or Spark
     StructType) — schema evolution fills field defaults exactly like the
     reference's reader-schema handling (``AvroSCDInputFormat.java:141-154``).
@@ -186,11 +192,12 @@ def read_scd(
         conf_time = spark.conf.get(SCD_TIME_CONF, None)
         if conf_time is not None:
             as_of = conf_time
-    groups = _discover_update_dirs(path)
+    fs = fs_for(spark, path)
+    groups = _discover_update_dirs(fs, path)
     if not groups:
         # no data subdirectories — treat path itself as the data dir
-        upd = os.path.join(path, UPDATES_FILE_NAME)
-        groups = [(path, upd if os.path.exists(upd) else None)]
+        upd = fs.join(path, UPDATES_FILE_NAME)
+        groups = [(path, upd if fs.exists(upd) else None)]
 
     # Partition dirs sharing the same script text compile once and read
     # together — at 1000-dir scale this keeps the scan a single job with
@@ -200,8 +207,7 @@ def read_scd(
         if upd is None:
             by_script.setdefault(None, []).append(data_dir)
         else:
-            with open(upd, encoding="utf-8") as fh:
-                by_script.setdefault(fh.read(), []).append(data_dir)
+            by_script.setdefault(fs.read_text(upd), []).append(data_dir)
 
     parts: list[DataFrame] = []
     for script, dirs in by_script.items():
