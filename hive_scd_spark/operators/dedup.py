@@ -249,6 +249,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.35,
     use_lsh: bool = False,
     n_planes: int = 6,
+    n_bands: int = 1,
     dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
@@ -256,9 +257,11 @@ def embedding_near_dup_pairs(
     ``use_lsh=False``: exact all-pairs (self-join on id ordering) —
     O(n²) dot products, the correctness baseline.  ``use_lsh=True``:
     random-hyperplane bucketing first, so only bucket-local pairs are
-    scored — the 100 TB path (recall tunable via n_planes; near-dups at
-    high cosine land in the same bucket with probability
-    (1 - θ/π)^n_planes)."""
+    scored — the 100 TB path.  A pair collides in one band with
+    probability p^n_planes (p = 1-θ/π) and becomes a candidate if it
+    collides in ANY of *n_bands* disjoint-plane bands:
+    P = 1-(1-p^n_planes)^n_bands — bands buy recall, planes buy
+    precision, exactly like the MinHash-LSH banding above."""
     from hive_scd_spark.functions import vector_norm
 
     # norms hoisted to the per-row projection: pairwise work is ONE dot
@@ -271,16 +274,29 @@ def embedding_near_dup_pairs(
         vector_norm(F.col(vec_col)).alias("__n"),
     )
     if use_lsh:
-        from hive_scd_spark.operators.similarity import lsh_bucketize
+        from hive_scd_spark.operators.similarity import lsh_band_buckets
 
-        buckets = lsh_bucketize(df, id_col, vec_col, n_planes, dim)
-        base = base.join(buckets.withColumnRenamed(id_col, "__id"), "__id")
-        a = base.alias("a")
-        b = base.alias("b")
-        pairs = a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
+        # candidate generation carries only (id, band, bucket) — the
+        # vectors join back by id at the scoring step
+        bb = lsh_band_buckets(df, id_col, vec_col, n_planes, n_bands, dim)
+        x = bb.alias("x")
+        y = bb.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            )
+            .select(
+                F.col(f"x.{id_col}").alias("__ida"),
+                F.col(f"y.{id_col}").alias("__idb"),
+            )
+            .distinct()  # a pair colliding in several bands scores once
+        )
+        pairs = (
+            cand.join(base.alias("a"), F.col("__ida") == F.col("a.__id"))
+            .join(base.alias("b"), F.col("__idb") == F.col("b.__id"))
         )
     else:
         a = base.alias("a")

@@ -83,6 +83,58 @@ def plane_component(plane: int, dim: int) -> float:
     return h / 4294967296.0 - 0.5
 
 
+def _bucket_expr(vec_col: str, n_planes: int, dim: int | None, plane_offset: int = 0):
+    """Bucket id = sign-bit pattern of the vector against *n_planes*
+    deterministic hyperplanes (global plane index = plane_offset + p, so
+    bands draw disjoint plane sets from the same md5 stream).
+
+    With ``dim`` given, the planes are driver-computed constant arrays;
+    each bit is one ``zip_with``+``aggregate`` fold over the vector — a
+    flat per-row loop, no shuffle, no Python.  With ``dim=None`` the
+    SAME md5-derived components are computed lazily inside the plan
+    (``transform`` with the element index), so building the plan never
+    triggers a job — at the cost of n_planes×dim md5 calls per row.
+    Pass ``dim`` in production; both paths produce identical buckets."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        g = plane_offset + p  # md5 keying uses the global plane index
+        if dim is not None:
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(plane_component(g, d)) for d in range(dim)]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        else:
+            # lazy twin of plane_component(): int(md5(f"{g}_{d}")[:8], 16)
+            # / 2**32 - 0.5, evaluated per element — dim never needed
+            dot = F.aggregate(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x, i: x.cast("double")
+                    * (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{g}_"), i.cast("string"))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("double")
+                        / F.lit(4294967296.0)
+                        - F.lit(0.5)
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
 def lsh_bucketize(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -90,29 +142,44 @@ def lsh_bucketize(
     n_planes: int = 12,
     dim: int | None = None,
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket id = sign-bit pattern of the
-    vector against *n_planes* deterministic hyperplanes.
+    """Random-hyperplane LSH: output (id, bucket) — join queries and
+    corpus on bucket, then exact-rank within the bucket.  See
+    ``_bucket_expr`` for the constant-plane vs lazy-plane trade."""
+    return df.select(
+        F.col(id_col), _bucket_expr(vec_col, n_planes, dim).alias("bucket")
+    )
 
-    The planes are driver-computed constant arrays; each bit is one
-    ``zip_with``+``aggregate`` fold over the vector — a flat per-row
-    loop in codegen, no shuffle, no Python.  ``dim`` defaults to the
-    array length of the first row (pass it explicitly in production).
-    Output: (id, bucket) — join queries and corpus on bucket, then
-    exact-rank within the bucket."""
-    if dim is None:
-        first = df.select(F.size(vec_col)).first()
-        dim = first[0] if first else 0
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(plane_component(p, d)) for d in range(dim)])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + F.shiftleft(bit, p)
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded LSH (the MinHash-LSH recall trick applied to hyperplane
+    sketches): *n_bands* independent bucketings over disjoint plane
+    sets; a pair is a candidate if it collides in ANY band —
+    P(candidate) = 1-(1-p^n_planes)^n_bands, tunable recall without
+    widening any single bucket.
+
+    One scan: all band buckets are computed in a single projection and
+    exploded as (band, bucket) structs — only the id survives the
+    explode (the vector never rides through candidate generation)."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                _bucket_expr(vec_col, n_planes, dim, b * n_planes).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.explode(structs).alias("__bb"))
+        .select(id_col, F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
+    )
 
 
 def _ivf_centroids(df: DataFrame, id_col: str, vec_col: str, stride: int) -> DataFrame:

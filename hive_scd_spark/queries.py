@@ -796,12 +796,34 @@ def dedup_simhash(spark, sf_dir):
 
 
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
-    operator's use_lsh=True path is the at-scale variant)."""
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline —
+    O(n²), kept as the labeled correctness reference; the at-scale
+    path is dedup_embedding_lsh)."""
     from hive_scd_spark.operators.dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.35
+    )
+
+
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup via banded random-hyperplane LSH: only
+    band-bucket-local pairs are cosine-scored — the 100 TB path (no
+    all-pairs join anywhere in the plan).  4 bands × 4 planes:
+    P(candidate) = 1-(1-p^4)^4.  The oracle replicates the
+    deterministic md5-derived hyperplanes, so the approximation itself
+    is checked."""
+    from hive_scd_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        use_lsh=True,
+        n_planes=4,
+        n_bands=4,
+        dim=64,
     )
 
 
@@ -1064,18 +1086,29 @@ ROUND(
      * SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
 """
 
-_LSH_BUCKET_CTE = """
+def _lsh_bucket_cte(n_planes: int, dim: int, n_bands: int = 1) -> str:
+    """DuckDB replica of operators.similarity lsh bucketing: the same
+    md5-derived hyperplanes (global plane index keys the md5; bit
+    position is the index within the band), so the approximation itself
+    is checked.  With ``n_bands=1`` `buckets` has (vec_id, bucket);
+    otherwise (vec_id, band, bucket)."""
+    total = n_planes * n_bands
+    band_sel = f"p // {n_planes} AS band," if n_bands > 1 else ""
+    return f"""
 planes AS (SELECT p, d,
                   ('0x'||substr(md5(p::VARCHAR||'_'||d::VARCHAR),1,8))::BIGINT
                     / 4294967296.0 - 0.5 AS w
-           FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)),
+           FROM (SELECT unnest(range({total})) AS p), (SELECT unnest(range({dim})) AS d)),
 dots AS (SELECT e.vec_id, pl.p,
                 SUM(CAST(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS dot
          FROM embeddings e, planes pl GROUP BY 1, 2),
-buckets AS (SELECT vec_id,
-                   SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
-            FROM dots GROUP BY 1)
+buckets AS (SELECT vec_id, {band_sel}
+                   SUM(CASE WHEN dot > 0 THEN 1::BIGINT << (p % {n_planes}) ELSE 0 END) AS bucket
+            FROM dots GROUP BY vec_id{', band' if n_bands > 1 else ''})
 """
+
+
+_LSH_BUCKET_CTE = _lsh_bucket_cte(8, 64)
 
 EXT_ORACLES: dict[str, str] = {
     "dedup_exact": """
@@ -1101,6 +1134,18 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": f"""
         SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS_SQL} AS cos
         FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+        WHERE {_COS_SQL} >= 0.35
+    """,
+    "dedup_embedding_lsh": f"""
+        WITH {_lsh_bucket_cte(4, 64, n_bands=4)},
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM buckets x JOIN buckets y
+                   ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.vec_id < y.vec_id)
+        SELECT cd.id_a, cd.id_b, {_COS_SQL} AS cos
+        FROM cand cd
+        JOIN embeddings q ON q.vec_id = cd.id_a
+        JOIN embeddings c ON c.vec_id = cd.id_b
         WHERE {_COS_SQL} >= 0.35
     """,
     "text_token_count": """
@@ -1299,6 +1344,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "text_token_count": text_token_count,
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
