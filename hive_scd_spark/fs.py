@@ -48,9 +48,16 @@ class LocalFS:
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
+    def is_file(self, path: str) -> bool:
+        return os.path.isfile(path)
+
     def read_text(self, path: str) -> str:
         with open(path, encoding="utf-8") as fh:
             return fh.read()
+
+    def read_head(self, path: str, n: int | None = None) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read() if n is None else fh.read(n)
 
     def join(self, base: str, name: str) -> str:
         return os.path.join(base, name)
@@ -87,6 +94,29 @@ class HadoopFS:
 
     def exists(self, path: str) -> bool:
         return bool(self._fs.exists(self._Path(path)))
+
+    def is_file(self, path: str) -> bool:
+        try:
+            return bool(self._fs.getFileStatus(self._Path(path)).isFile())
+        except Exception:
+            return False
+
+    def read_head(self, path: str, n: int | None = None) -> bytes:
+        """First *n* bytes (or all when None) — Java 17's
+        ``InputStream.readNBytes`` hands the array straight back as
+        Python bytes via py4j."""
+        stream = self._fs.open(self._Path(path))
+        try:
+            if n is None:
+                out = b""
+                while True:
+                    chunk = stream.readNBytes(4 << 20)
+                    if not chunk:
+                        return out
+                    out += bytes(chunk)
+            return bytes(stream.readNBytes(n))
+        finally:
+            stream.close()
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._Path(path))

@@ -151,6 +151,21 @@ def read_container(path: str) -> tuple[dict, list[dict]]:
     """Read one Avro container file → (writer_schema, rows-as-dicts)."""
     with open(path, "rb") as fh:
         data = fh.read()
+    return read_container_bytes(data)
+
+
+def read_header_schema(data: bytes) -> dict:
+    """Parse only the container header → writer schema.  Used for
+    driver-side schema sniffing (read a few header bytes of ONE file,
+    never the data blocks)."""
+    meta, _sync = _read_header(io.BytesIO(data))
+    return json.loads(meta["avro.schema"].decode("utf-8"))
+
+
+def read_container_bytes(data: bytes) -> tuple[dict, list[dict]]:
+    """Decode an in-memory Avro container → (writer_schema, rows).
+    The executor-side unit of the distributed read path
+    (binaryFile + mapInPandas in sources/avro.py)."""
     buf = io.BytesIO(data)
     meta, sync = _read_header(buf)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
