@@ -23,8 +23,11 @@ from hive_scd_spark.session import get_spark  # noqa: E402
 
 # Headline set: the flagship SCD query, the heaviest host-SQL shapes,
 # and one of each extension family (dedup/similarity/text/events).
+# Quadratic exact baselines (dedup_ngram_jaccard, dedup_embedding_cosine)
+# are deliberately excluded — they are labeled verifier baselines, not
+# scale paths, and would dominate the total (102 s / 25 s at sf0.1).
 HEADLINE = [
-    "scd_customer_asof_now",
+    "scd_asof_timeline",
     "scd_customer_orders_revenue",
     "scd2_customer_history",
     "ivf_cosine_topk",
@@ -38,7 +41,10 @@ HEADLINE = [
     "knn_brute_force",
     "asof_join_click_purchase",
     "events_sessionize",
+    "multimodal_chunking",
+    "agg_grouping_sets",
 ]
+assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

@@ -102,6 +102,13 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if len(queries) > 50:
+        print(f"WARNING: {len(queries)} queries registered; the driver checks only the FIRST 50")
+    # quadratic baselines: not driver-gated, still locally verified
+    from hive_scd_spark.queries import BASELINE_ORACLES, BASELINE_QUERIES  # noqa: E402
+
+    queries = {**queries, **BASELINE_QUERIES}
+    oracles = {**oracles, **BASELINE_ORACLES}
     failures = []
     for name, fn in queries.items():
         if name_filter and name_filter not in name:
