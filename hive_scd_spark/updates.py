@@ -22,6 +22,10 @@ Documented deviation (SURVEY.md §7.7): the reference's lexer strips
 (``SQLUpdater.java:133-135``).  This parser tracks SQL quoting
 (``'…''…'`` literals, ``"…"`` quoted identifiers) so literals may
 contain ``--`` and ``;`` — the intended semantics, covered by tests.
+For provable behavioral parity with scripts that depend on the
+reference's raw lexing, ``parse_script(..., compat="reference")``
+reproduces ``SQLUpdater.readLines`` exactly; the default
+(``compat="quoted"``) is unchanged.
 
 Everything here is driver-side, pure Python; the parsed statements are
 compiled to Catalyst expressions in :mod:`hive_scd_spark.scd` — no
@@ -87,10 +91,61 @@ def parse_scd_time(value: str, default: int | None) -> int | None:
     return int(dt.timestamp() * 1000)
 
 
-def _scan_statements(text: str) -> list[tuple[str, int | None]]:
+_TIME_PREFIX = "-- time="  # SQLUpdater.java:121 (raw, case-folded prefix)
+
+
+def _scan_statements_reference(text: str) -> list[tuple[str, int | None]]:
+    """Reference-exact lexing (``SQLUpdater.java:123-159``):
+
+    - time directive = raw ``"-- time="`` prefix on the UNtrimmed line,
+      case-insensitive, no flexible whitespace (``:128``);
+    - comment-strip at the first ``--`` anywhere in the trimmed line,
+      even inside string literals (``:133-135``);
+    - a statement completes only when a stripped line ENDS with ``;``
+      (``:139``) — mid-line semicolons do NOT split; multi-line
+      statements join with a single space (``:144``).
+
+    The terminating ``;`` is removed before statement parsing: the
+    reference hands it verbatim to H2, which tolerates the terminator.
+    """
+    statements: list[tuple[str, int | None]] = []
+    current_time: int | None = 0
+    pending: str | None = None
+    for raw_line in text.splitlines():
+        if raw_line.lower().startswith(_TIME_PREFIX):
+            current_time = parse_scd_time(raw_line[len(_TIME_PREFIX):], None)
+            continue
+        line = raw_line.strip()
+        idx = line.find("--")
+        if idx >= 0:
+            line = line[:idx]
+        if not line:
+            continue
+        if not line.endswith(";"):
+            pending = ("" if pending is None else pending) + line + " "
+        else:
+            stmt = ("" if pending is None else pending) + line
+            pending = None
+            statements.append((stmt[:-1].strip(), current_time))
+    if pending is not None:
+        # IllegalStateException at SQLUpdater.java:155-157
+        raise ScdScriptError(
+            f"Incomplete SQL statement in updates file: {pending.strip()!r}"
+        )
+    return statements
+
+
+def _scan_statements(
+    text: str, compat: str = "quoted"
+) -> list[tuple[str, int | None]]:
     """The line algorithm of ``SQLUpdater.readLines``
     (``SQLUpdater.java:121-159``): returns ``[(sql, effective_ms)]`` in
-    file order.  Quote-aware (see module docstring)."""
+    file order.  Quote-aware by default; ``compat="reference"`` lexes
+    exactly as the reference does (see module docstring)."""
+    if compat == "reference":
+        return _scan_statements_reference(text)
+    if compat != "quoted":
+        raise ValueError(f"Unknown lexer compat mode: {compat!r}")
     statements: list[tuple[str, int | None]] = []
     current_time: int | None = 0  # default effective time = epoch, SQLUpdater.java:125
 
@@ -259,10 +314,11 @@ def _parse_statement(sql: str, effective_ms: int | None) -> Stmt:
     raise ScdScriptError(f"Unsupported DML statement: {sql!r}")
 
 
-def parse_script(text: str) -> list[Stmt]:
+def parse_script(text: str, compat: str = "quoted") -> list[Stmt]:
     """Parse a full ``.updates`` script into ordered :class:`Stmt` list,
-    enforcing the single-table rule (``SQLUpdater.java:64-69``)."""
-    stmts = [_parse_statement(sql, t) for sql, t in _scan_statements(text)]
+    enforcing the single-table rule (``SQLUpdater.java:64-69``).
+    ``compat="reference"`` switches to reference-exact lexing."""
+    stmts = [_parse_statement(sql, t) for sql, t in _scan_statements(text, compat)]
     tables = {s.table.upper() for s in stmts}
     if len(tables) > 1:
         # SQLUpdater.java:68

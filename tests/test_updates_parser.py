@@ -154,3 +154,54 @@ def test_case_insensitive_keywords():
     (stmt,) = parse_script("update T set A = 1 where B = 2;")
     assert stmt.kind == "update"
     assert stmt.table == "T"
+
+
+# -- compat="reference" lexer (SQLUpdater.java:123-159 reproduced) ----------
+
+
+def test_compat_reference_comment_strip_inside_literal():
+    """The reference strips `--` even inside string literals
+    (SQLUpdater.java:133-135); the truncated line never terminates, so
+    the script errors as Incomplete.  Default mode keeps the literal."""
+    script = "UPDATE t SET c = 'a--b' WHERE id = 1;"
+    (stmt,) = parse_script(script)  # quoted default: literal intact
+    assert stmt.sets == (("c", "'a--b'"),)
+    with pytest.raises(ScdScriptError, match="Incomplete"):
+        parse_script(script, compat="reference")
+
+
+def test_compat_reference_no_midline_split():
+    """The reference completes a statement only when a LINE ends with
+    ';' — mid-line semicolons don't split (SQLUpdater.java:139)."""
+    script = "UPDATE t SET a=1 WHERE b=1; DELETE FROM t WHERE a=1;"
+    assert len(parse_script(script)) == 2  # quoted default
+    from hive_scd_spark.updates import _scan_statements
+
+    raw = _scan_statements(script, compat="reference")
+    assert len(raw) == 1  # one combined "statement", as H2 would receive
+
+
+def test_compat_reference_time_directive_is_raw_prefix():
+    """Reference matches the raw '-- time=' prefix only (:128); the
+    quoted lexer's flexible '--  time=' form is a plain comment there."""
+    script = "--  time=2014-09-01\nDELETE FROM t;"
+    (flexible,) = parse_script(script)
+    assert flexible.effective_ms == MS_2014_09_01
+    (ref,) = parse_script(script, compat="reference")
+    assert ref.effective_ms == 0  # directive not recognized → default epoch
+
+
+def test_compat_reference_matches_default_on_plain_scripts():
+    """On scripts without quoted edge cases the two lexers agree —
+    including the reference's own example script."""
+    with open("/root/reference/example/updates", encoding="utf-8") as fh:
+        text = fh.read()
+    assert parse_script(text) == parse_script(text, compat="reference")
+
+
+def test_compat_reference_multiline_join_and_semicolon_line():
+    script = "UPDATE t\nSET a = 1\nWHERE b = 2;\nDELETE FROM t WHERE a\n= 1;"
+    got = parse_script(script, compat="reference")
+    assert [s.kind for s in got] == ["update", "delete"]
+    assert got[0].where == "b = 2"
+    assert got[1].where == "a = 1"
