@@ -202,6 +202,65 @@ def scd_partitioned_updates(spark, sf_dir):
     )
 
 
+def scd_avro_e2e(spark, sf_dir):
+    """A1 end-to-end over the reference's CORE format
+    (``AvroSCDInputFormat.java:51-59``): the customer dimension
+    serialized as deflate Avro containers (avro_lite writer), a
+    ``.updates`` script beside them, read through read_scd's
+    DISTRIBUTED Avro path (binaryFile scan + mapInPandas decode,
+    ``sources/avro.py``) with the full compiled statement chain.
+    Oracle: the same CASE chain over the parquet table — proving the
+    Avro and parquet SCD reads agree value-for-value.
+
+    The fixture (4 container files → 4 decode tasks) is materialized
+    once per (sf, script) under /tmp; building it collects the small
+    dimension driver-side ONCE — fixture setup, not the query path."""
+    import hashlib
+    import os
+    import tempfile
+
+    from hive_scd_spark.scd import read_scd
+    from hive_scd_spark.sources.avro_lite import write_container
+
+    avro_schema = {
+        "type": "record",
+        "name": "customer",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "string"},
+            {"name": "c_nationkey", "type": "int"},
+            {"name": "c_acctbal", "type": "double"},
+            {"name": "c_mktsegment", "type": "string"},
+        ],
+    }
+    tag = hashlib.md5((CUSTOMER_SCRIPT + repr(avro_schema)).encode()).hexdigest()[:8]
+    fixture = os.path.join(
+        tempfile.gettempdir(), f"scd_avro_fixture_{os.path.basename(sf_dir)}_{tag}"
+    )
+    marker = os.path.join(fixture, "_built")
+    if not os.path.exists(marker):
+        os.makedirs(fixture, exist_ok=True)
+        rows = sorted(
+            (r.asDict() for r in t(spark, sf_dir, "customer").collect()),
+            key=lambda r: r["c_custkey"],
+        )
+        n_files = 4
+        for i in range(n_files):
+            write_container(
+                os.path.join(fixture, f"part-{i}.avro"),
+                avro_schema,
+                rows[i::n_files],
+                codec="deflate",
+            )
+        with open(os.path.join(fixture, ".updates"), "w") as fh:
+            fh.write(CUSTOMER_SCRIPT)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return read_scd(spark, fixture, as_of=None, format="avro").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
 def scd2_customer_history(spark, sf_dir):
     """Type-2 history materialized from the Type-7 statement log
     (scd.scd2_history): one row per (customer, state interval) with
@@ -1392,6 +1451,7 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'now' AS phase, * FROM ({_ORACLE_CUST_NOW})
     """,
+    "scd_avro_e2e": _ORACLE_CUST_NOW,
     "scd_decimal_dml": """
         WITH s0 AS (
           SELECT o_orderkey,
@@ -1584,6 +1644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_decimal_dml": scd_decimal_dml,
     "scd_update_chain_preimage": scd_update_chain_preimage,
     "scd_partitioned_updates": scd_partitioned_updates,
+    "scd_avro_e2e": scd_avro_e2e,
     "scd2_customer_history": scd2_customer_history,
     "scd_customer_orders_revenue": scd_customer_orders_revenue,
     "q1_pricing_summary": q1_pricing_summary,
