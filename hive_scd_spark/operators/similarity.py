@@ -184,10 +184,11 @@ def lsh_band_buckets(
 
 def _ivf_centroids(df: DataFrame, id_col: str, vec_col: str, stride: int) -> DataFrame:
     """Deterministic sampled centroids: every vector whose id divides
-    *stride*.  Proper IVF trains centroids with k-means; an id-stride
-    sample is statistically uniform over a hash-assigned id space, is
-    reproducible in plain SQL (oracle-checkable), and can be swapped
-    for trained centroids offline without touching the query path."""
+    *stride*.  An id-stride sample is statistically uniform over a
+    hash-assigned id space, is reproducible in plain SQL
+    (oracle-checkable), and can be swapped for k-means-trained
+    centroids (:func:`kmeans_centroids`) without touching the query
+    path — both produce the same (list_id, __centv, __centn) shape."""
     return df.filter((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("list_id"),
         F.col(vec_col).alias("__centv"),
@@ -195,34 +196,118 @@ def _ivf_centroids(df: DataFrame, id_col: str, vec_col: str, stride: int) -> Dat
     )
 
 
+def _nearest_centroid(vecs: DataFrame, cent: DataFrame, out_cols: list[str]) -> DataFrame:
+    """Assign each (__id, __v, __n) row to its nearest centroid by
+    cosine (ties → smallest list_id).  Broadcast crossJoin +
+    ``max(struct(sim, -list_id))`` argmax: the groupBy partial-aggregates
+    map-side, so the only shuffle is one row per input vector — no
+    window over the n×k scored pairs."""
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        *[F.col(c) for c in out_cols],
+        F.struct(
+            _pair_cos(F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn"))
+            .alias("sim"),
+            (-F.col("list_id")).alias("neg_list"),
+        ).alias("__sl"),
+    )
+    return (
+        scored.groupBy(*out_cols)
+        .agg(F.max("__sl").alias("__best"))
+        .select(
+            *out_cols,
+            (-F.col("__best.neg_list")).alias("list_id"),
+            F.col("__best.sim").alias("__sim"),
+        )
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 32,
+    n_iter: int = 3,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Spherical k-means training for IVF coarse quantization —
+    deterministic, fully distributed, no driver-side materialization.
+
+    - **init**: the *n_lists* vectors with the smallest
+      ``md5(id)`` — a reproducible uniform draw over the id space
+      (distributed TopK via ``orderBy().limit()``; the row_number
+      window runs on the already-limited n_lists rows only).
+    - **iterate** (Lloyd): assign via :func:`_nearest_centroid`
+      (broadcast centroids, map-side-combined argmax — one
+      one-row-per-vector shuffle), then re-estimate each centroid as
+      the element-wise mean via ``posexplode`` + partial-agg ``avg``
+      (shuffle output is only n_lists×dim rows).
+    - **100 TB**: centroids always broadcast (n_lists×dim floats);
+      per-iteration cost is a corpus scan + two map-side-combined
+      aggs.  Train on a sample (``sample_mod``) and assign the full
+      corpus once — the standard IVF recipe.
+
+    Output matches ``_ivf_centroids``: (list_id, __centv, __centn),
+    list_id = 0..n_lists-1.
+    """
+    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if sample_mod > 1:
+        vecs = vecs.filter((F.col("__id") % sample_mod) == 0)
+    vecs = vecs.withColumn("__n", vector_norm(F.col("__v")))
+    init = vecs.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id")).limit(
+        n_lists
+    )
+    wi = W.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+    cent = init.select(
+        (F.row_number().over(wi) - 1).cast("long").alias("list_id"),
+        F.col("__v").alias("__centv"),
+        F.col("__n").alias("__centn"),
+    )
+    for _ in range(n_iter):
+        assigned = _nearest_centroid(vecs, cent, ["__id", "__v", "__n"])
+        means = (
+            assigned.select("list_id", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("avgv"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
+                    lambda s: s.avgv,
+                ).alias("__centv")
+            )
+        )
+        cent = means.select(
+            "list_id", "__centv", vector_norm(F.col("__centv")).alias("__centn")
+        )
+    return cent
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stride: int = 29,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
-    (by cosine, ties → smallest centroid id) sampled centroid.  One
-    broadcast of the centroids + one corpus pass.  Output: (id, list_id)
-    — at scale this is computed once and stored alongside the corpus."""
-    cent = _ivf_centroids(df, id_col, vec_col, stride)
+    (by cosine, ties → smallest centroid id) centroid.  One broadcast
+    of the centroids + one corpus pass (map-side-combined argmax, no
+    window).  Output: (id, list_id) — at scale this is computed once
+    and stored alongside the corpus.  *centroids* defaults to the
+    oracle-checkable id-stride sample; pass
+    :func:`kmeans_centroids` output for trained lists."""
+    cent = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(df, id_col, vec_col, stride)
+    )
     vecs = df.select(
-        F.col(id_col),
+        F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         vector_norm(F.col(vec_col)).alias("__n"),
     )
-    scored = vecs.crossJoin(F.broadcast(cent)).select(
-        id_col,
-        "list_id",
-        _pair_cos(F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn")).alias(
-            "__sim"
-        ),
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("list_id"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(id_col, "list_id")
+    return _nearest_centroid(vecs, cent, ["__id"]).select(
+        F.col("__id").alias(id_col), "list_id"
     )
 
 
@@ -234,17 +319,24 @@ def ivf_cosine_topk(
     k: int = 5,
     n_probe: int = 4,
     stride: int = 29,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: rank only the members of each query's
     *n_probe* nearest inverted lists.  Each query touches roughly
-    n_probe/n_lists of the corpus — the knob between recall and cost."""
-    assign = ivf_assign(corpus, id_col, vec_col, stride)
+    n_probe/n_lists of the corpus — the knob between recall and cost.
+    *centroids* as in :func:`ivf_assign` (stride sample by default,
+    k-means-trained via :func:`kmeans_centroids`)."""
+    cent = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(corpus, id_col, vec_col, stride)
+    )
+    assign = ivf_assign(corpus, id_col, vec_col, stride, centroids=cent)
     corpus_b = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         vector_norm(F.col(vec_col)).alias("__cn"),
     ).join(assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
-    cent = _ivf_centroids(corpus, id_col, vec_col, stride)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),

@@ -51,8 +51,17 @@ def resolve_as_of(as_of=None) -> int:
         return int(time.time() * 1000)
     if isinstance(as_of, bool):
         raise TypeError("as_of must be int millis, ISO string, datetime or None")
-    if isinstance(as_of, (int, float)):
+    if isinstance(as_of, float):
+        # floats are almost always a unit bug (epoch SECONDS from
+        # time.time(), or fractional millis); accept only exact integers
+        if not as_of.is_integer():
+            raise TypeError(
+                f"as_of float {as_of!r} is not an integer millisecond value; "
+                "pass int epoch-millis, an ISO string, or a datetime"
+            )
         return int(as_of)
+    if isinstance(as_of, int):
+        return as_of
     if isinstance(as_of, datetime):
         if as_of.tzinfo is None:
             as_of = as_of.replace(tzinfo=timezone.utc)

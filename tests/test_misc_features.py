@@ -99,3 +99,14 @@ def test_salted_join_matches_plain(spark):
     plain = big.join(small, "k").select("v", "label")
     salted = salted_join(big, small, on="k", n_salts=4).select("v", "label")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_resolve_as_of_rejects_fractional_float():
+    import pytest as _pytest
+
+    from hive_scd_spark.scd import resolve_as_of
+
+    assert resolve_as_of(1700000000000) == 1700000000000
+    assert resolve_as_of(1700000000000.0) == 1700000000000  # exact float ok
+    with _pytest.raises(TypeError, match="not an integer millisecond"):
+        resolve_as_of(1700000000.5)  # epoch-seconds unit bug shape
