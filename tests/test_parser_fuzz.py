@@ -85,3 +85,27 @@ def test_fuzz_roundtrip(data):
         else:
             # quoted content must survive verbatim (incl. -- and ;)
             assert got.where.replace(" ", "") == want["where"].replace(" ", "")
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=script())
+def test_fuzz_compat_reference_agrees_on_quote_free_scripts(data):
+    """On scripts whose literals contain no `--`/`;` (and whose time
+    directives use the raw prefix, as the generator emits), the
+    quote-aware and reference-exact lexers must produce identical
+    statement lists — the compat mode only diverges on the documented
+    quoting edge cases."""
+    text, expected = data
+    if "dashes" in text or "semi;colon" in text:
+        return  # documented divergence: `--`/`;` inside literals
+    if "-- trailing" in text:
+        # faithful reference quirk: Java comment-strips the TRIMMED line
+        # but never re-trims, so `...; -- c` leaves a trailing space and
+        # endsWith(";") fails → statement treated as incomplete
+        # (SQLUpdater.java:133-139); pinned in
+        # test_compat_reference_trailing_comment_breaks_terminator
+        return
+    tables = {e["sql"].split()[1 if e["kind"] == "update" else 2].upper() for e in expected}
+    if len(tables) > 1:
+        return
+    assert parse_script(text) == parse_script(text, compat="reference")

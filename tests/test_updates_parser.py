@@ -205,3 +205,16 @@ def test_compat_reference_multiline_join_and_semicolon_line():
     assert [s.kind for s in got] == ["update", "delete"]
     assert got[0].where == "b = 2"
     assert got[1].where == "a = 1"
+
+
+def test_compat_reference_trailing_comment_breaks_terminator():
+    """Reference quirk, reproduced faithfully: comment-stripping the
+    trimmed line leaves a trailing space (`"...; -- c"` → `"...; "`),
+    so endsWith(';') fails and the statement joins the next line /
+    errors as incomplete (SQLUpdater.java:133-139).  The quote-aware
+    default handles trailing comments."""
+    script = "DELETE FROM t; -- applied at ingest\n"
+    (stmt,) = parse_script(script)
+    assert stmt.kind == "delete"
+    with pytest.raises(ScdScriptError, match="Incomplete"):
+        parse_script(script, compat="reference")
