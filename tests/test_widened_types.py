@@ -95,3 +95,32 @@ def test_decimal_update_matches_python_decimal(spark, cents, mult_tenths, cutoff
         for i, amt in rows
     }
     assert got == want
+
+
+def test_update_chain_complex_types(spark):
+    """Complex columns (array/map/struct) through UPDATE/DELETE — the
+    reference errors on all of these (AvroSCDInputFormat.java:178);
+    the compiled chain inherits them from Spark's type system for free,
+    including higher-order functions in SET expressions."""
+    df = spark.createDataFrame(
+        [
+            (1, ["a"], {"k": 1}, (10, "x")),
+            (2, ["b", "c"], {"k": 2}, (20, "y")),
+            (3, [], {}, (30, "z")),
+        ],
+        schema="id BIGINT, tags ARRAY<STRING>, attrs MAP<STRING,INT>, "
+        "meta STRUCT<score:INT, label:STRING>",
+    )
+    script = """\
+UPDATE t SET tags = array_append(tags, 'seen'), meta = named_struct('score', meta.score + 1, 'label', upper(meta.label)) WHERE size(tags) > 0;
+UPDATE t SET attrs = map_concat(attrs, map('v', meta.score)) WHERE meta.score >= 21;
+DELETE FROM t WHERE size(tags) = 0;
+"""
+    out = {r.id: r for r in apply_statements(df, script, as_of=None).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].tags == ["a", "seen"]
+    assert out[1].meta.asDict() == {"score": 11, "label": "X"}
+    assert out[1].attrs == {"k": 1}  # stmt2 predicate sees post-stmt1 score 11
+    assert out[2].tags == ["b", "c", "seen"]
+    assert out[2].attrs == {"k": 2, "v": 21}
+    assert out[2].meta.asDict() == {"score": 21, "label": "Y"}
