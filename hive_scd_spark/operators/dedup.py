@@ -83,6 +83,9 @@ def ngram_jaccard_pairs(
     candidates with :func:`minhash_near_dup_pairs` (O(candidates)) and
     use this only to verify, which is exactly what that function does.
     """
+    from hive_scd_spark.operators.layout import fan_out
+
+    df = fan_out(df)  # single-split inputs serialize the shingle explode
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(char_shingles(text_col, k)).alias("__s"),
@@ -162,6 +165,9 @@ def minhash_near_dup_pairs(
     1-(1-s^4)^8 (≈0.97 at s=0.5), and verification removes false
     positives, so output = exact pairs above *threshold* that LSH
     recalled.  Scales as O(candidates), not O(n²)."""
+    from hive_scd_spark.operators.layout import fan_out
+
+    df = fan_out(df)  # single-split inputs serialize the md5 explode
     rows = num_perm // bands
     perms = minhash_perms(num_perm, seed)
     # (1) signatures via explode → groupBy(min × num_perm).  The array
@@ -263,6 +269,9 @@ def embedding_near_dup_pairs(
     P = 1-(1-p^n_planes)^n_bands — bands buy recall, planes buy
     precision, exactly like the MinHash-LSH banding above."""
     from hive_scd_spark.functions import vector_norm
+    from hive_scd_spark.operators.layout import fan_out
+
+    df = fan_out(df)  # single-split inputs serialize the vector folds
 
     # norms hoisted to the per-row projection: pairwise work is ONE dot
     # fold instead of three (higher-order fns are interpreted, not
@@ -329,6 +338,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     64-bit on every engine).  Bit b of the fingerprint is set when the
     majority of token hashes have bit b set.  Pure array math per row;
     near-dup detection then bands the fingerprint like MinHash."""
+    from hive_scd_spark.operators.layout import fan_out
+
+    df = fan_out(df)  # single-split inputs serialize the token explode
     # explode tokens → one groupBy with 60 flat bit-vote aggregates.
     # (An array-expression formulation inlines the token hashing into
     # every bit position after project-collapse — 60× recompute.)

@@ -43,12 +43,14 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cos) with deterministic tie-break
     (higher cos first, then smaller neighbor id).  Self-matches are
     excluded."""
+    from hive_scd_spark.operators.layout import fan_out
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         vector_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         vector_norm(F.col(vec_col)).alias("__cn"),
@@ -249,7 +251,9 @@ def kmeans_centroids(
     Output matches ``_ivf_centroids``: (list_id, __centv, __centn),
     list_id = 0..n_lists-1.
     """
-    vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    from hive_scd_spark.operators.layout import fan_out
+
+    vecs = fan_out(df).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if sample_mod > 1:
         vecs = vecs.filter((F.col("__id") % sample_mod) == 0)
     vecs = vecs.withColumn("__n", vector_norm(F.col("__v")))
@@ -296,12 +300,14 @@ def ivf_assign(
     and stored alongside the corpus.  *centroids* defaults to the
     oracle-checkable id-stride sample; pass
     :func:`kmeans_centroids` output for trained lists."""
+    from hive_scd_spark.operators.layout import fan_out
+
     cent = (
         centroids
         if centroids is not None
         else _ivf_centroids(df, id_col, vec_col, stride)
     )
-    vecs = df.select(
+    vecs = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         vector_norm(F.col(vec_col)).alias("__n"),
@@ -389,6 +395,9 @@ def ann_cosine_topk(
     query's bucket.  Recall < 1 by design; raise recall by lowering
     n_planes (bigger buckets) or multi-probing.  At 100 TB this turns
     an O(n·q) scan into a bucket-local join."""
+    from hive_scd_spark.operators.layout import fan_out
+
+    corpus = fan_out(corpus)
     cb = lsh_bucketize(corpus, id_col, vec_col, n_planes, dim).join(
         corpus.select(F.col(id_col), F.col(vec_col)), id_col
     )
