@@ -74,14 +74,39 @@ class HadoopFS:
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(path).getFileSystem(self._hconf)
 
+    @staticmethod
+    def _is_not_found(exc: Exception) -> bool:
+        """True only for a Java FileNotFoundException anywhere in the py4j
+        error's cause chain.  Auth/connectivity failures (S3 AccessDenied,
+        UnknownHost, ...) must NOT match: swallowing them would silently
+        discover no ``.updates`` scripts and hand back raw rows — the
+        exact failure mode this module exists to eliminate."""
+        jexc = getattr(exc, "java_exception", None)
+        seen = 0
+        while jexc is not None and seen < 10:
+            try:
+                cls = jexc.getClass().getName()
+            except Exception:
+                return False
+            if cls.endswith("FileNotFoundException"):
+                return True
+            try:
+                jexc = jexc.getCause()
+            except Exception:
+                return False
+            seen += 1
+        return False
+
     def walk(self, path: str) -> Iterator[tuple[str, list[str], list[str]]]:
         stack = [path]
         while stack:
             cur = stack.pop()
             try:
                 statuses = self._fs.listStatus(self._Path(cur))
-            except Exception:
-                continue  # vanished or unreadable directory — same as os.walk
+            except Exception as exc:
+                if self._is_not_found(exc):
+                    continue  # vanished directory — same race os.walk tolerates
+                raise
             dirnames, filenames = [], []
             for st in statuses:
                 name = st.getPath().getName()

@@ -22,12 +22,55 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Logical nodes that cannot introduce an exchange: probing .rdd under
+# these is pure physical planning, no job, even with AQE.  Anything
+# outside this set (Join/Aggregate/Window/Repartition/...) means the
+# input already passes through a shuffle whose width is
+# spark.sql.shuffle.partitions — wide enough, and probing .rdd there
+# would eagerly materialize upstream query stages under AQE.
+_NARROW_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Relation",
+        "LogicalRelation",
+        "LogicalRDD",
+        "SubqueryAlias",
+        "View",
+        "LocalRelation",
+        "Range",
+    }
+)
+
+
+def _is_narrow_scan(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is scan-shaped (projections /
+    filters over a relation) — the only inputs whose partition count is
+    worth probing and safe to probe."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in _NARROW_NODES:
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return True
+    except Exception:
+        return False  # unknown plan shape — don't touch .rdd
+
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition *df* up to the cluster default parallelism iff its
-    current plan yields fewer partitions.  Deterministic for the
-    operators using it (their aggregates are order-insensitive:
-    min/count/per-row folds)."""
+    """Repartition *df* up to the cluster default parallelism iff it is
+    a narrow scan whose physical layout yields fewer partitions.
+    Derived inputs (plans containing joins/aggregates) are returned
+    unchanged: their shuffle already set the width, and converting them
+    to an RDD would eagerly run upstream stages under AQE.
+    Deterministic for the operators using it (their aggregates are
+    order-insensitive: min/count/per-row folds)."""
+    if not _is_narrow_scan(df):
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions if min_partitions is not None else sc.defaultParallelism
     # .rdd triggers physical planning (no job) to learn the real split count

@@ -37,6 +37,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _data_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap on-disk fingerprint of a source parquet table (file names +
+    sizes + mtimes) for /tmp fixture cache keys: regenerating the
+    dataset — or two datasets sharing a basename — changes the
+    fingerprint, so stale fixtures rebuild instead of being compared
+    against a newer oracle."""
+    import hashlib
+    import os
+
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = [os.path.abspath(target)]
+    if os.path.isfile(target):
+        st = os.stat(target)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isdir(target):
+        for root, _dirs, files in sorted(os.walk(target)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos.
@@ -176,9 +198,15 @@ def scd_partitioned_updates(spark, sf_dir):
 
     from hive_scd_spark.scd import read_scd
 
-    # version the fixture path by its defining scripts so a stale /tmp
-    # dir from an older code revision can never poison a newer run
-    tag = hashlib.md5(repr(sorted(_PART_SCRIPTS.items())).encode()).hexdigest()[:8]
+    # version the fixture path by its defining scripts AND the source
+    # data's on-disk fingerprint so neither an older code revision nor a
+    # regenerated dataset can poison a newer run from a stale /tmp dir
+    tag = hashlib.md5(
+        (
+            repr(sorted(_PART_SCRIPTS.items()))
+            + _data_fingerprint(sf_dir, "customer")
+        ).encode()
+    ).hexdigest()[:8]
     fixture = os.path.join(
         tempfile.gettempdir(),
         f"scd_part_fixture_{os.path.basename(sf_dir)}_{tag}",
@@ -233,7 +261,13 @@ def scd_avro_e2e(spark, sf_dir):
             {"name": "c_mktsegment", "type": "string"},
         ],
     }
-    tag = hashlib.md5((CUSTOMER_SCRIPT + repr(avro_schema)).encode()).hexdigest()[:8]
+    tag = hashlib.md5(
+        (
+            CUSTOMER_SCRIPT
+            + repr(avro_schema)
+            + _data_fingerprint(sf_dir, "customer")
+        ).encode()
+    ).hexdigest()[:8]
     fixture = os.path.join(
         tempfile.gettempdir(), f"scd_avro_fixture_{os.path.basename(sf_dir)}_{tag}"
     )

@@ -147,16 +147,25 @@ def read_avro(
 ) -> DataFrame:
     """Read Avro container file(s) at *path* (file, dir, or list)."""
     options = dict(options or {})
-    avro_json = _normalize_reader_schema(reader_schema)
     if _native_avro_available(spark):
         reader = spark.read.format("avro").options(**options)
         if isinstance(reader_schema, T.StructType):
+            # Native path takes the StructType directly — any Spark type
+            # the avro data source supports (timestamp, decimal, arrays,
+            # ...) works; do NOT round-trip through the flat-Avro-JSON
+            # converter, which only knows the reference's six primitives.
             reader = reader.schema(reader_schema)
-        elif avro_json is not None:
-            reader = reader.option("avroSchema", json.dumps(avro_json))
+        else:
+            avro_json = _normalize_reader_schema(reader_schema)
+            if avro_json is not None:
+                reader = reader.option("avroSchema", json.dumps(avro_json))
         return reader.load(path)
 
-    # distributed fallback: binaryFile scan + mapInPandas decode
+    # distributed fallback: binaryFile scan + mapInPandas decode; the
+    # pure-Python codec is flat-primitive-only, so StructType→Avro-JSON
+    # conversion (and its NotImplementedError for wider types) applies
+    # only here
+    avro_json = _normalize_reader_schema(reader_schema)
     paths = list(path) if isinstance(path, (list, tuple)) else [path]
     effective = avro_json if avro_json is not None else _sniff_writer_schema(spark, paths)
     if isinstance(reader_schema, T.StructType):

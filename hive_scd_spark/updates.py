@@ -24,8 +24,11 @@ Documented deviation (SURVEY.md §7.7): the reference's lexer strips
 contain ``--`` and ``;`` — the intended semantics, covered by tests.
 For provable behavioral parity with scripts that depend on the
 reference's raw lexing, ``parse_script(..., compat="reference")``
-reproduces ``SQLUpdater.readLines`` exactly; the default
-(``compat="quoted"``) is unchanged.
+reproduces ``SQLUpdater.readLines``; pass ``as_of_ms`` as well to get
+the reference's READ-time as-of filter (``SQLUpdater.java:131``) and
+with it full parity even for future-dated incomplete statements and
+mid-statement directives.  The default (``compat="quoted"``) is
+unchanged.
 
 Everything here is driver-side, pure Python; the parsed statements are
 compiled to Catalyst expressions in :mod:`hive_scd_spark.scd` — no
@@ -94,7 +97,9 @@ def parse_scd_time(value: str, default: int | None) -> int | None:
 _TIME_PREFIX = "-- time="  # SQLUpdater.java:121 (raw, case-folded prefix)
 
 
-def _scan_statements_reference(text: str) -> list[tuple[str, int | None]]:
+def _scan_statements_reference(
+    text: str, as_of_ms: int | None = None
+) -> list[tuple[str, int | None]]:
     """Reference-exact lexing (``SQLUpdater.java:123-159``):
 
     - time directive = raw ``"-- time="`` prefix on the UNtrimmed line,
@@ -105,6 +110,20 @@ def _scan_statements_reference(text: str) -> list[tuple[str, int | None]]:
       (``:139``) — mid-line semicolons do NOT split; multi-line
       statements join with a single space (``:144``).
 
+    With *as_of_ms* supplied, the reference's READ-time filter is also
+    reproduced (``:131``, ``currentScdTime <= rootScdTime`` guards the
+    whole lexing branch): lines under an inapplicable directive are
+    never lexed, so a future-dated incomplete statement is silently
+    skipped (not an error), and a mid-statement directive that filters
+    the continuation leaves the pending fragment to either join with a
+    later applicable line or raise "Incomplete SQL" at EOF — exactly
+    the reference's behavior.  Without *as_of_ms* this scanner tags
+    each statement with the directive in force at its completion and
+    leaves filtering to :func:`applicable`; that is equivalent for
+    scripts whose directives sit between statements (the documented
+    format, ``README.md:139-144``), which is the limit of the parity
+    claim in that mode.
+
     The terminating ``;`` is removed before statement parsing: the
     reference hands it verbatim to H2, which tolerates the terminator.
     """
@@ -113,8 +132,13 @@ def _scan_statements_reference(text: str) -> list[tuple[str, int | None]]:
     pending: str | None = None
     for raw_line in text.splitlines():
         if raw_line.lower().startswith(_TIME_PREFIX):
+            # empty value → rootScdTime (the session as-of), SQLUpdater.java:129
             current_time = parse_scd_time(raw_line[len(_TIME_PREFIX):], None)
             continue
+        if as_of_ms is not None:
+            effective = as_of_ms if current_time is None else current_time
+            if effective > as_of_ms:
+                continue  # read-time filter, SQLUpdater.java:131
         line = raw_line.strip()
         idx = line.find("--")
         if idx >= 0:
@@ -136,14 +160,17 @@ def _scan_statements_reference(text: str) -> list[tuple[str, int | None]]:
 
 
 def _scan_statements(
-    text: str, compat: str = "quoted"
+    text: str, compat: str = "quoted", as_of_ms: int | None = None
 ) -> list[tuple[str, int | None]]:
     """The line algorithm of ``SQLUpdater.readLines``
     (``SQLUpdater.java:121-159``): returns ``[(sql, effective_ms)]`` in
     file order.  Quote-aware by default; ``compat="reference"`` lexes
-    exactly as the reference does (see module docstring)."""
+    exactly as the reference does (see module docstring), including the
+    read-time as-of filter when *as_of_ms* is given."""
     if compat == "reference":
-        return _scan_statements_reference(text)
+        return _scan_statements_reference(text, as_of_ms)
+    if as_of_ms is not None:
+        raise ValueError("as_of_ms is only meaningful with compat='reference'")
     if compat != "quoted":
         raise ValueError(f"Unknown lexer compat mode: {compat!r}")
     statements: list[tuple[str, int | None]] = []
@@ -314,11 +341,19 @@ def _parse_statement(sql: str, effective_ms: int | None) -> Stmt:
     raise ScdScriptError(f"Unsupported DML statement: {sql!r}")
 
 
-def parse_script(text: str, compat: str = "quoted") -> list[Stmt]:
+def parse_script(
+    text: str, compat: str = "quoted", as_of_ms: int | None = None
+) -> list[Stmt]:
     """Parse a full ``.updates`` script into ordered :class:`Stmt` list,
     enforcing the single-table rule (``SQLUpdater.java:64-69``).
-    ``compat="reference"`` switches to reference-exact lexing."""
-    stmts = [_parse_statement(sql, t) for sql, t in _scan_statements(text, compat)]
+    ``compat="reference"`` switches to reference-exact lexing; pass
+    *as_of_ms* there to also reproduce the reference's read-time as-of
+    filter (full behavioral parity even for scripts with mid-statement
+    or future-dated directives — see ``_scan_statements_reference``)."""
+    stmts = [
+        _parse_statement(sql, t)
+        for sql, t in _scan_statements(text, compat, as_of_ms)
+    ]
     tables = {s.table.upper() for s in stmts}
     if len(tables) > 1:
         # SQLUpdater.java:68

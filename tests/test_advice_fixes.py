@@ -1,0 +1,242 @@
+"""Regression pins for the round-3 ADVICE findings.
+
+1. avro: StructType reader schemas with non-flat types must reach the
+   native spark-avro path untouched (no flat-Avro-JSON round-trip).
+2. fs: HadoopFS.walk swallows ONLY FileNotFound; auth/connectivity
+   errors propagate instead of silently discovering no `.updates`.
+3. layout: fan_out never converts a shuffle-bearing plan to an RDD
+   (AQE would materialize upstream stages eagerly).
+4. updates: compat="reference" + as_of_ms reproduces the reference's
+   READ-time filter (SQLUpdater.java:131) exactly.
+5. queries: /tmp fixture cache keys include a source-data fingerprint.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hive_scd_spark.operators.layout import _is_narrow_scan, fan_out
+from hive_scd_spark.updates import ScdScriptError, parse_script
+
+
+# -- 1. avro native path takes StructType directly ---------------------------
+
+
+class _FakeNativeReader:
+    def __init__(self):
+        self.schema_arg = None
+        self.options_arg = None
+        self.loaded = None
+
+    def format(self, fmt):
+        assert fmt == "avro"
+        return self
+
+    def options(self, **opts):
+        self.options_arg = opts
+        return self
+
+    def schema(self, s):
+        self.schema_arg = s
+        return self
+
+    def option(self, k, v):  # pragma: no cover — must not be hit here
+        raise AssertionError(f"unexpected option({k!r})")
+
+    def load(self, path):
+        self.loaded = path
+        return self
+
+
+class _FakeSC:
+    applicationId = "fake-app-for-avro-test"
+
+
+class _FakeSpark:
+    sparkContext = _FakeSC()
+
+    def __init__(self):
+        self.read = _FakeNativeReader()
+
+
+def test_native_avro_struct_schema_bypasses_flat_converter(monkeypatch):
+    """A StructType with timestamp/decimal/array fields previously blew
+    up in _struct_to_avro_json BEFORE the native branch; now the native
+    path must receive the StructType verbatim."""
+    from hive_scd_spark.sources import avro as avro_mod
+
+    rich = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("amount", T.DecimalType(12, 2)),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    fake = _FakeSpark()
+    monkeypatch.setitem(avro_mod._NATIVE_AVRO, _FakeSC.applicationId, True)
+    out = avro_mod.read_avro(fake, "/data/t", reader_schema=rich)
+    assert out.loaded == "/data/t"
+    assert out.schema_arg is rich
+
+
+def test_fallback_still_rejects_wide_struct_types(spark, tmp_path):
+    """The pure-Python fallback codec is flat-primitive-only; the
+    NotImplementedError guard stays on that path."""
+    from hive_scd_spark.sources.avro import read_avro
+
+    rich = T.StructType([T.StructField("ts", T.TimestampType())])
+    with pytest.raises(NotImplementedError, match="no flat Avro equivalent"):
+        read_avro(spark, str(tmp_path), reader_schema=rich)
+
+
+# -- 2. HadoopFS.walk error discipline ---------------------------------------
+
+
+class _JExc:
+    def __init__(self, cls_name, cause=None):
+        self._cls = cls_name
+        self._cause = cause
+
+    def getClass(self):
+        return self
+
+    def getName(self):
+        return self._cls
+
+    def getCause(self):
+        return self._cause
+
+
+class _JavaError(Exception):
+    def __init__(self, jexc):
+        super().__init__("java error")
+        self.java_exception = jexc
+
+
+def test_is_not_found_classification():
+    from hive_scd_spark.fs import HadoopFS
+
+    fnf = _JavaError(_JExc("java.io.FileNotFoundException"))
+    denied = _JavaError(_JExc("org.apache.hadoop.fs.s3a.AccessDeniedException"))
+    nested = _JavaError(
+        _JExc("java.lang.RuntimeException", _JExc("java.io.FileNotFoundException"))
+    )
+    plain = ValueError("no java_exception attribute at all")
+    assert HadoopFS._is_not_found(fnf)
+    assert HadoopFS._is_not_found(nested)
+    assert not HadoopFS._is_not_found(denied)
+    assert not HadoopFS._is_not_found(plain)
+
+
+def test_walk_missing_dir_yields_nothing(spark, tmp_path):
+    from hive_scd_spark.fs import fs_for
+
+    missing = "file:" + str(tmp_path / "definitely-not-here")
+    fs = fs_for(spark, missing)
+    assert list(fs.walk(missing)) == []
+
+
+def test_walk_propagates_access_denied(spark, tmp_path):
+    """A misconfigured credential must surface, not silently produce an
+    empty discovery (= raw un-updated rows)."""
+    from hive_scd_spark.fs import fs_for
+
+    fs = fs_for(spark, "file:" + str(tmp_path))
+
+    class _DenyFS:
+        def listStatus(self, _p):
+            raise _JavaError(
+                _JExc("org.apache.hadoop.fs.s3a.AccessDeniedException")
+            )
+
+    fs._fs = _DenyFS()
+    with pytest.raises(_JavaError):
+        list(fs.walk("file:" + str(tmp_path)))
+
+
+# -- 3. fan_out plan guard ---------------------------------------------------
+
+
+def test_fan_out_widens_narrow_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    assert _is_narrow_scan(df)
+    out = fan_out(df, min_partitions=4)
+    assert out.rdd.getNumPartitions() >= 4
+
+
+def test_fan_out_leaves_derived_plans_untouched(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    derived = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    assert not _is_narrow_scan(derived)
+    assert fan_out(derived, min_partitions=1000) is derived
+    joined = docs.alias("a").join(docs.alias("b"), "doc_id")
+    assert not _is_narrow_scan(joined)
+    assert fan_out(joined, min_partitions=1000) is joined
+
+
+# -- 4. compat="reference" read-time as-of filter ----------------------------
+
+MS_2020 = 1577836800000
+
+
+def test_reference_asof_skips_future_incomplete_statement():
+    """SQLUpdater.java:131 — lines under a future directive are never
+    lexed, so a future-dated INCOMPLETE statement is silently skipped
+    when the as-of time is threaded in, but still an error without it."""
+    script = (
+        "UPDATE t SET a = 1 WHERE b = 2;\n"
+        "-- time=2999-01-01\n"
+        "UPDATE t SET a = 2"  # no terminator — but filtered at read time
+    )
+    with pytest.raises(ScdScriptError, match="Incomplete"):
+        parse_script(script, compat="reference")
+    stmts = parse_script(script, compat="reference", as_of_ms=MS_2020)
+    assert [s.sets for s in stmts] == [(("a", "1"),)]
+
+
+def test_reference_asof_mid_statement_directive_truncates():
+    """A mid-statement directive whose time filters the continuation
+    leaves the pending fragment incomplete at EOF — the reference's
+    IllegalStateException, not a joined/retagged statement."""
+    script = "UPDATE t SET a = 1\n-- time=2999-01-01\nWHERE b = 2;\n"
+    # without the as-of filter the lexer joins across and retags
+    (joined,) = parse_script(script, compat="reference")
+    assert joined.where == "b = 2"
+    with pytest.raises(ScdScriptError, match="Incomplete"):
+        parse_script(script, compat="reference", as_of_ms=MS_2020)
+
+
+def test_reference_asof_joins_across_applicable_directive():
+    script = "UPDATE t SET a = 1\n-- time=1000\nWHERE b = 2;\n"
+    (stmt,) = parse_script(script, compat="reference", as_of_ms=MS_2020)
+    assert stmt.where == "b = 2"
+    assert stmt.effective_ms == 1000
+
+
+def test_asof_rejected_outside_reference_mode():
+    with pytest.raises(ValueError, match="only meaningful"):
+        parse_script("DELETE FROM t;", as_of_ms=0)
+
+
+# -- 5. fixture cache keyed by data fingerprint ------------------------------
+
+
+def test_data_fingerprint_tracks_source_changes(tmp_path):
+    from hive_scd_spark.queries import _data_fingerprint
+
+    d = tmp_path / "sfX"
+    tbl = d / "customer.parquet"
+    tbl.mkdir(parents=True)
+    f = tbl / "part-0.parquet"
+    f.write_bytes(b"v1")
+    fp1 = _data_fingerprint(str(d), "customer")
+    assert fp1 == _data_fingerprint(str(d), "customer")  # stable
+    time.sleep(0.01)
+    f.write_bytes(b"v2-longer")  # size + mtime change
+    fp2 = _data_fingerprint(str(d), "customer")
+    assert fp1 != fp2
