@@ -1,0 +1,84 @@
+"""BM25 document retrieval over a tokenized corpus.
+
+The query side of a training-data pipeline: given a handful of query
+terms, score every document with BM25 (Robertson/Sparck Jones; the
+idf form below is Lucene's ``ln(1 + (N - df + 0.5)/(df + 0.5))``) and
+return the top-k.
+
+Scale shape — everything is a projection or a partial-aggregated
+groupBy, and the per-term work touches only documents CONTAINING a
+query term (the token filter runs before the first shuffle, so the
+inverted-index effect falls out of predicate pushdown rather than a
+materialized index):
+
+- tokenize → explode (narrow);
+- ``filter(token IN query)`` immediately — at 100 TB this is the step
+  that turns "all tokens" into "posting lists for 3 terms";
+- tf per (doc, term): groupBy with map-side combine;
+- df per term: tiny (≤ |query|) — broadcast back;
+- doc lengths: one groupBy over the corpus (the only full-corpus
+  shuffle; a real deployment precomputes/caches this column);
+- corpus stats (N, avgdl): single-row aggregate, broadcast into the
+  scoring expression via crossJoin — no driver action, stays lazy;
+- final top-k: global sort-limit (TakeOrdered — k rows per partition
+  then k at the driver, never a single-partition window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-*k* documents by BM25 for *query_terms* (whitespace
+    tokenization, lowercased).  Returns ``(id, n_tokens, score)``
+    ordered by ``(score desc, id)`` — rounded to 6 dp for cross-engine
+    determinism."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
+    )
+    dl = toks.groupBy("__id").agg(F.count("*").alias("__dl"))
+    stats = dl.agg(
+        F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )  # 1 row — broadcast into every scoring task
+    tf = (
+        toks.filter(F.col("__t").isin([t.lower() for t in query_terms]))
+        .groupBy("__id", "__t")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))  # ≤ |query| rows
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id", "__dl")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    return (
+        scored.select(
+            F.col("__id").alias(id_col), F.col("__dl").alias("n_tokens"), "score"
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

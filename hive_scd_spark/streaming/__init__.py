@@ -104,6 +104,35 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup by content digest — the streaming
+    complement of ``operators.dedup.exact_dedup``.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state store
+    holds only digests younger than the watermark: duplicates arriving
+    within the window are dropped, and state is EVICTED as the
+    watermark advances — bounded memory at any stream volume, which
+    plain ``dropDuplicates`` on a stream (state grows forever) does
+    not give.  The digest (md5 of normalized text) matches the batch
+    operator exactly, so batch backfill + streaming ingest agree on
+    what "duplicate" means."""
+    from hive_scd_spark.functions import norm_text
+
+    key = F.md5(norm_text(text_col) if normalize else F.col(text_col))
+    return (
+        stream_df.withColumn("__content_key", key)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__content_key"])
+        .drop("__content_key")
+    )
+
+
 def scd_snapshot_sink(stream_df: DataFrame, stmts, path: str, checkpoint: str):
     """writeStream.foreachBatch sink: apply the SCD chain to each
     micro-batch and append to a Parquet snapshot directory."""
