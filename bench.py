@@ -43,13 +43,30 @@ HEADLINE = [
     "events_sessionize",
     "multimodal_chunking",
     "agg_grouping_sets",
+    # round-3 scale-path operators
+    "range_join_event_windows",
+    "text_bm25_topk",
+    "shard_assignment",
+    "dedup_cluster_assign",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
 
+# Iterative operators run their convergence loop (Spark actions) inside
+# the query BUILDER — for these the builder must sit inside the timed
+# window or the measurement would only see the final cached write.
+# Every other builder is pure plan construction and stays untimed, so
+# per-query numbers remain comparable with BENCH_r01/r02.
+ITERATIVE = {"dedup_cluster_assign"}
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
-    df = QUERIES[name](spark, sf_dir)
-    t0 = time.perf_counter()
+    if name in ITERATIVE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+    else:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
