@@ -93,3 +93,28 @@ def dup_clusters(
         "pathological chain graph; use a larger max_iter or the "
         "large-star/small-star variant"
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """The full dedup pipeline's last mile: given a corpus and its
+    near-dup *pairs* (from ``minhash_near_dup_pairs`` /
+    ``embedding_near_dup_pairs``), keep ONE canonical document per
+    duplicate cluster (the min id) plus every unpaired document.
+
+    Plan shape: components over the pair graph (small relative to the
+    corpus), then a single LEFT ANTI join from the corpus to the
+    non-canonical member list.  No broadcast hint: a lightly-duplicated
+    corpus has a small loser list (AQE picks broadcast at runtime), a
+    heavily-duplicated one can have billions — the shuffle anti-join is
+    then the correct plan, and forcing broadcast would OOM the driver."""
+    clusters = dup_clusters(pairs, pair_a, pair_b)
+    losers = clusters.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias("__loser")
+    )
+    return df.join(losers, df[id_col] == losers["__loser"], "left_anti")

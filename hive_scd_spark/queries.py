@@ -1214,6 +1214,18 @@ def dedup_cluster_assign(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
+def dedup_corpus_canonical(spark, sf_dir):
+    """End-to-end dedup (operators/cluster.dedup_corpus): pairs →
+    components → one canonical doc per cluster + all unpaired docs —
+    the operation a training pipeline actually ships."""
+    from hive_scd_spark.operators.cluster import dedup_corpus
+    from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", k=8, threshold=0.3)
+    return dedup_corpus(docs, pairs, "doc_id").select("doc_id", "n_chars")
+
+
 BM25_QUERY_TERMS = ["join", "vector", "stream"]
 
 
@@ -1776,6 +1788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_assign": dedup_cluster_assign,
     "text_bm25_topk": text_bm25_topk,
     "shard_assignment": shard_assignment,
+    "dedup_corpus_canonical": dedup_corpus_canonical,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -1805,6 +1818,21 @@ ORACLES["dedup_cluster_assign"] = f"""
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+# canonical survivors = everything minus non-minimal cluster members
+ORACLES["dedup_corpus_canonical"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und) n
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
 """
 
 _BM25_TERMS_SQL = ",".join(f"'{t}'" for t in BM25_QUERY_TERMS)

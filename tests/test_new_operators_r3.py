@@ -137,6 +137,22 @@ def test_dup_clusters_random_graph(spark):
     assert got == _python_components(edges)
 
 
+def test_dedup_corpus_keeps_canonical_and_unpaired(spark):
+    from hive_scd_spark.operators.cluster import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_corpus(docs, pairs, "doc_id").collect()
+    )
+    # cluster {1,2,3} → keep 1; cluster {5,6} → keep 5; 4 and 7 unpaired
+    assert kept == [1, 4, 5, 7]
+
+
 # -- BM25 --------------------------------------------------------------------
 
 
