@@ -1214,6 +1214,29 @@ def dedup_cluster_assign(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
+def skew_salted_order_stats(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py) over a
+    deliberately skewed key: order counts and revenue per orderstatus
+    ('O'/'F' hold ~half the table each — exactly the hot-key shape a
+    plain groupBy serializes onto one reducer before AQE).  The salt is
+    internal; results are identical to the plain aggregation, which is
+    what the oracle states."""
+    from hive_scd_spark.operators.skew import salted_agg
+
+    orders = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    out = salted_agg(
+        orders.withColumn("__cents", cents),
+        ["o_orderstatus"],
+        {
+            "n_orders": (F.count("*"), F.sum("n_orders")),
+            "revenue_cents": (F.sum("__cents"), F.sum("revenue_cents")),
+        },
+        n_salts=16,
+    )
+    return out.select("o_orderstatus", "n_orders", "revenue_cents")
+
+
 def dedup_corpus_canonical(spark, sf_dir):
     """End-to-end dedup (operators/cluster.dedup_corpus): pairs →
     components → one canonical doc per cluster + all unpaired docs —
@@ -1789,6 +1812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": text_bm25_topk,
     "shard_assignment": shard_assignment,
     "dedup_corpus_canonical": dedup_corpus_canonical,
+    "skew_salted_order_stats": skew_salted_order_stats,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -1818,6 +1842,14 @@ ORACLES["dedup_cluster_assign"] = f"""
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+ORACLES["skew_salted_order_stats"] = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY 1
 """
 
 # canonical survivors = everything minus non-minimal cluster members

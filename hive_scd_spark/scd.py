@@ -115,15 +115,21 @@ def _apply_delete(df: DataFrame, stmt: Stmt) -> DataFrame:
     return df.filter(~F.coalesce(F.expr(stmt.where).cast("boolean"), F.lit(False)))
 
 
-def apply_statements(df: DataFrame, stmts, as_of=None) -> DataFrame:
+def apply_statements(df: DataFrame, stmts, as_of=None, compat: str = "quoted") -> DataFrame:
     """Fold *stmts* (a list of :class:`Stmt` or a raw script string)
     over *df* in file order, honoring the as-of time.
 
     This is the rebuild of the reference's per-record apply loop
     (``SQLUpdater.java:161-175``) as lazy logical-plan construction.
+    ``compat="reference"`` (string scripts only) lexes with the
+    reference's raw line algorithm INCLUDING its read-time as-of filter
+    (``SQLUpdater.java:131``) — full behavioral parity.
     """
     if isinstance(stmts, str):
-        stmts = parse_script(stmts)
+        if compat == "reference":
+            stmts = parse_script(stmts, compat, as_of_ms=resolve_as_of(as_of))
+        else:
+            stmts = parse_script(stmts, compat)
     as_of_ms = resolve_as_of(as_of)
     for stmt in applicable(list(stmts), as_of_ms):
         if stmt.kind == "update":
@@ -180,6 +186,7 @@ def read_scd(
     format: str = "avro",
     schema=None,
     options=None,
+    compat: str = "quoted",
 ) -> DataFrame:
     """Read an SCD table directory as of a point in time.
 
@@ -193,6 +200,9 @@ def read_scd(
     the optional reader schema (Avro JSON string/dict or Spark
     StructType) — schema evolution fills field defaults exactly like the
     reference's reader-schema handling (``AvroSCDInputFormat.java:141-154``).
+    ``compat="reference"`` lexes each ``.updates`` with the reference's
+    raw line algorithm including its read-time as-of filter — full
+    behavioral parity for scripts that depend on it.
     """
     if as_of is None:
         # session-level knob for SQL users, mirroring the reference's
@@ -222,7 +232,7 @@ def read_scd(
     for script, dirs in by_script.items():
         base = _read_base(spark, dirs[0] if len(dirs) == 1 else dirs, format, schema, options)
         if script is not None:
-            base = apply_statements(base, parse_script(script), as_of=as_of)
+            base = apply_statements(base, script, as_of=as_of, compat=compat)
         parts.append(base)
     result = parts[0]
     for extra in parts[1:]:

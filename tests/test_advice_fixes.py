@@ -223,6 +223,33 @@ def test_asof_rejected_outside_reference_mode():
         parse_script("DELETE FROM t;", as_of_ms=0)
 
 
+def test_read_scd_compat_reference_end_to_end(spark, tmp_path):
+    """compat threads through the public API: a future-dated incomplete
+    statement poisons the default lexer but is silently skipped by the
+    reference lexer's read-time filter — matching the reference."""
+    from hive_scd_spark.scd import read_scd
+
+    d = tmp_path / "dim"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string"
+    ).write.mode("overwrite").parquet(str(d))
+    (d / ".updates").write_text(
+        "UPDATE d SET name = upper(name) WHERE id = 1;\n"
+        "-- time=2999-01-01\n"
+        "UPDATE d SET name = 'future pending"  # unterminated, future-dated
+    )
+    with pytest.raises(ScdScriptError, match="Incomplete"):
+        read_scd(spark, str(d), format="parquet").collect()
+    got = {
+        r.id: r.name
+        for r in read_scd(
+            spark, str(d), format="parquet", compat="reference"
+        ).collect()
+    }
+    assert got == {1: "A", 2: "b"}
+
+
 # -- 5. fixture cache keyed by data fingerprint ------------------------------
 
 
