@@ -59,6 +59,9 @@ class LocalFS:
         with open(path, "rb") as fh:
             return fh.read() if n is None else fh.read(n)
 
+    def file_size(self, path: str) -> int:
+        return os.stat(path).st_size
+
     def join(self, base: str, name: str) -> str:
         return os.path.join(base, name)
 
@@ -142,6 +145,9 @@ class HadoopFS:
             return bytes(stream.readNBytes(n))
         finally:
             stream.close()
+
+    def file_size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._Path(path)).getLen())
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._Path(path))

@@ -142,10 +142,133 @@ def _decode_partition(reader_json: dict | None, out_cols: list[str]):
     return fn
 
 
+def _decode_split_partition(reader_json: dict | None, out_cols: list[str]):
+    """Executor-side decoder for the block-splittable path: each input
+    row is ONE byte-range split (path, start, end, file metadata); the
+    executor positional-reads only its range (plus any terminal-block
+    overshoot) via pyarrow's filesystem layer and resolves rows to the
+    effective reader schema.  No whole-file materialization anywhere."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import json as _json
+
+        import pandas as pd
+        import pyarrow.fs as pafs
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if "://" in r.path or r.path.startswith("file:"):
+                    fs, fpath = pafs.FileSystem.from_uri(r.path)
+                else:
+                    fs, fpath = pafs.LocalFileSystem(), r.path
+                with fs.open_input_file(fpath) as f:
+
+                    def read_at(off: int, n: int) -> bytes:
+                        return f.read_at(n, off)
+
+                    rows = avro_lite.read_container_range(
+                        read_at,
+                        int(r.file_size),
+                        _json.loads(r.writer_schema),
+                        r.codec,
+                        bytes(r.sync),
+                        int(r.header_len),
+                        int(r.start),
+                        int(r.end),
+                    )
+                if reader_json is not None:
+                    rows = avro_lite.resolve_rows(rows, reader_json)
+                yield pd.DataFrame(
+                    [[row.get(c) for c in out_cols] for row in rows],
+                    columns=out_cols,
+                    dtype=object,
+                )
+
+    return fn
+
+
+_SPLIT_SCHEMA = (
+    "path string, start long, end long, file_size long, "
+    "writer_schema string, codec string, sync binary, header_len long"
+)
+
+
+def _plan_splits(spark: SparkSession, paths: list[str], split_bytes: int):
+    """Driver-side split planning: list data files with sizes, read each
+    file's header (metadata-sized positional read — the same per-split
+    work the reference's InputFormat does, ``AvroSCDInputFormat.java:
+    51-59``), and cut byte ranges of ≤ *split_bytes*.  Returns
+    (splits, any_multiblock_file_was_split)."""
+    import json as _json
+
+    files: list[tuple[object, str]] = []
+    for p in paths:
+        fs = fs_for(spark, p)
+        if fs.is_file(p):
+            files.append((fs, p))
+        else:
+            for dirpath, _dirs, names in fs.walk(p):
+                for name in sorted(names):
+                    if not name.startswith((".", "_")):
+                        files.append((fs, fs.join(dirpath, name)))
+    splits = []
+    split_any = False
+    for fs, fpath in files:
+        size = fs.file_size(fpath)
+        for probe in (1 << 20, 8 << 20, None):
+            try:
+                schema, codec, sync, header_len = avro_lite.read_header_info(
+                    fs.read_head(fpath, probe)
+                )
+                break
+            except Exception:
+                if probe is None:
+                    raise
+        n_splits = max(1, -(-size // split_bytes))
+        split_any = split_any or n_splits > 1
+        schema_json = _json.dumps(schema)
+        for i in range(n_splits):
+            splits.append(
+                (
+                    fpath,
+                    i * split_bytes,
+                    min((i + 1) * split_bytes, size),
+                    size,
+                    schema_json,
+                    codec,
+                    bytearray(sync),
+                    header_len,
+                )
+            )
+    return splits, split_any
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    mult = 1
+    low = raw.lower()
+    if low.endswith(("k", "kb")):
+        mult = 1 << 10
+    elif low.endswith(("m", "mb")):
+        mult = 1 << 20
+    elif low.endswith(("g", "gb")):
+        mult = 1 << 30
+    return int(digits) * mult if digits else 128 << 20
+
+
 def read_avro(
-    spark: SparkSession, path, reader_schema=None, options=None
+    spark: SparkSession, path, reader_schema=None, options=None, split_bytes=None
 ) -> DataFrame:
-    """Read Avro container file(s) at *path* (file, dir, or list)."""
+    """Read Avro container file(s) at *path* (file, dir, or list).
+
+    Fallback split behavior (no spark-avro jar): files larger than
+    *split_bytes* (default ``spark.sql.files.maxPartitionBytes``) are
+    decoded as BYTE-RANGE splits — each task positional-reads only its
+    range and decodes the sync-delimited blocks starting inside it, the
+    same block-level split granularity the reference's InputFormat
+    inherits from Hadoop (``AvroSCDInputFormat.java:51-59``).  Small
+    files keep the one-task-per-file ``binaryFile`` path."""
     options = dict(options or {})
     if _native_avro_available(spark):
         reader = spark.read.format("avro").options(**options)
@@ -161,10 +284,9 @@ def read_avro(
                 reader = reader.option("avroSchema", json.dumps(avro_json))
         return reader.load(path)
 
-    # distributed fallback: binaryFile scan + mapInPandas decode; the
-    # pure-Python codec is flat-primitive-only, so StructType→Avro-JSON
-    # conversion (and its NotImplementedError for wider types) applies
-    # only here
+    # distributed fallback: the pure-Python codec is flat-primitive-only,
+    # so StructType→Avro-JSON conversion (and its NotImplementedError
+    # for wider types) applies only here
     avro_json = _normalize_reader_schema(reader_schema)
     paths = list(path) if isinstance(path, (list, tuple)) else [path]
     effective = avro_json if avro_json is not None else _sniff_writer_schema(spark, paths)
@@ -172,7 +294,21 @@ def read_avro(
         struct = reader_schema  # keep the caller's exact Spark types
     else:
         struct = avro_lite.schema_to_struct(effective)
+    out_cols = [f.name for f in struct.fields]
+
+    if split_bytes is None:
+        split_bytes = _max_partition_bytes(spark)
+    splits, split_any = _plan_splits(spark, paths, split_bytes)
+    if split_any:
+        # block-splittable path: one task per byte range, positional
+        # reads only — parallelism no longer capped at one task/file
+        plan = spark.createDataFrame(splits, _SPLIT_SCHEMA).repartition(len(splits))
+        return plan.mapInPandas(
+            _decode_split_partition(avro_json, out_cols), schema=struct
+        )
+
+    # small files: one task per container file via binaryFile
     binary = spark.read.format("binaryFile").load(paths)
     return binary.select("content").mapInPandas(
-        _decode_partition(avro_json, [f.name for f in struct.fields]), schema=struct
+        _decode_partition(avro_json, out_cols), schema=struct
     )

@@ -162,6 +162,91 @@ def read_header_schema(data: bytes) -> dict:
     return json.loads(meta["avro.schema"].decode("utf-8"))
 
 
+def read_header_info(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse a container header → (writer_schema, codec, sync_marker,
+    header_length).  The metadata-sized unit of per-file driver work
+    for split planning (the same class of read the reference's
+    InputFormat does per split, ``AvroSCDInputFormat.java:51-59``)."""
+    buf = io.BytesIO(data)
+    meta, sync = _read_header(buf)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema, codec, sync, buf.tell()
+
+
+def _decompress_block(block: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        return zlib.decompress(block, -15)
+    if codec == "snappy":
+        import snappy  # optional — gated import
+
+        return snappy.decompress(block[:-4])  # trailing CRC32
+    if codec != "null":
+        raise NotImplementedError(f"Avro codec not supported: {codec}")
+    return block
+
+
+def read_container_range(
+    read_at,
+    file_size: int,
+    writer_schema: dict,
+    codec: str,
+    sync: bytes,
+    header_len: int,
+    start: int,
+    end: int,
+) -> list[dict]:
+    """Decode the blocks of ONE byte-range split of a container file.
+
+    Hadoop split semantics: a block belongs to the split containing its
+    FIRST byte, so this decodes every block whose start offset lies in
+    ``[start, end)`` — the first split (start ≤ header) begins at the
+    first block, later splits scan forward for the first sync marker
+    ending at/after *start*.  ``read_at(offset, nbytes) -> bytes`` is
+    the only I/O primitive needed (positional read; executors hand in a
+    pyarrow ``read_at`` or a local-file pread).
+
+    The terminal block of a split may extend past *end* — it is read to
+    completion (its bytes simply overlap the next split, which skips it
+    because its start offset is < that split's start)."""
+    rows: list[dict] = []
+    if start <= header_len:
+        pos = header_len
+    else:
+        # find the first block boundary (= sync END) at/after start; the
+        # marker may straddle the split edge, so the scan window begins
+        # 16 bytes early.  Sync markers are 16 random bytes — a data
+        # collision is 2^-128 and would fail loudly at the sync check.
+        win_start = max(header_len, start - len(sync))
+        window = read_at(win_start, min(end, file_size) - win_start + len(sync))
+        pos = None
+        k = window.find(sync)
+        while k != -1:
+            cand = win_start + k + len(sync)
+            if cand >= start:
+                pos = cand
+                break
+            k = window.find(sync, k + 1)
+        if pos is None or pos >= min(end, file_size):
+            return rows  # no block begins inside this split
+    while pos < min(end, file_size):
+        head = read_at(pos, 20)  # two zigzag varints ≤ 10 bytes each
+        if not head:
+            break
+        hbuf = io.BytesIO(head)
+        count = _read_long(hbuf)
+        size = _read_long(hbuf)
+        consumed = hbuf.tell()
+        block = _decompress_block(read_at(pos + consumed, size), codec)
+        bbuf = io.BytesIO(block)
+        for _ in range(count):
+            rows.append(_decode_value(bbuf, writer_schema))
+        if read_at(pos + consumed + size, len(sync)) != sync:
+            raise ValueError("Avro sync marker mismatch")
+        pos = pos + consumed + size + len(sync)
+    return rows
+
+
 def read_container_bytes(data: bytes) -> tuple[dict, list[dict]]:
     """Decode an in-memory Avro container → (writer_schema, rows).
     The executor-side unit of the distributed read path
@@ -298,8 +383,16 @@ def _encode_value(out: io.BytesIO, schema, value) -> None:
         raise NotImplementedError(f"Avro type not supported: {schema!r}")
 
 
-def write_container(path: str, schema: dict, rows: list[dict], codec: str = "null"):
-    """Write a container file (used by tests to build fixtures)."""
+def write_container(
+    path: str,
+    schema: dict,
+    rows: list[dict],
+    codec: str = "null",
+    rows_per_block: int | None = None,
+):
+    """Write a container file (used by tests to build fixtures).
+    *rows_per_block* splits the data into multiple sync-delimited blocks
+    — required for testing the block-splittable read path."""
     sync = b"\x00" * 8 + b"avrolite"  # any 16 bytes
     out = io.BytesIO()
     out.write(MAGIC)
@@ -313,18 +406,23 @@ def write_container(path: str, schema: dict, rows: list[dict], codec: str = "nul
         out.write(v)
     _write_long(out, 0)
     out.write(sync)
-    body = io.BytesIO()
-    for row in rows:
-        _encode_value(body, schema, row)
-    block = body.getvalue()
-    if codec == "deflate":
-        compressor = zlib.compressobj(9, zlib.DEFLATED, -15)
-        block = compressor.compress(block) + compressor.flush()
-    elif codec != "null":
-        raise NotImplementedError(f"Avro codec not supported: {codec}")
-    _write_long(out, len(rows))
-    _write_long(out, len(block))
-    out.write(block)
-    out.write(sync)
+    step = rows_per_block or max(len(rows), 1)
+    for i in range(0, max(len(rows), 1), step):
+        chunk = rows[i : i + step]
+        if not chunk:
+            break
+        body = io.BytesIO()
+        for row in chunk:
+            _encode_value(body, schema, row)
+        block = body.getvalue()
+        if codec == "deflate":
+            compressor = zlib.compressobj(9, zlib.DEFLATED, -15)
+            block = compressor.compress(block) + compressor.flush()
+        elif codec != "null":
+            raise NotImplementedError(f"Avro codec not supported: {codec}")
+        _write_long(out, len(chunk))
+        _write_long(out, len(block))
+        out.write(block)
+        out.write(sync)
     with open(path, "wb") as fh:
         fh.write(out.getvalue())
