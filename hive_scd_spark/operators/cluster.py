@@ -21,10 +21,11 @@ Scale analysis (the honest version):
 - rounds needed = graph diameter.  Near-duplicate clusters are
   overwhelmingly cliques or short chains (diameter ≤ ~3), so this
   converges in 2–4 rounds in practice.  For adversarial long-chain
-  graphs, the alternating large-star/small-star algorithm
-  (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14) converges in O(log n) rounds with the same per-round
-  shuffle shape — the swap-in point is documented on the loop below;
+  graphs, ``strategy="star"`` switches to alternating
+  large-star/small-star (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14): two shuffle phases per round but
+  O(log n) rounds — a 40-node chain converges in ~6 rounds
+  (test-pinned) where propagation would need 40;
 - convergence detection costs one tiny action per round: the SUM of
   all labels, which strictly decreases until fixpoint (labels only
   ever shrink), so equality between rounds == converged.  No
@@ -46,10 +47,25 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    strategy: str = "propagate",
 ) -> DataFrame:
     """Connected components over the undirected pair graph → one row
     per member node: ``(node, cluster)`` with ``cluster`` = min node id
-    in the component."""
+    in the component.
+
+    ``strategy="propagate"`` (default): min-label propagation —
+    cheapest per round, rounds = component diameter.  The right choice
+    for near-dup graphs (cliques/short chains).
+
+    ``strategy="star"``: alternating large-star/small-star (Kiveris et
+    al., SoCC'14) — two shuffle phases per round but O(log n) rounds,
+    the right choice when components can be long chains (e.g. temporal
+    chains of incremental edits).  Both strategies produce identical
+    output."""
+    if strategy == "star":
+        return _star_components(pairs, id_a, id_b, max_iter)
+    if strategy != "propagate":
+        raise ValueError(f"unknown strategy {strategy!r}: 'propagate' or 'star'")
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
@@ -86,13 +102,100 @@ def dup_clusters(
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
-        # swap-in point for large-star/small-star (O(log n) rounds) if a
-        # workload ever presents diameter ≫ max_iter chain graphs
+        # diameter ≫ max_iter chain graphs: use strategy="star"
+        # (_star_components below — O(log n) rounds)
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iter} rounds — "
         "pathological chain graph; use a larger max_iter or the "
         "large-star/small-star variant"
     )
+
+
+def _star_components(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Each round:
+
+    - **large-star**: symmetrize edges; per center u compute
+      ``m = min(neighbors ∪ {u})``; re-point every STRICTLY LARGER
+      neighbor at m.  (One groupBy-min + one join per phase — both
+      map-side combinable, keys are node ids, skew bounded by max
+      degree, which for near-dup graphs is the cluster size.)
+    - **small-star**: orient edges large→small; per center u re-point
+      u and all its (smaller) neighbors at their minimum.
+
+    The edge set converges to the star graph {(node, component_min)}
+    in O(log n) rounds; convergence is detected when the edge multiset
+    stops changing, probed with a single count+sum aggregate per round
+    (the pair (count, sum-of-endpoints) is stable only at fixpoint for
+    this monotone contraction).
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    self_nodes = (
+        pairs.select(F.col(id_a).cast("long").alias("node"))
+        .union(pairs.select(F.col(id_b).cast("long").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    prev_probe = None
+    for _ in range(max_iter):
+        # large-star
+        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select("a", F.least("__mb", "a").alias("m"))
+        )
+        edges = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient big→small
+        oriented = edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        edges = (
+            oriented.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(oriented.join(mins, "a").select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        probe = edges.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        ).first()
+        cur_probe = (probe["n"], probe["sa"], probe["sb"])
+        if cur_probe == prev_probe:
+            break
+        prev_probe = cur_probe
+    else:
+        raise RuntimeError(f"star components did not converge in {max_iter} rounds")
+    # final edge set is the star {(node, min)}; add back singleton-pair
+    # nodes that ARE their component min (they have no outgoing edge)
+    labels = edges.select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+    mins_only = self_nodes.join(
+        labels.select(F.col("node").alias("__n")),
+        self_nodes["node"] == F.col("__n"),
+        "left_anti",
+    ).select("node", F.col("node").alias("cluster"))
+    return labels.union(mins_only)
 
 
 def dedup_corpus(

@@ -137,6 +137,42 @@ def test_dup_clusters_random_graph(spark):
     assert got == _python_components(edges)
 
 
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (7, 9), (4, 1)],
+        [(i, i + 1) for i in range(1, 40)],  # 40-node chain: O(log n) rounds
+        [(5, 5)],
+        [(10, 20), (30, 40), (20, 30)],
+    ],
+)
+def test_star_strategy_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.cluster
+        for r in dup_clusters(pairs, strategy="star", max_iter=12).collect()
+    }
+    assert got == _python_components(edges)
+
+
+def test_star_strategy_random_graph_agrees_with_propagate(spark):
+    import random
+
+    rnd = random.Random(29)
+    edges = [(rnd.randrange(80), rnd.randrange(80)) for _ in range(100)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {
+        r.node: r.cluster for r in dup_clusters(pairs, strategy="star").collect()
+    }
+    prop = {r.node: r.cluster for r in dup_clusters(pairs).collect()}
+    assert star == prop == _python_components(edges)
+
+
+def test_star_strategy_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(pairs, strategy="star").collect() == []
+
+
 def test_dedup_corpus_keeps_canonical_and_unpaired(spark):
     from hive_scd_spark.operators.cluster import dedup_corpus
 
