@@ -45,6 +45,9 @@ def bm25_topk(
     determinism."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    from hive_scd_spark.operators.layout import fan_out
+
+    df = fan_out(df)  # single-split inputs serialize the token explode
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
