@@ -73,9 +73,15 @@ def dup_clusters(
     # distinct: near-dup pair lists can carry a pair via several bands;
     # one shuffle here halves every subsequent round's join input
     und = und.distinct().localCheckpoint(eager=False)
+    # seed labels with the first propagation round fused in (node →
+    # min(self, neighbors)): one groupBy instead of distinct + a full
+    # round — saves one join/agg/probe cycle for clique-shaped graphs
     labels = (
-        und.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("cluster"))
-    ).localCheckpoint(eager=False)
+        und.groupBy("a")
+        .agg(F.min("b").alias("__mb"))
+        .select(F.col("a").alias("node"), F.least("a", "__mb").alias("cluster"))
+        .localCheckpoint(eager=False)
+    )
 
     prev_sum = None
     for _ in range(max_iter):

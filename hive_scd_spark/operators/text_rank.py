@@ -45,9 +45,10 @@ def bm25_topk(
     determinism."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    from hive_scd_spark.operators.layout import fan_out
-
-    df = fan_out(df)  # single-split inputs serialize the token explode
+    # deliberately NO fan_out here: unlike the md5-heavy dedup explodes,
+    # tokenization is cheap relative to reshuffling the text column, and
+    # the tok stream feeds two branches (lengths + tf) — measured 3×
+    # slower with a repartition at sf0.1
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),

@@ -1214,6 +1214,24 @@ def dedup_cluster_assign(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
+def json_props_stats(spark, sf_dir):
+    """JSON scalar functions (§2.B scalar surface): parse the events
+    ``props`` JSON column, extract a typed field, aggregate per event
+    type.  JSON parse is a per-row JVM expression — codegen, no UDF."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def skew_salted_order_stats(spark, sf_dir):
     """Two-phase salted aggregation (operators/skew.py) over a
     deliberately skewed key: order counts and revenue per orderstatus
@@ -1813,6 +1831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_assignment": shard_assignment,
     "dedup_corpus_canonical": dedup_corpus_canonical,
     "skew_salted_order_stats": skew_salted_order_stats,
+    "json_props_stats": json_props_stats,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -1842,6 +1861,15 @@ ORACLES["dedup_cluster_assign"] = f"""
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+ORACLES["json_props_stats"] = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY 1
 """
 
 ORACLES["skew_salted_order_stats"] = """
