@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from hive_scd_spark.functions import hash32
 from hive_scd_spark.scd import apply_statements
 
 TABLES = (
@@ -1214,6 +1215,33 @@ def dedup_cluster_assign(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
+def sample_deterministic(spark, sf_dir):
+    """Reproducible sampling — the training-pipeline requirement Spark's
+    ``df.sample`` (partition-layout-dependent RNG) cannot give: hash the
+    stable id, keep ``h % 100 < rate``.  Same rows on ANY cluster
+    layout, any engine (md5-derived hash, cross-engine deterministic),
+    and pushdown-friendly (a pure filter over the scan).  Stratified
+    variant: different rates per segment via a CASE on the rate."""
+    docs = t(spark, sf_dir, "documents")
+    h = hash32(F.col("doc_id").cast("string")) % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)  # stratified
+    return docs.filter(h < rate).select("doc_id", "lang", "n_chars")
+
+
+def feature_histogram(spark, sf_dir):
+    """Fixed-edge histogram via ``width_bucket`` — the feature-binning
+    primitive.  One partial-aggregated groupBy on the bucket id; bucket
+    count is a constant, so the shuffle is 22 rows regardless of data
+    size."""
+    orders = t(spark, sf_dir, "orders")
+    b = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20))
+    return (
+        orders.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def json_props_stats(spark, sf_dir):
     """JSON scalar functions (§2.B scalar surface): parse the events
     ``props`` JSON column, extract a typed field, aggregate per event
@@ -1832,6 +1860,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_canonical": dedup_corpus_canonical,
     "skew_salted_order_stats": skew_salted_order_stats,
     "json_props_stats": json_props_stats,
+    "sample_deterministic": sample_deterministic,
+    "feature_histogram": feature_histogram,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -1861,6 +1891,24 @@ ORACLES["dedup_cluster_assign"] = f"""
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+ORACLES["sample_deterministic"] = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+"""
+
+# DuckDB lacks width_bucket — the CASE replica is the exact definition
+# Spark documents (bucket i covers [min+(i-1)w, min+iw), under→0,
+# over→n+1)
+ORACLES["feature_histogram"] = """
+    SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 600000.0 THEN 21
+                     ELSE 1 + CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT)
+                END AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
 """
 
 ORACLES["json_props_stats"] = """
