@@ -229,6 +229,19 @@ def test_bm25_matches_reference_formula(spark):
     assert max(want, key=lambda i: want[i][1]) == 4
 
 
+def test_bm25_topk_plans_as_take_ordered(spark, sf_dir):
+    """Global top-k must be TakeOrderedAndProject (k per partition →
+    k at the driver), never a single-partition sort or window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        bm25_topk(docs, "doc_id", "text", ["join", "vector"], k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_bm25_validates_args(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
