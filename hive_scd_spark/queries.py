@@ -1215,6 +1215,50 @@ def dedup_cluster_assign(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
+def scd_snapshot_roundtrip(spark, sf_dir):
+    """The sink path with a value check: snapshot() materializes the
+    as-of customer table to Parquet (README.md:239-244 compaction
+    pattern), and the query READS THE SNAPSHOT BACK — so the oracle
+    (the same CASE chain over the live table) verifies the write+read
+    round trip, not just the in-memory plan.  /tmp fixture keyed by
+    (script, data fingerprint)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from hive_scd_spark.scd import snapshot
+
+    tag = hashlib.md5(
+        (CUSTOMER_SCRIPT + _data_fingerprint(sf_dir, "customer")).encode()
+    ).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"scd_snapshot_{os.path.basename(sf_dir)}_{tag}",
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        cur = apply_statements(t(spark, sf_dir, "customer"), CUSTOMER_SCRIPT, as_of=None)
+        snapshot(cur, path)
+    return spark.read.parquet(path).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+def ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with k-means-TRAINED centroids (distributed spherical
+    Lloyd, operators/similarity.kmeans_centroids) — the quality path
+    over the stride-sampled gate (`ivf_cosine_topk`; recall@5 0.86 vs
+    0.68 at n_probe=8, test-pinned in test_kmeans_ivf.py).  No SQL
+    oracle: k-means is iterative — rows-only check; value-level
+    quality is pinned by pytest instead."""
+    from hive_scd_spark.operators.similarity import ivf_cosine_topk, kmeans_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, n_lists=16, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, queries, k=5, n_probe=8, centroids=cent)
+
+
 def sample_deterministic(spark, sf_dir):
     """Reproducible sampling — the training-pipeline requirement Spark's
     ``df.sample`` (partition-layout-dependent RNG) cannot give: hash the
@@ -1862,6 +1906,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_stats": json_props_stats,
     "sample_deterministic": sample_deterministic,
     "feature_histogram": feature_histogram,
+    "scd_snapshot_roundtrip": scd_snapshot_roundtrip,
+    "ivf_kmeans_topk": ivf_kmeans_topk,  # rows-only: iterative k-means
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -1892,6 +1938,8 @@ ORACLES["dedup_cluster_assign"] = f"""
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
 """
+
+ORACLES["scd_snapshot_roundtrip"] = _ORACLE_CUST_NOW
 
 ORACLES["sample_deterministic"] = """
     SELECT doc_id, lang, n_chars FROM documents
