@@ -305,6 +305,124 @@ def _unquote(ident: str) -> str:
     return ident
 
 
+# -- H2 dialect compatibility (SURVEY §7.4) ----------------------------------
+# The reference evaluates every DML fragment with the H2 engine
+# (SQLUpdater.java:77), so H2's function library is nominally in scope
+# for `.updates` scripts.  Most of it is already valid Spark SQL (NVL,
+# NVL2, IFNULL, DECODE, ||, CURRENT_DATE, CURDATE, CHAR, LOCATE, ...);
+# the shim below rewrites the common H2-isms that are NOT, and loudly
+# rejects the unmappable ones instead of leaking a raw Spark analysis
+# error.  Every rewrite targets a form that is an analysis ERROR in
+# Spark today (CASEWHEN(...), DATEADD('DAY', ...), bare SYSDATE), so
+# valid Spark fragments can never be altered — the one caveat is an
+# unquoted column literally named `sysdate`, which must be double-quoted
+# to escape the keyword rewrite (as it would in H2 itself).
+
+_H2_TIME_UNITS = frozenset(
+    {
+        "year", "quarter", "month", "week", "day",
+        "hour", "minute", "second", "millisecond", "microsecond",
+    }
+)
+
+_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9$]*")
+
+
+def _leading_unit(text: str, start: int) -> tuple[str, int] | None:
+    """If the token at *start* is an H2 datetime unit — quoted
+    (``'DAY'``) or bare (``DAY``) — return (unit_name, index_after)."""
+    n = len(text)
+    k = start
+    while k < n and text[k].isspace():
+        k += 1
+    if k < n and text[k] == "'":
+        m = re.match(r"'([A-Za-z_]+)'", text[k:])
+        if m and m.group(1).lower() in _H2_TIME_UNITS:
+            return m.group(1), k + m.end()
+        return None
+    m = _WORD_RE.match(text, k)
+    if m and m.group(0).lower() in _H2_TIME_UNITS:
+        return m.group(0), m.end()
+    return None
+
+
+def translate_h2(fragment: str) -> str:
+    """Rewrite H2-dialect constructs in a SET/WHERE fragment to Spark
+    SQL.  String literals and quoted identifiers pass through verbatim.
+
+    - ``CASEWHEN(c, a, b)`` → ``if(c, a, b)``
+    - ``DATEADD('DAY', n, ts)`` / ``DATEADD(DAY, n, ts)`` →
+      ``timestampadd(DAY, n, ts)`` (only when the first argument is a
+      recognized datetime unit — 2-arg Spark ``dateadd`` is untouched)
+    - ``DATEDIFF('DAY', a, b)`` → ``timestampdiff(DAY, a, b)`` (same
+      guard; Spark's own 2-arg ``datediff`` is untouched)
+    - bare ``SYSDATE`` → ``current_timestamp()``
+    - ``CURTIME`` / ``CURRENT_TIME`` → :class:`ScdScriptError` (Spark
+      has no TIME type — fail with a dialect-specific message)
+    """
+    out: list[str] = []
+    i, n = 0, len(fragment)
+    while i < n:
+        ch = fragment[i]
+        if ch == "'":  # string literal, '' escapes
+            j = i + 1
+            while j < n:
+                if fragment[j] == "'":
+                    if j + 1 < n and fragment[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(fragment[i : j + 1])
+            i = j + 1
+            continue
+        if ch in ('"', "`"):  # quoted identifier
+            j = fragment.find(ch, i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(fragment[i : j + 1])
+            i = j + 1
+            continue
+        m = _WORD_RE.match(fragment, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        word = m.group(0)
+        lw = word.lower()
+        j = m.end()
+        k = j
+        while k < n and fragment[k].isspace():
+            k += 1
+        is_call = k < n and fragment[k] == "("
+        if lw == "casewhen" and is_call:
+            out.append("if")
+            i = j
+            continue
+        if lw == "sysdate" and not is_call:
+            out.append("current_timestamp()")
+            i = j
+            continue
+        if lw in ("curtime", "current_time"):
+            raise ScdScriptError(
+                f"H2 {word.upper()} has no Spark equivalent (Spark has no TIME "
+                f"type); use CURRENT_TIMESTAMP and extract fields instead: "
+                f"{fragment!r}"
+            )
+        if lw in ("dateadd", "datediff") and is_call:
+            unit = _leading_unit(fragment, k + 1)
+            if unit is not None:
+                unit_name, after = unit
+                out.append(
+                    ("timestampadd(" if lw == "dateadd" else "timestampdiff(")
+                    + unit_name
+                )
+                i = after
+                continue
+        out.append(word)
+        i = j
+    return "".join(out)
+
+
 def _parse_statement(sql: str, effective_ms: int | None) -> Stmt:
     m = _UPDATE_RE.match(sql)
     if m:
@@ -322,9 +440,10 @@ def _parse_statement(sql: str, effective_ms: int | None) -> Stmt:
             col, expr = _unquote(col), expr.strip()
             if not col or not expr:
                 raise ScdScriptError(f"Malformed SET clause {assign!r} in: {sql!r}")
-            sets.append((col, expr))
+            sets.append((col, translate_h2(expr)))
         if not sets:
             raise ScdScriptError(f"UPDATE with no SET clauses: {sql!r}")
+        where = translate_h2(where) if where else None
         return Stmt("update", table, tuple(sets), where or None, effective_ms, sql)
     m = _DELETE_RE.match(sql)
     if m:
@@ -335,7 +454,7 @@ def _parse_statement(sql: str, effective_ms: int | None) -> Stmt:
             wm = _WHERE_RE.match(rest)
             if not wm:
                 raise ScdScriptError(f"Malformed DELETE statement: {sql!r}")
-            where = wm.group(1).strip()
+            where = translate_h2(wm.group(1).strip())
         return Stmt("delete", table, (), where, effective_ms, sql)
     # SQLUpdater.java:62-63 — anything else, incl. INSERT, is rejected
     raise ScdScriptError(f"Unsupported DML statement: {sql!r}")
