@@ -178,6 +178,28 @@ def scd_update_chain_preimage(spark, sf_dir):
     return apply_statements(t(spark, sf_dir, "customer"), _CHAIN_SCRIPT, as_of=None)
 
 
+_H2_SCRIPT = """\
+UPDATE orders SET o_orderpriority = CASEWHEN(o_orderpriority = '1-URGENT', '0-EXPEDITE', o_orderpriority), o_orderdate = DATEADD('DAY', 2, o_orderdate) WHERE o_orderstatus = 'O';
+UPDATE orders SET o_orderpriority = NVL(o_orderpriority, 'none') || '+h2' WHERE DATEDIFF('DAY', o_orderdate, TIMESTAMP '1997-01-01 00:00:00') > 0;
+DELETE FROM orders WHERE CASEWHEN(o_totalprice > 450000.0, TRUE, FALSE);
+"""
+
+
+def scd_h2_dialect(spark, sf_dir):
+    """H2-dialect `.updates` script through the compat shim
+    (``updates.translate_h2``; the reference evaluates fragments with
+    H2, ``SQLUpdater.java:77``): CASEWHEN → if, DATEADD('DAY',…) →
+    timestampadd, DATEDIFF('DAY',…) → timestampdiff, plus H2-isms that
+    are already valid Spark (NVL, ``||``).  Pre-image semantics of the
+    two-column SET in statement 1 are part of the check."""
+    out = apply_statements(t(spark, sf_dir, "orders"), _H2_SCRIPT, as_of=None)
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+
+
 _PART_SCRIPTS = {
     0: "UPDATE customer SET c_acctbal = c_acctbal + 10 WHERE c_acctbal < 0;",
     1: "DELETE FROM customer WHERE c_custkey % 2 = 0;",
@@ -1702,6 +1724,29 @@ ORACLES: dict[str, str] = {
                NOT del AS is_current
         FROM base WHERE neg
     """,
+    "scd_h2_dialect": """
+        WITH s1 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'O'
+                      THEN (CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN '0-EXPEDITE' ELSE o_orderpriority END)
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 CASE WHEN o_orderstatus = 'O'
+                      THEN o_orderdate + INTERVAL 2 DAY
+                      ELSE o_orderdate END AS o_orderdate,
+                 o_totalprice
+          FROM orders),
+        s2 AS (
+          SELECT o_orderkey,
+                 CASE WHEN date_diff('day', o_orderdate, TIMESTAMP '1997-01-01 00:00:00') > 0
+                      THEN COALESCE(o_orderpriority, 'none') || '+h2'
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_orderdate, o_totalprice
+          FROM s1)
+        SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS odate
+        FROM s2
+        WHERE NOT (o_totalprice > 450000.0)
+    """,
     "scd_partitioned_updates": """
         SELECT c_custkey, c_name, c_nationkey,
                CASE WHEN c_nationkey % 3 = 0 AND c_acctbal < 0
@@ -1850,6 +1895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_customer_orders_revenue": scd_customer_orders_revenue,
     "scd_sql_over_view": scd_sql_over_view,
     "scd_snapshot_roundtrip": scd_snapshot_roundtrip,
+    "scd_h2_dialect": scd_h2_dialect,
     # TPC-H-style analytics (join + agg + pushdown + top-k)
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
