@@ -26,10 +26,11 @@ Scale analysis (the honest version):
   MapReduce and Beyond", SoCC'14): two shuffle phases per round but
   O(log n) rounds — a 40-node chain converges in ~6 rounds
   (test-pinned) where propagation would need 40;
-- convergence detection costs one tiny action per round: the SUM of
-  all labels, which strictly decreases until fixpoint (labels only
-  ever shrink), so equality between rounds == converged.  No
-  row-by-row diff join is needed.
+- convergence detection is FREE of extra rounds: each round's label
+  row carries a changed-flag, and the round's single action (which
+  also materializes the checkpoint) sums the flags.  Propagation is
+  deterministic, so zero changes == proven fixpoint — the final round
+  certifies itself instead of needing a confirming repeat.
 
 Output contains only nodes that appear in at least one pair; singleton
 documents keep their identity trivially (cluster = self) and are the
@@ -40,6 +41,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _free_checkpoint(df: DataFrame | None) -> None:
+    """Unpersist the block-store RDD behind a ``localCheckpoint``-ed
+    DataFrame.  Iterative loops supersede each round's checkpoint with
+    the next; without this, every round's blocks stay pinned until the
+    JVM garbage-collects the RDD handle — a real memory leak over many
+    rounds at scale, and deferred-cleanup GC debt that lands on
+    whatever query runs next in a shared session."""
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # cleanup is best-effort; correctness never depends on it
 
 
 def dup_clusters(
@@ -83,7 +101,7 @@ def dup_clusters(
         .localCheckpoint(eager=False)
     )
 
-    prev_sum = None
+    prev_ck = labels  # superseded checkpoint, freed once the next round lands
     for _ in range(max_iter):
         # neighbor minimum: one equi-join + partial-aggregated min
         neigh = (
@@ -91,23 +109,34 @@ def dup_clusters(
             .groupBy("a")
             .agg(F.min("cluster").alias("n_min"))
         )
-        labels = (
+        # The convergence probe is FUSED into the round: each new label
+        # row carries a __chg flag (did this node's label shrink?), and
+        # the round's single action sums the flags while materializing
+        # the checkpoint.  Propagation is deterministic, so a round
+        # with zero changes is a proven fixpoint — no confirmation
+        # round (the old sum-equality probe needed one extra round to
+        # observe two equal sums; clique-shaped graphs now finish in
+        # ONE round after the fused seed).
+        ck = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
                 "node",
                 F.least(F.col("cluster"), F.coalesce("n_min", F.col("cluster"))).alias(
                     "cluster"
                 ),
+                (F.col("n_min") < F.col("cluster"))
+                .cast("int")
+                .alias("__chg"),  # NULL n_min (no neighbors) → NULL → sums as 0
             )
             .localCheckpoint(eager=False)  # truncate lineage each round
         )
-        # labels are monotone non-increasing → sum strictly decreases
-        # until fixpoint; one scalar action per round.  decimal(38,0):
-        # a long sum could overflow at billions of 64-bit ids
-        cur_sum = labels.agg(F.sum(F.col("cluster").cast("decimal(38,0)"))).first()[0]
-        if cur_sum == prev_sum:
+        n_changed = ck.agg(F.sum("__chg")).first()[0]
+        _free_checkpoint(prev_ck)  # ck is materialized; round n-1 is garbage
+        prev_ck = ck
+        labels = ck.drop("__chg")
+        if not n_changed:
+            _free_checkpoint(und)  # output depends only on the final checkpoint
             return labels
-        prev_sum = cur_sum
         # diameter ≫ max_iter chain graphs: use strategy="star"
         # (_star_components below — O(log n) rounds)
     raise RuntimeError(
@@ -133,10 +162,14 @@ def _star_components(
       u and all its (smaller) neighbors at their minimum.
 
     The edge set converges to the star graph {(node, component_min)}
-    in O(log n) rounds; convergence is detected when the edge multiset
-    stops changing, probed with a single count+sum aggregate per round
-    (the pair (count, sum-of-endpoints) is stable only at fixpoint for
-    this monotone contraction).
+    in O(log n) rounds; convergence is detected with a PROVABLE
+    certificate: ``new_edges EXCEPT old_edges`` is empty AND the counts
+    match ⇒ the (distinct) edge sets are equal ⇒ fixpoint, since the
+    round transform is deterministic.  Both probes ride one action per
+    round on the already-checkpointed edge RDDs.  (The earlier
+    (count, sum_a, sum_b) triple was not a proven invariant — a round
+    that rearranged edges while preserving count and endpoint sums
+    could have terminated early; flagged in round-3 ADVICE.)
     """
     edges = (
         pairs.select(
@@ -153,7 +186,9 @@ def _star_components(
         .localCheckpoint(eager=False)
     )
 
-    prev_probe = None
+    prev_edges = None
+    prev_count = None
+    stale = None  # edges from two rounds back — no consumer left
     for _ in range(max_iter):
         # large-star
         sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -182,17 +217,24 @@ def _star_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        probe = edges.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
-            F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
-        ).first()
-        cur_probe = (probe["n"], probe["sa"], probe["sb"])
-        if cur_probe == prev_probe:
+        # provable fixpoint certificate: |new| == |old| and
+        # new ⧵ old == ∅  ⇒  equal distinct edge sets.  exceptAll on
+        # two checkpointed, distinct edge sets; one small action.
+        cur_count = edges.count()
+        if (
+            prev_edges is not None
+            and cur_count == prev_count
+            and edges.exceptAll(prev_edges).limit(1).count() == 0
+        ):
             break
-        prev_probe = cur_probe
+        _free_checkpoint(stale)
+        stale = prev_edges
+        prev_edges, prev_count = edges, cur_count
     else:
         raise RuntimeError(f"star components did not converge in {max_iter} rounds")
+    # output depends only on the FINAL edge checkpoint (+ self_nodes)
+    _free_checkpoint(stale)
+    _free_checkpoint(prev_edges)
     # final edge set is the star {(node, min)}; add back singleton-pair
     # nodes that ARE their component min (they have no outgoing edge)
     labels = edges.select(F.col("a").alias("node"), F.col("b").alias("cluster"))
