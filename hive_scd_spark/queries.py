@@ -1253,9 +1253,10 @@ def ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN with k-means-TRAINED centroids (distributed spherical
     Lloyd, operators/similarity.kmeans_centroids) — the quality path
     over the stride-sampled gate (`ivf_cosine_topk`; recall@5 0.86 vs
-    0.68 at n_probe=8, test-pinned in test_kmeans_ivf.py).  No SQL
-    oracle: k-means is iterative — rows-only check; value-level
-    quality is pinned by pytest instead."""
+    0.68 at n_probe=8, test-pinned in test_kmeans_ivf.py).  The
+    training is deterministic (md5-seeded init, fixed 2 iterations,
+    round-6 argmin), so the oracle replays BOTH Lloyd iterations in SQL
+    — a full value-level check, not rows-only."""
     from hive_scd_spark.operators.similarity import ivf_cosine_topk, kmeans_centroids
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1940,7 +1941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_cosine_topk": ivf_cosine_topk_q,
-    "ivf_kmeans_topk": ivf_kmeans_topk,
+    "ivf_kmeans_topk": ivf_kmeans_topk,  # oracle replays the k-means training in SQL
     # layout / skew / multimodal
     "shard_assignment": shard_assignment,
     "skew_salted_order_stats": skew_salted_order_stats,
@@ -2084,6 +2085,82 @@ BASELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
+# Full k-means replication in SQL: the training is deterministic
+# (md5-seeded init, fixed iteration count, round-6 argmin ties), so the
+# oracle re-runs BOTH Lloyd iterations and the IVF probe/rank — this
+# upgrades ivf_kmeans_topk from a rows-only check to a value-checked
+# gate.  Cross-engine float drift in the per-dimension means (~1e-15,
+# summation order) is absorbed by the ROUND(...,6) at every comparison
+# point, the same discipline as the ivf_cosine_topk oracle.
+_KM_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+)
+
+
+def _km_assign_cte(cent: str) -> str:
+    dot = _KM_DOT.format(a="v.embedding", b="c.centv")
+    return f"""
+      SELECT vec_id, list_id FROM (
+        SELECT v.vec_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 ROUND({dot} / (v.nrm * c.centn), 6) DESC, c.list_id ASC) AS rk
+        FROM norms v, {cent} c) WHERE rk = 1"""
+
+
+def _km_mean_cte(assign: str) -> str:
+    return f"""
+      SELECT list_id, centv,
+             SQRT(list_sum(list_transform(centv,
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS centn
+      FROM (
+        SELECT list_id, list(avgv ORDER BY pos) AS centv FROM (
+          SELECT a.list_id, u.pos, AVG(u.val) AS avgv
+          FROM {assign} a JOIN norms n USING (vec_id),
+               LATERAL (SELECT unnest(n.embedding) AS val,
+                               generate_subscripts(n.embedding, 1) AS pos) u
+          GROUP BY a.list_id, u.pos)
+        GROUP BY list_id)"""
+
+
+ORACLES["ivf_kmeans_topk"] = f"""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    seed AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS list_id,
+             embedding AS centv, nrm AS centn
+      FROM norms ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    a1 AS ({_km_assign_cte("seed")}),
+    c1 AS ({_km_mean_cte("a1")}),
+    a2 AS ({_km_assign_cte("c1")}),
+    c2 AS ({_km_mean_cte("a2")}),
+    assign AS ({_km_assign_cte("c2")}),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.vec_id AS query_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND({_KM_DOT.format(a="q.embedding", b="c.centv")}
+                       / (q.nrm * c.centn), 6) DESC, c.list_id ASC) AS rk
+        FROM norms q, c2 c WHERE q.vec_id < 10) WHERE rk <= 8),
+    scored AS (
+      SELECT p.query_id, n.vec_id AS neighbor_id,
+             ROUND({_KM_DOT.format(a="q.embedding", b="n.embedding")}
+                   / (q.nrm * n.nrm), 6) AS cos
+      FROM probes p
+      JOIN assign a ON a.list_id = p.list_id
+      JOIN norms n ON n.vec_id = a.vec_id AND n.vec_id != p.query_id
+      JOIN norms q ON q.vec_id = p.query_id)
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM scored) WHERE rk <= 5
+"""
+
 BASELINE_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLE_CTE},

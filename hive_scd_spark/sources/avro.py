@@ -144,16 +144,23 @@ def _decode_partition(reader_json: dict | None, out_cols: list[str]):
 
 def _decode_split_partition(reader_json: dict | None, out_cols: list[str]):
     """Executor-side decoder for the block-splittable path: each input
-    row is ONE byte-range split (path, start, end, file metadata); the
-    executor positional-reads only its range (plus any terminal-block
-    overshoot) via pyarrow's filesystem layer and resolves rows to the
-    effective reader schema.  No whole-file materialization anywhere."""
+    row is ONE byte-range split (path, start, end, file_size); the
+    executor reads the file's HEADER itself (metadata-sized positional
+    read, cached per file within the task — the same per-split header
+    read the reference's record reader does,
+    ``AvroSCDInputFormat.java:51-59``), then positional-reads only its
+    range (plus any terminal-block overshoot) via pyarrow's filesystem
+    layer and resolves rows to the effective reader schema.  No
+    whole-file materialization anywhere, and — unlike the round-3
+    version, which parsed every header ON THE DRIVER during split
+    planning — no O(files) driver-side latency before the job starts
+    (round-3 ADVICE item 4)."""
 
     def fn(batches: Iterator) -> Iterator:
-        import json as _json
-
         import pandas as pd
         import pyarrow.fs as pafs
+
+        header_cache: dict[str, tuple[dict, str, bytes, int]] = {}
 
         for pdf in batches:
             for r in pdf.itertuples(index=False):
@@ -161,18 +168,31 @@ def _decode_split_partition(reader_json: dict | None, out_cols: list[str]):
                     fs, fpath = pafs.FileSystem.from_uri(r.path)
                 else:
                     fs, fpath = pafs.LocalFileSystem(), r.path
+                size = int(r.file_size)
                 with fs.open_input_file(fpath) as f:
+                    info = header_cache.get(r.path)
+                    if info is None:
+                        for probe in (1 << 20, 8 << 20, None):
+                            n = size if probe is None else min(probe, size)
+                            try:
+                                info = avro_lite.read_header_info(f.read_at(n, 0))
+                                break
+                            except Exception:
+                                if probe is None or n == size:
+                                    raise
+                        header_cache[r.path] = info
+                    schema, codec, sync, header_len = info
 
                     def read_at(off: int, n: int) -> bytes:
                         return f.read_at(n, off)
 
                     rows = avro_lite.read_container_range(
                         read_at,
-                        int(r.file_size),
-                        _json.loads(r.writer_schema),
-                        r.codec,
-                        bytes(r.sync),
-                        int(r.header_len),
+                        size,
+                        schema,
+                        codec,
+                        sync,
+                        header_len,
                         int(r.start),
                         int(r.end),
                     )
@@ -187,20 +207,16 @@ def _decode_split_partition(reader_json: dict | None, out_cols: list[str]):
     return fn
 
 
-_SPLIT_SCHEMA = (
-    "path string, start long, end long, file_size long, "
-    "writer_schema string, codec string, sync binary, header_len long"
-)
+_SPLIT_SCHEMA = "path string, start long, end long, file_size long"
 
 
 def _plan_splits(spark: SparkSession, paths: list[str], split_bytes: int):
-    """Driver-side split planning: list data files with sizes, read each
-    file's header (metadata-sized positional read — the same per-split
-    work the reference's InputFormat does, ``AvroSCDInputFormat.java:
-    51-59``), and cut byte ranges of ≤ *split_bytes*.  Returns
+    """Driver-side split planning from file LISTING ONLY (names +
+    sizes): cut byte ranges of ≤ *split_bytes* per file.  Headers are
+    parsed executor-side in the decode task (round-3 ADVICE item 4 —
+    the previous version opened every file on the driver, O(files)
+    serial latency at object-store scale).  Returns
     (splits, any_multiblock_file_was_split)."""
-    import json as _json
-
     files: list[tuple[object, str]] = []
     for p in paths:
         fs = fs_for(spark, p)
@@ -215,30 +231,11 @@ def _plan_splits(spark: SparkSession, paths: list[str], split_bytes: int):
     split_any = False
     for fs, fpath in files:
         size = fs.file_size(fpath)
-        for probe in (1 << 20, 8 << 20, None):
-            try:
-                schema, codec, sync, header_len = avro_lite.read_header_info(
-                    fs.read_head(fpath, probe)
-                )
-                break
-            except Exception:
-                if probe is None:
-                    raise
         n_splits = max(1, -(-size // split_bytes))
         split_any = split_any or n_splits > 1
-        schema_json = _json.dumps(schema)
         for i in range(n_splits):
             splits.append(
-                (
-                    fpath,
-                    i * split_bytes,
-                    min((i + 1) * split_bytes, size),
-                    size,
-                    schema_json,
-                    codec,
-                    bytearray(sync),
-                    header_len,
-                )
+                (fpath, i * split_bytes, min((i + 1) * split_bytes, size), size)
             )
     return splits, split_any
 
