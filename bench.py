@@ -103,11 +103,24 @@ def main() -> None:
     def isolate() -> None:
         gc.collect()  # drop py4j refs so the JVM RDDs become collectable
         spark.sparkContext._jvm.System.gc()
+        # ContextCleaner drains its reference queue ASYNCHRONOUSLY after
+        # the GC discovers dead RDDs — give it a beat so block removal
+        # lands here, not inside the next query's timed window
+        time.sleep(0.5)
 
+    # Two timed reps, per-query MIN: this box shows ±20-80% swings on
+    # identical code between back-to-back runs (co-tenant interference;
+    # e.g. dedup_minhash_lsh measured 2.36 s and 4.37 s in consecutive
+    # bench invocations of the same commit).  The min of two isolated
+    # runs is the standard latency-benchmark answer to one-sided noise:
+    # spikes only ever ADD time, so the min is the best estimate of the
+    # true cost.  Recorded as "reps" in the JSON.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        isolate()
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+    for _rep in range(2):
+        for name in HEADLINE:
+            isolate()
+            t = round(run_query(spark, name, sf_dir), 3)
+            timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -118,6 +131,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "reps": 2,
             }
         )
     )

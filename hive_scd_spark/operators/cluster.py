@@ -55,7 +55,20 @@ def _free_checkpoint(df: DataFrame | None) -> None:
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.nodeName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+            rdd = plan.rdd()
+            # Spark logs a WARN on unpersisting a locally-checkpointed
+            # RDD ("cannot be recomputed") — here that is the POINT:
+            # the round is superseded and nothing references it again.
+            # Silence that one RDD class's logger before the call so an
+            # intentional free doesn't read as a problem in bench logs.
+            try:
+                jvm = df.sparkSession._jvm
+                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                    rdd.getClass().getName(), jvm.org.apache.logging.log4j.Level.ERROR
+                )
+            except Exception:
+                pass
+            rdd.unpersist(False)
     except Exception:
         pass  # cleanup is best-effort; correctness never depends on it
 

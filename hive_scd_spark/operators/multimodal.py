@@ -82,29 +82,71 @@ FEATURES_SCHEMA = (
 
 def fake_decode_image(payload: bytes) -> tuple[int, int]:
     """STUB decode — deterministic fake dimensions from payload length.
-    Replace with a real decoder (PIL etc.) when available; the rest of
-    the pipeline is agnostic to what runs inside the batch function."""
+    The rest of the pipeline is agnostic to what runs inside the batch
+    function; :func:`pil_decode_image` is the drop-in real decoder."""
     n = len(payload)
     return (n % 1024 + 1, (n // 1024) % 1024 + 1)
 
 
-def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
+def pil_available() -> bool:
+    """True iff Pillow can be imported (feature detection — the hook
+    for real decode in environments that ship image libraries)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def pil_decode_image(payload: bytes) -> tuple[int, int]:
+    """Real decode via Pillow: (width, height) of the encoded image.
+    Import stays inside the function so the module loads in
+    image-library-free environments; executors need Pillow installed
+    when this decoder is selected."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        return (im.width, im.height)
+
+
+def extract_image_features(
+    df: DataFrame, strict: bool = False, decoder: str = "stub"
+) -> DataFrame:
     """Per-batch feature extraction over the binary payload via
     ``mapInPandas`` — Arrow moves the bytes, pandas sees a batch, Spark
     parallelizes per partition.  This is the pattern for any
-    decode/resize/frame-sample step at scale."""
+    decode/resize/frame-sample step at scale.
+
+    *decoder*: ``"stub"`` (deterministic fake dims — the
+    oracle-checkable default), ``"pil"`` (real Pillow decode; requires
+    Pillow on driver AND executors), or ``"auto"`` (Pillow when
+    importable, stub otherwise).  ``strict=True`` demands a REAL
+    decoder: it raises NotImplementedError instead of silently
+    falling back to the stub."""
+    if decoder not in ("stub", "pil", "auto"):
+        raise ValueError(f"unknown decoder {decoder!r}: 'stub', 'pil', or 'auto'")
+    if decoder == "auto":
+        decoder = "pil" if pil_available() else "stub"
+    if decoder == "pil" and not pil_available():
+        raise NotImplementedError(
+            "decoder='pil' requires Pillow, which is not importable here"
+        )
+    if strict and decoder == "stub":
+        raise NotImplementedError(
+            "strict=True demands a real image decoder; Pillow is not "
+            "present in this environment — install it or use "
+            "strict=False for the deterministic stub"
+        )
+    decode = pil_decode_image if decoder == "pil" else fake_decode_image
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        if strict:
-            raise NotImplementedError(
-                "real image decode requires an image library not present "
-                "in this environment; use strict=False for the "
-                "deterministic stub"
-            )
         for pdf in batches:
-            dims = pdf["payload"].map(lambda b: fake_decode_image(bytes(b or b"")))
+            dims = pdf["payload"].map(lambda b: decode(bytes(b or b"")))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -96,6 +96,56 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def langdetect_available() -> bool:
+    """True iff the ``langdetect`` package can be imported (feature
+    detection — the hook for model-based language ID in environments
+    that ship it)."""
+    try:
+        import langdetect  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def lang_id_model(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Model-based language ID via ``langdetect`` over Arrow-batched
+    ``mapInPandas`` — the quality path over the stopword-vote heuristic
+    (:func:`lang_id`, which stays the oracle-checkable default).
+    Output: (id, pred_lang, confidence).  Deterministic: the detector
+    seed is pinned per executor.  Raises ImportError with a clear
+    message when the library is absent (use :func:`lang_id` there)."""
+    if not langdetect_available():
+        raise ImportError(
+            "lang_id_model requires the 'langdetect' package, which is not "
+            "importable here; use lang_id() (stopword-vote heuristic) instead"
+        )
+
+    schema = f"{id_col} long, pred_lang string, confidence double"
+
+    def per_batch(batches):
+        import pandas as pd
+        from langdetect import DetectorFactory, detect_langs
+        from langdetect.lang_detect_exception import LangDetectException
+
+        DetectorFactory.seed = 0  # pin: langdetect is otherwise randomized
+        for pdf in batches:
+            preds, confs = [], []
+            for text in pdf[text_col]:
+                try:
+                    best = detect_langs(str(text or ""))[0]
+                    preds.append(best.lang)
+                    confs.append(float(best.prob))
+                except LangDetectException:
+                    preds.append("und")
+                    confs.append(0.0)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pred_lang": preds, "confidence": confs}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(per_batch, schema=schema)
+
+
 TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish pre-tokenization: words + punct marks
 
 

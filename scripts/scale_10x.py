@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""10x scale experiment for the round-3/4 operators (SCALE_NOTES).
+
+Replicates the sf0.1 `documents` and `events` tables 10x into /tmp with
+shifted keys (so dedup clusters don't artificially merge across
+replicas), then times each operator at 1x vs 10x, warm, noop sink.
+
+Usage: python scripts/scale_10x.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hive_scd_spark.session import get_spark
+
+
+def replicate(spark, src_parquet: str, out_dir: str, id_cols: list[str], n: int = 10):
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return
+    base = spark.read.parquet(src_parquet)
+    shift = base.agg(*[F.max(c).alias(c) for c in id_cols]).first()
+    parts = []
+    for i in range(n):
+        df = base
+        for c in id_cols:
+            df = df.withColumn(c, F.col(c) + F.lit(i * (shift[c] + 1)))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(out_dir)
+
+
+def timed(label, thunk):
+    # builder-INCLUSIVE timing: iterative operators (CC rounds, the
+    # distributed_rank checkpoint) run Spark actions at build time
+    t0 = time.perf_counter()
+    thunk().write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"{label:55s}{dt:8.3f}s")
+    return dt
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale10x")
+    docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev1 = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    docs10_path = "/tmp/scale10x_documents"
+    ev10_path = "/tmp/scale10x_events"
+    replicate(spark, f"{sf_dir}/documents.parquet", docs10_path, ["doc_id"])
+    replicate(spark, f"{sf_dir}/events.parquet", ev10_path, ["event_id", "user_id"])
+    docs10 = spark.read.parquet(docs10_path)
+    ev10 = spark.read.parquet(ev10_path)
+    print(f"docs 1x={docs1.count()} 10x={docs10.count()}; "
+          f"events 1x={ev1.count()} 10x={ev10.count()}")
+
+    from hive_scd_spark.operators.cluster import dup_clusters
+    from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
+    from hive_scd_spark.operators.range_join import range_join
+    from hive_scd_spark.operators.shard import balanced_shards
+    from hive_scd_spark.operators.text_rank import bm25_topk
+    from hive_scd_spark.queries import (
+        _WINDOW_BIN_US,
+        _WINDOW_EPOCH_US,
+        _WINDOW_LEN_US,
+        _WINDOW_STEP_US,
+    )
+
+    def cluster_gate(docs):
+        pairs = minhash_near_dup_pairs(docs, "doc_id", "text", k=8, threshold=0.3)
+        return dup_clusters(pairs)
+
+    def shard_gate(docs):
+        return balanced_shards(docs, "doc_id", F.col("n_chars"), 8)
+
+    def range_gate(ev):
+        windows = spark.range(60).select(
+            F.col("id").alias("window_id"),
+            (F.lit(_WINDOW_EPOCH_US) + F.col("id") * _WINDOW_STEP_US).alias("start_us"),
+            (F.lit(_WINDOW_EPOCH_US) + F.col("id") * _WINDOW_STEP_US + _WINDOW_LEN_US
+             ).alias("end_us"),
+        )
+        # events.ts arrives as long NANOS (nanosAsLong conf); integer div
+        ev = ev.select(F.expr("ts div 1000").alias("ts_us"), "value")
+        j = range_join(ev, windows, "ts_us", "start_us", "end_us",
+                       bin_width=_WINDOW_BIN_US)
+        return j.groupBy("window_id").agg(F.count("*").alias("n"))
+
+    def bm25_gate(docs):
+        return bm25_topk(docs, "doc_id", "text",
+                         ["model", "training", "data", "quality"], k=20)
+
+    # events from load_events use ts_us already prepared; keep raw-col path here
+    experiments = [
+        ("dedup_cluster_assign (pairs+CC)", cluster_gate, docs1, docs10),
+        ("shard_assignment (rank+LPT)", shard_gate, docs1, docs10),
+        ("range_join_event_windows", range_gate, ev1, ev10),
+        ("text_bm25_topk", bm25_gate, docs1, docs10),
+    ]
+    for label, fn, d1, d10 in experiments:
+        fn(d1).write.format("noop").mode("overwrite").save()  # warm shape
+        t1 = min(timed(f"{label} @1x", lambda: fn(d1)) for _ in range(2))
+        t10 = min(timed(f"{label} @10x", lambda: fn(d10)) for _ in range(2))
+        print(f"{label:55s} 10x/1x ratio = {t10 / t1:5.2f}")
+
+
+if __name__ == "__main__":
+    main()
