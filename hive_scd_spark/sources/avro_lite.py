@@ -11,8 +11,11 @@ adds ``extra_field`` with a default).
 Container format per the public Avro 1.x spec: header magic ``Obj\\x01``,
 metadata map (``avro.schema`` JSON, ``avro.codec``), 16-byte sync
 marker, then blocks of ``<count:long><size:long><data><sync>``.
-Codecs: ``null`` and ``deflate`` (the example file uses deflate),
-``snappy`` if python-snappy is importable.
+Codecs: ``null``, ``deflate`` (the example file uses deflate), and
+``snappy`` — via python-snappy when importable, else the pure-Python
+codec in :mod:`hive_scd_spark.sources.snappy_lite` (r4; the Avro
+4-byte big-endian CRC32-of-uncompressed suffix is verified on read
+either way).
 
 This is a driver-side fixture/compatibility path for small dimension
 files — large columnar data should live in Parquet/ORC (the engine's
@@ -174,13 +177,29 @@ def read_header_info(data: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, buf.tell()
 
 
+def _snappy_decompress(block: bytes) -> bytes:
+    """Avro snappy block: snappy(data) + 4-byte big-endian CRC32 of the
+    UNCOMPRESSED data (Avro spec §codecs).  Uses python-snappy when
+    importable, else the pure-Python decoder (snappy_lite)."""
+    payload, crc = block[:-4], block[-4:]
+    try:
+        import snappy  # optional C binding — faster when present
+
+        out = snappy.decompress(payload)
+    except ImportError:
+        from hive_scd_spark.sources import snappy_lite
+
+        out = snappy_lite.decompress(payload)
+    if (zlib.crc32(out) & 0xFFFFFFFF) != int.from_bytes(crc, "big"):
+        raise ValueError("Avro snappy block CRC mismatch")
+    return out
+
+
 def _decompress_block(block: bytes, codec: str) -> bytes:
     if codec == "deflate":
         return zlib.decompress(block, -15)
     if codec == "snappy":
-        import snappy  # optional — gated import
-
-        return snappy.decompress(block[:-4])  # trailing CRC32
+        return _snappy_decompress(block)
     if codec != "null":
         raise NotImplementedError(f"Avro codec not supported: {codec}")
     return block
@@ -260,14 +279,7 @@ def read_container_bytes(data: bytes) -> tuple[dict, list[dict]]:
         count = _read_long(buf)
         size = _read_long(buf)
         block = buf.read(size)
-        if codec == "deflate":
-            block = zlib.decompress(block, -15)
-        elif codec == "snappy":
-            import snappy  # optional — gated import
-
-            block = snappy.decompress(block[:-4])  # trailing CRC32
-        elif codec != "null":
-            raise NotImplementedError(f"Avro codec not supported: {codec}")
+        block = _decompress_block(block, codec)
         bbuf = io.BytesIO(block)
         for _ in range(count):
             rows.append(_decode_value(bbuf, schema))
@@ -418,6 +430,17 @@ def write_container(
         if codec == "deflate":
             compressor = zlib.compressobj(9, zlib.DEFLATED, -15)
             block = compressor.compress(block) + compressor.flush()
+        elif codec == "snappy":
+            crc = zlib.crc32(block) & 0xFFFFFFFF
+            try:
+                import snappy  # optional C binding
+
+                payload = snappy.compress(block)
+            except ImportError:
+                from hive_scd_spark.sources import snappy_lite
+
+                payload = snappy_lite.compress(block)
+            block = payload + crc.to_bytes(4, "big")
         elif codec != "null":
             raise NotImplementedError(f"Avro codec not supported: {codec}")
         _write_long(out, len(chunk))

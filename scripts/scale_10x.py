@@ -21,7 +21,19 @@ from pyspark.sql import functions as F
 from hive_scd_spark.session import get_spark
 
 
-def replicate(spark, src_parquet: str, out_dir: str, id_cols: list[str], n: int = 10):
+# Per-replica vowel translations: replica 0 is the original corpus; each
+# other replica rewrites every vowel-bearing word, so WITHIN a replica
+# the original near-duplicate rate is preserved (both sides of a dup get
+# the same translation) while ACROSS replicas shingle sets are disjoint.
+# Without this, 10x replication gives every doc 9 exact copies — the
+# pair count explodes ~1000x (measured: 256 → 250,600) and the
+# experiment measures a 100%-duplicate corpus, not a 10x-bigger one.
+_VOWEL_MAPS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
+               "bcdfg", "cdfgb", "dfgbc", "fgbcd", "gbcdf"]
+
+
+def replicate(spark, src_parquet: str, out_dir: str, id_cols: list[str],
+              n: int = 10, text_col: str | None = None):
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return
     base = spark.read.parquet(src_parquet)
@@ -31,6 +43,10 @@ def replicate(spark, src_parquet: str, out_dir: str, id_cols: list[str], n: int 
         df = base
         for c in id_cols:
             df = df.withColumn(c, F.col(c) + F.lit(i * (shift[c] + 1)))
+        if text_col is not None and i > 0:
+            df = df.withColumn(
+                text_col, F.translate(F.col(text_col), "aeiou", _VOWEL_MAPS[i % len(_VOWEL_MAPS)])
+            )
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
@@ -56,7 +72,8 @@ def main():
 
     docs10_path = "/tmp/scale10x_documents"
     ev10_path = "/tmp/scale10x_events"
-    replicate(spark, f"{sf_dir}/documents.parquet", docs10_path, ["doc_id"])
+    replicate(spark, f"{sf_dir}/documents.parquet", docs10_path, ["doc_id"],
+              text_col="text")
     replicate(spark, f"{sf_dir}/events.parquet", ev10_path, ["event_id", "user_id"])
     docs10 = spark.read.parquet(docs10_path)
     ev10 = spark.read.parquet(ev10_path)

@@ -45,7 +45,7 @@ row_st = st.fixed_dictionaries(
 
 
 @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(rows=st.lists(row_st, max_size=20), codec=st.sampled_from(["null", "deflate"]))
+@given(rows=st.lists(row_st, max_size=20), codec=st.sampled_from(["null", "deflate", "snappy"]))
 def test_container_roundtrip(tmp_path_factory, rows, codec):
     path = str(tmp_path_factory.mktemp("avro") / "t.avro")
     write_container(path, SCHEMA, rows, codec=codec)

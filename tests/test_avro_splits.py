@@ -31,7 +31,7 @@ def _rows(n):
     ]
 
 
-@pytest.fixture(params=["null", "deflate"])
+@pytest.fixture(params=["null", "deflate", "snappy"])
 def container(tmp_path, request):
     p = str(tmp_path / f"data-{request.param}.avro")
     rows = _rows(400)
