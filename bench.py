@@ -87,9 +87,18 @@ def main() -> None:
     # of each query *shape* pays 1-3s of whole-stage-codegen compilation
     # (see SCALE_NOTES.md) — at 100 TB that's noise, at sf0.1 it would
     # be most of the measurement.
+    # Fault isolation (VERDICT r4 #2): one broken builder must never
+    # erase the whole round's perf evidence.  A query that fails in
+    # warm-up is skipped from the timed reps and reported in "errors";
+    # rc stays 0 unless EVERY query failed.
+    errors: dict[str, str] = {}
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     for name in HEADLINE:
-        run_query(spark, name, sf_dir)
+        try:
+            run_query(spark, name, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+            errors[name] = f"{type(exc).__name__}: {msg[:300]}"
 
     # Isolate timed runs from each other's JVM debt: iterative queries
     # leave localCheckpoint blocks behind, and their deferred cleanup
@@ -118,23 +127,32 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _rep in range(2):
         for name in HEADLINE:
+            if name in errors:
+                continue
             isolate()
-            t = round(run_query(spark, name, sf_dir), 3)
+            try:
+                t = round(run_query(spark, name, sf_dir), 3)
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+                errors[name] = f"{type(exc).__name__}: {msg[:300]}"
+                timings.pop(name, None)
+                continue
             timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "reps": 2,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "reps": 2,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors and not timings:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

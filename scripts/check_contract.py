@@ -114,19 +114,33 @@ def main():
         if name_filter and name_filter not in name:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        spark_cols = list(sdf.columns)
-        spark_rows = [tuple(r) for r in sdf.collect()]
+        # fault isolation (VERDICT r4 #2): one broken builder must never
+        # abort the run — record the error and keep checking the rest
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = list(sdf.columns)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            first = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+            failures.append((name, f"ERROR {type(exc).__name__}: {first}"))
+            print(f"ERR  {name:40s} {time.time()-t0:6.2f}s  {type(exc).__name__}: {first[:160]}")
+            continue
         status = []
         if name not in oracles:
             status.append(f"rows-only: {len(spark_rows)} rows")
             if len(spark_rows) == 0:
                 failures.append((name, "0 rows on rows-only check"))
         else:
-            rel = con.sql(oracles[name])
-            duck_cols = list(rel.columns)
-            duck_types = list(rel.types)
-            duck_rows = rel.fetchall()
+            try:
+                rel = con.sql(oracles[name])
+                duck_cols = list(rel.columns)
+                duck_types = list(rel.types)
+                duck_rows = rel.fetchall()
+            except Exception as exc:  # noqa: BLE001
+                first = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+                failures.append((name, f"ORACLE ERROR {type(exc).__name__}: {first}"))
+                print(f"ERR  {name:40s} {time.time()-t0:6.2f}s  oracle {type(exc).__name__}: {first[:160]}")
+                continue
             ok = True
             if sorted(spark_cols) != sorted(duck_cols):
                 status.append(f"SCHEMA MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
