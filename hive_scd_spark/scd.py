@@ -136,7 +136,7 @@ def apply_statements(df: DataFrame, stmts, as_of=None, compat: str = "quoted") -
             df = _apply_update(df, stmt)
         elif stmt.kind == "delete":
             df = _apply_delete(df, stmt)
-        else:  # pragma: no cover — parser only emits update/delete
+        else:
             raise ValueError(f"Unknown statement kind: {stmt.kind}")
     df.schema  # force analysis → unresolved columns/exprs fail at compile time (A12)
     return df
