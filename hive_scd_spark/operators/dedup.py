@@ -224,23 +224,41 @@ def minhash_near_dup_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # (3) verify candidates only: join the shingle sets back by id
-    shing = df.select(
-        F.col(id_col).alias("__sid"), char_shingles(text_col, k).alias("__sh")
+    # (3) verify candidates only — LITERALLY only.  The obvious
+    # formulation (join candidates to a corpus-wide shingle projection,
+    # once per side) puts the shingle compute BELOW the join, so every
+    # document in the corpus is shingled twice per verify even though
+    # only candidate rows survive; at 100 TB that is two full corpus
+    # CPU passes for a candidate set LSH already made tiny.  Instead:
+    # explode each candidate pair into (pair, side-id) memberships,
+    # join the corpus against that broadcast-small membership list, and
+    # compute shingles ABOVE the join — CPU cost is O(memberships) =
+    # 2×|candidates|, not O(corpus).  One corpus scan, one tiny
+    # (pair-keyed, never skewed beyond pair multiplicity) shuffle to
+    # reassemble the two shingle sets per pair.  No broadcast HINT on
+    # the membership side: normally-duplicated corpora have a small
+    # list (AQE converts to broadcast at runtime), but a pathological
+    # one can have billions of candidates and a forced broadcast would
+    # OOM the driver — same trade documented on dedup_corpus.
+    memb = candidates.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__vid")
     )
-    joined = (
-        candidates.join(
-            shing.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("__sha")),
-            "id_a",
-        ).join(
-            shing.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("__shb")),
-            "id_b",
-        )
+    cand_sh = (
+        df.join(memb, df[id_col] == memb["__vid"])
+        .select("id_a", "id_b", "__vid", char_shingles(text_col, k).alias("__sh"))
+    )
+    pairs = cand_sh.groupBy("id_a", "id_b").agg(
+        F.first(
+            F.when(F.col("__vid") == F.col("id_a"), F.col("__sh")), ignorenulls=True
+        ).alias("__sha"),
+        F.first(
+            F.when(F.col("__vid") == F.col("id_b"), F.col("__sh")), ignorenulls=True
+        ).alias("__shb"),
     )
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - inter
     jac = inter.cast("double") / union
-    return joined.select(
+    return pairs.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
