@@ -12,11 +12,11 @@ This exists so the Avro ``snappy`` codec works without python-snappy
 (the reference's InputFormat inherits snappy support from the Hadoop
 Avro libraries; see ``AvroSCDInputFormat.java:60-74`` which defers all
 codec handling to ``DataFileReader``).  Decompression is complete per
-the spec.  Compression is intentionally minimal: one spec-valid
-all-literal stream (snappy explicitly permits any literal/copy mix; an
-all-literal stream costs ≤ 6 bytes overhead per block).  Any compliant
-snappy decoder — including the C library — reads our output, and we
-read theirs.
+the spec.  Compression is a greedy hash-table matcher (the same
+structure as the C implementation): 4-byte prefix hashing, maximal
+match extension, literal + back-reference emission with runs encoded
+as overlapping copies.  Any compliant snappy decoder — including the C
+library — reads our output, and we read theirs.
 
 Per-call cost is O(n); these run inside executor decode tasks on
 block-sized buffers (Avro blocks are typically ≤ 64 KiB–16 MiB), never
@@ -102,26 +102,80 @@ def decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def compress(data: bytes) -> bytes:
-    """Spec-valid all-literal encoding (see module docstring): varint
-    preamble + one maximal-length literal element."""
-    out = bytearray()
-    # preamble: uncompressed length, LE varint
-    n = len(data)
-    while True:
-        if n < 0x80:
-            out.append(n)
-            break
-        out.append((n & 0x7F) | 0x80)
-        n >>= 7
-    if not data:
-        return bytes(out)
-    length = len(data) - 1
+def _emit_literal(out: bytearray, data: bytes, start: int, end: int) -> None:
+    if start >= end:
+        return
+    length = end - start - 1
     if length < 60:
         out.append(length << 2)
     else:
         extra = (length.bit_length() + 7) // 8
         out.append((59 + extra) << 2)
         out += length.to_bytes(extra, "little")
-    out += data
+    out += data[start:end]
+
+
+def _emit_copy(out: bytearray, offset: int, length: int) -> None:
+    # one copy element encodes ≤ 64 bytes; chunk so every piece is in
+    # [4, 64] (the standard split: peel 64s, then avoid a <4 remainder)
+    while length >= 68:
+        _emit_one_copy(out, offset, 64)
+        length -= 64
+    if length > 64:
+        _emit_one_copy(out, offset, 60)
+        length -= 60
+    if length:
+        _emit_one_copy(out, offset, length)
+
+
+def _emit_one_copy(out: bytearray, offset: int, length: int) -> None:
+    if 4 <= length <= 11 and offset < 2048:
+        out.append(0x01 | ((length - 4) << 2) | ((offset >> 8) << 5))
+        out.append(offset & 0xFF)
+    elif offset < 65536:
+        out.append(0x02 | ((length - 1) << 2))
+        out += offset.to_bytes(2, "little")
+    else:
+        out.append(0x03 | ((length - 1) << 2))
+        out += offset.to_bytes(4, "little")
+
+
+def compress(data: bytes) -> bytes:
+    """Greedy hash-table compressor over the public format: hash every
+    4-byte prefix, on a match extend it maximally, emit the pending
+    literal + a back-reference copy.  Runs (offset < length) encode as
+    overlapping copies, exactly like the C implementation's output
+    shape.  O(n); any compliant decoder reads our output.  python-snappy
+    is still preferred when importable (``sources/avro.py`` hooks)."""
+    out = bytearray()
+    n = len(data)
+    v = n
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    if n < 4:
+        _emit_literal(out, data, 0, n)
+        return bytes(out)
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    limit = n - 3
+    while i < limit:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None:
+            i += 1
+            continue
+        # maximal extension of the guaranteed-4-byte match
+        match_len = 4
+        max_len = n - i
+        while match_len < max_len and data[cand + match_len] == data[i + match_len]:
+            match_len += 1
+        _emit_literal(out, data, lit_start, i)
+        _emit_copy(out, i - cand, match_len)
+        i += match_len
+        lit_start = i
+    _emit_literal(out, data, lit_start, n)
     return bytes(out)

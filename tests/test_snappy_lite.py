@@ -120,3 +120,48 @@ def test_avro_snappy_crc_mismatch_raises(tmp_path):
     open(path, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="CRC"):
         avro_lite.read_container(path)
+
+
+# ---------- real compression (round-5: back-references, not all-literal) ----------
+
+
+@pytest.mark.parametrize(
+    "payload,min_ratio",
+    [
+        # the format caps one copy element at 64 bytes (3-byte copy-2),
+        # so ~21x is the ceiling for runs — same as the C implementation
+        (b"a" * 100_000, 18.0),           # pure run → literal + overlapping copies
+        (b"the quick brown fox " * 5000, 15.0),  # periodic text
+        ((bytes(range(256)) * 16) * 32, 8.0),    # long-period repetition
+    ],
+)
+def test_compress_actually_compresses(payload, min_ratio):
+    comp = snappy_lite.compress(payload)
+    assert snappy_lite.decompress(comp) == payload
+    assert len(payload) / len(comp) >= min_ratio, (len(payload), len(comp))
+
+
+def test_compress_incompressible_bounded_overhead():
+    payload = os.urandom(100_000)
+    comp = snappy_lite.compress(payload)
+    assert snappy_lite.decompress(comp) == payload
+    # spec guarantees literals cost ≤ ~6 bytes per 2^32 run; random data
+    # may hit spurious 4-byte hash matches, so allow a small margin
+    assert len(comp) <= len(payload) * 1.01 + 16
+
+
+def test_compress_mixed_content_roundtrip():
+    rng = os.urandom(997)
+    payload = b"".join(
+        [rng, b"header" * 200, rng[:313], b"\x00" * 4096, rng, b"tail" * 77]
+    )
+    comp = snappy_lite.compress(payload)
+    assert snappy_lite.decompress(comp) == payload
+    assert len(comp) < len(payload)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 3, 4, 5, 63, 64, 65, 67, 68, 69, 131, 132])
+def test_compress_boundary_lengths_of_runs(n):
+    # exercises the copy chunking boundaries (64/68 splits, <4 remainders)
+    payload = b"ab" + b"x" * n + b"ab" + b"x" * n
+    assert snappy_lite.decompress(snappy_lite.compress(payload)) == payload
