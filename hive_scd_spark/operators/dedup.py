@@ -223,6 +223,15 @@ def minhash_near_dup_pairs(
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # lazy checkpoint: the verify step references candidates from BOTH
+        # join sides, and ReuseExchange does not dedupe the two subplans
+        # under AQE (verified: 0 ReusedExchange nodes, signature pipeline
+        # ran twice, 15.4 s vs 9 s at 10×).  eager=False keeps the
+        # materialization inside the first ACTION, so benchmark timings
+        # still include it; block-level locking serves the second
+        # consumer from cache.  Lineage truncation is a bonus (same
+        # rationale as operators/cluster.py).
+        .localCheckpoint(eager=False)
     )
     # (3) verify candidates only — LITERALLY only.  The obvious
     # formulation (join candidates to a corpus-wide shingle projection,
@@ -240,21 +249,22 @@ def minhash_near_dup_pairs(
     # list (AQE converts to broadcast at runtime), but a pathological
     # one can have billions of candidates and a forced broadcast would
     # OOM the driver — same trade documented on dedup_corpus.
-    memb = candidates.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__vid")
+    # Reassembly is a pair-keyed JOIN of the two sides, not a
+    # first()-over-arrays aggregate: aggregation over array payloads
+    # drops out of hash-agg codegen into sort-based agg and re-serializes
+    # every array through the sorter (measured 11 s vs 5.7 s for the
+    # join at 10×).  The two membership joins are cheap (corpus ⋈ tiny
+    # pair list); the one pair-keyed shuffle carries |candidates| rows
+    # per side and is skew-bounded by pair multiplicity.
+    side_a = (
+        df.join(candidates, df[id_col] == F.col("id_a"))
+        .select("id_a", "id_b", char_shingles(text_col, k).alias("__sha"))
     )
-    cand_sh = (
-        df.join(memb, df[id_col] == memb["__vid"])
-        .select("id_a", "id_b", "__vid", char_shingles(text_col, k).alias("__sh"))
+    side_b = (
+        df.join(candidates, df[id_col] == F.col("id_b"))
+        .select("id_a", "id_b", char_shingles(text_col, k).alias("__shb"))
     )
-    pairs = cand_sh.groupBy("id_a", "id_b").agg(
-        F.first(
-            F.when(F.col("__vid") == F.col("id_a"), F.col("__sh")), ignorenulls=True
-        ).alias("__sha"),
-        F.first(
-            F.when(F.col("__vid") == F.col("id_b"), F.col("__sh")), ignorenulls=True
-        ).alias("__shb"),
-    )
+    pairs = side_a.join(side_b, ["id_a", "id_b"])
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - inter
     jac = inter.cast("double") / union

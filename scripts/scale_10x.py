@@ -106,8 +106,13 @@ def main():
             (F.lit(_WINDOW_EPOCH_US) + F.col("id") * _WINDOW_STEP_US + _WINDOW_LEN_US
              ).alias("end_us"),
         )
-        # events.ts arrives as long NANOS (nanosAsLong conf); integer div
-        ev = ev.select(F.expr("ts div 1000").alias("ts_us"), "value")
+        # representation-polymorphic, same contract as queries.load_events
+        # (the driver has shipped ts as both long-nanos and timestamp[us])
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ts_us = F.expr("ts div 1000")
+        else:
+            ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        ev = ev.select(ts_us.alias("ts_us"), "value")
         j = range_join(ev, windows, "ts_us", "start_us", "end_us",
                        bin_width=_WINDOW_BIN_US)
         return j.groupBy("window_id").agg(F.count("*").alias("n"))

@@ -202,3 +202,26 @@ def orders_dir(request, tmp_path_factory):
 @pytest.mark.parametrize("name", ORDERS_QUERIES)
 def test_orders_queries_both_date_layouts(spark, orders_dir, name):
     _check(spark, orders_dir, name)
+
+
+# --------------------------------------------------------------------------
+# lineitem.l_shipdate representation variants (q1/q6 are lineitem-only)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module", params=["timestamp", "date"])
+def lineitem_dir(request, tmp_path_factory):
+    tbl = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    i = tbl.schema.get_field_index("l_shipdate")
+    col = tbl.column("l_shipdate")
+    if request.param == "date":
+        col = col.cast(pa.date32())
+    tbl = tbl.set_column(i, "l_shipdate", col)
+    d = tmp_path_factory.mktemp(f"lineitem_{request.param}")
+    pq.write_table(tbl, str(d / "lineitem.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q6_revenue_forecast"])
+def test_lineitem_queries_both_date_layouts(spark, lineitem_dir, name):
+    _check(spark, lineitem_dir, name)
