@@ -1,0 +1,97 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation set.
+
+The standard contamination check (popularized by the GPT-3 and PaLM
+data cards) flags a training document when it shares at least one
+long word-level n-gram (usually 13-grams) with any benchmark document.
+The expensive side is the corpus; the benchmark side is tiny by nature
+(thousands of documents), which fixes the join strategy:
+
+- both sides: lowercase → word split → sliding n-grams → 60-bit hash →
+  ``(doc, hash)`` DISTINCT (dedupes repeats within a document);
+- the benchmark gram list BROADCASTS (explicit hint — it is bounded by
+  benchmark size, a design contract, not a stats guess), so the corpus
+  side is never shuffled by the join;
+- the only shuffle is the final ``groupBy (train_doc, eval_doc)``
+  count, whose input is the matched grams — contamination hits, not
+  the corpus.
+
+Hashing: 60 bits of md5 via ``conv(substring(md5(g),1,15),16,10)`` —
+the same public construction every other text operator here uses, and
+computable bit-identically in DuckDB for the oracle.  A hash collision
+could in principle count one phantom shared gram, but both engines
+collide identically, so the value check is exact; at n=13 the
+false-flag probability is ~|grams|²/2^61 — irrelevant at any corpus
+size that fits a benchmark broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# lowercase word tokens: explicit ASCII class, identical semantics in
+# Java regex (Spark) and RE2 (DuckDB) — \w is engine-dependent, this is not
+_WORD_SPLIT = "[^0-9a-z_]+"
+
+
+def _doc_ngram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, out_id: str
+) -> DataFrame:
+    """(doc, hash) per DISTINCT word n-gram of the document."""
+    words = F.expr(
+        f"filter(split(lower({text_col}), '{_WORD_SPLIT}'), w -> w <> '')"
+    )
+    # array_distinct BEFORE the explode: every gram of a document lives
+    # in its own row's array, so per-document dedup is a row-local
+    # operation — an explode + dropDuplicates would instead SHUFFLE the
+    # full corpus gram set just to dedupe keys that never left their
+    # row (caught in the round-5 plan audit: two corpus-sized
+    # exchanges, both gone with this form).
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, size(__w) - {m}), "
+        "i -> conv(substring(md5(array_join(slice(__w, i, {n}), ' ')), 1, 15), 16, 10)))".format(
+            m=n - 1, n=n
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias(out_id), words.alias("__w"))
+        # documents shorter than n words carry no n-gram.  The filter is
+        # REQUIRED, not cosmetic: sequence(1, size-m) with size <= m
+        # generates a DESCENDING [1, 0, ...] sequence in Spark, which
+        # would fabricate out-of-range slices instead of an empty list.
+        .filter(F.size("__w") > n - 1)
+        .select(out_id, F.explode(grams).alias("__g"))
+        .select(out_id, F.col("__g").cast("long").alias("__h"))
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str | None = None,
+    text_col_eval: str | None = None,
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Contaminated (train document, eval document) pairs with the count
+    of shared distinct word *n*-grams.
+
+    Output: ``(train_id, eval_id, n_shared)`` for every pair sharing at
+    least *min_shared* distinct n-grams, ``n_shared`` descending order
+    is up to the caller (the result is a plain DataFrame).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    eval_id_col = eval_id_col or id_col
+    text_col_eval = text_col_eval or text_col
+    tg = _doc_ngram_hashes(train, id_col, text_col, n, "train_id")
+    eg = _doc_ngram_hashes(eval_df, eval_id_col, text_col_eval, n, "eval_id")
+    hits = tg.join(F.broadcast(eg), "__h")
+    return (
+        hits.groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

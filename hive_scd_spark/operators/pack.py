@@ -1,0 +1,110 @@
+"""Sequence packing for pretraining-data export.
+
+GPT-style pretraining consumes fixed-length token sequences; the
+standard way to build them ("concat and chunk") concatenates every
+document's tokens in a deterministic order into one global stream and
+slices that stream into ``context_len``-sized windows.  The operator
+here computes, for every document, WHICH sequences its tokens land in
+and at what offsets — the exact shuffle-free metadata a downstream
+tokenized-shard writer needs.
+
+The only global coordination required is an exclusive prefix sum of
+token counts in the concatenation order.  A naive
+``sum() OVER (ORDER BY id)`` pulls every row through ONE window
+partition — the same scale-killer ``shard.distributed_rank`` exists to
+avoid — so :func:`distributed_prefix_sum` uses the identical two-phase
+layout: range repartition, partition-local cumsum, and a driver-side
+cumsum over per-partition totals (metadata-sized, one row per shuffle
+partition).
+
+Output volume: each document spans ``ceil(n_tokens/context_len)+1``
+sequences at most, so the result is ``~total_tokens/context_len +
+n_docs`` rows — linear, never quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def distributed_prefix_sum(
+    df: DataFrame, order_cols: list, value_col, name: str = "prefix"
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of *value_col* over the total order given by
+    *order_cols* (list of Columns; must include a unique tiebreak or the
+    result is nondeterministic), without a single-partition window.
+
+    Same two-phase construction as ``shard.distributed_rank`` (see its
+    docstring for the exchange-reuse rationale behind the checkpoint):
+    range-partition on the order, cumsum within partitions, then offset
+    each partition by the driver-side cumsum of per-partition totals —
+    the collected counts are one row per shuffle partition, bounded by
+    cluster width, never by data volume."""
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    work = df.withColumn("__val", val.cast("long"))
+    parts = work.repartitionByRange(*order_cols)
+    with_pid = parts.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
+    local = with_pid.withColumn(
+        "__isum",
+        F.sum("__val").over(
+            W.partitionBy("__pid")
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    totals = sorted(
+        with_pid.groupBy("__pid").agg(F.sum("__val").alias("__t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offs, acc = [], 0
+    for r in totals:
+        offs.append((r["__pid"], acc))
+        acc += r["__t"] or 0
+    offsets = df.sparkSession.createDataFrame(
+        offs or [(0, 0)], "__pid int, __offset bigint"
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(name, F.col("__offset") + F.col("__isum") - F.col("__val"))
+        .drop("__pid", "__isum", "__offset", "__val")
+    )
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, tokens_col: str, context_len: int
+) -> DataFrame:
+    """Concat-and-chunk packing plan: one output row per
+    (document, training sequence) span.
+
+    Documents are concatenated in ascending *id_col* order; the token
+    stream is sliced into windows of *context_len*.  Output columns:
+
+    - ``seq_id``       which training sequence (0-based window index)
+    - ``slice_start``  first token of the document in that sequence
+      (0-based WITHIN the document)
+    - ``slice_len``    how many of the document's tokens land there
+
+    Zero-token documents contribute nothing and are dropped.  All
+    arithmetic is integer (bigint) — no float anywhere, so the mapping
+    is exact and engine-independent."""
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    L = int(context_len)
+    toks = df.filter(F.col(tokens_col) > 0).select(
+        F.col(id_col), F.col(tokens_col).cast("long").alias("__n")
+    )
+    pre = distributed_prefix_sum(toks, [F.asc(id_col)], "__n", name="__start")
+    first_seq = F.expr("__start div " + str(L))
+    last_seq = F.expr(f"(__start + __n - 1) div {L}")
+    out = pre.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    slice_start = F.greatest(F.lit(0).cast("long"), F.col("seq_id") * L - F.col("__start"))
+    slice_end = F.least(F.col("__n"), (F.col("seq_id") + 1) * L - F.col("__start"))
+    return out.select(
+        F.col(id_col),
+        F.col("seq_id"),
+        slice_start.alias("slice_start"),
+        (slice_end - slice_start).alias("slice_len"),
+    )

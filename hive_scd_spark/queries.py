@@ -987,6 +987,39 @@ def text_token_count(spark, sf_dir):
     return token_counts(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def pack_sequences_ctx(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/pack.py): documents
+    concatenated in doc_id order, sliced into 512-token training
+    sequences; one row per (document, sequence) span.  Token counts are
+    the BPE-ish regex pre-tokenization shared with text_token_count, so
+    the oracle reproduces them exactly.  The exclusive prefix sum uses
+    the two-phase distributed layout (no single-partition window)."""
+    from hive_scd_spark.operators.pack import pack_sequences
+    from hive_scd_spark.operators.text import token_counts
+
+    toks = token_counts(t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id", F.col("n_regex_tokens").alias("n_tokens")
+    )
+    return pack_sequences(toks, "doc_id", "n_tokens", 512)
+
+
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): 13-gram
+    word-level overlap between the training split (doc_id % 97 != 0)
+    and the held-out split (doc_id % 97 == 0) of the documents table.
+    The planted near-duplicates in the corpus guarantee real hits."""
+    from hive_scd_spark.operators.decontam import ngram_contamination
+
+    docs = t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        n=13,
+    )
+
+
 def text_quality_stats(spark, sf_dir):
     from hive_scd_spark.operators.text import quality_stats
 
@@ -1940,10 +1973,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # set ops / pivot / arrays / subqueries / JSON / sampling
     "setop_intersect_except": setop_intersect_except,
     "pivot_nation_by_segment": pivot_nation_by_segment,
-    "unpivot_part_metrics": unpivot_part_metrics,
     "array_functions_showcase": array_functions_showcase,
-    "subquery_correlated_max_order": subquery_correlated_max_order,
     "json_props_stats": json_props_stats,
+    # r5 additions: training-pipeline packing + decontamination — never
+    # driver-checked before, so they take window slots from the
+    # multiply-verified unpivot/correlated-subquery entries (r3+r4 green)
+    "pack_sequences_ctx": pack_sequences_ctx,
+    "decontam_ngram_overlap": decontam_ngram_overlap,
     # r5 rotation: events_window_counts swapped in for sample_deterministic
     # — it is the one load_events-repaired query whose only green driver
     # row predates the testdata regen; sample_deterministic holds green
@@ -1983,6 +2019,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lead_ntile_orders": window_lead_ntile_orders,
     "join_left_outer_order_counts": join_left_outer_order_counts,
     "sample_deterministic": sample_deterministic,
+    "unpivot_part_metrics": unpivot_part_metrics,
+    "subquery_correlated_max_order": subquery_correlated_max_order,
     "text_token_count": text_token_count,
     "multimodal_image_features": multimodal_image_features,
     "knn_brute_force": knn_brute_force,
@@ -2005,6 +2043,49 @@ ORACLES["range_join_event_windows"] = f"""
 # transitive closure over the SAME LSH pair set the minhash oracle
 # produces, labeled by component minimum — the SQL form of
 # operators/cluster.dup_clusters' fixpoint
+ORACLES["pack_sequences_ctx"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n
+      FROM documents
+    ), nz AS (SELECT * FROM tok WHERE n > 0),
+    pre AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM nz
+    ), x AS (
+      SELECT doc_id, n, s,
+             unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS seq_id
+      FROM pre
+    )
+    SELECT doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(GREATEST(0, seq_id*512 - s) AS BIGINT) AS slice_start,
+           CAST(LEAST(n, (seq_id+1)*512 - s)
+                - GREATEST(0, seq_id*512 - s) AS BIGINT) AS slice_len
+    FROM x
+"""
+
+ORACLES["decontam_ngram_overlap"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), g0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, CAST(len(w) AS BIGINT) - 11), i ->
+               ('0x' || substring(md5(array_to_string(w[i:i+12], ' ')), 1, 15))::BIGINT)) AS h
+      FROM w WHERE len(w) >= 13
+    ), g AS (SELECT DISTINCT doc_id, h FROM g0)
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) t
+    JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) e USING (h)
+    GROUP BY 1, 2
+"""
+
 ORACLES["dedup_cluster_assign"] = f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),
     und AS (SELECT id_a AS a, id_b AS b FROM pairs

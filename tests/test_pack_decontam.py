@@ -1,0 +1,103 @@
+"""Unit tests for the round-5 training-pipeline operators:
+sequence packing (operators/pack.py) and benchmark decontamination
+(operators/decontam.py).  Value-level, hand-computed expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_scd_spark.operators.decontam import ngram_contamination
+from hive_scd_spark.operators.pack import distributed_prefix_sum, pack_sequences
+
+
+def test_prefix_sum_matches_serial(spark):
+    rows = [(i, (i * 37) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(7)
+    out = {
+        r["id"]: r["p"]
+        for r in distributed_prefix_sum(df, [F.asc("id")], "v", "p").collect()
+    }
+    acc = 0
+    for i, v in rows:
+        assert out[i] == acc, i
+        acc += v
+
+
+def test_pack_sequences_hand_example(spark):
+    # docs of 3, 5, 4 tokens, context 4:
+    # stream offsets: d1=[0,3) d2=[3,8) d3=[8,12)
+    # seq0=[0,4): d1 full (0..2), d2 first token
+    # seq1=[4,8): d2 tokens 1..4
+    # seq2=[8,12): d3 full
+    df = spark.createDataFrame([(1, 3), (2, 5), (3, 4)], "doc_id long, n long")
+    got = {
+        (r["doc_id"], r["seq_id"]): (r["slice_start"], r["slice_len"])
+        for r in pack_sequences(df, "doc_id", "n", 4).collect()
+    }
+    assert got == {
+        (1, 0): (0, 3),
+        (2, 0): (0, 1),
+        (2, 1): (1, 4),
+        (3, 2): (0, 4),
+    }
+
+
+def test_pack_sequences_drops_empty_docs_and_conserves_tokens(spark):
+    df = spark.createDataFrame(
+        [(i, max(0, (i * 13) % 7 - 1)) for i in range(300)], "doc_id long, n long"
+    )
+    out = pack_sequences(df, "doc_id", "n", 5)
+    # every token lands in exactly one sequence slice
+    total = out.agg(F.sum("slice_len")).first()[0]
+    expect = df.filter(F.col("n") > 0).agg(F.sum("n")).first()[0]
+    assert total == expect
+    # no slice crosses a context boundary, no empty slices
+    bad = out.filter(
+        (F.col("slice_len") <= 0) | (F.col("slice_len") > 5)
+    ).count()
+    assert bad == 0
+    assert out.filter(F.col("doc_id").isin([i for i in range(300) if max(0, (i*13) % 7 - 1) == 0])).count() == 0
+
+
+def test_pack_sequences_rejects_bad_context():
+    with pytest.raises(ValueError, match="context_len"):
+        pack_sequences(None, "id", "n", 0)
+
+
+def test_ngram_contamination_finds_planted_overlap(spark):
+    shared = "the quick brown fox jumps over the lazy dog near the old mill"
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words here {shared} and a different tail entirely"),
+            (2, "no overlap with anything else in this corpus at all truly"),
+            (3, f"{shared} copied verbatim straight into document three"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, f"benchmark question: {shared} answer choice")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in ngram_contamination(train, eval_df, "doc_id", "text", n=13).collect()
+    }
+    assert set(out) == {(1, 100), (3, 100)}  # doc 2 is clean
+    assert all(v >= 1 for v in out.values())
+
+
+def test_ngram_contamination_short_docs_no_grams(spark):
+    train = spark.createDataFrame([(1, "only five words right here")], "doc_id long, text string")
+    eval_df = spark.createDataFrame([(2, "only five words right here")], "doc_id long, text string")
+    assert ngram_contamination(train, eval_df, "doc_id", "text", n=13).count() == 0
+
+
+def test_ngram_contamination_case_and_punct_invariant(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    train = spark.createDataFrame([(1, base.upper())], "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(9, base.replace(" ", ", "))], "doc_id long, text string"
+    )
+    out = ngram_contamination(train, eval_df, "doc_id", "text", n=13).collect()
+    assert len(out) == 1 and out[0]["n_shared"] == 1
