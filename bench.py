@@ -48,6 +48,9 @@ HEADLINE = [
     "text_bm25_topk",
     "shard_assignment",
     "dedup_cluster_assign",
+    # round-5 training-pipeline operators
+    "pack_sequences_ctx",
+    "decontam_ngram_overlap",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -64,6 +67,8 @@ ITERATIVE = {
     # AQE that materializes stages at BUILD time, so the builder must
     # sit inside the timed window for the number to stay honest
     "shard_assignment",
+    # distributed_prefix_sum collects per-partition totals at build time
+    "pack_sequences_ctx",
 }
 
 
