@@ -99,7 +99,15 @@ def dup_clusters(
         raise ValueError(f"unknown strategy {strategy!r}: 'propagate' or 'star'")
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
-    )
+    # lazy checkpoint BEFORE the symmetrizing union: the two union
+    # branches reference the upstream pair pipeline twice, and whether
+    # ReuseExchange dedupes them depends on plan shape (it does for the
+    # current LSH gate's shuffle exchanges — timings unchanged — but
+    # provably does NOT for broadcast-side subplans, see
+    # dedup.minhash_near_dup_pairs).  The checkpoint makes the
+    # single-execution guarantee structural instead of
+    # optimizer-dependent; cost is storing the (tiny) pair list.
+    ).localCheckpoint(eager=False)
     und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # distinct: near-dup pair lists can carry a pair via several bands;
     # one shuffle here halves every subsequent round's join input

@@ -145,3 +145,40 @@ def scd_snapshot_sink(stream_df: DataFrame, stmts, path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .foreachBatch(write_batch)
     )
+
+
+def decontam_stream(
+    stream_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str | None = None,
+    n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Streaming benchmark decontamination — the streaming complement of
+    ``operators.decontam.ngram_contamination``: incoming documents are
+    flagged against a STATIC held-out set as they arrive.
+
+    Plan shape mirrors the batch operator: the stream side computes its
+    word n-gram hashes row-locally (``array_distinct`` before the
+    explode — no stream-side shuffle), the static benchmark gram list
+    broadcasts, and the stream-static inner join emits one row per
+    (stream doc, eval doc, shared gram).  The per-pair ``n_shared``
+    groupBy is a streaming STATEFUL aggregation (complete/update output
+    modes) whose state is one counter per CONTAMINATED pair — hits, not
+    corpus — so it stays bounded at any stream volume.  For an
+    append-only document stream (each doc arrives once) the result
+    equals batch ``ngram_contamination`` exactly (parity-pinned in
+    ``tests/test_streaming_r4.py``)."""
+    from hive_scd_spark.operators.decontam import _doc_ngram_hashes
+
+    eval_id_col = eval_id_col or id_col
+    sg = _doc_ngram_hashes(stream_df, id_col, text_col, n, "train_id")
+    eg = _doc_ngram_hashes(eval_df, eval_id_col, text_col, n, "eval_id")
+    hits = sg.join(F.broadcast(eg), "__h")
+    return (
+        hits.groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -89,3 +89,50 @@ def test_range_join_stream_static_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_decontam_stream_equals_batch(spark, tmp_path):
+    """decontam_stream (stream-static gram join + complete-mode count)
+    produces exactly the batch ngram_contamination result on the same
+    data."""
+    from hive_scd_spark.operators.decontam import ngram_contamination
+    from hive_scd_spark.streaming import decontam_stream
+
+    shared = "the quick brown fox jumps over the lazy dog near the old mill"
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    train = spark.createDataFrame(
+        [
+            (1, f"leading filler {shared} trailing filler words"),
+            (2, "a perfectly clean training document with no overlap at all here"),
+            (3, f"{shared} appears in this one too"),
+        ],
+        "doc_id long, text string",
+    )
+    train.coalesce(1).write.mode("overwrite").parquet(str(src))
+    eval_df = spark.createDataFrame(
+        [(100, f"benchmark item: {shared} answer")], "doc_id long, text string"
+    )
+
+    stream = spark.readStream.schema(train.schema).parquet(str(src))
+    flagged = decontam_stream(stream, eval_df, "doc_id", "text", n=13)
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("decontam_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["train_id"], r["eval_id"], r["n_shared"])
+            for r in spark.sql("SELECT * FROM decontam_out").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        (r["train_id"], r["eval_id"], r["n_shared"])
+        for r in ngram_contamination(train, eval_df, "doc_id", "text", n=13).collect()
+    )
+    assert got == want and len(got) == 2
