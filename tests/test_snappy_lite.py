@@ -165,3 +165,24 @@ def test_compress_boundary_lengths_of_runs(n):
     # exercises the copy chunking boundaries (64/68 splits, <4 remainders)
     payload = b"ab" + b"x" * n + b"ab" + b"x" * n
     assert snappy_lite.decompress(snappy_lite.compress(payload)) == payload
+
+
+# ---------- hypothesis fuzz: compressor round-trip over adversarial bytes ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# mixes of runs, repeated motifs, and random bytes — the shapes that
+# exercise literal/copy boundaries and overlapping-copy encoding
+_chunk = st.one_of(
+    st.binary(min_size=0, max_size=200),
+    st.builds(lambda b, n: b * n, st.binary(min_size=1, max_size=8), st.integers(1, 300)),
+    st.builds(lambda b: b, st.sampled_from([b"", b"\x00" * 1000, b"ab" * 500])),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_chunk, min_size=0, max_size=8))
+def test_compress_roundtrip_fuzz(chunks):
+    payload = b"".join(chunks)
+    assert snappy_lite.decompress(snappy_lite.compress(payload)) == payload
