@@ -46,13 +46,21 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str)
 CHUNKS_SCHEMA = "media_id long, chunk_idx long, chunk_chars long, chunk_md5 string"
 
 
-def chunk_payload(df: DataFrame, chunk_chars: int = 256) -> DataFrame:
+def chunk_payload(df: DataFrame, chunk_chars: int = 256, stride: int = 1) -> DataFrame:
     """Frame-sampling-shaped transform: split each payload into fixed
     windows, emitting **multiple rows per input row** from the batch
     function — the 1→N Arrow-batch pattern a real frame sampler or
     audio segmenter needs.  Chunks are character-windows of the decoded
     payload (a deterministic stand-in for time/frame windows; swap the
-    slicing for real codec logic when libraries exist)."""
+    slicing for real codec logic when libraries exist).
+
+    *stride* > 1 keeps every stride-th window (``chunk_idx % stride ==
+    0``) — video-style frame SAMPLING rather than exhaustive
+    segmentation; the emitted ``chunk_idx`` remains the window's
+    position in the full stream, so downstream code can recover
+    timing."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -62,7 +70,7 @@ def chunk_payload(df: DataFrame, chunk_chars: int = 256) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 text = bytes(payload or b"").decode("utf-8")
                 n = max((len(text) + chunk_chars - 1) // chunk_chars, 1)
-                for i in range(n):
+                for i in range(0, n, stride):
                     chunk = text[i * chunk_chars : (i + 1) * chunk_chars]
                     out["media_id"].append(mid)
                     out["chunk_idx"].append(i)
@@ -160,3 +168,88 @@ def extract_image_features(
             )
 
     return df.mapInPandas(per_batch, schema=FEATURES_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "media_id long, n_bytes long, n_samples long, duration_ms long, checksum string"
+)
+
+
+def soundfile_available() -> bool:
+    """True iff the soundfile library can be imported (feature detection
+    — the hook for real audio decode where the library exists)."""
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def fake_decode_audio(payload: bytes, sample_rate: int = 16_000) -> tuple[int, int]:
+    """STUB decode — treat the payload as headerless 16-bit mono PCM at
+    *sample_rate*: (n_samples, duration_ms).  Deterministic and
+    integer-exact, so the gate query is fully oracle-checkable;
+    :func:`soundfile_decode_audio` is the drop-in real decoder."""
+    n_samples = len(payload) // 2
+    return n_samples, n_samples * 1000 // sample_rate
+
+
+def soundfile_decode_audio(payload: bytes) -> tuple[int, int]:
+    """Real decode via soundfile: (n_samples, duration_ms) of an
+    encoded audio payload.  Import stays inside the function so the
+    module loads in audio-library-free environments."""
+    from io import BytesIO
+
+    import soundfile as sf
+
+    data, rate = sf.read(BytesIO(payload))
+    n = len(data)
+    return n, n * 1000 // rate
+
+
+def extract_audio_features(
+    df: DataFrame, strict: bool = False, decoder: str = "stub"
+) -> DataFrame:
+    """Audio analog of :func:`extract_image_features` — same
+    Arrow-batched ``mapInPandas`` plumbing, same decoder-hook
+    discipline: ``"stub"`` (headerless-PCM16 interpretation, the
+    oracle-checkable default), ``"soundfile"`` (real decode when the
+    library exists), or ``"auto"``.  ``strict=True`` refuses the stub."""
+    if decoder not in ("stub", "soundfile", "auto"):
+        raise ValueError(
+            f"unknown decoder {decoder!r}: 'stub', 'soundfile', or 'auto'"
+        )
+    if decoder == "auto":
+        decoder = "soundfile" if soundfile_available() else "stub"
+    if decoder == "soundfile" and not soundfile_available():
+        raise NotImplementedError(
+            "decoder='soundfile' requires the soundfile library, which is "
+            "not importable here"
+        )
+    if strict and decoder == "stub":
+        raise NotImplementedError(
+            "strict=True demands a real audio decoder; soundfile is not "
+            "present in this environment — install it or use strict=False "
+            "for the deterministic PCM16 stub"
+        )
+    decode = soundfile_decode_audio if decoder == "soundfile" else fake_decode_audio
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            decoded = pdf["payload"].map(lambda b: decode(bytes(b or b"")))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "n_samples": decoded.map(lambda t: t[0]).astype("int64"),
+                    "duration_ms": decoded.map(lambda t: t[1]).astype("int64"),
+                    "checksum": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b or b"")).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(per_batch, schema=AUDIO_SCHEMA)

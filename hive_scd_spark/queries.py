@@ -1119,6 +1119,30 @@ def multimodal_chunking(spark, sf_dir):
     return chunk_payload(media, chunk_chars=256)
 
 
+def multimodal_audio_features(spark, sf_dir):
+    """Audio analog of the image gate: payload treated as headerless
+    PCM16 by the deterministic stub decoder (soundfile feature-detected
+    as the real hook) — same Arrow mapInPandas plumbing."""
+    from hive_scd_spark.operators.multimodal import attach_binary, extract_audio_features
+
+    media = attach_binary(
+        t(spark, sf_dir, "documents"), id_col="doc_id", payload_col="text", media_type="audio"
+    )
+    return extract_audio_features(media)
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame SAMPLING: every 4th 256-char window of each
+    payload (chunk_idx keeps the full-stream position so timing is
+    recoverable)."""
+    from hive_scd_spark.operators.multimodal import attach_binary, chunk_payload
+
+    media = attach_binary(
+        t(spark, sf_dir, "documents"), id_col="doc_id", payload_col="text", media_type="video"
+    )
+    return chunk_payload(media, chunk_chars=256, stride=4)
+
+
 def join_full_outer_period_activity(spark, sf_dir):
     """Full outer join: per-customer order counts in two periods,
     including customers active in only one."""
@@ -1663,6 +1687,23 @@ EXT_ORACLES: dict[str, str] = {
              LATERAL (SELECT unnest(generate_series(0,
                         GREATEST(CAST(CEIL(len(text)/256.0) AS BIGINT), 1) - 1)) AS i) t
     """,
+    "multimodal_audio_features": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+               CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT) AS duration_ms,
+               md5(text) AS checksum
+        FROM documents
+    """,
+    "multimodal_frame_sample": """
+        SELECT doc_id AS media_id,
+               i AS chunk_idx,
+               len(substr(text, CAST(i*256+1 AS INT), 256)) AS chunk_chars,
+               md5(substr(text, CAST(i*256+1 AS INT), 256)) AS chunk_md5
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0,
+                        GREATEST(CAST(CEIL(len(text)/256.0) AS BIGINT), 1) - 1, 4)) AS i) t
+    """,
     "join_full_outer_period_activity": """
         WITH early AS (SELECT o_custkey, COUNT(*) AS n_early FROM orders
                        WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1),
@@ -2023,6 +2064,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subquery_correlated_max_order": subquery_correlated_max_order,
     "text_token_count": text_token_count,
     "multimodal_image_features": multimodal_image_features,
+    "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "knn_brute_force": knn_brute_force,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)

@@ -271,3 +271,44 @@ def test_multimodal_strict_raises(spark):
     # (before any job), not lazily inside the batch function
     with pytest.raises(NotImplementedError, match="real image decoder"):
         extract_image_features(media, strict=True)
+
+
+def test_multimodal_audio_stub_features(spark):
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        extract_audio_features,
+        soundfile_available,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcdefgh"), (3, "")], "id long, text string"
+    )
+    media = attach_binary(df, "id", "text", "audio")
+    feats = {r.media_id: r for r in extract_audio_features(media).collect()}
+    # headerless PCM16 stub: n_samples = bytes//2, duration at 16 kHz
+    assert feats[1].n_samples == 2 and feats[2].n_samples == 4
+    assert feats[2].duration_ms == 4 * 1000 // 16000
+    assert feats[3].n_samples == 0 and feats[3].duration_ms == 0
+    if not soundfile_available():
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="soundfile"):
+            extract_audio_features(media, strict=True).collect()
+
+
+def test_multimodal_frame_sampling_stride(spark):
+    from hive_scd_spark.operators.multimodal import attach_binary, chunk_payload
+
+    df = spark.createDataFrame([(1, "x" * 2600)], "id long, text string")
+    media = attach_binary(df, "id", "text", "video")
+    full = chunk_payload(media, chunk_chars=256, stride=1).collect()
+    sampled = chunk_payload(media, chunk_chars=256, stride=4).collect()
+    assert len(full) == 11  # ceil(2600/256)
+    assert sorted(r.chunk_idx for r in sampled) == [0, 4, 8]
+    by_idx = {r.chunk_idx: r.chunk_md5 for r in full}
+    # sampled frames are exactly the full chunking's every-4th windows
+    assert all(by_idx[r.chunk_idx] == r.chunk_md5 for r in sampled)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_payload(media, stride=0)
