@@ -54,6 +54,45 @@ def replicate(spark, src_parquet: str, out_dir: str, id_cols: list[str],
     out.write.mode("overwrite").parquet(out_dir)
 
 
+def replicate_embeddings(spark, src_parquet: str, out_dir: str, n: int = 10):
+    """10× the embeddings table with the duplicate-RATE preserved: each
+    replica's vectors are transformed by a replica-specific ±1 diagonal
+    (deterministic per (replica, dim)).  A sign-flip diagonal is an
+    ISOMETRY — every intra-replica cosine is exactly unchanged, so each
+    replica contains the original near-dup structure — while vectors
+    from different replicas land in different LSH buckets (the analog
+    of the vowel translation for text: naive replication would give
+    every vector 9 exact copies and explode the pair count)."""
+    import hashlib
+
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return
+    base = spark.read.parquet(src_parquet)
+    dim = len(base.select("embedding").first()[0])
+    shift = base.agg(F.max("vec_id")).first()[0] + 1
+    parts = []
+    for i in range(n):
+        df = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * shift))
+        if i > 0:
+            signs = [
+                1.0 if hashlib.md5(f"{i}:{j}".encode()).digest()[0] % 2 == 0 else -1.0
+                for j in range(dim)
+            ]
+            df = df.withColumn(
+                "embedding",
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(s) for s in signs]).cast("array<float>"),
+                    lambda x, s: (x * s).cast("float"),
+                ),
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(out_dir)
+
+
 def timed(label, thunk):
     # builder-INCLUSIVE timing: iterative operators (CC rounds, the
     # distributed_rank checkpoint) run Spark actions at build time
@@ -80,10 +119,20 @@ def main():
     print(f"docs 1x={docs1.count()} 10x={docs10.count()}; "
           f"events 1x={ev1.count()} 10x={ev10.count()}")
 
+    emb10_path = "/tmp/scale10x_embeddings"
+    replicate_embeddings(spark, f"{sf_dir}/embeddings.parquet", emb10_path)
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb10 = spark.read.parquet(emb10_path)
+    print(f"embeddings 1x={emb1.count()} 10x={emb10.count()}")
+
     from hive_scd_spark.operators.cluster import dup_clusters
-    from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
+    from hive_scd_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_near_dup_pairs,
+    )
     from hive_scd_spark.operators.range_join import range_join
     from hive_scd_spark.operators.shard import balanced_shards
+    from hive_scd_spark.operators.similarity import ann_cosine_topk, ivf_cosine_topk
     from hive_scd_spark.operators.text_rank import bm25_topk
     from hive_scd_spark.queries import (
         _WINDOW_BIN_US,
@@ -121,12 +170,38 @@ def main():
         return bm25_topk(docs, "doc_id", "text",
                          ["model", "training", "data", "quality"], k=20)
 
+    def ivf_gate(emb):
+        # hold the centroid COUNT fixed (stride ∝ corpus size): centroid
+        # assignment costs N_vectors × N_centroids, so a fixed stride
+        # multiplies BOTH terms with the corpus and scales ~quadratically
+        # (measured 7.1× at 10×; 1.4× with the count held — SCALE_NOTES r5)
+        n = emb.count()
+        return ivf_cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=4,
+            stride=max(1, round(n / 172)),
+        )
+
+    def ann_gate(emb):
+        return ann_cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 10),
+            id_col="vec_id", vec_col="embedding", k=5, n_planes=8, dim=64,
+        )
+
+    def emb_lsh_gate(emb):
+        return embedding_near_dup_pairs(
+            emb, "vec_id", "embedding",
+            threshold=0.35, use_lsh=True, n_planes=4, n_bands=4, dim=64,
+        )
+
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
         ("dedup_cluster_assign (pairs+CC)", cluster_gate, docs1, docs10),
         ("shard_assignment (rank+LPT)", shard_gate, docs1, docs10),
         ("range_join_event_windows", range_gate, ev1, ev10),
         ("text_bm25_topk", bm25_gate, docs1, docs10),
+        ("ivf_cosine_topk (stride IVF)", ivf_gate, emb1, emb10),
+        ("ann_lsh_topk (hyperplane LSH)", ann_gate, emb1, emb10),
+        ("dedup_embedding_lsh (banded pairs)", emb_lsh_gate, emb1, emb10),
     ]
     for label, fn, d1, d10 in experiments:
         fn(d1).write.format("noop").mode("overwrite").save()  # warm shape
