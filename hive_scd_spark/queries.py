@@ -1355,6 +1355,27 @@ def sample_deterministic(spark, sf_dir):
     return docs.filter(h < rate).select("doc_id", "lang", "n_chars")
 
 
+def sample_top_n_per_group(spark, sf_dir):
+    """Deterministic per-group cap — "at most N documents per source",
+    the standard data-mixing primitive.  Rank within each source by
+    md5(doc_id) (a stable, layout- and engine-independent order, same
+    trick as sample_deterministic) and keep rank ≤ 20.
+
+    Scale note: the window shuffles by source and sorts each group, so
+    cost is bounded by the largest group's sort.  For pathological
+    single-source corpora compose with a hash prefilter
+    (``h % K < ceil(target/count*K)``) to cut the group before the
+    sort; at normal source cardinality the per-group sort is the right
+    plan and AQE handles moderate skew."""
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def feature_histogram(spark, sf_dir):
     """Fixed-edge histogram via ``width_bucket`` — the feature-binning
     primitive.  One partial-aggregated groupBy on the bucket id; bucket
@@ -2060,6 +2081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lead_ntile_orders": window_lead_ntile_orders,
     "join_left_outer_order_counts": join_left_outer_order_counts,
     "sample_deterministic": sample_deterministic,
+    "sample_top_n_per_group": sample_top_n_per_group,
     "unpivot_part_metrics": unpivot_part_metrics,
     "subquery_correlated_max_order": subquery_correlated_max_order,
     "text_token_count": text_token_count,
@@ -2086,6 +2108,15 @@ ORACLES["range_join_event_windows"] = f"""
 # transitive closure over the SAME LSH pair set the minhash oracle
 # produces, labeled by component minimum — the SQL form of
 # operators/cluster.dup_clusters' fixpoint
+ORACLES["sample_top_n_per_group"] = """
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents)
+    SELECT doc_id, source, rk FROM r WHERE rk <= 20
+"""
+
 ORACLES["pack_sequences_ctx"] = """
     WITH tok AS (
       SELECT doc_id,
