@@ -273,15 +273,27 @@ def minhash_near_dup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def auto_n_planes(n: int, target_bucket: int = 32) -> int:
+    """Plane count that keeps the EXPECTED band-bucket population near
+    *target_bucket* for an *n*-vector corpus: ``ceil(log2(n/target))``,
+    clamped to ≥2.  A fixed plane count means bucket population ∝ n and
+    candidate pairs ∝ n² (SCALE_NOTES r5) — the resolution must grow
+    ~log₂(n)."""
+    import math
+
+    return max(2, math.ceil(math.log2(max(n, 2) / max(target_bucket, 1))))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
     use_lsh: bool = False,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     n_bands: int = 1,
     dim: int | None = None,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -292,11 +304,24 @@ def embedding_near_dup_pairs(
     probability p^n_planes (p = 1-θ/π) and becomes a candidate if it
     collides in ANY of *n_bands* disjoint-plane bands:
     P = 1-(1-p^n_planes)^n_bands — bands buy recall, planes buy
-    precision, exactly like the MinHash-LSH banding above."""
+    precision, exactly like the MinHash-LSH banding above.
+
+    ``n_planes`` is a function of corpus size, not a universal
+    constant: with P planes a band has 2^P buckets, so a FIXED P means
+    bucket population ∝ N and candidate pairs ∝ N²/2^P — quadratic
+    again (measured at 10×, SCALE_NOTES r5).  ``n_planes="auto"``
+    computes ``ceil(log2(N / target_bucket))`` from a corpus count (one
+    count action at plan-build time, metadata-cheap) so the EXPECTED
+    bucket population stays ~*target_bucket* at any scale; raise
+    *n_bands* alongside to hold recall (the standard (r, b) trade)."""
     from hive_scd_spark.functions import vector_norm
     from hive_scd_spark.operators.layout import fan_out
 
     df = fan_out(df)  # single-split inputs serialize the vector folds
+    if n_planes == "auto":
+        n_planes = auto_n_planes(df.count(), target_bucket)
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
 
     # norms hoisted to the per-row projection: pairwise work is ONE dot
     # fold instead of three (higher-order fns are interpreted, not

@@ -101,3 +101,33 @@ def test_ngram_contamination_case_and_punct_invariant(spark):
     )
     out = ngram_contamination(train, eval_df, "doc_id", "text", n=13).collect()
     assert len(out) == 1 and out[0]["n_shared"] == 1
+
+
+def test_embedding_lsh_auto_planes_scale_with_corpus(spark):
+    """n_planes='auto' sizes the bucket resolution from the corpus so a
+    bigger corpus gets more planes (SCALE_NOTES r5 design rule)."""
+    from hive_scd_spark.operators.dedup import auto_n_planes, embedding_near_dup_pairs
+
+    # the heuristic itself: expected bucket population ~ target_bucket
+    assert auto_n_planes(64, 32) == 2      # ceil(log2(2)) = 1, clamped to 2
+    assert auto_n_planes(640, 32) == 5     # ceil(log2(20))
+    assert auto_n_planes(5_000, 32) == 8
+    assert auto_n_planes(50_000, 32) == 11
+    assert auto_n_planes(1, 32) == 2       # degenerate corpora clamp
+    assert auto_n_planes(10**12, 32) == 35  # 100 TB-class corpus
+
+    def vecs(n):
+        return spark.createDataFrame(
+            [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+
+    # end-to-end: auto mode builds and runs
+    out = embedding_near_dup_pairs(
+        vecs(128), use_lsh=True, n_planes="auto", n_bands=2, target_bucket=16
+    )
+    assert out.columns == ["id_a", "id_b", "cos"]
+    out.collect()
+
+    with __import__("pytest").raises(ValueError, match="n_planes"):
+        embedding_near_dup_pairs(vecs(8), use_lsh=True, n_planes="bogus")
