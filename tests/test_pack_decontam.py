@@ -47,17 +47,37 @@ def test_pack_sequences_drops_empty_docs_and_conserves_tokens(spark):
     df = spark.createDataFrame(
         [(i, max(0, (i * 13) % 7 - 1)) for i in range(300)], "doc_id long, n long"
     )
-    out = pack_sequences(df, "doc_id", "n", 5)
+    out = pack_sequences(df, "doc_id", "n", 5).collect()
+    expect = sum(max(0, (i * 13) % 7 - 1) for i in range(300))
     # every token lands in exactly one sequence slice
-    total = out.agg(F.sum("slice_len")).first()[0]
-    expect = df.filter(F.col("n") > 0).agg(F.sum("n")).first()[0]
-    assert total == expect
+    assert sum(r.slice_len for r in out) == expect
     # no slice crosses a context boundary, no empty slices
-    bad = out.filter(
-        (F.col("slice_len") <= 0) | (F.col("slice_len") > 5)
-    ).count()
-    assert bad == 0
-    assert out.filter(F.col("doc_id").isin([i for i in range(300) if max(0, (i*13) % 7 - 1) == 0])).count() == 0
+    assert all(0 < r.slice_len <= 5 for r in out)
+    empty_ids = {i for i in range(300) if max(0, (i * 13) % 7 - 1) == 0}
+    assert not any(r.doc_id in empty_ids for r in out)
+    # every sequence is filled to exactly context_len except the last
+    per_seq = {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.slice_len
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))  # sequences are contiguous
+    assert all(v == 5 for s, v in per_seq.items() if s != last)
+    assert 0 < per_seq[last] <= 5
+    # per-doc slices are contiguous and cover [0, n)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.seq_id, r.slice_start, r.slice_len))
+    for doc, slices in by_doc.items():
+        slices.sort()
+        n = max(0, (doc * 13) % 7 - 1)
+        pos = 0
+        for seq, start, ln in slices:
+            assert start == pos
+            pos += ln
+        assert pos == n
+        # the sequence ids a doc spans are consecutive
+        seqs = [s for s, _st, _ln in slices]
+        assert seqs == list(range(seqs[0], seqs[0] + len(seqs)))
 
 
 def test_pack_sequences_rejects_bad_context():
