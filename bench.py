@@ -154,10 +154,14 @@ def main() -> None:
         "reps": 2,
     }
     if errors:
+        # a partial total is NOT comparable with a complete round's total
+        # (a broken query reads as a speedup) — flag it loudly and exit
+        # nonzero while still emitting every surviving per-query number
         out["errors"] = errors
+        out["partial"] = True
     print(json.dumps(out))
-    if errors and not timings:
-        sys.exit(1)
+    if errors:
+        sys.exit(1 if not timings else 2)
 
 
 if __name__ == "__main__":

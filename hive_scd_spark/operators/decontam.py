@@ -75,6 +75,7 @@ def ngram_contamination(
     text_col_eval: str | None = None,
     n: int = 13,
     min_shared: int = 1,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Contaminated (train document, eval document) pairs with the count
     of shared distinct word *n*-grams.
@@ -82,6 +83,14 @@ def ngram_contamination(
     Output: ``(train_id, eval_id, n_shared)`` for every pair sharing at
     least *min_shared* distinct n-grams, ``n_shared`` descending order
     is up to the caller (the result is a plain DataFrame).
+
+    ``broadcast_eval=True`` (default) asserts the module contract that
+    *eval_df* is a bounded benchmark set — the hint keeps the corpus
+    side shuffle-free.  Callers screening against something that GROWS
+    with the corpus (another corpus split, a crawl) must pass
+    ``broadcast_eval=False``: the join then plans as a normal shuffle
+    join (AQE still broadcasts at runtime when the eval side turns out
+    small) instead of OOMing the driver on a forced broadcast.
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
@@ -89,7 +98,7 @@ def ngram_contamination(
     text_col_eval = text_col_eval or text_col
     tg = _doc_ngram_hashes(train, id_col, text_col, n, "train_id")
     eg = _doc_ngram_hashes(eval_df, eval_id_col, text_col_eval, n, "eval_id")
-    hits = tg.join(F.broadcast(eg), "__h")
+    hits = tg.join(F.broadcast(eg) if broadcast_eval else eg, "__h")
     return (
         hits.groupBy("train_id", "eval_id")
         .agg(F.count("*").alias("n_shared"))

@@ -318,10 +318,12 @@ def embedding_near_dup_pairs(
     from hive_scd_spark.operators.layout import fan_out
 
     df = fan_out(df)  # single-split inputs serialize the vector folds
-    if n_planes == "auto":
-        n_planes = auto_n_planes(df.count(), target_bucket)
-    elif not isinstance(n_planes, int):
+    if not (n_planes == "auto" or isinstance(n_planes, int)):
         raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
+    if use_lsh and n_planes == "auto":
+        # resolved only on the LSH path — the brute-force branch never
+        # reads n_planes, and the count here is a real corpus scan
+        n_planes = auto_n_planes(df.count(), target_bucket)
 
     # norms hoisted to the per-row projection: pairwise work is ONE dot
     # fold instead of three (higher-order fns are interpreted, not

@@ -144,9 +144,14 @@ def extract_image_features(
         )
     if strict and decoder == "stub":
         raise NotImplementedError(
-            "strict=True demands a real image decoder; Pillow is not "
-            "present in this environment — install it or use "
-            "strict=False for the deterministic stub"
+            "strict=True demands a real image decoder but decoder='stub' "
+            "was selected"
+            + (
+                "" if pil_available()
+                else " and Pillow is not importable here — install it"
+            )
+            + "; pass decoder='pil'/'auto' or strict=False for the "
+            "deterministic stub"
         )
     decode = pil_decode_image if decoder == "pil" else fake_decode_image
 
@@ -229,9 +234,14 @@ def extract_audio_features(
         )
     if strict and decoder == "stub":
         raise NotImplementedError(
-            "strict=True demands a real audio decoder; soundfile is not "
-            "present in this environment — install it or use strict=False "
-            "for the deterministic PCM16 stub"
+            "strict=True demands a real audio decoder but decoder='stub' "
+            "was selected"
+            + (
+                "" if soundfile_available()
+                else " and soundfile is not importable here — install it"
+            )
+            + "; pass decoder='soundfile'/'auto' or strict=False for the "
+            "deterministic PCM16 stub"
         )
     decode = soundfile_decode_audio if decoder == "soundfile" else fake_decode_audio
 

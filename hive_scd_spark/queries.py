@@ -1005,15 +1005,19 @@ def pack_sequences_ctx(spark, sf_dir):
 
 def decontam_ngram_overlap(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): 13-gram
-    word-level overlap between the training split (doc_id % 97 != 0)
-    and the held-out split (doc_id % 97 == 0) of the documents table.
-    The planted near-duplicates in the corpus guarantee real hits."""
+    word-level overlap between the training corpus and a BOUNDED
+    held-out set (doc_id % 97 == 0 AND doc_id < 97·200 — at most 200
+    benchmark docs at ANY scale factor, honoring the operator's
+    broadcast-eval contract; an unbounded corpus split would grow the
+    forced broadcast linearly with the data).  The planted
+    near-duplicates in the corpus guarantee real hits."""
     from hive_scd_spark.operators.decontam import ngram_contamination
 
     docs = t(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 97 * 200)
     return ngram_contamination(
-        docs.filter(F.col("doc_id") % 97 != 0),
-        docs.filter(F.col("doc_id") % 97 == 0),
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
         "doc_id",
         "text",
         n=13,
@@ -2155,8 +2159,8 @@ ORACLES["decontam_ngram_overlap"] = """
     ), g AS (SELECT DISTINCT doc_id, h FROM g0)
     SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
            CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) t
-    JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) e USING (h)
+    FROM (SELECT * FROM g WHERE NOT (doc_id % 97 = 0 AND doc_id < 19400)) t
+    JOIN (SELECT * FROM g WHERE doc_id % 97 = 0 AND doc_id < 19400) e USING (h)
     GROUP BY 1, 2
 """
 

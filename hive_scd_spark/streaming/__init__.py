@@ -170,15 +170,19 @@ def decontam_stream(
     corpus — so it stays bounded at any stream volume.  For an
     append-only document stream (each doc arrives once) the result
     equals batch ``ngram_contamination`` exactly (parity-pinned in
-    ``tests/test_streaming_r4.py``)."""
-    from hive_scd_spark.operators.decontam import _doc_ngram_hashes
+    ``tests/test_streaming_r4.py``).
 
-    eval_id_col = eval_id_col or id_col
-    sg = _doc_ngram_hashes(stream_df, id_col, text_col, n, "train_id")
-    eg = _doc_ngram_hashes(eval_df, eval_id_col, text_col, n, "eval_id")
-    hits = sg.join(F.broadcast(eg), "__h")
-    return (
-        hits.groupBy("train_id", "eval_id")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    Every operation in the batch operator is stream-compatible, so this
+    IS the batch operator applied to a streaming DataFrame — one body,
+    so batch fixes can never silently diverge from the parity contract."""
+    from hive_scd_spark.operators.decontam import ngram_contamination
+
+    return ngram_contamination(
+        stream_df,
+        eval_df,
+        id_col,
+        text_col,
+        eval_id_col=eval_id_col,
+        n=n,
+        min_shared=min_shared,
     )
