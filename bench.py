@@ -51,6 +51,7 @@ HEADLINE = [
     # round-5 training-pipeline operators
     "pack_sequences_ctx",
     "decontam_ngram_overlap",
+    "pipeline_corpus_to_sequences",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -69,6 +70,7 @@ ITERATIVE = {
     "shard_assignment",
     # distributed_prefix_sum collects per-partition totals at build time
     "pack_sequences_ctx",
+    "pipeline_corpus_to_sequences",
 }
 
 

@@ -1396,6 +1396,35 @@ def sample_top_n_per_group(spark, sf_dir):
     )
 
 
+def pipeline_corpus_to_sequences(spark, sf_dir):
+    """CAPSTONE: the full training-data pipeline as ONE lazy plan —
+    planted-dup corpus → exact dedup (canonical min-id per content
+    digest) → token-count quality filter (≥ 40 BPE-ish tokens) →
+    deterministic per-source cap (15, md5 rank) → concat-and-chunk
+    packing into 128-token sequences.  Four operators composing in a
+    single DataFrame proves the operator set is a pipeline, not a
+    collection; the oracle replays the whole chain in one SQL CTE."""
+    from hive_scd_spark.operators.dedup import exact_dedup
+    from hive_scd_spark.operators.pack import pack_sequences
+    from hive_scd_spark.operators.text import TOKEN_REGEX
+
+    corpus = _dup_corpus(spark, sf_dir)
+    uniq = exact_dedup(corpus, id_col="doc_id", text_col="text")
+    # canonical ids are always ORIGINAL ids (copies get +100000, min
+    # wins), so the source join is lossless
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    surv = (
+        uniq.join(docs, "doc_id")
+        .withColumn(
+            "n_tokens", F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).cast("long")
+        )
+        .filter(F.col("n_tokens") >= 40)
+    )
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    capped = surv.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= 15)
+    return pack_sequences(capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 128)
+
+
 def feature_histogram(spark, sf_dir):
     """Fixed-edge histogram via ``width_bucket`` — the feature-binning
     primitive.  One partial-aggregated groupBy on the bucket id; bucket
@@ -2067,7 +2096,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row predates the testdata regen; sample_deterministic holds green
     # r3+r4 rows and stays contract-checked out of window
     "events_window_counts": events_window_counts,
-    "feature_histogram": feature_histogram,
+    # r5 capstone: four operators composed in one plan — brand-new code
+    # takes the window slot from feature_histogram (green r3+r4+contract)
+    "pipeline_corpus_to_sequences": pipeline_corpus_to_sequences,
     # deduplication family
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2101,6 +2132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lead_ntile_orders": window_lead_ntile_orders,
     "join_left_outer_order_counts": join_left_outer_order_counts,
     "sample_deterministic": sample_deterministic,
+    "feature_histogram": feature_histogram,
     "sample_top_n_per_group": sample_top_n_per_group,
     "unpivot_part_metrics": unpivot_part_metrics,
     "subquery_correlated_max_order": subquery_correlated_max_order,
@@ -2128,6 +2160,42 @@ ORACLES["range_join_event_windows"] = f"""
 # transitive closure over the SAME LSH pair set the minhash oracle
 # produces, labeled by component minimum — the SQL form of
 # operators/cluster.dup_clusters' fixpoint
+ORACLES["pipeline_corpus_to_sequences"] = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+    ), canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM corpus
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ), surv AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n
+      FROM documents d JOIN canon USING (doc_id)
+      WHERE len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) >= 40
+    ), capped AS (
+      SELECT doc_id, n FROM (
+        SELECT doc_id, n,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM surv) WHERE rk <= 15
+    ), pre AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM capped
+    ), x AS (
+      SELECT doc_id, n, s,
+             unnest(range(s // 128, (s + n - 1) // 128 + 1)) AS seq_id
+      FROM pre
+    )
+    SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(GREATEST(0, seq_id*128 - s) AS BIGINT) AS slice_start,
+           CAST(LEAST(n, (seq_id+1)*128 - s)
+                - GREATEST(0, seq_id*128 - s) AS BIGINT) AS slice_len
+    FROM x
+"""
+
 ORACLES["sample_top_n_per_group"] = """
     WITH r AS (
       SELECT doc_id, source,
