@@ -88,3 +88,15 @@ def test_multimodal_uses_arrow_python(spark, sf_dir):
     plan = physical_plan(df)
     # the pandas path must be Arrow-vectorized, not row-pickled
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+def test_capstone_pipeline_plan_is_scale_safe(spark, sf_dir):
+    """The composed dedup→filter→cap→pack plan must stay a chain of
+    hash/window/broadcast operators — no nested-loop or cartesian
+    joins anywhere, and no row-at-a-time Python."""
+    from hive_scd_spark.queries import QUERIES
+
+    df = QUERIES["pipeline_corpus_to_sequences"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan_summary(df)["python_evals"] == 0
