@@ -97,7 +97,9 @@ def main() -> None:
     # Fault isolation (VERDICT r4 #2): one broken builder must never
     # erase the whole round's perf evidence.  A query that fails in
     # warm-up is skipped from the timed reps and reported in "errors";
-    # rc stays 0 unless EVERY query failed.
+    # the JSON line still carries every surviving timing, with
+    # "partial": true and rc 2 (rc 1 only when EVERYTHING failed) so a
+    # partial total can never be mistaken for a complete round's.
     errors: dict[str, str] = {}
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     for name in HEADLINE:

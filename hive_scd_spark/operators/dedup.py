@@ -311,19 +311,23 @@ def embedding_near_dup_pairs(
     bucket population ∝ N and candidate pairs ∝ N²/2^P — quadratic
     again (measured at 10×, SCALE_NOTES r5).  ``n_planes="auto"``
     computes ``ceil(log2(N / target_bucket))`` from a corpus count (one
-    count action at plan-build time, metadata-cheap) so the EXPECTED
-    bucket population stays ~*target_bucket* at any scale; raise
-    *n_bands* alongside to hold recall (the standard (r, b) trade)."""
+    count action at plan-build time, on the raw input so plain file
+    scans answer it from row-group metadata) so the EXPECTED bucket
+    population stays ~*target_bucket* at any scale; raise *n_bands*
+    alongside to hold recall (the standard (r, b) trade)."""
     from hive_scd_spark.functions import vector_norm
     from hive_scd_spark.operators.layout import fan_out
 
-    df = fan_out(df)  # single-split inputs serialize the vector folds
     if not (n_planes == "auto" or isinstance(n_planes, int)):
         raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
     if use_lsh and n_planes == "auto":
-        # resolved only on the LSH path — the brute-force branch never
-        # reads n_planes, and the count here is a real corpus scan
+        # resolved only on the LSH path (the brute-force branch never
+        # reads n_planes), and on the RAW input BEFORE fan_out — a
+        # count over the unmodified scan folds to parquet row-group
+        # metadata, where counting the repartitioned frame would
+        # execute the fan_out shuffle just to size the planes
         n_planes = auto_n_planes(df.count(), target_bucket)
+    df = fan_out(df)  # single-split inputs serialize the vector folds
 
     # norms hoisted to the per-row projection: pairwise work is ONE dot
     # fold instead of three (higher-order fns are interpreted, not

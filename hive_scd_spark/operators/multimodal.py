@@ -145,13 +145,13 @@ def extract_image_features(
     if strict and decoder == "stub":
         raise NotImplementedError(
             "strict=True demands a real image decoder but decoder='stub' "
-            "was selected"
+            "was selected; "
             + (
-                "" if pil_available()
-                else " and Pillow is not importable here — install it"
+                "pass decoder='pil'/'auto'"
+                if pil_available()
+                else "Pillow is not importable here — install it"
             )
-            + "; pass decoder='pil'/'auto' or strict=False for the "
-            "deterministic stub"
+            + ", or use strict=False for the deterministic stub"
         )
     decode = pil_decode_image if decoder == "pil" else fake_decode_image
 
@@ -235,13 +235,13 @@ def extract_audio_features(
     if strict and decoder == "stub":
         raise NotImplementedError(
             "strict=True demands a real audio decoder but decoder='stub' "
-            "was selected"
+            "was selected; "
             + (
-                "" if soundfile_available()
-                else " and soundfile is not importable here — install it"
+                "pass decoder='soundfile'/'auto'"
+                if soundfile_available()
+                else "soundfile is not importable here — install it"
             )
-            + "; pass decoder='soundfile'/'auto' or strict=False for the "
-            "deterministic PCM16 stub"
+            + ", or use strict=False for the deterministic PCM16 stub"
         )
     decode = soundfile_decode_audio if decoder == "soundfile" else fake_decode_audio
 

@@ -1,0 +1,42 @@
+"""Deterministic sampling primitives for training-data mixing.
+
+The hash-threshold row sampler lives inline in the query registry
+(``sample_deterministic`` — it is one filter expression); this module
+holds the group-wise primitive both the sampling gate and the capstone
+pipeline share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, id_col: str, n: int, rank_col: str | None = None
+) -> DataFrame:
+    """Keep at most *n* rows per *group_col*, chosen DETERMINISTICALLY:
+    rank within the group by ``md5(id)`` (a stable, layout- and
+    engine-independent order — the same trick as hash-threshold
+    sampling) with the id itself as tiebreak, keep rank ≤ n.
+
+    ``rank_col``: optionally keep the 1-based rank in the output under
+    this name; default drops it.
+
+    Scale note: the window shuffles by group and sorts each group, so
+    cost is bounded by the largest group's sort.  For pathological
+    single-group data compose with a hash prefilter
+    (``h % K < ceil(target/count·K)``) to cut the group before the
+    sort; at normal group cardinality the per-group sort is the right
+    plan and AQE handles moderate skew."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = W.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    out = df.withColumn("__cap_rk", F.row_number().over(w)).filter(
+        F.col("__cap_rk") <= n
+    )
+    if rank_col is None:
+        return out.drop("__cap_rk")
+    return out.withColumnRenamed("__cap_rk", rank_col)

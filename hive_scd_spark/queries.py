@@ -1381,18 +1381,12 @@ def sample_top_n_per_group(spark, sf_dir):
     md5(doc_id) (a stable, layout- and engine-independent order, same
     trick as sample_deterministic) and keep rank ≤ 20.
 
-    Scale note: the window shuffles by source and sorts each group, so
-    cost is bounded by the largest group's sort.  For pathological
-    single-source corpora compose with a hash prefilter
-    (``h % K < ceil(target/count*K)``) to cut the group before the
-    sort; at normal source cardinality the per-group sort is the right
-    plan and AQE handles moderate skew."""
+    Scale story in ``operators/sampling.py:cap_per_group``."""
+    from hive_scd_spark.operators.sampling import cap_per_group
+
     docs = t(spark, sf_dir, "documents")
-    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    return (
-        docs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    return cap_per_group(docs, "source", "doc_id", 20, rank_col="rk").select(
+        "doc_id", "source", F.col("rk").cast("long").alias("rk")
     )
 
 
@@ -1406,6 +1400,7 @@ def pipeline_corpus_to_sequences(spark, sf_dir):
     collection; the oracle replays the whole chain in one SQL CTE."""
     from hive_scd_spark.operators.dedup import exact_dedup
     from hive_scd_spark.operators.pack import pack_sequences
+    from hive_scd_spark.operators.sampling import cap_per_group
     from hive_scd_spark.operators.text import TOKEN_REGEX
 
     corpus = _dup_corpus(spark, sf_dir)
@@ -1420,8 +1415,7 @@ def pipeline_corpus_to_sequences(spark, sf_dir):
         )
         .filter(F.col("n_tokens") >= 40)
     )
-    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    capped = surv.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= 15)
+    capped = cap_per_group(surv, "source", "doc_id", 15)
     return pack_sequences(capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 128)
 
 

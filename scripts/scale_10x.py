@@ -69,6 +69,11 @@ def replicate_embeddings(spark, src_parquet: str, out_dir: str, n: int = 10):
         return
     base = spark.read.parquet(src_parquet)
     dim = len(base.select("embedding").first()[0])
+    # sign-flip in the table's OWN element type: negation is exact in
+    # both float32 and float64, so the isometry claim holds whichever
+    # representation the driver regenerated (list<float> or list<double>
+    # are both documented drift variants, tests/test_schema_drift.py)
+    elem = "float" if dict(base.dtypes)["embedding"] == "array<float>" else "double"
     shift = base.agg(F.max("vec_id")).first()[0] + 1
     parts = []
     for i in range(n):
@@ -82,8 +87,8 @@ def replicate_embeddings(spark, src_parquet: str, out_dir: str, n: int = 10):
                 "embedding",
                 F.zip_with(
                     "embedding",
-                    F.array(*[F.lit(s) for s in signs]).cast("array<float>"),
-                    lambda x, s: (x * s).cast("float"),
+                    F.array(*[F.lit(s) for s in signs]).cast(f"array<{elem}>"),
+                    lambda x, s: (x * s).cast(elem),
                 ),
             )
         parts.append(df)

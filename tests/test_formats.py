@@ -60,7 +60,7 @@ def test_all_formats_identical_scd_result(spark, tmp_path, as_of):
         df = _read(spark, path, fmt, as_of)
         results[fmt] = sorted(tuple(r) for r in df.select("id", "name", "grp", "bal").collect())
     base = results["parquet"]
-    assert len(base) == {(-1): 40, "2024-04-01": 40, None: 30}[as_of if as_of != -1 else -1]
+    assert len(base) == {-1: 40, "2024-04-01": 40, None: 30}[as_of]
     for fmt, rows in results.items():
         assert rows == base, fmt
     # the statements actually did something at each non-raw point

@@ -151,3 +151,26 @@ def test_embedding_lsh_auto_planes_scale_with_corpus(spark):
 
     with __import__("pytest").raises(ValueError, match="n_planes"):
         embedding_near_dup_pairs(vecs(8), use_lsh=True, n_planes="bogus")
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from hive_scd_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(100)], "id long, grp string"
+    )
+    out = cap_per_group(df, "grp", "id", 7, rank_col="rk").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append((r.rk, r.id))
+    assert set(by_grp) == {"src0", "src1", "src2"}
+    for grp, rows in by_grp.items():
+        assert sorted(r for r, _ in rows) == list(range(1, 8))
+    # determinism: same selection on a different partitioning
+    out2 = cap_per_group(df.repartition(13), "grp", "id", 7).collect()
+    assert sorted(r.id for r in out) == sorted(r.id for r in out2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be positive"):
+        cap_per_group(df, "grp", "id", 0)
