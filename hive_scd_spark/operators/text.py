@@ -180,3 +180,30 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Da
         F.array_max(hashes).alias("fp_max"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+# text-cleaning regexes — deliberately lookahead-free so Java regex
+# (Spark) and RE2 (DuckDB oracle) agree byte-for-byte
+URL_REGEX = r"https?://[^\s]+"
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+
+
+def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pre-training text hygiene as ONE codegen projection: strip URLs
+    and email addresses, collapse whitespace runs, trim.  Output keeps
+    the cleaned text plus the audit columns a pipeline filters/reports
+    on (flags + before/after lengths).  Order of operations is part of
+    the contract (URL → email → whitespace → trim) — the oracle
+    replays the identical regex sequence."""
+    t0 = F.col(text_col)
+    no_url = F.regexp_replace(t0, URL_REGEX, " ")
+    no_email = F.regexp_replace(no_url, EMAIL_REGEX, " ")
+    cleaned = F.trim(F.regexp_replace(no_email, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        (F.length(t0) != F.length(no_url)).cast("int").alias("had_url"),
+        (F.length(no_url) != F.length(no_email)).cast("int").alias("had_email"),
+        F.length(t0).cast("long").alias("n_chars_raw"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+    )

@@ -1040,6 +1040,37 @@ def decontam_ngram_overlap(spark, sf_dir):
     )
 
 
+def text_clean_normalize(spark, sf_dir):
+    """Pre-training text hygiene (operators/text.py:clean_text): URLs
+    and emails stripped, whitespace collapsed — over a corpus where
+    every 7th document gets a planted URL+email suffix so the removal
+    path is genuinely exercised (raw documents are clean).  Output is
+    the cleaned-text md5 + audit columns, value-checked end to end."""
+    from hive_scd_spark.operators.text import clean_text
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("  see https://example.com/x?q=1 or mail a.b@test.org  "),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = clean_text(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("had_url").cast("long").alias("had_url"),
+        F.col("had_email").cast("long").alias("had_email"),
+        "n_chars_raw",
+        "n_chars_clean",
+    )
+
+
 def text_quality_stats(spark, sf_dir):
     from hive_scd_spark.operators.text import quality_stats
 
@@ -2128,6 +2159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_deterministic": sample_deterministic,
     "feature_histogram": feature_histogram,
     "sample_top_n_per_group": sample_top_n_per_group,
+    "text_clean_normalize": text_clean_normalize,
     "unpivot_part_metrics": unpivot_part_metrics,
     "subquery_correlated_max_order": subquery_correlated_max_order,
     "text_token_count": text_token_count,
@@ -2154,6 +2186,36 @@ ORACLES["range_join_event_windows"] = f"""
 # transitive closure over the SAME LSH pair set the minhash oracle
 # produces, labeled by component minimum — the SQL form of
 # operators/cluster.dup_clusters' fixpoint
+ORACLES["text_clean_normalize"] = """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || '  see https://example.com/x?q=1 or mail a.b@test.org  '
+                  ELSE text END AS text
+      FROM documents
+    ), steps AS (
+      SELECT doc_id, text,
+             regexp_replace(text, 'https?://[^\\s]+', ' ', 'g') AS no_url
+      FROM aug
+    ), steps2 AS (
+      SELECT doc_id, text, no_url,
+             regexp_replace(no_url,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', ' ', 'g') AS no_email
+      FROM steps
+    ), fin AS (
+      SELECT doc_id, text, no_url, no_email,
+             trim(regexp_replace(no_email, '\\s+', ' ', 'g')) AS cleaned
+      FROM steps2
+    )
+    SELECT doc_id,
+           md5(cleaned) AS clean_md5,
+           CAST(len(text) <> len(no_url) AS BIGINT) AS had_url,
+           CAST(len(no_url) <> len(no_email) AS BIGINT) AS had_email,
+           CAST(len(text) AS BIGINT) AS n_chars_raw,
+           CAST(len(cleaned) AS BIGINT) AS n_chars_clean
+    FROM fin
+"""
+
 ORACLES["pipeline_corpus_to_sequences"] = """
     WITH corpus AS (
       SELECT doc_id, text FROM documents

@@ -312,3 +312,24 @@ def test_multimodal_frame_sampling_stride(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         chunk_payload(media, stride=0)
+
+
+def test_clean_text_strips_urls_emails_whitespace(spark):
+    from hive_scd_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.b/c?d=1 and  http://x.y  mid   text"),
+            (2, "mail me at first.last+tag@sub.domain.org please"),
+            (3, "plain   text\twith\n\nmessy   spacing"),
+            (4, "clean single line"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r for r in clean_text(df, "id", "text").collect()}
+    assert got[1].clean_text == "see and mid text" and got[1].had_url == 1
+    assert got[2].clean_text == "mail me at please" and got[2].had_email == 1
+    assert got[3].clean_text == "plain text with messy spacing"
+    assert got[3].had_url == 0 and got[3].had_email == 0
+    assert got[4].clean_text == "clean single line"
+    assert all(r.n_chars_clean == len(r.clean_text) for r in got.values())
