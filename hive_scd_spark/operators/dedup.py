@@ -294,6 +294,7 @@ def embedding_near_dup_pairs(
     n_bands: int = 1,
     dim: int | None = None,
     target_bucket: int = 32,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -311,10 +312,17 @@ def embedding_near_dup_pairs(
     bucket population ∝ N and candidate pairs ∝ N²/2^P — quadratic
     again (measured at 10×, SCALE_NOTES r5).  ``n_planes="auto"``
     computes ``ceil(log2(N / target_bucket))`` from a corpus count (one
-    count action at plan-build time, on the raw input so plain file
-    scans answer it from row-group metadata) so the EXPECTED bucket
-    population stays ~*target_bucket* at any scale; raise *n_bands*
-    alongside to hold recall (the standard (r, b) trade)."""
+    count action at plan-build time) so the EXPECTED bucket population
+    stays ~*target_bucket* at any scale; raise *n_bands* alongside to
+    hold recall (the standard (r, b) trade).
+
+    The auto count is CHEAP ONLY FOR RAW SCANS: a count over an
+    unmodified parquet scan folds to row-group metadata, but a
+    filtered/joined *df* pays a full pass — executed once for the count
+    and again inside the LSH job.  For non-scan inputs pass ``n_rows``
+    (an exact count isn't needed — the plane count only shifts at
+    powers of two of N/target, so any same-magnitude estimate yields
+    the identical integer)."""
     from hive_scd_spark.functions import vector_norm
     from hive_scd_spark.operators.layout import fan_out
 
@@ -325,8 +333,9 @@ def embedding_near_dup_pairs(
         # reads n_planes), and on the RAW input BEFORE fan_out — a
         # count over the unmodified scan folds to parquet row-group
         # metadata, where counting the repartitioned frame would
-        # execute the fan_out shuffle just to size the planes
-        n_planes = auto_n_planes(df.count(), target_bucket)
+        # execute the fan_out shuffle just to size the planes.  Callers
+        # with a filtered/joined input pass n_rows to skip the pass.
+        n_planes = auto_n_planes(n_rows if n_rows is not None else df.count(), target_bucket)
     df = fan_out(df)  # single-split inputs serialize the vector folds
 
     # norms hoisted to the per-row projection: pairwise work is ONE dot

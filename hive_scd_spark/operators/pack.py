@@ -40,7 +40,23 @@ def distributed_prefix_sum(
     range-partition on the order, cumsum within partitions, then offset
     each partition by the driver-side cumsum of per-partition totals —
     the collected counts are one row per shuffle partition, bounded by
-    cluster width, never by data volume."""
+    cluster width, never by data volume.
+
+    Two invariants this leans on, stated explicitly:
+
+    - **localCheckpoint is non-reliable storage** (executor-local
+      blocks, not the checkpoint dir): losing an executor AFTER the
+      totals were collected makes the returned DataFrame
+      unrecomputable — the job fails rather than silently recomputing
+      against a different partitioning (same failure mode, and same
+      rationale, as the checkpoint in ``cluster.dup_clusters``).  On a
+      cluster, rerun the job; reliable ``checkpoint()`` is the
+      opt-in alternative when the extra HDFS round-trip is worth it.
+    - **repartitionByRange assigns ascending key ranges to ascending
+      partition ids** (RangePartitioner's contract — partition i holds
+      keys < partition i+1's).  The driver-side offset accumulation in
+      pid order below IS the global order only because of this; the
+      pid-set sanity check guards the assumption loudly."""
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     work = df.withColumn("__val", val.cast("long"))
     parts = work.repartitionByRange(*order_cols)
@@ -59,6 +75,19 @@ def distributed_prefix_sum(
         with_pid.groupBy("__pid").agg(F.sum("__val").alias("__t")).collect(),
         key=lambda r: r["__pid"],
     )
+    # guard the RangePartitioner pid assumption: every observed pid must
+    # be a distinct int in [0, numPartitions) — gaps are fine (empty
+    # partitions produce no group), out-of-range or duplicate pids mean
+    # the partitioner contract changed and the offsets would be wrong
+    # (.rdd on the CHECKPOINTED frame — already materialized by the
+    # collect above, so this reads block metadata, no recompute)
+    n_parts = with_pid.rdd.getNumPartitions()
+    pids = [r["__pid"] for r in totals]
+    if len(set(pids)) != len(pids) or any(p < 0 or p >= n_parts for p in pids):
+        raise AssertionError(
+            f"repartitionByRange pid invariant violated: pids={pids}, "
+            f"numPartitions={n_parts}"
+        )
     offs, acc = [], 0
     for r in totals:
         offs.append((r["__pid"], acc))

@@ -21,6 +21,11 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def _tokens(text_col):
+    # tokenizer splits on \s, which Java extends to \x0B and RE2 does
+    # not — the oracle contract therefore assumes \x0B-free text (true
+    # of the synthetic corpus).  clean_text uses an explicit class
+    # (WS_CLASS) and is the sanctioned pre-step for corpora where the
+    # distinction matters.
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
@@ -183,8 +188,14 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Da
 
 
 # text-cleaning regexes — deliberately lookahead-free so Java regex
-# (Spark) and RE2 (DuckDB oracle) agree byte-for-byte
-URL_REGEX = r"https?://[^\s]+"
+# (Spark) and RE2 (DuckDB oracle) agree byte-for-byte.  Whitespace is an
+# EXPLICIT class rather than \s: Java's ASCII \s includes vertical tab
+# \x0B while RE2's does not, so \s would silently diverge on a corpus
+# containing \x0B.  The explicit class pins Java's (wider) definition in
+# both engines.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+NON_WS_CLASS = "[^ \\t\\n\\x0B\\f\\r]"
+URL_REGEX = rf"https?://{NON_WS_CLASS}+"
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 
 
@@ -194,11 +205,13 @@ def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the cleaned text plus the audit columns a pipeline filters/reports
     on (flags + before/after lengths).  Order of operations is part of
     the contract (URL → email → whitespace → trim) — the oracle
-    replays the identical regex sequence."""
+    replays the identical regex sequence, including the explicit
+    whitespace class (see WS_CLASS: \s itself differs on \x0B between
+    Java and RE2)."""
     t0 = F.col(text_col)
     no_url = F.regexp_replace(t0, URL_REGEX, " ")
     no_email = F.regexp_replace(no_url, EMAIL_REGEX, " ")
-    cleaned = F.trim(F.regexp_replace(no_email, r"\s+", " "))
+    cleaned = F.trim(F.regexp_replace(no_email, WS_CLASS + "+", " "))
     return df.select(
         F.col(id_col),
         cleaned.alias("clean_text"),

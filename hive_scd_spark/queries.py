@@ -2194,8 +2194,10 @@ ORACLES["text_clean_normalize"] = """
                   ELSE text END AS text
       FROM documents
     ), steps AS (
+      -- whitespace is an explicit class, not \\s: Java \\s includes
+      -- \\x0B, RE2 \\s does not (see operators/text.py WS_CLASS)
       SELECT doc_id, text,
-             regexp_replace(text, 'https?://[^\\s]+', ' ', 'g') AS no_url
+             regexp_replace(text, 'https?://[^ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS no_url
       FROM aug
     ), steps2 AS (
       SELECT doc_id, text, no_url,
@@ -2204,7 +2206,7 @@ ORACLES["text_clean_normalize"] = """
       FROM steps
     ), fin AS (
       SELECT doc_id, text, no_url, no_email,
-             trim(regexp_replace(no_email, '\\s+', ' ', 'g')) AS cleaned
+             trim(regexp_replace(no_email, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS cleaned
       FROM steps2
     )
     SELECT doc_id,

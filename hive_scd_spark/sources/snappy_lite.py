@@ -140,13 +140,23 @@ def _emit_one_copy(out: bytearray, offset: int, length: int) -> None:
         out += offset.to_bytes(4, "little")
 
 
+_HASH_MUL = 0x1E35A7BD  # the C implementation's multiplicative hash constant
+_MAX_TABLE_BITS = 14  # 16 K slots — memory is O(2^bits) ints, never O(n)
+
+
 def compress(data: bytes) -> bytes:
     """Greedy hash-table compressor over the public format: hash every
     4-byte prefix, on a match extend it maximally, emit the pending
     literal + a back-reference copy.  Runs (offset < length) encode as
     overlapping copies, exactly like the C implementation's output
-    shape.  O(n); any compliant decoder reads our output.  python-snappy
-    is still preferred when importable (``sources/avro.py`` hooks)."""
+    shape.  O(n) time and — like the C implementation — O(table) memory:
+    a fixed-size slot array indexed by a multiplicative hash of the
+    4-byte prefix, overwritten on collision (a collision just means a
+    missed match, never a wrong one — candidates are re-verified before
+    emitting a copy).  At the 16 MiB Avro block bound this is ≤ 16 K
+    ints, not one dict entry per input offset.  Any compliant decoder
+    reads our output.  python-snappy is still preferred when importable
+    (``sources/avro.py`` hooks)."""
     out = bytearray()
     n = len(data)
     v = n
@@ -157,18 +167,23 @@ def compress(data: bytes) -> bytes:
     if n < 4:
         _emit_literal(out, data, 0, n)
         return bytes(out)
-    table: dict[bytes, int] = {}
+    # size the table to the input (small blocks need few slots), capped
+    table_bits = min(_MAX_TABLE_BITS, max(8, (n - 1).bit_length()))
+    shift = 32 - table_bits
+    table = [-1] * (1 << table_bits)
     i = 0
     lit_start = 0
     limit = n - 3
     while i < limit:
-        key = data[i : i + 4]
-        cand = table.get(key)
-        table[key] = i
-        if cand is None:
+        u32 = int.from_bytes(data[i : i + 4], "little")
+        slot = ((u32 * _HASH_MUL) & 0xFFFFFFFF) >> shift
+        cand = table[slot]
+        table[slot] = i
+        # hash collision ⇒ cand's bytes may differ: verify before trusting
+        if cand < 0 or data[cand : cand + 4] != data[i : i + 4]:
             i += 1
             continue
-        # maximal extension of the guaranteed-4-byte match
+        # maximal extension of the verified-4-byte match
         match_len = 4
         max_len = n - i
         while match_len < max_len and data[cand + match_len] == data[i + match_len]:

@@ -267,3 +267,91 @@ def test_data_fingerprint_tracks_source_changes(tmp_path):
     f.write_bytes(b"v2-longer")  # size + mtime change
     fp2 = _data_fingerprint(str(d), "customer")
     assert fp1 != fp2
+
+
+# -- round-5 ADVICE pins -----------------------------------------------------
+
+
+def test_snappy_compress_table_is_bounded():
+    """compress() must not allocate per-input-offset state: the hash
+    table is a fixed-size slot array (≤ 2^_MAX_TABLE_BITS ints), so a
+    block-sized input costs O(table), not O(n) dict entries."""
+    from hive_scd_spark.sources import snappy_lite
+
+    assert snappy_lite._MAX_TABLE_BITS <= 16
+    # collision-heavy input (few distinct 4-grams, hostile to a bounded
+    # table) still round-trips — collisions may only cost ratio
+    data = (b"abcdabceabcfabcg" * 4096) + bytes(range(256)) * 64
+    assert snappy_lite.decompress(snappy_lite.compress(data)) == data
+
+
+def test_clean_text_vertical_tab_cross_engine(spark):
+    """\\x0B is whitespace in Java's \\s but not RE2's; clean_text pins
+    an explicit class so both engines collapse it identically."""
+    import duckdb
+    import pandas as pd
+
+    from hive_scd_spark.operators.text import clean_text
+
+    rows = [
+        (1, "a\x0Bb see https://x.io/p\x0Bq end"),
+        (2, "mail me@ex.org\tnow\x0B\x0Bok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["clean_text"] for r in clean_text(df, "doc_id", "text").collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = dict(
+        con.execute(
+            r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', ' ', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', ' ', 'g'),
+                     '[ \t\n\x0B\f\r]+', ' ', 'g'))
+            FROM t
+            """
+        ).fetchall()
+    )
+    assert got == oracle
+    # \x0B collapsed like whitespace AND terminates the URL token
+    assert "\x0b" not in got[1] and got[1] == "a b see q end"
+
+
+def test_embedding_lsh_accepts_precomputed_count(spark, monkeypatch):
+    """n_rows short-circuits the plan-build count() for non-scan inputs."""
+    from hive_scd_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "vec_id int, embedding array<double>"
+    )
+
+    def boom(self):
+        raise AssertionError("count() must not run when n_rows is given")
+
+    monkeypatch.setattr(type(df), "count", boom)
+    out = dedup.embedding_near_dup_pairs(
+        df, use_lsh=True, n_planes="auto", n_rows=1 << 20, target_bucket=32
+    )
+    assert set(out.columns) == {"id_a", "id_b", "cos"}
+
+
+def test_prefix_sum_pid_guard(spark):
+    """distributed_prefix_sum validates the RangePartitioner pid
+    contract (distinct pids within [0, numPartitions)) and still
+    produces the exact exclusive prefix sum."""
+    from pyspark.sql import functions as F
+
+    from hive_scd_spark.operators.pack import distributed_prefix_sum
+
+    rows = [(i, (i * 7) % 5 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, n int")
+    out = {
+        r["id"]: r["prefix"]
+        for r in distributed_prefix_sum(df, [F.asc("id")], "n").collect()
+    }
+    acc = 0
+    for i, n in rows:
+        assert out[i] == acc
+        acc += n
