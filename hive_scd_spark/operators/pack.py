@@ -88,17 +88,22 @@ def distributed_prefix_sum(
             f"repartitionByRange pid invariant violated: pids={pids}, "
             f"numPartitions={n_parts}"
         )
-    offs, acc = [], 0
-    for r in totals:
-        offs.append((r["__pid"], acc))
-        acc += r["__t"] or 0
-    offsets = df.sparkSession.createDataFrame(
-        offs or [(0, 0)], "__pid int, __offset bigint"
-    )
+    # literal-array offsets indexed by __pid — a projection, not a
+    # broadcast join (see shard.distributed_rank for the rationale and
+    # the measured fixed-overhead win); gaps from empty partitions hold
+    # the running value and are never read
+    max_pid = pids[-1] if pids else 0
+    arr, acc, it = [], 0, iter(totals)
+    nxt = next(it, None)
+    for pid in range(max_pid + 1):
+        arr.append(acc)
+        if nxt is not None and nxt["__pid"] == pid:
+            acc += nxt["__t"] or 0
+            nxt = next(it, None)
+    offset = F.element_at(F.lit(arr).cast("array<bigint>"), F.col("__pid") + 1)
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(name, F.col("__offset") + F.col("__isum") - F.col("__val"))
-        .drop("__pid", "__isum", "__offset", "__val")
+        local.withColumn(name, offset + F.col("__isum") - F.col("__val"))
+        .drop("__pid", "__isum", "__val")
     )
 
 
