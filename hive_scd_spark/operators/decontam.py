@@ -104,3 +104,47 @@ def ngram_contamination(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str | None = None,
+    text_col_eval: str | None = None,
+    n: int = 13,
+    min_shared: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The pipeline last mile: the SURVIVING training corpus — every
+    *train* row except those sharing at least *min_shared* distinct
+    word *n*-grams with ANY *eval_df* document (the pair-level detail
+    is :func:`ngram_contamination`; this collapses it to the filter a
+    data pipeline actually consumes).
+
+    The removal is a ``left_anti`` join against the distinct
+    contaminated-id set.  No forced broadcast: the contaminated set is
+    usually tiny but is corpus-bounded, not benchmark-bounded (one
+    viral benchmark sentence can flag millions of documents), so the
+    plan stays a shuffle anti-join and AQE demotes it to broadcast at
+    runtime when the set turns out small — the same OOM-aware last-mile
+    shape as ``cluster.canonical_docs``.  Parameters forward to
+    :func:`ngram_contamination` unchanged (see its docstring for the
+    ``broadcast_eval`` contract)."""
+    hits = (
+        ngram_contamination(
+            train,
+            eval_df,
+            id_col,
+            text_col,
+            eval_id_col=eval_id_col,
+            text_col_eval=text_col_eval,
+            n=n,
+            min_shared=min_shared,
+            broadcast_eval=broadcast_eval,
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(hits, id_col, "left_anti")

@@ -1424,11 +1424,15 @@ def sample_top_n_per_group(spark, sf_dir):
 def pipeline_corpus_to_sequences(spark, sf_dir):
     """CAPSTONE: the full training-data pipeline as ONE lazy plan —
     planted-dup corpus → exact dedup (canonical min-id per content
-    digest) → token-count quality filter (≥ 40 BPE-ish tokens) →
-    deterministic per-source cap (15, md5 rank) → concat-and-chunk
-    packing into 128-token sequences.  Four operators composing in a
-    single DataFrame proves the operator set is a pipeline, not a
-    collection; the oracle replays the whole chain in one SQL CTE."""
+    digest) → benchmark exclusion + 13-gram decontamination (the
+    bounded eval set of decontam_ngram_overlap; members dropped by id,
+    near-copies dropped by shared-gram screen) → token-count quality
+    filter (≥ 40 BPE-ish tokens) → deterministic per-source cap (15,
+    md5 rank) → concat-and-chunk packing into 128-token sequences.
+    Five operators composing in a single DataFrame proves the operator
+    set is a pipeline, not a collection; the oracle replays the whole
+    chain — including the gram screen — in one SQL CTE."""
+    from hive_scd_spark.operators.decontam import decontaminate
     from hive_scd_spark.operators.dedup import exact_dedup
     from hive_scd_spark.operators.pack import pack_sequences
     from hive_scd_spark.operators.sampling import cap_per_group
@@ -1436,11 +1440,18 @@ def pipeline_corpus_to_sequences(spark, sf_dir):
 
     corpus = _dup_corpus(spark, sf_dir)
     uniq = exact_dedup(corpus, id_col="doc_id", text_col="text")
-    # canonical ids are always ORIGINAL ids (copies get +100000, min
-    # wins), so the source join is lossless
+    # the bounded benchmark set (same contract as decontam_ngram_overlap:
+    # ≤200 docs at any sf, honoring the broadcast-eval contract)
+    is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 97 * 200)
+    eval_df = t(spark, sf_dir, "documents").select("doc_id", "text").filter(is_eval)
+    # benchmark members leave by id (canonical ids are always ORIGINAL
+    # ids — copies get +100000, min wins — so the id test is exact);
+    # contaminated near-copies leave by the 13-gram screen
+    train = uniq.filter(~is_eval)
+    clean = decontaminate(train, eval_df, "doc_id", "text", n=13)
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     surv = (
-        uniq.join(docs, "doc_id")
+        clean.join(docs, "doc_id")
         .withColumn(
             "n_tokens", F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).cast("long")
         )
@@ -2226,11 +2237,28 @@ ORACLES["pipeline_corpus_to_sequences"] = """
     ), canon AS (
       SELECT MIN(doc_id) AS doc_id FROM corpus
       GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    ), w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, CAST(len(w) AS BIGINT) - 11), i ->
+                 ('0x' || substring(md5(array_to_string(w[i:i+12], ' ')), 1, 15))::BIGINT)) AS h
+        FROM w WHERE len(w) >= 13)
+    ), contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT * FROM g WHERE NOT (doc_id % 97 = 0 AND doc_id < 19400)) t
+      JOIN (SELECT * FROM g WHERE doc_id % 97 = 0 AND doc_id < 19400) e USING (h)
     ), surv AS (
       SELECT d.doc_id, d.source,
              CAST(len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n
       FROM documents d JOIN canon USING (doc_id)
-      WHERE len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) >= 40
+      WHERE NOT (d.doc_id % 97 = 0 AND d.doc_id < 19400)
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) >= 40
     ), capped AS (
       SELECT doc_id, n FROM (
         SELECT doc_id, n,

@@ -174,3 +174,34 @@ def test_cap_per_group_deterministic_and_bounded(spark):
 
     with _pytest.raises(ValueError, match="n must be positive"):
         cap_per_group(df, "grp", "id", 0)
+
+
+def test_decontaminate_removes_hits_keeps_rest(spark):
+    """decontaminate = train minus any doc sharing >=min_shared
+    13-grams with the eval set; survivors keep ALL their columns."""
+    from hive_scd_spark.operators.decontam import decontaminate
+
+    base = " ".join(f"w{i}" for i in range(20))  # 20 words, shares 13-grams
+    train = spark.createDataFrame(
+        [
+            (1, base + " tail one", "s1"),       # contaminated (prefix overlap)
+            (2, "completely different words " * 5, "s2"),  # clean
+            (3, "short doc", "s3"),              # <13 words: no grams, clean
+        ],
+        "doc_id int, text string, source string",
+    )
+    eval_df = spark.createDataFrame([(100, base + " other ending")], "doc_id int, text string")
+    out = decontaminate(train, eval_df, "doc_id", "text", n=13)
+    assert set(out.columns) == {"doc_id", "text", "source"}
+    assert {r["doc_id"] for r in out.collect()} == {2, 3}
+
+
+def test_decontaminate_min_shared_threshold(spark):
+    """min_shared above the actual overlap keeps the document."""
+    from hive_scd_spark.operators.decontam import decontaminate
+
+    words = " ".join(f"w{i}" for i in range(13))  # exactly one 13-gram
+    train = spark.createDataFrame([(1, words)], "doc_id int, text string")
+    eval_df = spark.createDataFrame([(9, words)], "doc_id int, text string")
+    assert decontaminate(train, eval_df, "doc_id", "text", min_shared=2).count() == 1
+    assert decontaminate(train, eval_df, "doc_id", "text", min_shared=1).count() == 0
