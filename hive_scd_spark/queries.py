@@ -996,6 +996,30 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def dedup_embedding_lsh_auto(spark, sf_dir):
+    """The SCALE-CRITICAL variant of dedup_embedding_lsh: n_planes is
+    COMPUTED from the corpus size (``ceil(log2(N/target_bucket))``,
+    clamped ≥2) rather than passed as a literal — the sizing rule that
+    keeps expected bucket population constant as N grows (fixed planes
+    ⇒ candidates ∝ N², measured at 10×, SCALE_NOTES r5).  The oracle
+    derives the SAME plane count from ``COUNT(*)`` in SQL, so the
+    auto-sizing itself — not just a frozen parameterization — is
+    value-checked end-to-end at every scale factor."""
+    from hive_scd_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        use_lsh=True,
+        n_planes="auto",
+        n_bands=4,
+        dim=64,
+        target_bucket=32,
+    )
+
+
 def text_token_count(spark, sf_dir):
     """Whitespace + BPE-ish-regex token counting."""
     from hive_scd_spark.operators.text import token_counts
@@ -1625,6 +1649,36 @@ buckets AS (SELECT vec_id, {band_sel}
 
 _LSH_BUCKET_CTE = _lsh_bucket_cte(8, 64)
 
+
+def _lsh_bucket_cte_auto(dim: int, n_bands: int, target_bucket: int) -> str:
+    """The dynamic-resolution replica of :func:`_lsh_bucket_cte`: the
+    plane count per band is DERIVED FROM THE DATA inside the SQL —
+    ``GREATEST(2, CEIL(LOG2(GREATEST(N,2)/target)))`` over
+    ``COUNT(*) FROM embeddings`` — mirroring
+    ``operators.dedup.auto_n_planes`` term for term (both engines
+    evaluate IEEE log2/ceil on the same double, so the derived integer
+    is identical).  This makes the auto-sizing path itself
+    oracle-checkable at every scale factor with ONE static SQL
+    string."""
+    return f"""
+params AS (SELECT GREATEST(2, CAST(CEIL(LOG2(
+             CAST(GREATEST((SELECT COUNT(*) FROM embeddings), 2) AS DOUBLE)
+             / {max(target_bucket, 1)})) AS BIGINT)) AS np),
+planes AS (SELECT p, d,
+                  ('0x'||substr(md5(p::VARCHAR||'_'||d::VARCHAR),1,8))::BIGINT
+                    / 4294967296.0 - 0.5 AS w
+           FROM (SELECT unnest(range((SELECT np * {n_bands} FROM params))) AS p),
+                (SELECT unnest(range({dim})) AS d)),
+dots AS (SELECT e.vec_id, pl.p,
+                SUM(CAST(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS dot
+         FROM embeddings e, planes pl GROUP BY 1, 2),
+buckets AS (SELECT vec_id, p // (SELECT np FROM params) AS band,
+                   SUM(CASE WHEN dot > 0
+                            THEN 1::BIGINT << (p % (SELECT np FROM params))
+                            ELSE 0 END) AS bucket
+            FROM dots GROUP BY vec_id, band)
+"""
+
 EXT_ORACLES: dict[str, str] = {
     "dedup_exact": """
         WITH corpus AS (
@@ -1637,6 +1691,18 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_embedding_lsh": f"""
         WITH {_lsh_bucket_cte(4, 64, n_bands=4)},
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM buckets x JOIN buckets y
+                   ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.vec_id < y.vec_id)
+        SELECT cd.id_a, cd.id_b, {_COS_SQL} AS cos
+        FROM cand cd
+        JOIN embeddings q ON q.vec_id = cd.id_a
+        JOIN embeddings c ON c.vec_id = cd.id_b
+        WHERE {_COS_SQL} >= 0.35
+    """,
+    "dedup_embedding_lsh_auto": f"""
+        WITH {_lsh_bucket_cte_auto(64, 4, 32)},
         cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                  FROM buckets x JOIN buckets y
                    ON x.band = y.band AND x.bucket = y.bucket
@@ -2178,6 +2244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "knn_brute_force": knn_brute_force,
+    "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
