@@ -217,6 +217,7 @@ def scd_update_chain_preimage(spark, sf_dir):
 _H2_SCRIPT = """\
 UPDATE orders SET o_orderpriority = CASEWHEN(o_orderpriority = '1-URGENT', '0-EXPEDITE', o_orderpriority), o_orderdate = DATEADD('DAY', 2, o_orderdate) WHERE o_orderstatus = 'O';
 UPDATE orders SET o_orderpriority = NVL(o_orderpriority, 'none') || '+h2' WHERE DATEDIFF('DAY', o_orderdate, TIMESTAMP '1997-01-01 00:00:00') > 0;
+UPDATE orders SET o_orderpriority = CONCAT(o_orderpriority, NULL, CASEWHEN(INSTR(o_orderpriority, 'U', 2) > 0, '*U', '')) WHERE REGEXP_LIKE(o_orderpriority, '^[123]-', 'i');
 DELETE FROM orders WHERE CASEWHEN(o_totalprice > 450000.0, TRUE, FALSE);
 """
 
@@ -225,8 +226,10 @@ def scd_h2_dialect(spark, sf_dir):
     """H2-dialect `.updates` script through the compat shim
     (``updates.translate_h2``; the reference evaluates fragments with
     H2, ``SQLUpdater.java:77``): CASEWHEN → if, DATEADD('DAY',…) →
-    timestampadd, DATEDIFF('DAY',…) → timestampdiff, plus H2-isms that
-    are already valid Spark (NVL, ``||``).  Pre-image semantics of the
+    timestampadd, DATEDIFF('DAY',…) → timestampdiff, CONCAT with H2's
+    NULL-skipping semantics, 3-arg INSTR → locate (arg swap), flagged
+    REGEXP_LIKE folded to Java embedded flags — plus H2-isms that are
+    already valid Spark (NVL, ``||``).  Pre-image semantics of the
     two-column SET in statement 1 are part of the check."""
     out = apply_statements(t(spark, sf_dir, "orders"), _H2_SCRIPT, as_of=None)
     return out.select(
@@ -2009,9 +2012,22 @@ ORACLES: dict[str, str] = {
                       THEN COALESCE(o_orderpriority, 'none') || '+h2'
                       ELSE o_orderpriority END AS o_orderpriority,
                  o_orderdate, o_totalprice
-          FROM s1)
+          FROM s1),
+        -- statement 3: CONCAT (NULL-skipping) + 3-arg INSTR (locate
+        -- from position 2, emulated via substr) + REGEXP_LIKE 'i' flag
+        s3 AS (
+          SELECT o_orderkey,
+                 CASE WHEN regexp_matches(o_orderpriority, '(?i)^[123]-')
+                      THEN COALESCE(o_orderpriority, '') || '' ||
+                           COALESCE(CASE WHEN (CASE WHEN strpos(substr(o_orderpriority, 2), 'U') > 0
+                                               THEN strpos(substr(o_orderpriority, 2), 'U') + 1
+                                               ELSE 0 END) > 0
+                                    THEN '*U' ELSE '' END, '')
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_orderdate, o_totalprice
+          FROM s2)
         SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS odate
-        FROM s2
+        FROM s3
         WHERE NOT (o_totalprice > 450000.0)
     """,
     "scd_partitioned_updates": """

@@ -312,11 +312,17 @@ def _unquote(ident: str) -> str:
 # NVL2, IFNULL, DECODE, ||, CURRENT_DATE, CURDATE, CHAR, LOCATE, ...);
 # the shim below rewrites the common H2-isms that are NOT, and loudly
 # rejects the unmappable ones instead of leaking a raw Spark analysis
-# error.  Every rewrite targets a form that is an analysis ERROR in
-# Spark today (CASEWHEN(...), DATEADD('DAY', ...), bare SYSDATE), so
-# valid Spark fragments can never be altered — the one caveat is an
-# unquoted column literally named `sysdate`, which must be double-quoted
-# to escape the keyword rewrite (as it would in H2 itself).
+# error.  Almost every rewrite targets a form that is an analysis ERROR
+# in Spark today (CASEWHEN(...), DATEADD('DAY', ...), bare SYSDATE,
+# 3-arg INSTR, 3-arg REGEXP_LIKE), so valid Spark fragments can never
+# be altered.  Two documented exceptions where the H2 meaning WINS over
+# a form Spark would also accept (the fragment dialect is H2 — the
+# reference hands these strings to the H2 engine, so H2 semantics are
+# the compatibility contract):
+#   - CONCAT(...): H2 treats NULL args as '' while Spark nulls the
+#     whole result — rewritten to concat(coalesce(x, ''), ...);
+#   - an unquoted column literally named `sysdate`, which must be
+#     double-quoted to escape the keyword rewrite (as in H2 itself).
 
 _H2_TIME_UNITS = frozenset(
     {
@@ -346,6 +352,55 @@ def _leading_unit(text: str, start: int) -> tuple[str, int] | None:
     return None
 
 
+def _call_args(text: str, open_idx: int) -> tuple[list[str], int]:
+    """Split the argument list of the call whose ``(`` is at *open_idx*
+    into top-level-comma-separated pieces, respecting string literals,
+    quoted identifiers, and nested parens.  Returns (args, index after
+    the closing paren)."""
+    n = len(text)
+    depth = 0
+    args: list[str] = []
+    cur = open_idx + 1
+    i = open_idx
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch in ('"', "`"):
+            j = text.find(ch, i + 1)
+            i = (n if j < 0 else j) + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append(text[cur:i])
+                return args, i + 1
+        elif ch == "," and depth == 1:
+            args.append(text[cur:i])
+            cur = i + 1
+        i += 1
+    raise ScdScriptError(f"unbalanced parentheses in fragment: {text!r}")
+
+
+# H2 REGEXP_LIKE flag chars → Java embedded-flag chars (both engines
+# compile java.util.regex underneath, so the embedded form is exact):
+# 'i' case-insensitive → (?i); 'n' dot-matches-newline → (?s) [Java
+# DOTALL]; 'm' multiline → (?m); 'c' case-sensitive is the default →
+# no embedded flag.  Anything else is rejected loudly.
+_H2_REGEX_FLAG_MAP = {"i": "i", "n": "s", "m": "m", "c": ""}
+
+
 def translate_h2(fragment: str) -> str:
     """Rewrite H2-dialect constructs in a SET/WHERE fragment to Spark
     SQL.  String literals and quoted identifiers pass through verbatim.
@@ -357,6 +412,20 @@ def translate_h2(fragment: str) -> str:
     - ``DATEDIFF('DAY', a, b)`` → ``timestampdiff(DAY, a, b)`` (same
       guard; Spark's own 2-arg ``datediff`` is untouched)
     - bare ``SYSDATE`` → ``current_timestamp()``
+    - ``CONCAT(a, b, ...)`` → ``concat(coalesce(a, ''), ...)`` — H2
+      skips NULL arguments where Spark nulls the whole result; the H2
+      meaning wins because `.updates` fragments are H2 dialect
+    - ``INSTR(s, sub, start)`` (3-arg) → ``locate(sub, s, start)``
+      (Spark ``instr`` is 2-arg only; 2-arg INSTR is untouched —
+      identical semantics, 1-based, 0 when absent)
+    - ``REGEXP_LIKE(s, p, 'flags')`` (3-arg) → 2-arg ``regexp_like``
+      with the flags folded into the pattern as Java embedded flags
+      (``(?i)`` etc. — both engines run java.util.regex, so this is
+      exact); non-literal or unknown flags → :class:`ScdScriptError`.
+      2-arg REGEXP_LIKE is untouched (already valid Spark)
+    - ``LOCATE`` / ``IFNULL`` / ``NVL`` / ``NVL2`` / ``DECODE`` /
+      ``||`` need no rewrite — identical in both dialects (within the
+      supported type universe) — and are covered by the fuzz corpus
     - ``CURTIME`` / ``CURRENT_TIME`` → :class:`ScdScriptError` (Spark
       has no TIME type — fail with a dialect-specific message)
     """
@@ -418,6 +487,56 @@ def translate_h2(fragment: str) -> str:
                 )
                 i = after
                 continue
+        if lw == "concat" and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) < 2 or any(not a.strip() for a in args):
+                raise ScdScriptError(
+                    f"H2 CONCAT needs >= 2 non-empty arguments: {fragment!r}"
+                )
+            out.append(
+                "concat("
+                + ", ".join(f"coalesce({translate_h2(a.strip())}, '')" for a in args)
+                + ")"
+            )
+            i = after
+            continue
+        if lw == "instr" and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) == 3:
+                s, sub, start = (translate_h2(a.strip()) for a in args)
+                out.append(f"locate({sub}, {s}, {start})")
+                i = after
+                continue
+            # 2-arg INSTR is Spark's own instr — fall through untouched
+        if lw == "regexp_like" and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) == 3:
+                flag_lit = re.fullmatch(r"'([A-Za-z]*)'", args[2].strip())
+                if flag_lit is None:
+                    raise ScdScriptError(
+                        f"H2 REGEXP_LIKE flags must be a string literal "
+                        f"(got {args[2].strip()!r}): {fragment!r}"
+                    )
+                emb = []
+                for c in flag_lit.group(1).lower():
+                    if c not in _H2_REGEX_FLAG_MAP:
+                        raise ScdScriptError(
+                            f"unsupported H2 REGEXP_LIKE flag {c!r} "
+                            f"(supported: i, c, n, m): {fragment!r}"
+                        )
+                    if _H2_REGEX_FLAG_MAP[c]:
+                        emb.append(_H2_REGEX_FLAG_MAP[c])
+                s = translate_h2(args[0].strip())
+                p = translate_h2(args[1].strip())
+                if emb:
+                    out.append(
+                        f"regexp_like({s}, concat('(?{''.join(emb)})', {p}))"
+                    )
+                else:
+                    out.append(f"regexp_like({s}, {p})")
+                i = after
+                continue
+            # 2-arg REGEXP_LIKE is already valid Spark — untouched
         out.append(word)
         i = j
     return "".join(out)

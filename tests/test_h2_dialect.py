@@ -132,3 +132,95 @@ def test_reference_lexer_negative_asof_skips_predirective_tail():
     assert _scan_statements_reference(incomplete, as_of_ms=-1) == []
     with pytest.raises(ScdScriptError, match="Incomplete"):
         _scan_statements_reference(incomplete, as_of_ms=0)
+
+
+# -- round-6 shim growth: CONCAT / INSTR / REGEXP_LIKE / pass-throughs -------
+
+
+def test_concat_null_semantics_rewrite():
+    got = translate_h2("CONCAT(a, 'x', b)")
+    assert got == "concat(coalesce(a, ''), coalesce('x', ''), coalesce(b, ''))"
+
+
+def test_concat_nested_h2_construct_translated_inside():
+    got = translate_h2("Concat(CASEWHEN(a = 1, 'y', 'n'), b)")
+    assert got == "concat(coalesce(if(a = 1, 'y', 'n'), ''), coalesce(b, ''))"
+
+
+def test_concat_inside_string_literal_untouched():
+    assert translate_h2("x = 'use CONCAT(a,b) here'") == "x = 'use CONCAT(a,b) here'"
+
+
+def test_concat_too_few_args_rejected():
+    with pytest.raises(ScdScriptError, match="CONCAT"):
+        translate_h2("CONCAT(a)")
+
+
+def test_instr_two_arg_untouched():
+    assert translate_h2("INSTR(s, 'x')") == "INSTR(s, 'x')"
+
+
+def test_instr_three_arg_swaps_to_locate():
+    assert translate_h2("INSTR(s, 'x', 3)") == "locate('x', s, 3)"
+    # nested commas in args split at top level only
+    assert (
+        translate_h2("instr(CASEWHEN(a=1, s, t), 'x', 2)")
+        == "locate('x', if(a=1, s, t), 2)"
+    )
+
+
+def test_regexp_like_two_arg_untouched():
+    assert translate_h2("REGEXP_LIKE(s, 'a.c')") == "REGEXP_LIKE(s, 'a.c')"
+
+
+def test_regexp_like_flags_fold_to_embedded():
+    assert (
+        translate_h2("REGEXP_LIKE(s, 'a.c', 'i')")
+        == "regexp_like(s, concat('(?i)', 'a.c'))"
+    )
+    # 'n' is Java DOTALL, 'c' is the default (no embedded flag)
+    assert (
+        translate_h2("regexp_like(s, p, 'in')")
+        == "regexp_like(s, concat('(?is)', p))"
+    )
+    assert translate_h2("regexp_like(s, p, 'c')") == "regexp_like(s, p)"
+
+
+def test_regexp_like_bad_flags_rejected():
+    with pytest.raises(ScdScriptError, match="flags must be a string literal"):
+        translate_h2("regexp_like(s, p, f)")
+    with pytest.raises(ScdScriptError, match="unsupported H2 REGEXP_LIKE flag"):
+        translate_h2("regexp_like(s, p, 'ix')")
+
+
+def test_locate_ifnull_nvl_pass_through():
+    for frag in (
+        "LOCATE('x', s)",
+        "LOCATE('x', s, 2)",
+        "IFNULL(a, 'd')",
+        "NVL(a, 'd')",
+        "NVL2(a, b, c)",
+        "a || b",
+    ):
+        assert translate_h2(frag) == frag
+
+
+def test_concat_h2_semantics_end_to_end(spark):
+    """The rewritten CONCAT must produce H2's NULL-skipping result when
+    Spark evaluates it."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("x", None)], "a string, b string")
+    frag = translate_h2("CONCAT(a, b, '!')")
+    got = df.select(F.expr(frag).alias("r")).collect()[0]["r"]
+    assert got == "x!"  # H2 skips the NULL; raw Spark concat would be NULL
+
+
+def test_regexp_like_flags_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("AbC\ndef",)], "s string")
+    frag = translate_h2("REGEXP_LIKE(s, 'abc', 'i')")
+    assert df.select(F.expr(frag).alias("r")).collect()[0]["r"] is True
+    frag2 = translate_h2("REGEXP_LIKE(s, 'C.d', 'in')")
+    assert df.select(F.expr(frag2).alias("r")).collect()[0]["r"] is True

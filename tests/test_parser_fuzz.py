@@ -7,6 +7,8 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from hive_scd_spark.updates import parse_script
 
 ident = st.sampled_from(["a", "b", "col_x", "Val1"])
@@ -109,3 +111,73 @@ def test_fuzz_compat_reference_agrees_on_quote_free_scripts(data):
     if len(tables) > 1:
         return
     assert parse_script(text) == parse_script(text, compat="reference")
+
+
+# -- H2 function-corpus fuzz (round 6) ---------------------------------------
+# Every fragment the grammar below generates is legal H2; translate_h2
+# must either emit a fragment Spark can ANALYZE or raise ScdScriptError
+# loudly — never leak an unparseable/ambiguous rewrite.
+
+_str_expr = st.sampled_from(["a", "b", "'lit''x'", "NULL"])
+_int_expr = st.sampled_from(["1", "3", "0"])
+_pat_lit = st.sampled_from(["'a.c'", "'^x'", "'[0-9]+'"])
+_good_flags = st.sampled_from(["'i'", "'c'", "'m'", "'n'", "'im'", "'in'", "''"])
+
+
+@st.composite
+def h2_fragment(draw):
+    kind = draw(
+        st.sampled_from(
+            ["concat", "instr2", "instr3", "locate", "ifnull", "nvl",
+             "regexp2", "regexp3", "casewhen", "nested"]
+        )
+    )
+    e1, e2 = draw(_str_expr), draw(_str_expr)
+    i1 = draw(_int_expr)
+    p = draw(_pat_lit)
+    if kind == "concat":
+        return f"CONCAT({e1}, {e2})"
+    if kind == "instr2":
+        return f"INSTR({e1}, {e2})"
+    if kind == "instr3":
+        return f"INSTR({e1}, {e2}, {i1})"
+    if kind == "locate":
+        return f"LOCATE({e2}, {e1}, {i1})"
+    if kind == "ifnull":
+        return f"IFNULL({e1}, {e2})"
+    if kind == "nvl":
+        return f"NVL({e1}, {e2})"
+    if kind == "regexp2":
+        return f"REGEXP_LIKE({e1}, {p})"
+    if kind == "regexp3":
+        return f"REGEXP_LIKE({e1}, {p}, {draw(_good_flags)})"
+    if kind == "casewhen":
+        return f"CASEWHEN({e1} = {e2}, {e1}, {e2})"
+    # one level of nesting: H2 construct inside an H2 construct
+    return f"CONCAT(CASEWHEN({e1} = {e2}, {e1}, 'n'), INSTR({e1}, {e2}, {i1}))"
+
+
+@settings(max_examples=60, deadline=None)
+@given(frag=h2_fragment())
+def test_fuzz_h2_corpus_translates_to_analyzable_spark(frag, spark):
+    from hive_scd_spark.updates import ScdScriptError, translate_h2
+
+    try:
+        out = translate_h2(frag)
+    except ScdScriptError:
+        return  # loud rejection is a valid outcome
+    # Spark must parse AND analyze the rewrite (schema access resolves
+    # the plan driver-side; no job runs)
+    spark.sql(f"SELECT {out} AS r FROM VALUES ('x', 'y') AS t(a, b)").schema
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    flag=st.sampled_from(["'x'", "'iz'", "'q'"]),
+    pat=_pat_lit,
+)
+def test_fuzz_h2_bad_regexp_flags_always_loud(flag, pat):
+    from hive_scd_spark.updates import ScdScriptError, translate_h2
+
+    with pytest.raises(ScdScriptError):
+        translate_h2(f"REGEXP_LIKE(a, {pat}, {flag})")

@@ -101,9 +101,11 @@ def test_update_multi_assignment_with_exprs():
         "UPDATE t SET price = price * 1.1, name = concat(name, '!') "
         "WHERE qty BETWEEN 2 AND 9;"
     )
+    # CONCAT gets H2 NULL-skipping semantics regardless of case — the
+    # fragment dialect is H2 (see translate_h2's documented exception)
     assert stmt.sets == (
         ("price", "price * 1.1"),
-        ("name", "concat(name, '!')"),
+        ("name", "concat(coalesce(name, ''), coalesce('!', ''))"),
     )
     assert stmt.where == "qty BETWEEN 2 AND 9"
 
