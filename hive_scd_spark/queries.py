@@ -1030,6 +1030,19 @@ def text_token_count(spark, sf_dir):
     return token_counts(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def text_lang_id_ngram(spark, sf_dir):
+    """Character-trigram profile language ID (operators/text.py:
+    lang_id_ngram) — the deterministic, dependency-free model path.
+    The oracle replays the SAME embedded profiles from a VALUES list,
+    so the classification itself (argmax + tiebreak + confidence) is
+    value-checked, not just row counts.  Quality on real multilingual
+    text is pinned in pytest; the synthetic corpus's lang label is
+    text-independent by construction (documented in the operator)."""
+    from hive_scd_spark.operators.text import lang_id_ngram
+
+    return lang_id_ngram(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def pack_sequences_ctx(spark, sf_dir):
     """Concat-and-chunk sequence packing (operators/pack.py): documents
     concatenated in doc_id order, sliced into 512-token training
@@ -2261,6 +2274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "knn_brute_force": knn_brute_force,
     "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
+    "text_lang_id_ngram": text_lang_id_ngram,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -2280,6 +2294,45 @@ ORACLES["range_join_event_windows"] = f"""
 # transitive closure over the SAME LSH pair set the minhash oracle
 # produces, labeled by component minimum — the SQL form of
 # operators/cluster.dup_clusters' fixpoint
+def _lang_id_ngram_oracle() -> str:
+    """DuckDB replica of operators.text.lang_id_ngram: the SAME
+    embedded trigram profiles as a VALUES list (quote-escaped), the
+    same padded-distinct-trigram extraction, the same argmax with
+    declaration-order tiebreak — the classification is value-checked,
+    not just reproduced in shape."""
+    from hive_scd_spark.operators.text import LANG_PROFILES
+
+    rows = ", ".join(
+        "({o}, '{lang}', '{g}')".format(o=o, lang=lang, g=g.replace("'", "''"))
+        for o, lang in enumerate(LANG_PROFILES)
+        for g in LANG_PROFILES[lang]
+    )
+    return f"""
+    WITH prof(ord, lang, g) AS (VALUES {rows}),
+    tri AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(len(p) - 2, 1) + 1),
+                           i -> substr(p, i, 3))) AS tris
+      FROM (SELECT doc_id, ' ' || lower(coalesce(text, '')) || ' ' AS p
+            FROM documents)
+    ),
+    x AS (SELECT doc_id, unnest(tris) AS g FROM tri),
+    scores AS (SELECT x.doc_id, p.ord, p.lang, COUNT(*) AS s
+               FROM x JOIN prof p USING (g) GROUP BY 1, 2, 3),
+    pick AS (SELECT doc_id, lang, s,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, ord) AS rk
+             FROM scores)
+    SELECT t.doc_id,
+           COALESCE(p.lang, 'und') AS pred_lang,
+           COALESCE(ROUND(CAST(p.s AS DOUBLE) / len(t.tris), 6), 0.0) AS confidence
+    FROM tri t
+    LEFT JOIN (SELECT * FROM pick WHERE rk = 1) p USING (doc_id)
+    """
+
+
+ORACLES["text_lang_id_ngram"] = _lang_id_ngram_oracle()
+
 ORACLES["text_clean_normalize"] = """
     WITH aug AS (
       SELECT doc_id,

@@ -333,3 +333,43 @@ def test_clean_text_strips_urls_emails_whitespace(spark):
     assert got[3].had_url == 0 and got[3].had_email == 0
     assert got[4].clean_text == "clean single line"
     assert all(r.n_chars_clean == len(r.clean_text) for r in got.values())
+
+
+def test_lang_id_ngram_real_multilingual_text(spark):
+    """The trigram-profile model must classify real sentences in all
+    four profiled languages correctly — this, not synthetic-corpus
+    label agreement (the testdata lang column is text-independent by
+    construction), is the quality pin."""
+    from hive_scd_spark.operators.text import lang_id_ngram
+
+    rows = [
+        (1, "The weather was terrible yesterday but the children still "
+            "went outside to play with their friends in the park", "en"),
+        (2, "Das Wetter war gestern schrecklich aber die Kinder sind "
+            "trotzdem nach draußen gegangen um mit ihren Freunden zu spielen", "de"),
+        (3, "Le temps était terrible hier mais les enfants sont quand "
+            "même sortis pour jouer avec leurs amis dans le parc", "fr"),
+        (4, "El tiempo estaba terrible ayer pero los niños salieron de "
+            "todos modos para jugar con sus amigos en el parque", "es"),
+        (5, "Yesterday morning we decided that it would be better to "
+            "wait until everyone could come along for the trip", "en"),
+        (6, "Wir haben gestern beschlossen dass es besser wäre zu warten "
+            "bis alle mitkommen können weil das schöner ist", "de"),
+        (7, "Nous avons décidé hier qu'il serait mieux d'attendre que "
+            "tout le monde puisse venir avec nous pour le voyage", "fr"),
+        (8, "Ayer decidimos que sería mejor esperar hasta que todos "
+            "pudieran venir con nosotros para el viaje", "es"),
+        (9, "", None),  # degenerate: no trigrams -> und
+    ]
+    df = spark.createDataFrame(
+        [(i, txt) for i, txt, _ in rows], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: (r["pred_lang"], r["confidence"])
+           for r in lang_id_ngram(df, "doc_id", "text").collect()}
+    for i, _txt, want in rows:
+        pred, conf = got[i]
+        if want is None:
+            assert pred == "und" and conf == 0.0
+        else:
+            assert pred == want, (i, pred, want, conf)
+            assert conf > 0.15  # real text overlaps its profile heavily
