@@ -2229,10 +2229,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_revenue": q5_local_supplier_revenue,
-    "q6_revenue_forecast": q6_revenue_forecast,
+    # r6 rotation (VERDICT r5 task 1): the four r5 operators that had
+    # only local contract-log evidence take window slots from four
+    # triple-green veterans (q6_revenue_forecast,
+    # agg_percentiles_per_segment, pivot_nation_by_segment,
+    # json_props_stats — green r3+r4+r5, now contract-checked >50)
+    "text_clean_normalize": text_clean_normalize,
     # aggregation surface
     "agg_grouping_sets": agg_grouping_sets,
-    "agg_percentiles_per_segment": agg_percentiles_per_segment,
+    "sample_top_n_per_group": sample_top_n_per_group,
     "agg_distinct_parts_per_supplier": agg_distinct_parts_per_supplier,
     "agg_filtered_event_stats": agg_filtered_event_stats,
     # window functions
@@ -2245,11 +2250,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_full_outer_period_activity": join_full_outer_period_activity,
     "asof_join_click_purchase": asof_join_click_purchase,
     "range_join_event_windows": range_join_event_windows,
-    # set ops / pivot / arrays / subqueries / JSON / sampling
-    "setop_intersect_except": setop_intersect_except,
-    "pivot_nation_by_segment": pivot_nation_by_segment,
-    "array_functions_showcase": array_functions_showcase,
-    "json_props_stats": json_props_stats,
+    # r6 new gates (never driver-checked) take the slots of
+    # setop_intersect_except / array_functions_showcase (green
+    # r3+r4+r5); the remaining two r5 rotation targets fill the
+    # pivot/json slots
+    "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
+    "multimodal_audio_features": multimodal_audio_features,
+    "text_lang_id_ngram": text_lang_id_ngram,
+    "multimodal_frame_sample": multimodal_frame_sample,
     # r5 additions: training-pipeline packing + decontamination — never
     # driver-checked before, so they take window slots from the
     # multiply-verified unpivot/correlated-subquery entries (r3+r4 green)
@@ -2297,17 +2305,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_outer_order_counts": join_left_outer_order_counts,
     "sample_deterministic": sample_deterministic,
     "feature_histogram": feature_histogram,
-    "sample_top_n_per_group": sample_top_n_per_group,
-    "text_clean_normalize": text_clean_normalize,
     "unpivot_part_metrics": unpivot_part_metrics,
     "subquery_correlated_max_order": subquery_correlated_max_order,
     "text_token_count": text_token_count,
     "multimodal_image_features": multimodal_image_features,
-    "multimodal_audio_features": multimodal_audio_features,
-    "multimodal_frame_sample": multimodal_frame_sample,
     "knn_brute_force": knn_brute_force,
-    "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
-    "text_lang_id_ngram": text_lang_id_ngram,
+    # r6 rotation: displaced multiply-green veterans — every one stays
+    # DuckDB-verified by scripts/check_contract.py each round
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "agg_percentiles_per_segment": agg_percentiles_per_segment,
+    "pivot_nation_by_segment": pivot_nation_by_segment,
+    "json_props_stats": json_props_stats,
+    "setop_intersect_except": setop_intersect_except,
+    "array_functions_showcase": array_functions_showcase,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
