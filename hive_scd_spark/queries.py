@@ -514,13 +514,16 @@ def window_topk_parts_per_brand(spark, sf_dir):
 
 def window_running_supplier_revenue(spark, sf_dir):
     """Running sum per supplier — frame order fully determined, so FP
-    accumulation order (and thus the hash) matches any engine."""
+    accumulation order (and thus the hash) matches any engine.
+
+    The synthetic lineitem is NOT keyed by (l_orderkey, l_linenumber) —
+    sf0.1 carries 118k duplicated pairs with DIFFERENT prices (caught
+    round 6: tied order keys let each engine assign the tied rows'
+    prefixes arbitrarily, and the running-sum multiset diverged on one
+    tie).  The value itself joins the ORDER BY as the final tiebreak:
+    rows still tied are then bit-identical, so whichever one an engine
+    visits first, the prefix multiset is the same."""
     li = t(spark, sf_dir, "lineitem")
-    w = (
-        W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     # integer-exact accumulation: engines differ both in FP summation
     # strategy and in double→decimal rounding mode, so running doubles
     # drift at the cent.  floor(x*100 + 0.5) is a pure double op with
@@ -528,6 +531,11 @@ def window_running_supplier_revenue(spark, sf_dir):
     cents = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("bigint")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", cents)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return li.select(
         "l_suppkey",
         "l_orderkey",
@@ -2161,7 +2169,8 @@ ORACLES: dict[str, str] = {
         SELECT l_suppkey, l_orderkey, l_linenumber,
                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) OVER (
                  PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                          CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS running_revenue_cents
         FROM lineitem
