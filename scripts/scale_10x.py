@@ -198,21 +198,80 @@ def main():
             threshold=0.35, use_lsh=True, n_planes=4, n_bands=4, dim=64,
         )
 
+    def emb_lsh_auto_gate(emb):
+        # the scale-correct sizing: planes grow ~log2(N), bucket
+        # population constant — contrast with the fixed-plane gate above
+        return embedding_near_dup_pairs(
+            emb, "vec_id", "embedding",
+            threshold=0.35, use_lsh=True, n_planes="auto", n_bands=4, dim=64,
+        )
+
+    from hive_scd_spark.operators.decontam import ngram_contamination
+    from hive_scd_spark.operators.pack import pack_sequences
+
+    def pack_gate(docs):
+        toks = docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        )
+        return pack_sequences(toks, "doc_id", "n_tokens", 512)
+
+    def decontam_gate(docs):
+        # eval side stays the replica-0 bounded benchmark (<=200 docs)
+        # while the corpus grows 10x — the operator's design contract
+        is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 97 * 200)
+        return ngram_contamination(
+            docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", n=13
+        )
+
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
-        ("dedup_cluster_assign (pairs+CC)", cluster_gate, docs1, docs10),
-        ("shard_assignment (rank+LPT)", shard_gate, docs1, docs10),
+        ("dedup_cluster_assign", cluster_gate, docs1, docs10),
+        ("shard_assignment", shard_gate, docs1, docs10),
         ("range_join_event_windows", range_gate, ev1, ev10),
         ("text_bm25_topk", bm25_gate, docs1, docs10),
-        ("ivf_cosine_topk (stride IVF)", ivf_gate, emb1, emb10),
-        ("ann_lsh_topk (hyperplane LSH)", ann_gate, emb1, emb10),
-        ("dedup_embedding_lsh (banded pairs)", emb_lsh_gate, emb1, emb10),
+        ("ivf_cosine_topk", ivf_gate, emb1, emb10),
+        ("ann_lsh_topk", ann_gate, emb1, emb10),
+        ("dedup_embedding_lsh_fixed4", emb_lsh_gate, emb1, emb10),
+        ("dedup_embedding_lsh_auto", emb_lsh_auto_gate, emb1, emb10),
+        ("pack_sequences", pack_gate, docs1, docs10),
+        ("decontam_ngram_overlap", decontam_gate, docs1, docs10),
     ]
+    # Fault-isolated protocol (same contract as bench.py): one broken
+    # gate never erases the round's scaling evidence — it lands in
+    # "errors", the JSON still carries every surviving ratio, "partial"
+    # is flagged and rc 2 (rc 1 only when everything failed).
+    import json
+
+    results: dict[str, dict] = {}
+    errors: dict[str, str] = {}
     for label, fn, d1, d10 in experiments:
-        fn(d1).write.format("noop").mode("overwrite").save()  # warm shape
-        t1 = min(timed(f"{label} @1x", lambda: fn(d1)) for _ in range(2))
-        t10 = min(timed(f"{label} @10x", lambda: fn(d10)) for _ in range(2))
-        print(f"{label:55s} 10x/1x ratio = {t10 / t1:5.2f}")
+        try:
+            fn(d1).write.format("noop").mode("overwrite").save()  # warm shape
+            t1 = min(timed(f"{label} @1x", lambda: fn(d1)) for _ in range(2))
+            t10 = min(timed(f"{label} @10x", lambda: fn(d10)) for _ in range(2))
+            ratio = round(t10 / t1, 2)
+            print(f"{label:55s} 10x/1x ratio = {ratio:5.2f}")
+            results[label] = {
+                "t1": round(t1, 3), "t10": round(t10, 3), "ratio": ratio,
+            }
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+            errors[label] = f"{type(exc).__name__}: {msg[:300]}"
+    out = {
+        "metric": "scale10x_ratios",
+        "unit": "sec",
+        "sf_base": os.path.basename(sf_dir.rstrip("/")),
+        "replication": 10,
+        "reps": 2,
+        "queries": results,
+    }
+    if errors:
+        out["errors"] = errors
+        out["partial"] = True
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1 if not results else 2)
 
 
 if __name__ == "__main__":
