@@ -1528,18 +1528,24 @@ def pipeline_corpus_to_sequences(spark, sf_dir):
     eval_df = t(spark, sf_dir, "documents").select("doc_id", "text").filter(is_eval)
     # benchmark members leave by id (canonical ids are always ORIGINAL
     # ids — copies get +100000, min wins — so the id test is exact);
-    # contaminated near-copies leave by the 13-gram screen
+    # contaminated near-copies leave by the 13-gram screen.  The token
+    # filter runs BEFORE the screen: the two are independent row
+    # filters on the same rows (they commute — the surviving set and
+    # the oracle are identical either way), and filtering first means
+    # the 13-gram hashing only touches documents that can actually be
+    # packed — the cheap regexp_count prunes the expensive
+    # split/slice/md5 pipeline's input.
     train = uniq.filter(~is_eval)
-    clean = decontaminate(train, eval_df, "doc_id", "text", n=13)
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     surv = (
-        clean.join(docs, "doc_id")
+        train.join(docs, "doc_id")
         .withColumn(
             "n_tokens", F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).cast("long")
         )
         .filter(F.col("n_tokens") >= 40)
     )
-    capped = cap_per_group(surv, "source", "doc_id", 15)
+    clean = decontaminate(surv, eval_df, "doc_id", "text", n=13)
+    capped = cap_per_group(clean, "source", "doc_id", 15)
     return pack_sequences(capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 128)
 
 
