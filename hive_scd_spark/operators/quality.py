@@ -1,0 +1,205 @@
+"""Corpus-quality filters for pre-training pipelines: Gopher-style
+repetition statistics and a CCNet-style unigram language-model score.
+
+Both operators follow the house rules: the per-document path is pure
+built-in column expressions (one codegen projection, no Python on the
+hot path), and anything corpus-global is a bounded aggregate that
+broadcasts back (the BM25 stats pattern, text_rank.py:33).
+
+Design sources are public: the repetition filters mirror the
+Gopher/MassiveText quality rules (Rae et al. 2021, §A1.1 — duplicate
+line fraction, top n-gram fraction) and the LM scoring mirrors CCNet's
+"score documents with a language model trained on trusted text"
+(Wenzek et al. 2020), reduced to a unigram model so the whole thing is
+expressible as two corpus passes and a broadcast join instead of an
+external model file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ws_tokens(text_col):
+    """Lowercased whitespace tokens (same contract as text._tokens —
+    assumes \\x0B-free text; clean_text is the sanctioned pre-step)."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, line_sep: str = "\n"
+) -> DataFrame:
+    """Gopher-style repetition features, one row per document:
+
+    - ``n_lines`` — non-empty lines (split on *line_sep*)
+    - ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line (1 - distinct/total)
+    - ``dup_line_char_frac`` — fraction of line characters inside those
+      repeats (the actual MassiveText rule: a doc is dropped when >30 %
+      of its *characters* sit in duplicated lines)
+    - ``top_token_frac`` — fraction of tokens equal to the most
+      frequent token
+    - ``top_bigram_frac`` — fraction of word bigrams equal to the most
+      frequent bigram (deviation from Gopher noted: token-count
+      fraction, not character fraction)
+    - ``repetitive`` — 1 when dup_line_char_frac > 0.30 or
+      top_bigram_frac > 0.18 (the published thresholds)
+
+    Everything is row-local higher-order functions — no shuffle, no
+    UDF; the plan is one codegen projection over the scan.  The mode
+    computations are O(distinct × n) per row, which is fine for
+    documents (n ≈ tokens per doc); for pathological million-token rows
+    truncate first (``substring``) as any real quality pass does.
+    """
+    lines_raw = F.split(F.col(text_col), line_sep)
+    lines = F.filter(lines_raw, lambda x: F.length(F.trim(x)) > 0)
+    toks = _ws_tokens(text_col)
+
+    work = df.select(
+        F.col(id_col), lines.alias("__lines"), toks.alias("__toks")
+    )
+    lines_c, toks_c = F.col("__lines"), F.col("__toks")
+    n_lines = F.size(lines_c)
+    dlines = F.array_distinct(lines_c)
+    n_dup = n_lines - F.size(dlines)
+    line_chars = F.aggregate(lines_c, F.lit(0), lambda a, x: a + F.length(x))
+    # chars inside repeated lines: for each distinct line, (count-1)·len
+    dup_chars = F.aggregate(
+        dlines,
+        F.lit(0),
+        lambda a, g: a
+        + (F.size(F.filter(lines_c, lambda x: x == g)) - 1) * F.length(g),
+    )
+    n_toks = F.size(toks_c)
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(toks_c),
+            lambda g: F.size(F.filter(toks_c, lambda x: x == g)),
+        )
+    )
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_toks - 1),
+            lambda i: F.concat(
+                F.element_at(toks_c, i), F.lit(" "), F.element_at(toks_c, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    work = work.withColumn("__bi", bigrams)
+    bi_c = F.col("__bi")
+    n_bi = F.size(bi_c)
+    top_bi = F.array_max(
+        F.transform(
+            F.array_distinct(bi_c),
+            lambda g: F.size(F.filter(bi_c, lambda x: x == g)),
+        )
+    )
+
+    def frac(num, den):
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(0.0), 6
+        )
+
+    dup_line_frac = frac(n_dup, n_lines)
+    dup_line_char_frac = frac(dup_chars, line_chars)
+    top_token_frac = frac(F.coalesce(top_tok, F.lit(0)), n_toks)
+    top_bigram_frac = frac(F.coalesce(top_bi, F.lit(0)), n_bi)
+    return work.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        ((dup_line_char_frac > 0.30) | (top_bigram_frac > 0.18))
+        .cast("int")
+        .alias("repetitive"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 1000
+) -> DataFrame:
+    """CCNet-style LM quality proxy with a corpus-derived unigram model:
+
+    1. one corpus pass counts tokens (map-side partial agg, shuffle is
+       vocabulary-bounded, not corpus-bounded);
+    2. the top-*vocab_size* tokens by (count desc, token asc — a
+       deterministic tie-break) become the model, broadcast to
+       executors (bounded: vocab_size rows, metadata-sized);
+    3. a second pass scores every document:
+       ``avg over tokens of ln(count(tok)/total)``, where OOV tokens
+       get the floor count 1 (add-nothing smoothing — deterministic and
+       oracle-replayable, unlike fitted discounts).
+
+    Output: (id, n_tokens, n_oov, oov_frac, avg_logprob) — higher
+    avg_logprob = more "ordinary" text under the corpus distribution;
+    pipelines threshold it exactly like CCNet's perplexity buckets.
+
+    Scale: the only corpus-sized shuffles are the token count (combiner
+    reduces it to |vocab| rows) and the per-doc groupBy; the vocab and
+    the 1-row total are broadcast.  No Python anywhere.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    toks_df = df.select(
+        F.col(id_col), F.explode(_ws_tokens(text_col)).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    counts = toks_df.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    total_df = counts.agg(F.sum("__cnt").cast("double").alias("__total"))
+    vocab = counts.orderBy(F.col("__cnt").desc(), F.col("__tok")).limit(vocab_size)
+    scored = (
+        toks_df.join(F.broadcast(vocab), on="__tok", how="left")
+        .join(F.broadcast(total_df))
+        .withColumn("__c", F.coalesce(F.col("__cnt"), F.lit(1)).cast("double"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__cnt").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(F.avg(F.log(F.col("__c") / F.col("__total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_frac"),
+            "avg_logprob",
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, k: int = 25
+) -> DataFrame:
+    """Corpus-wide top-*k* word *n*-grams with counts — the standard
+    corpus-inspection report (and the input to stopword/boilerplate
+    discovery).  Plan shape: row-local gram construction → explode →
+    partial-agg count (combiner collapses the shuffle to |distinct
+    grams|) → TakeOrdered top-k (count desc, gram asc: deterministic).
+    """
+    if n < 1 or k < 1:
+        raise ValueError(f"n and k must be positive, got n={n} k={k}")
+    toks = _ws_tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(k)
+        .select("ngram", F.col("cnt").cast("long").alias("cnt"))
+    )

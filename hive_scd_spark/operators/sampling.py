@@ -40,3 +40,47 @@ def cap_per_group(
     if rank_col is None:
         return out.drop("__cap_rk")
     return out.withColumnRenamed("__cap_rk", rank_col)
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    cum_col: str | None = None,
+) -> DataFrame:
+    """Keep rows per *group_col* until a TOKEN budget is spent — the
+    data-mixing primitive real training runs use (mixture weights are
+    token budgets per source, not document counts; cf.
+    :func:`cap_per_group` for the count-based variant).
+
+    Rows are visited in the same deterministic md5(id) order as
+    ``cap_per_group``; a row is kept iff the tokens consumed BEFORE it
+    are still under *budget*, so the row that straddles the boundary is
+    kept (budget is a floor: every group with ≥ budget tokens yields
+    ≥ budget tokens; truncate downstream if an exact cut matters —
+    that is the packing operator's job, not the sampler's).
+
+    ``cum_col``: optionally keep the tokens-consumed-before audit
+    column under this name.
+
+    Scale note: one window shuffle by group + per-group sort, same
+    bound as ``cap_per_group`` (largest group's sort).  The cumulative
+    sum is ROWS UNBOUNDED PRECEDING → 1 PRECEDING — a running frame,
+    no O(n²) re-aggregation.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    out = df.withColumn("__cap_before", before).filter(
+        F.col("__cap_before") < budget
+    )
+    if cum_col is None:
+        return out.drop("__cap_before")
+    return out.withColumnRenamed("__cap_before", cum_col)

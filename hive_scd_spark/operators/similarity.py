@@ -458,3 +458,45 @@ def ann_cosine_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
     )
+
+
+def quantize_embeddings(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric int8 quantization per vector — the standard 4× memory
+    reduction before an ANN index is built or shipped (FAISS SQ8 /
+    scalar-quantization; public technique).  Per row:
+
+    - ``scale = max(|x|) / 127`` (symmetric, zero-point-free)
+    - ``q[i] = floor(x[i]/scale + 0.5)`` clamped to [-127, 127]
+      (round-half-up, spelled as floor arithmetic so Spark and the
+      DuckDB oracle evaluate the IDENTICAL IEEE expression — ``round``
+      half-even vs half-up conventions differ between engines)
+
+    Output: (id, scale, q) with scale rounded to 9 places for the
+    value-hash; q is exact integers.  All-zero vectors quantize to
+    all-zero with scale 0.
+
+    Scale: one codegen projection, no shuffle; dequantization is
+    ``q[i]·scale``, and downstream cosine on int8 codes is the usual
+    int-dot + per-vector scale product.
+    """
+    x = F.col(vec_col)
+    vmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = vmax / F.lit(127.0)
+    q = F.when(
+        vmax > 0,
+        F.transform(
+            x,
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(v.cast("double") / scale + F.lit(0.5)).cast("int"),
+                ),
+            ),
+        ),
+    ).otherwise(F.transform(x, lambda v: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        q.alias("q"),
+    )

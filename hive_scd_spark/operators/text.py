@@ -314,7 +314,7 @@ EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 
 
 def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Pre-training text hygiene as ONE codegen projection: strip URLs
+    r"""Pre-training text hygiene as ONE codegen projection: strip URLs
     and email addresses, collapse whitespace runs, trim.  Output keeps
     the cleaned text plus the audit columns a pipeline filters/reports
     on (flags + before/after lengths).  Order of operations is part of
@@ -333,4 +333,88 @@ def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (F.length(no_url) != F.length(no_email)).cast("int").alias("had_email"),
         F.length(t0).cast("long").alias("n_chars_raw"),
         F.length(cleaned).cast("long").alias("n_chars_clean"),
+    )
+
+
+# PII patterns — same cross-engine contract as clean_text: lookahead-free,
+# no \s/\b-divergent constructs beyond word boundaries (\b agrees between
+# Java and RE2 on ASCII word chars, which is all these patterns touch).
+# Phone alternation covers the two shapes a redaction pass conventionally
+# targets: +CC-prefixed international runs and (NNN) NNN-NNNN US style.
+IPV4_REGEX = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+PHONE_REGEX = r"\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}|\([0-9]{3}\) [0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction as ONE codegen projection: replace emails, phone
+    numbers, and IPv4 addresses with typed placeholder tokens
+    (``<EMAIL>``/``<PHONE>``/``<IP>``) and report per-kind counts for
+    the audit trail a compliance pass needs.
+
+    Order of operations is part of the contract (email → phone → IP) —
+    notably the IP count runs AFTER email removal so a numeric mail
+    domain (``user@10.0.0.1``) redacts as one email, not email+IP.  The
+    oracle replays the identical regex sequence; counts come from
+    ``regexp_count`` on the same intermediate the replacement ran on.
+
+    Scale: row-local regex over the scan, no shuffle, no UDF — the
+    plan cost is the regex engine, identical at sf0.01 and 100 TB.
+    """
+    t0 = F.col(text_col)
+    no_email = F.regexp_replace(t0, EMAIL_REGEX, "<EMAIL>")
+    no_phone = F.regexp_replace(no_email, PHONE_REGEX, "<PHONE>")
+    redacted = F.regexp_replace(no_phone, IPV4_REGEX, "<IP>")
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted_text"),
+        F.regexp_count(t0, F.lit(EMAIL_REGEX)).cast("long").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PHONE_REGEX)).cast("long").alias("n_phones"),
+        F.regexp_count(no_phone, F.lit(IPV4_REGEX)).cast("long").alias("n_ips"),
+    )
+
+
+def chunk_text_tokens(
+    df: DataFrame, id_col: str, text_col: str, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document's token
+    stream into overlapping chunks of *window* tokens advancing by
+    *stride* (overlap = window - stride).  The retrieval counterpart of
+    ``pack.pack_sequences`` (which packs WITHOUT overlap for training):
+    same 1→N explode shape, different windowing contract.
+
+    Output one row per (doc, chunk): chunk index, first-token offset,
+    chunk token count (the tail chunk may be short), and the chunk
+    text itself.  Chunk count for n tokens is
+    ``1 + ceil((n - window)/stride)`` (one chunk when n ≤ window) —
+    all-integer arithmetic, so the oracle replays it exactly.
+
+    Scale: row-local transform + explode; output size is
+    n/stride rows per doc, no shuffle introduced.  Token slicing uses
+    ``F.slice`` (clips at the array end, matching DuckDB list slices).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be positive, got {window}/{stride}")
+    if stride > window:
+        # stride > window would leave token gaps AND can produce an empty
+        # trailing chunk; gapped sampling is pack/sampling territory
+        raise ValueError(f"stride ({stride}) must be <= window ({window})")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    work = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        (n - window + stride - 1) / stride + 1
+    ).cast("int")
+    work = work.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    chunk = F.slice(F.col("__toks"), start + 1, window)
+    return work.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
     )

@@ -1642,6 +1642,143 @@ def shard_assignment(spark, sf_dir):
     )
 
 
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition screen (operators/quality.py:
+    repetition_stats) over a corpus with PLANTED line structure: every
+    run of 6 words becomes a line (the flat synthetic text has no
+    newlines), and every 5th document re-appends its first line twice
+    so the duplicate-line metrics are genuinely exercised."""
+    from hive_scd_spark.operators.quality import repetition_stats
+
+    docs = t(spark, sf_dir, "documents")
+    lined = F.regexp_replace(F.col("text"), r"(([^ ]+ ){5}[^ ]+) ", "$1\n")
+    first = F.regexp_extract(lined, r"^[^\n]*", 0)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(lined, F.lit("\n"), first, F.lit("\n"), first),
+        )
+        .otherwise(lined)
+        .alias("text"),
+    )
+    out = repetition_stats(planted, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_token_frac",
+        "top_bigram_frac",
+        F.col("repetitive").cast("long").alias("repetitive"),
+    )
+
+
+def text_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality score (operators/quality.py:
+    unigram_logprob): corpus-derived top-30 vocabulary (the synthetic
+    corpus has 31 distinct tokens, so the rarest genuinely exercises
+    the OOV floor), broadcast back, per-doc mean log-probability."""
+    from hive_scd_spark.operators.quality import unigram_logprob
+
+    out = unigram_logprob(
+        t(spark, sf_dir, "documents"), "doc_id", "text", vocab_size=30
+    )
+    return out.select("doc_id", "n_tokens", "n_oov", "oov_frac", "avg_logprob")
+
+
+def corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-25 word bigrams (operators/quality.py:
+    top_ngrams) — combiner-collapsed count shuffle + deterministic
+    top-k (count desc, gram asc)."""
+    from hive_scd_spark.operators.quality import top_ngrams
+
+    return top_ngrams(t(spark, sf_dir, "documents"), "text", n=2, k=25)
+
+
+def sample_token_budget_per_source(spark, sf_dir):
+    """Token-budget data mixing (operators/sampling.py:
+    cap_tokens_per_group): each source contributes documents in
+    deterministic md5 order until 600 tokens are consumed; the
+    straddling document is kept (budget is a floor)."""
+    from hive_scd_spark.operators.sampling import cap_tokens_per_group
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = cap_tokens_per_group(
+        docs, "source", "doc_id", "n_tokens", budget=600, cum_col="cum_before"
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_before")
+
+
+def text_redact_pii(spark, sf_dir):
+    """PII redaction (operators/text.py:redact_pii) over a corpus with
+    planted PII: every 6th doc gets an email, the next a phone number,
+    the next a bare IPv4, the next an email-shaped address with an IP
+    domain (no alpha TLD ⇒ NOT an email; the IP inside it must still
+    redact — exercises the email→phone→IP ordering contract)."""
+    from hive_scd_spark.operators.text import redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.lit(" contact bob@corp.example.org now"))
+            .when(m == 1, F.lit(" call +1 555-0134 221 ok"))
+            .when(m == 2, F.lit(" from 10.0.42.7 net"))
+            .when(m == 3, F.lit(" mail root@10.0.0.1 host"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(planted, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("redacted_text").alias("redacted_md5"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
+    )
+
+
+def text_chunk_sliding(spark, sf_dir):
+    """RAG-style sliding-window chunking (operators/text.py:
+    chunk_text_tokens): 24-token windows advancing by 16 (8-token
+    overlap); the tail chunk may be short.  Chunk text is hashed for
+    the value check."""
+    from hive_scd_spark.operators.text import chunk_text_tokens
+
+    out = chunk_text_tokens(
+        t(spark, sf_dir, "documents"), "doc_id", "text", window=24, stride=16
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization (operators/similarity.py:
+    quantize_embeddings) over the embeddings table; codes are emitted
+    CSV-joined so the value hash is representation-independent."""
+    from hive_scd_spark.operators.similarity import quantize_embeddings
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
+    )
+
+
 # -- oracle SQL for the extensions ------------------------------------------
 
 _SHINGLE_CTE = """
@@ -2253,15 +2390,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # aggregation surface
     "agg_grouping_sets": agg_grouping_sets,
     "sample_top_n_per_group": sample_top_n_per_group,
-    "agg_distinct_parts_per_supplier": agg_distinct_parts_per_supplier,
+    # r6 second rotation: five brand-new operators (repetition screen,
+    # unigram LM score, token-budget mixing, PII redaction, int8
+    # quantization) take the slots of five multiply-green veterans
+    # (agg_distinct_parts_per_supplier, window_topk_parts_per_brand,
+    # join_semi_customers_with_big_order, text_doc_fingerprint,
+    # ivf_cosine_topk — each green r3+r4+r5); the displaced stay
+    # DuckDB-verified via scripts/check_contract.py
+    "text_repetition_stats": text_repetition_stats,
     "agg_filtered_event_stats": agg_filtered_event_stats,
     # window functions
-    "window_topk_parts_per_brand": window_topk_parts_per_brand,
+    "text_unigram_logprob": text_unigram_logprob,
     "window_running_supplier_revenue": window_running_supplier_revenue,
     "events_sessionize": events_sessionize,
     # join surface
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
-    "join_semi_customers_with_big_order": join_semi_customers_with_big_order,
+    "sample_token_budget_per_source": sample_token_budget_per_source,
     "join_full_outer_period_activity": join_full_outer_period_activity,
     "asof_join_click_purchase": asof_join_click_purchase,
     "range_join_event_windows": range_join_event_windows,
@@ -2296,11 +2440,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text analysis
     "text_quality_stats": text_quality_stats,
     "text_lang_id": text_lang_id,
-    "text_doc_fingerprint": text_doc_fingerprint,
+    "text_redact_pii": text_redact_pii,
     "text_bm25_topk": text_bm25_topk,
     # similarity search
     "ann_lsh_topk": ann_lsh_topk,
-    "ivf_cosine_topk": ivf_cosine_topk_q,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "ivf_kmeans_topk": ivf_kmeans_topk,  # oracle replays the k-means training in SQL
     # layout / skew / multimodal
     "shard_assignment": shard_assignment,
@@ -2333,6 +2477,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_stats": json_props_stats,
     "setop_intersect_except": setop_intersect_except,
     "array_functions_showcase": array_functions_showcase,
+    # r6 second rotation: displaced veterans + the two r6 operators that
+    # did not get a window slot (next round's rotation candidates)
+    "agg_distinct_parts_per_supplier": agg_distinct_parts_per_supplier,
+    "window_topk_parts_per_brand": window_topk_parts_per_brand,
+    "join_semi_customers_with_big_order": join_semi_customers_with_big_order,
+    "text_doc_fingerprint": text_doc_fingerprint,
+    "ivf_cosine_topk": ivf_cosine_topk_q,
+    "text_chunk_sliding": text_chunk_sliding,
+    "corpus_top_ngrams": corpus_top_ngrams,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -2726,3 +2879,184 @@ BASELINE_ORACLES: dict[str, str] = {
         WHERE {_COS_SQL} >= 0.35
     """,
 }
+
+
+# -- round-6 additions: quality filters, mixing, redaction, chunking ---------
+
+ORACLES["text_repetition_stats"] = """
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '(([^ ]+ ){5}[^ ]+) ', '\\1' || chr(10), 'g') AS lt
+      FROM documents
+    ), planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN lt || chr(10) || regexp_extract(lt, '^[^\\n]*')
+                          || chr(10) || regexp_extract(lt, '^[^\\n]*')
+                  ELSE lt END AS text
+      FROM lined
+    ), base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM planted
+    ), st AS (
+      SELECT doc_id, lines, toks,
+             len(lines) AS n_lines,
+             len(lines) - len(list_distinct(lines)) AS n_dup,
+             COALESCE(list_sum(list_transform(lines, x -> len(x))), 0) AS line_chars,
+             COALESCE(list_sum(list_transform(list_distinct(lines),
+               g -> (len(list_filter(lines, x -> x = g)) - 1) * len(g))), 0) AS dup_chars,
+             len(toks) AS n_toks,
+             COALESCE(list_max(list_transform(list_distinct(toks),
+               g -> len(list_filter(toks, x -> x = g)))), 0) AS top_tok,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bi
+      FROM base
+    ), st2 AS (
+      SELECT doc_id, n_lines, n_dup, line_chars, dup_chars, n_toks, top_tok,
+             len(bi) AS n_bi,
+             COALESCE(list_max(list_transform(list_distinct(bi),
+               g -> len(list_filter(bi, x -> x = g)))), 0) AS top_bi
+      FROM st
+    ), fr AS (
+      SELECT doc_id,
+             CAST(n_lines AS BIGINT) AS n_lines,
+             ROUND(CASE WHEN n_lines > 0 THEN CAST(n_dup AS DOUBLE)/n_lines ELSE 0 END, 6) AS dup_line_frac,
+             ROUND(CASE WHEN line_chars > 0 THEN CAST(dup_chars AS DOUBLE)/line_chars ELSE 0 END, 6) AS dup_line_char_frac,
+             ROUND(CASE WHEN n_toks > 0 THEN CAST(top_tok AS DOUBLE)/n_toks ELSE 0 END, 6) AS top_token_frac,
+             ROUND(CASE WHEN n_bi > 0 THEN CAST(top_bi AS DOUBLE)/n_bi ELSE 0 END, 6) AS top_bigram_frac
+      FROM st2
+    )
+    SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+           top_token_frac, top_bigram_frac,
+           CAST(dup_line_char_frac > 0.30 OR top_bigram_frac > 0.18 AS BIGINT) AS repetitive
+    FROM fr
+"""
+
+ORACLES["text_unigram_logprob"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ), tok2 AS (SELECT * FROM toks WHERE t <> ''),
+    counts AS (SELECT t, count(*) AS c FROM tok2 GROUP BY 1),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM counts),
+    vocab AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 30),
+    scored AS (
+      SELECT k.doc_id,
+             CAST(COALESCE(v.c, 1) AS DOUBLE) AS cc,
+             CASE WHEN v.c IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok2 k LEFT JOIN vocab v USING (t)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(SUM(oov)*1.0/count(*), 6) AS oov_frac,
+           ROUND(AVG(ln(cc / (SELECT tot FROM total))), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+"""
+
+ORACLES["corpus_top_ngrams"] = """
+    WITH w AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+    ), g AS (
+      SELECT unnest(list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS ngram
+      FROM w WHERE len(toks) >= 2
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY ngram
+    ORDER BY cnt DESC, ngram LIMIT 25
+"""
+
+ORACLES["sample_token_budget_per_source"] = """
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM s
+    )
+    SELECT doc_id, source, n_tokens, cum_before FROM c WHERE cum_before < 600
+"""
+
+ORACLES["text_redact_pii"] = """
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE doc_id % 6
+               WHEN 0 THEN ' contact bob@corp.example.org now'
+               WHEN 1 THEN ' call +1 555-0134 221 ok'
+               WHEN 2 THEN ' from 10.0.42.7 net'
+               WHEN 3 THEN ' mail root@10.0.0.1 host'
+               ELSE '' END AS text
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+               '<EMAIL>', 'g') AS no_email
+      FROM planted
+    ), s2 AS (
+      SELECT doc_id, text, no_email,
+             regexp_replace(no_email,
+               '\\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}',
+               '<PHONE>', 'g') AS no_phone
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, text, no_email, no_phone,
+             regexp_replace(no_phone,
+               '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b', '<IP>', 'g') AS redacted
+      FROM s2
+    )
+    SELECT doc_id, md5(redacted) AS redacted_md5,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(no_email,
+             '\\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(no_phone,
+             '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b')) AS BIGINT) AS n_ips
+    FROM s3
+"""
+
+ORACLES["text_chunk_sliding"] = """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ), n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM w
+    ), c AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, CASE WHEN n <= 24 THEN 1
+                                  ELSE (n - 24 + 15)//16 + 1 END)) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id*16 AS BIGINT) AS start_tok,
+           CAST(len(toks[chunk_id*16+1 : chunk_id*16+24]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_id*16+1 : chunk_id*16+24], ' ')) AS chunk_md5
+    FROM c
+"""
+
+ORACLES["embedding_quantize_int8"] = """
+    WITH m AS (
+      SELECT vec_id, embedding AS x,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS vmax
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(vmax/127.0, 9) AS scale,
+           CASE WHEN vmax > 0
+                THEN array_to_string(list_transform(x, v ->
+                  GREATEST(-127, LEAST(127,
+                    CAST(floor(CAST(v AS DOUBLE)/(vmax/127.0) + 0.5) AS INT)))), ',')
+                ELSE array_to_string(list_transform(x, v -> 0), ',')
+           END AS q_csv
+    FROM m
+"""

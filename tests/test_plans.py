@@ -76,7 +76,18 @@ def test_flagship_join_broadcasts_dimension(spark, sf_dir):
 def test_jvm_operators_have_no_python_in_plan(spark, sf_dir):
     from hive_scd_spark.queries import QUERIES
 
-    for name in ["dedup_minhash_lsh", "text_quality_stats", "events_sessionize"]:
+    for name in [
+        "dedup_minhash_lsh",
+        "text_quality_stats",
+        "events_sessionize",
+        "text_repetition_stats",
+        "text_unigram_logprob",
+        "text_redact_pii",
+        "text_chunk_sliding",
+        "sample_token_budget_per_source",
+        "embedding_quantize_int8",
+        "corpus_top_ngrams",
+    ]:
         df = QUERIES[name](spark, sf_dir)
         assert plan_summary(df)["python_evals"] == 0, name
 

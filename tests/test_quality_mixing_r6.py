@@ -1,0 +1,289 @@
+"""Semantics tests for the round-6 operators: Gopher-style repetition
+stats, unigram LM scoring, token-budget mixing, PII redaction,
+sliding-window chunking, corpus n-gram stats, int8 quantization.
+Cross-engine equivalence is covered by the oracle harness
+(scripts/check_contract.py); these pin hand-computed semantics on tiny
+inline fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# -- repetition_stats --------------------------------------------------------
+
+
+def test_repetition_dup_lines(spark):
+    from hive_scd_spark.operators.quality import repetition_stats
+
+    # 4 lines, "aa bb" appears 3x: dup_line_frac = 2/4; dup chars =
+    # 2*5 of 5+5+7+5 = 22 chars
+    df = spark.createDataFrame(
+        [(1, "aa bb\naa bb\ncc dd e\naa bb")], "doc_id long, text string"
+    )
+    r = repetition_stats(df, "doc_id", "text").collect()[0]
+    assert r.n_lines == 4
+    assert r.dup_line_frac == round(2 / 4, 6)
+    assert r.dup_line_char_frac == round(10 / 22, 6)
+    assert r.repetitive == 1  # 10/22 > 0.30
+
+
+def test_repetition_top_token_and_bigram(spark):
+    from hive_scd_spark.operators.quality import repetition_stats
+
+    # tokens: x x x y -> top token 3/4; bigrams: "x x","x x","x y" -> 2/3
+    df = spark.createDataFrame([(1, "x x x y")], "doc_id long, text string")
+    r = repetition_stats(df, "doc_id", "text").collect()[0]
+    assert r.top_token_frac == 0.75
+    assert r.top_bigram_frac == round(2 / 3, 6)
+    assert r.repetitive == 1  # bigram frac > 0.18
+
+
+def test_repetition_single_token_no_bigrams(spark):
+    from hive_scd_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    r = repetition_stats(df, "doc_id", "text").collect()[0]
+    assert r.n_lines == 1
+    assert r.top_token_frac == 1.0
+    assert r.top_bigram_frac == 0.0
+    assert r.repetitive == 0
+
+
+def test_repetition_clean_doc_not_flagged(spark):
+    from hive_scd_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "one two three\nfour five six\nseven eight nine")],
+        "doc_id long, text string",
+    )
+    r = repetition_stats(df, "doc_id", "text").collect()[0]
+    assert r.dup_line_frac == 0.0
+    assert r.dup_line_char_frac == 0.0
+    assert r.repetitive == 0
+
+
+# -- unigram_logprob ---------------------------------------------------------
+
+
+def test_unigram_logprob_hand_computed(spark):
+    from hive_scd_spark.operators.quality import unigram_logprob
+
+    # corpus tokens: a a a b b c — total 6; vocab_size=2 keeps a(3), b(2);
+    # c is OOV with floor count 1
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df, "doc_id", "text", vocab_size=2).collect()}
+    assert out[1].n_tokens == 3 and out[1].n_oov == 0
+    assert out[1].avg_logprob == round(math.log(3 / 6), 6)
+    assert out[2].n_tokens == 3 and out[2].n_oov == 1
+    expect2 = (2 * math.log(2 / 6) + math.log(1 / 6)) / 3
+    assert out[2].avg_logprob == round(expect2, 6)
+    assert out[2].oov_frac == round(1 / 3, 6)
+
+
+def test_unigram_logprob_vocab_tiebreak_deterministic(spark):
+    from hive_scd_spark.operators.quality import unigram_logprob
+
+    # b and c tie at count 2; vocab_size=2 keeps a(3) and b (tie -> token asc)
+    df = spark.createDataFrame(
+        [(1, "a a a b b c c")], "doc_id long, text string"
+    )
+    r = unigram_logprob(df, "doc_id", "text", vocab_size=2).collect()[0]
+    assert r.n_oov == 2  # both c's fell out
+
+
+def test_unigram_logprob_rejects_bad_vocab(spark):
+    from hive_scd_spark.operators.quality import unigram_logprob
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_size"):
+        unigram_logprob(df, "doc_id", "text", vocab_size=0)
+
+
+# -- cap_tokens_per_group ----------------------------------------------------
+
+
+def test_token_budget_keeps_straddling_row(spark):
+    from hive_scd_spark.operators.sampling import cap_tokens_per_group
+
+    # one group; md5 order of ids 1..4 decides the visit order; budget 10
+    df = spark.createDataFrame(
+        [(1, "g", 4), (2, "g", 4), (3, "g", 4), (4, "g", 4)],
+        "id long, grp string, n long",
+    )
+    out = cap_tokens_per_group(df, "grp", "id", "n", budget=10, cum_col="before")
+    rows = sorted(out.collect(), key=lambda r: r.before)
+    # 4+4 = 8 < 10 so a third row straddles (before=8 < 10); the fourth
+    # (before=12) is dropped
+    assert [r.before for r in rows] == [0, 4, 8]
+    assert sum(r.n for r in rows) == 12  # budget is a floor: >= 10
+
+
+def test_token_budget_deterministic_across_layout(spark):
+    from hive_scd_spark.operators.sampling import cap_tokens_per_group
+
+    rows = [(i, f"s{i % 3}", 10 + i % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, grp string, n long")
+    a = sorted(r.id for r in cap_tokens_per_group(df, "grp", "id", "n", 50).collect())
+    b = sorted(
+        r.id
+        for r in cap_tokens_per_group(
+            df.repartition(13).sortWithinPartitions("n"), "grp", "id", "n", 50
+        ).collect()
+    )
+    assert a == b
+
+
+def test_token_budget_rejects_bad_budget(spark):
+    from hive_scd_spark.operators.sampling import cap_tokens_per_group
+
+    df = spark.createDataFrame([(1, "g", 1)], "id long, grp string, n long")
+    with pytest.raises(ValueError, match="budget"):
+        cap_tokens_per_group(df, "grp", "id", "n", budget=0)
+
+
+# -- redact_pii --------------------------------------------------------------
+
+
+def test_redact_pii_all_kinds(spark):
+    from hive_scd_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@test.org or call +1 555-0134 221 from 10.0.0.7 ok"),
+            (2, "nothing here"),
+            (3, "us style (415) 555-2671 twice (415) 555-2672"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert out[1].redacted_text == "mail <EMAIL> or call <PHONE> from <IP> ok"
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 1, 1)
+    assert out[2].redacted_text == "nothing here"
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 0)
+    assert out[3].n_phones == 2
+
+
+def test_redact_pii_ip_domain_is_not_email(spark):
+    from hive_scd_spark.operators.text import redact_pii
+
+    # no alpha TLD => not an email; the embedded IPv4 still redacts
+    df = spark.createDataFrame([(1, "ssh root@10.0.0.1 now")], "doc_id long, text string")
+    r = redact_pii(df, "doc_id", "text").collect()[0]
+    assert r.redacted_text == "ssh root@<IP> now"
+    assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 1)
+
+
+# -- chunk_text_tokens -------------------------------------------------------
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    from hive_scd_spark.operators.text import chunk_text_tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = chunk_text_tokens(df, "doc_id", "text", window=8, stride=4).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_id == 0 and rows[0].n_chunk_tokens == 3
+    assert rows[0].chunk_text == "a b c"
+
+
+def test_chunk_overlap_and_tail(spark):
+    from hive_scd_spark.operators.text import chunk_text_tokens
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_text_tokens(df, "doc_id", "text", window=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # n=10, window=4, stride=3 -> 1 + ceil(6/3) = 3 chunks at 0,3,6
+    assert [r.start_tok for r in rows] == [0, 3, 6]
+    assert [r.n_chunk_tokens for r in rows] == [4, 4, 4]
+    assert rows[1].chunk_text == "t3 t4 t5 t6"
+    # every token is covered
+    covered = set()
+    for r in rows:
+        covered.update(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
+    assert covered == set(range(10))
+
+
+def test_chunk_tail_is_short(spark):
+    from hive_scd_spark.operators.text import chunk_text_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_text_tokens(df, "doc_id", "text", window=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # n=11 -> 1 + ceil(7/3) = 4 chunks; last starts at 9, only 2 tokens
+    assert [r.start_tok for r in rows] == [0, 3, 6, 9]
+    assert rows[-1].n_chunk_tokens == 2
+
+
+def test_chunk_rejects_bad_params(spark):
+    from hive_scd_spark.operators.text import chunk_text_tokens
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_text_tokens(df, "doc_id", "text", window=0, stride=1)
+    with pytest.raises(ValueError):
+        chunk_text_tokens(df, "doc_id", "text", window=4, stride=8)
+
+
+# -- top_ngrams --------------------------------------------------------------
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from hive_scd_spark.operators.quality import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = top_ngrams(df, "text", n=2, k=3).collect()
+    # "a b": 3 (two in doc1, one in doc2); "b a": 1; "b c": 1 (tie -> gram asc)
+    assert [(r.ngram, r.cnt) for r in rows] == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_top_ngrams_rejects_bad_params(spark):
+    from hive_scd_spark.operators.quality import top_ngrams
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        top_ngrams(df, "text", n=0, k=5)
+
+
+# -- quantize_embeddings -----------------------------------------------------
+
+
+def test_quantize_roundtrip_bound(spark):
+    from hive_scd_spark.operators.similarity import quantize_embeddings
+
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [2.0, 1.0, -2.0, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    for vid, vec in rows:
+        r = out[vid]
+        assert max(abs(q) for q in r.q) == 127  # max magnitude maps to full scale
+        for orig, q in zip(vec, r.q):
+            assert -127 <= q <= 127
+            # slack: r.scale is rounded to 9 places for the value hash,
+            # which shifts q*scale by up to |q|*5e-10 ~ 6.4e-8
+            assert abs(orig - q * r.scale) <= r.scale / 2 + 1e-6
+
+
+def test_quantize_zero_vector(spark):
+    from hive_scd_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings(df, "vec_id", "embedding").collect()[0]
+    assert r.scale == 0.0 and list(r.q) == [0, 0, 0]
