@@ -52,6 +52,11 @@ HEADLINE = [
     "pack_sequences_ctx",
     "decontam_ngram_overlap",
     "pipeline_corpus_to_sequences",
+    # round-6 quality/mixing operators
+    "text_repetition_stats",
+    "text_unigram_logprob",
+    "sample_token_budget_per_source",
+    "text_remove_boilerplate",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

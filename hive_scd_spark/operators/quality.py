@@ -203,3 +203,74 @@ def top_ngrams(
         .limit(k)
         .select("ngram", F.col("cnt").cast("long").alias("cnt"))
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate removal (Raffel et al. 2020 §2.2 — they
+    drop repeated three-sentence spans; the line-granular variant is
+    the common production form): a normalized line (lower+trim) that
+    occurs in >= *min_docs* DISTINCT documents is boilerplate, and is
+    stripped from every document.  Whitespace-only lines are neither
+    counted nor stripped.
+
+    Output: (id, text, n_lines_kept, n_lines_removed) — text
+    reassembled from the surviving lines in original order (empty
+    string when everything was boilerplate).
+
+    Plan shape, and why it scales: explode to (doc, pos, line) is
+    linear; the boilerplate census is a combiner-collapsed
+    count-distinct shuffle keyed by line (output = |distinct lines|,
+    not corpus size); membership is a hash join on the line key — NOT
+    broadcast, because the boilerplate set is corpus-derived and can be
+    large (AQE will still demote to broadcast when it is small); the
+    rebuild is one groupBy(doc) with an order-restoring array sort.
+    Skewed line keys (the boilerplate lines themselves ARE hot keys)
+    stay harmless: the join fans out only on matches, and matches are
+    dropped rows.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # coalesce: NULL text becomes one empty (kept, uncounted) line, so
+    # the document survives the explode instead of vanishing
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)
+        ).alias("__pos", "__line"),
+    )
+    norm = F.lower(F.trim(F.col("__line")))
+    lines = lines.withColumn("__key", norm)
+    census = (
+        lines.filter(F.col("__key") != "")
+        .groupBy("__key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_docs)
+        .select("__key", F.lit(1).alias("__bp"))
+    )
+    tagged = lines.join(census, on="__key", how="left")
+    keep = F.col("__bp").isNull() | (F.col("__key") == "")
+    rebuilt = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("__pos"), F.col("__line")))
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                line_sep,
+            ).alias("text"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_lines_kept"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_lines_removed"),
+        )
+    )
+    return rebuilt.select(F.col(id_col), "text", "n_lines_kept", "n_lines_removed")

@@ -84,3 +84,46 @@ def cap_tokens_per_group(
     if cum_col is None:
         return out.drop("__cap_before")
     return out.withColumnRenamed("__cap_before", cum_col)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 800), ("val", 100), ("test", 100)),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by stable-id hash — the
+    split must be a pure function of the document identity, never of
+    partition layout or RNG state, or re-runs leak eval docs into
+    training.  Weights are PER-MILLE integers summing to 1000 (integer
+    arithmetic end-to-end: no float boundary can disagree between
+    engines).
+
+    ``bucket = hash32(salt ':' id) % 1000``; a document lands in the
+    first split whose cumulative weight exceeds its bucket.  *salt*
+    namespaces independent splits of the same corpus (re-splitting for
+    a new run = new salt, zero correlation with the old assignment).
+
+    Scale note: one projection, no shuffle — the assignment is a
+    filter-pushdown-friendly expression, so ``WHERE split = 'train'``
+    prunes at the scan like any predicate.
+    """
+    from hive_scd_spark.functions import hash32
+
+    weights = [w for _, w in splits]
+    if any(w <= 0 for w in weights) or sum(weights) != 1000:
+        raise ValueError(
+            f"split weights must be positive per-mille summing to 1000, got {splits}"
+        )
+    bucket = hash32(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    ) % 1000
+    cum = 0
+    expr = F.lit(splits[-1][0])  # fold from the back; last split is the default
+    bounds = []
+    for name, w in splits:
+        cum += w
+        bounds.append((name, cum))
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -418,3 +418,48 @@ def chunk_text_tokens(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+# URL host extraction — group 1 is the host; same explicit-whitespace
+# cross-engine discipline as URL_REGEX (\s differs on \x0B), plus '/'
+# to stop at the path.
+URL_HOST_REGEX = r"https?://([^/ \t\n\x0B\f\r]+)"
+
+
+def url_domain_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Domain-level URL audit + blocklist screen — the standard
+    provenance filter (UT1/adult-domain blocklists, spam domains) a web
+    corpus passes through before training.  Per document:
+
+    - ``domains_csv`` — normalized hosts (lowercased, leading ``www.``
+      stripped) of every URL, in order of appearance, comma-joined
+    - ``n_urls`` — URL count
+    - ``blocked`` — 1 when any normalized host is on *blocklist*
+
+    The blocklist enters the plan as a literal IN-list (bounded: real
+    blocklists are ~1e6 rows — at that size swap the literal for a
+    broadcast join on an exploded host column; the literal form keeps
+    the one-projection shape for the common few-hundred-domain case).
+    Row-local regex, no shuffle, no UDF.
+    """
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_HOST_REGEX), 1)
+    norm = F.transform(
+        hosts, lambda h: F.regexp_replace(F.lower(h), r"^www\.", "")
+    )
+    work = df.select(F.col(id_col), norm.alias("__hosts"))
+    blocked = (
+        F.exists(F.col("__hosts"), lambda h: h.isin(*blocklist))
+        if blocklist
+        else F.lit(False)
+    )
+    return work.select(
+        F.col(id_col),
+        F.array_join(F.col("__hosts"), ",").alias("domains_csv"),
+        F.size("__hosts").cast("long").alias("n_urls"),
+        blocked.cast("int").alias("blocked"),
+    )

@@ -1764,6 +1764,73 @@ def text_chunk_sliding(spark, sf_dir):
     )
 
 
+URL_BLOCKLIST = ["spam.example", "ads.example"]
+
+
+def text_url_domain_filter(spark, sf_dir):
+    """URL domain extraction + blocklist screen (operators/text.py:
+    url_domain_stats) over planted URLs: a www-prefixed blocked domain,
+    a clean domain, a mixed-case blocked domain (normalization must
+    catch it), and a no-URL remainder."""
+    from hive_scd_spark.operators.text import url_domain_stats
+
+    docs = t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.lit(" see https://www.spam.example/path now"))
+            .when(m == 1, F.lit(" via http://ok.example.org/a b"))
+            .when(m == 2, F.lit(" link https://Ads.Example/x y"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = url_domain_stats(planted, "doc_id", "text", blocklist=URL_BLOCKLIST)
+    return out.select("doc_id", "domains_csv", "n_urls", F.col("blocked").cast("long").alias("blocked"))
+
+
+def sample_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (operators/sampling.py:
+    split_assign): 800/100/100 per-mille by id hash — pure projection,
+    layout-independent, integer arithmetic end-to-end."""
+    from hive_scd_spark.operators.sampling import split_assign
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_assign(docs, "doc_id").select("doc_id", "source", "split")
+
+
+def text_remove_boilerplate(spark, sf_dir):
+    """C4-style boilerplate removal (operators/quality.py:
+    remove_boilerplate_lines) over a corpus with planted boilerplate: a
+    footer line on every 3rd doc and a header line on every 7th (both
+    cross the min_docs=3 census threshold and must strip), plus a
+    footer shared by exactly TWO docs (under threshold — must stay)."""
+    from hive_scd_spark.operators.quality import remove_boilerplate_lines
+
+    docs = t(spark, sf_dir, "documents")
+    base = F.col("text")
+    f1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(base, F.lit("\nvisit our website for more")),
+    ).otherwise(base)
+    f2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("subscribe to the newsletter\n"), f1),
+    ).otherwise(f1)
+    f3 = F.when(
+        F.col("doc_id").isin(1, 2), F.concat(f2, F.lit("\nrarely shared footer"))
+    ).otherwise(f2)
+    planted = docs.select("doc_id", f3.alias("text"))
+    out = remove_boilerplate_lines(planted, "doc_id", "text", min_docs=3)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        "n_lines_kept",
+        "n_lines_removed",
+    )
+
+
 def embedding_quantize_int8(spark, sf_dir):
     """Symmetric int8 scalar quantization (operators/similarity.py:
     quantize_embeddings) over the embeddings table; codes are emitted
@@ -2486,6 +2553,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk": ivf_cosine_topk_q,
     "text_chunk_sliding": text_chunk_sliding,
     "corpus_top_ngrams": corpus_top_ngrams,
+    "text_remove_boilerplate": text_remove_boilerplate,
+    "text_url_domain_filter": text_url_domain_filter,
+    "sample_split_assign": sample_split_assign,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3059,4 +3129,75 @@ ORACLES["embedding_quantize_int8"] = """
                 ELSE array_to_string(list_transform(x, v -> 0), ',')
            END AS q_csv
     FROM m
+"""
+
+ORACLES["text_remove_boilerplate"] = """
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id IN (1, 2)
+                  THEN h2 || chr(10) || 'rarely shared footer'
+                  ELSE h2 END AS text
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'subscribe to the newsletter' || chr(10) || f
+                    ELSE f END AS h2
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || chr(10) || 'visit our website for more'
+                      ELSE text END AS f
+          FROM documents))
+    ), ln AS (
+      SELECT doc_id, u.pos, u.line, lower(trim(u.line)) AS k
+      FROM planted, LATERAL (
+        SELECT unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos) u
+    ), bp AS (
+      SELECT k FROM ln WHERE k <> ''
+      GROUP BY k HAVING count(DISTINCT doc_id) >= 3
+    ), tagged AS (
+      SELECT doc_id, pos, line,
+             (k = '' OR k NOT IN (SELECT k FROM bp)) AS keep
+      FROM ln
+    )
+    SELECT doc_id,
+           md5(COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS clean_md5,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_removed
+    FROM tagged GROUP BY doc_id
+"""
+
+ORACLES["text_url_domain_filter"] = """
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN ' see https://www.spam.example/path now'
+               WHEN 1 THEN ' via http://ok.example.org/a b'
+               WHEN 2 THEN ' link https://Ads.Example/x y'
+               ELSE '' END AS text
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(
+               regexp_extract_all(text, 'https?://([^/ \\t\\n\\x0B\\f\\r]+)', 1),
+               x -> regexp_replace(lower(x), '^www\\.', '')) AS hosts
+      FROM planted
+    )
+    SELECT doc_id,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+           COALESCE(array_to_string(hosts, ','), '') AS domains_csv,
+           CAST(len(hosts) AS BIGINT) AS n_urls,
+           CAST(len(list_filter(hosts,
+             x -> x IN ('spam.example', 'ads.example'))) > 0 AS BIGINT) AS blocked
+    FROM h
+"""
+
+ORACLES["sample_split_assign"] = """
+    SELECT doc_id, source,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
 """

@@ -87,6 +87,9 @@ def test_jvm_operators_have_no_python_in_plan(spark, sf_dir):
         "sample_token_budget_per_source",
         "embedding_quantize_int8",
         "corpus_top_ngrams",
+        "text_remove_boilerplate",
+        "text_url_domain_filter",
+        "sample_split_assign",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert plan_summary(df)["python_evals"] == 0, name

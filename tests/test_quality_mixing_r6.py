@@ -287,3 +287,137 @@ def test_quantize_zero_vector(spark):
     )
     r = quantize_embeddings(df, "vec_id", "embedding").collect()[0]
     assert r.scale == 0.0 and list(r.q) == [0, 0, 0]
+
+
+# -- remove_boilerplate_lines ------------------------------------------------
+
+
+def test_boilerplate_strips_common_lines_keeps_rare(spark):
+    from hive_scd_spark.operators.quality import remove_boilerplate_lines
+
+    rows = [
+        (1, "alpha one\nCOMMON FOOTER\nbeta"),
+        (2, "gamma two\ncommon footer"),
+        (3, "delta three\nCommon Footer\nrare pair"),
+        (4, "epsilon four\nrare pair"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(df, "doc_id", "text", min_docs=3).collect()
+    }
+    # "common footer" normalizes identically in 3 docs -> stripped everywhere
+    assert out[1].text == "alpha one\nbeta"
+    assert out[2].text == "gamma two"
+    # "rare pair" is only in 2 docs (< min_docs) -> kept
+    assert out[3].text == "delta three\nrare pair"
+    assert out[4].text == "epsilon four\nrare pair"
+    assert out[1].n_lines_removed == 1 and out[4].n_lines_removed == 0
+
+
+def test_boilerplate_preserves_order_and_empty_lines(spark):
+    from hive_scd_spark.operators.quality import remove_boilerplate_lines
+
+    rows = [
+        (1, "z last\n\nbp\na first"),
+        (2, "bp\nmid"),
+        (3, "bp\nother"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(df, "doc_id", "text", min_docs=3).collect()
+    }
+    # original order kept; the empty line survives (not boilerplate-countable)
+    assert out[1].text == "z last\n\na first"
+    assert out[1].n_lines_kept == 3 and out[1].n_lines_removed == 1
+
+
+def test_boilerplate_all_removed_yields_empty_doc(spark):
+    from hive_scd_spark.operators.quality import remove_boilerplate_lines
+
+    rows = [(1, "bp"), (2, "bp"), (3, "bp"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(df, "doc_id", "text", min_docs=3).collect()
+    }
+    assert out[1].text == "" and out[1].n_lines_kept == 0
+    # NULL text survives as an empty document, not a dropped row
+    assert out[4].text == "" and out[4].n_lines_kept == 1
+
+
+def test_boilerplate_rejects_bad_min_docs(spark):
+    from hive_scd_spark.operators.quality import remove_boilerplate_lines
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(df, "doc_id", "text", min_docs=1)
+
+
+# -- url_domain_stats --------------------------------------------------------
+
+
+def test_url_domains_normalize_and_block(spark):
+    from hive_scd_spark.operators.text import url_domain_stats
+
+    rows = [
+        (1, "x https://www.Spam.Example/p y http://ok.org/q z"),
+        (2, "no urls"),
+        (3, "https://a.example https://a.example/two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in url_domain_stats(df, "doc_id", "text", blocklist=["spam.example"]).collect()
+    }
+    assert out[1].domains_csv == "spam.example,ok.org"
+    assert out[1].n_urls == 2 and out[1].blocked == 1
+    assert out[2].domains_csv == "" and out[2].n_urls == 0 and out[2].blocked == 0
+    assert out[3].domains_csv == "a.example,a.example" and out[3].blocked == 0
+
+
+def test_url_domains_no_blocklist(spark):
+    from hive_scd_spark.operators.text import url_domain_stats
+
+    df = spark.createDataFrame(
+        [(1, "see https://x.org/a")], "doc_id long, text string"
+    )
+    r = url_domain_stats(df, "doc_id", "text").collect()[0]
+    assert r.blocked == 0 and r.domains_csv == "x.org"
+
+
+# -- split_assign ------------------------------------------------------------
+
+
+def test_split_assign_partitions_and_weights(spark):
+    from hive_scd_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out = split_assign(df, "id").groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # hash uniformity: 80/10/10 within a loose tolerance
+    assert 1400 < counts["train"] < 1800
+    assert 100 < counts["val"] < 320
+    assert 100 < counts["test"] < 320
+
+
+def test_split_assign_deterministic_and_salted(spark):
+    from hive_scd_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    a = {r.id: r.split for r in split_assign(df, "id").collect()}
+    b = {r.id: r.split for r in split_assign(df.repartition(7), "id").collect()}
+    assert a == b  # layout-independent
+    c = {r.id: r.split for r in split_assign(df, "id", salt="other").collect()}
+    assert a != c  # a new salt is a genuinely new split
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    from hive_scd_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="per-mille"):
+        split_assign(df, "id", splits=(("a", 500), ("b", 400)))
