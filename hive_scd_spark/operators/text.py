@@ -463,3 +463,66 @@ def url_domain_stats(
         F.size("__hosts").cast("long").alias("n_urls"),
         blocked.cast("int").alias("blocked"),
     )
+
+
+# Unicode script ranges (public Unicode block boundaries).  \x{...}
+# class syntax is shared by Java regex (Spark) and RE2 (DuckDB), so the
+# same literal works in both engines.  Declaration order is the
+# tie-break order for pred_script.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": r"[A-Za-z]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "hangul": r"[\x{AC00}-\x{D7AF}]",
+    "devanagari": r"[\x{0900}-\x{097F}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+}
+
+
+def script_detect(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode-script detection — the coverage layer the Latin-only
+    trigram model (:func:`lang_id_ngram`) lacks: non-Latin text gets a
+    concrete script label ('cyrillic', 'cjk', ...) instead of 'und'.
+    The standard composition is script first, then a per-script
+    language model for scripts that need one (Latin → trigram
+    profiles; Cyrillic/CJK/... map 1:1 or near-1:1 to languages at
+    corpus-filter granularity).
+
+    Per document: per-script letter counts (``regexp_count`` over the
+    Unicode block class), ``pred_script`` = argmax with declaration-
+    order tie-break ('und' when no letters), ``script_frac`` =
+    top count / total counted letters.  One codegen projection, no
+    shuffle, no UDF; the oracle counts the identical RE2 classes.
+    """
+    work = df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(pat))
+            .cast("long")
+            .alias(f"__s_{name}")
+            for name, pat in SCRIPT_CLASSES.items()
+        ],
+    )
+    names = list(SCRIPT_CLASSES)
+    total = sum((F.col(f"__s_{n}") for n in names[1:]), F.col(f"__s_{names[0]}"))
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"__s_{n}").alias("s"),
+                F.lit(-i).alias("o"),
+                F.lit(n).alias("l"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    pred = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    frac = F.when(
+        best["s"] > 0, F.round(best["s"].cast("double") / total, 6)
+    ).otherwise(F.lit(0.0))
+    return work.select(
+        F.col(id_col),
+        pred.alias("pred_script"),
+        frac.alias("script_frac"),
+        total.alias("n_letters"),
+    )

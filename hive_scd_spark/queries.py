@@ -1509,15 +1509,16 @@ def pipeline_corpus_to_sequences(spark, sf_dir):
     digest) → benchmark exclusion + 13-gram decontamination (the
     bounded eval set of decontam_ngram_overlap; members dropped by id,
     near-copies dropped by shared-gram screen) → token-count quality
-    filter (≥ 40 BPE-ish tokens) → deterministic per-source cap (15,
-    md5 rank) → concat-and-chunk packing into 128-token sequences.
-    Five operators composing in a single DataFrame proves the operator
-    set is a pipeline, not a collection; the oracle replays the whole
-    chain — including the gram screen — in one SQL CTE."""
+    filter (≥ 40 BPE-ish tokens) → train-split selection (salted-hash
+    800‰, r6) → deterministic per-source cap (15, md5 rank) →
+    concat-and-chunk packing into 128-token sequences.  Six operators
+    composing in a single DataFrame proves the operator set is a
+    pipeline, not a collection; the oracle replays the whole chain —
+    including the gram screen and the split hash — in one SQL CTE."""
     from hive_scd_spark.operators.decontam import decontaminate
     from hive_scd_spark.operators.dedup import exact_dedup
     from hive_scd_spark.operators.pack import pack_sequences
-    from hive_scd_spark.operators.sampling import cap_per_group
+    from hive_scd_spark.operators.sampling import cap_per_group, split_assign
     from hive_scd_spark.operators.text import TOKEN_REGEX
 
     corpus = _dup_corpus(spark, sf_dir)
@@ -1545,7 +1546,8 @@ def pipeline_corpus_to_sequences(spark, sf_dir):
         .filter(F.col("n_tokens") >= 40)
     )
     clean = decontaminate(surv, eval_df, "doc_id", "text", n=13)
-    capped = cap_per_group(clean, "source", "doc_id", 15)
+    train_only = split_assign(clean, "doc_id").filter(F.col("split") == "train")
+    capped = cap_per_group(train_only, "source", "doc_id", 15)
     return pack_sequences(capped.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 128)
 
 
@@ -1762,6 +1764,28 @@ def text_chunk_sliding(spark, sf_dir):
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+def text_script_detect(spark, sf_dir):
+    """Unicode-script detection (operators/text.py:script_detect) over
+    a corpus with planted non-Latin snippets — the coverage layer for
+    non-European text that the Latin trigram model labels 'und'."""
+    from hive_scd_spark.operators.text import script_detect
+
+    docs = t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    planted = docs.select(
+        "doc_id",
+        F.when(m == 1, F.lit("привет мир как дела сегодня у вас"))
+        .when(m == 2, F.lit("你好世界早上好今天天气很好"))
+        .when(m == 3, F.lit("مرحبا بالعالم صباح الخير اليوم"))
+        .when(m == 4, F.lit("안녕하세요 세계 좋은 아침입니다"))
+        .when(m == 5, F.lit("नमस्ते दुनिया सुप्रभात आज"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = script_detect(planted, "doc_id", "text")
+    return out.select("doc_id", "pred_script", "script_frac", "n_letters")
 
 
 URL_BLOCKLIST = ["spam.example", "ads.example"]
@@ -2556,6 +2580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_remove_boilerplate": text_remove_boilerplate,
     "text_url_domain_filter": text_url_domain_filter,
     "sample_split_assign": sample_split_assign,
+    "text_script_detect": text_script_detect,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -2676,6 +2701,8 @@ ORACLES["pipeline_corpus_to_sequences"] = """
       WHERE NOT (d.doc_id % 97 = 0 AND d.doc_id < 19400)
         AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
         AND len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) >= 40
+        -- r6: train-split selection (split_assign, 800 per-mille)
+        AND ('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 800
     ), capped AS (
       SELECT doc_id, n FROM (
         SELECT doc_id, n,
@@ -3201,3 +3228,55 @@ ORACLES["sample_split_assign"] = """
                 ELSE 'test' END AS split
     FROM documents
 """
+
+
+def _script_detect_oracle() -> str:
+    """DuckDB replica of operators.text.script_detect: the SAME Unicode
+    block classes (\\x{...} syntax is shared by Java regex and RE2),
+    unpivoted to rows so the argmax + declaration-order tie-break
+    replays as ROW_NUMBER (the lang_id_ngram oracle idiom — DuckDB
+    greatest() does not take structs)."""
+    from hive_scd_spark.operators.text import SCRIPT_CLASSES
+
+    counts = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS s_{name}"
+        for name, pat in SCRIPT_CLASSES.items()
+    )
+    unpiv = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS ord, '{n}' AS name, s_{n} AS s FROM c"
+        for i, n in enumerate(SCRIPT_CLASSES)
+    )
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 1 THEN 'привет мир как дела сегодня у вас'
+               WHEN 2 THEN '你好世界早上好今天天气很好'
+               WHEN 3 THEN 'مرحبا بالعالم صباح الخير اليوم'
+               WHEN 4 THEN '안녕하세요 세계 좋은 아침입니다'
+               WHEN 5 THEN 'नमस्ते दुनिया सुप्रभात आज'
+               ELSE text END AS text
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             {counts}
+      FROM planted
+    ), u AS (
+      {unpiv}
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(s) AS BIGINT) AS n_letters FROM u GROUP BY 1
+    ), pick AS (
+      SELECT doc_id, name, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, ord) AS rk
+      FROM u
+    )
+    SELECT t.doc_id,
+           CASE WHEN p.s > 0 THEN p.name ELSE 'und' END AS pred_script,
+           CASE WHEN p.s > 0 THEN ROUND(CAST(p.s AS DOUBLE)/t.n_letters, 6)
+                ELSE 0.0 END AS script_frac,
+           t.n_letters
+    FROM tot t JOIN (SELECT * FROM pick WHERE rk = 1) p USING (doc_id)
+"""
+
+
+ORACLES["text_script_detect"] = _script_detect_oracle()

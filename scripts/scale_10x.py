@@ -224,6 +224,32 @@ def main():
             docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", n=13
         )
 
+    from hive_scd_spark.operators.quality import (
+        remove_boilerplate_lines,
+        unigram_logprob,
+    )
+
+    def unigram_gate(docs):
+        # vocab size constant by design (the model is top-V whatever the
+        # corpus); the two corpus passes + broadcast join are the cost
+        return unigram_logprob(docs, "doc_id", "text", vocab_size=30)
+
+    def boilerplate_gate(docs):
+        # plant the same line structure as the oracle gate: 6-word lines
+        # plus an identical footer on every 3rd doc.  The footer line is
+        # NOT vowel-translated, so at 10x it is ONE hot census key with
+        # 10x the matching rows — exactly the hot-key join the operator
+        # claims stays harmless (matches are dropped rows, no fan-out)
+        lined = F.regexp_replace(F.col("text"), r"(([^ ]+ ){5}[^ ]+) ", "$1\n")
+        planted = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(lined, F.lit("\nvisit our website for more")),
+            ).otherwise(lined).alias("text"),
+        )
+        return remove_boilerplate_lines(planted, "doc_id", "text", min_docs=3)
+
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
@@ -236,6 +262,9 @@ def main():
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate, emb1, emb10),
         ("pack_sequences", pack_gate, docs1, docs10),
         ("decontam_ngram_overlap", decontam_gate, docs1, docs10),
+        # round-6 corpus-global quality operators
+        ("text_unigram_logprob", unigram_gate, docs1, docs10),
+        ("text_remove_boilerplate", boilerplate_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

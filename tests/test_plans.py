@@ -90,6 +90,7 @@ def test_jvm_operators_have_no_python_in_plan(spark, sf_dir):
         "text_remove_boilerplate",
         "text_url_domain_filter",
         "sample_split_assign",
+        "text_script_detect",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert plan_summary(df)["python_evals"] == 0, name

@@ -421,3 +421,40 @@ def test_split_assign_rejects_bad_weights(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="per-mille"):
         split_assign(df, "id", splits=(("a", 500), ("b", 400)))
+
+
+# -- script_detect -----------------------------------------------------------
+
+
+def test_script_detect_scripts(spark):
+    from hive_scd_spark.operators.text import script_detect
+
+    rows = [
+        (1, "hello plain english words"),
+        (2, "привет мир сегодня"),
+        (3, "你好世界"),
+        (4, "مرحبا بالعالم"),
+        (5, "안녕하세요 세계"),
+        (6, "नमस्ते दुनिया"),
+        (7, "12345 !!!"),  # no letters of any script
+        (8, "hello мир"),  # mixed: latin 5 vs cyrillic 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_detect(df, "doc_id", "text").collect()}
+    assert out[1].pred_script == "latin" and out[1].script_frac == 1.0
+    assert out[2].pred_script == "cyrillic"
+    assert out[3].pred_script == "cjk"
+    assert out[4].pred_script == "arabic"
+    assert out[5].pred_script == "hangul"
+    assert out[6].pred_script == "devanagari"
+    assert out[7].pred_script == "und" and out[7].n_letters == 0
+    assert out[8].pred_script == "latin"
+    assert out[8].script_frac == round(5 / 8, 6)
+
+
+def test_script_detect_null_text(spark):
+    from hive_scd_spark.operators.text import script_detect
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = script_detect(df, "doc_id", "text").collect()[0]
+    assert r.pred_script == "und" and r.n_letters == 0
