@@ -27,6 +27,35 @@ def _ws_tokens(text_col):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
 
+def _mode_count(arr):
+    """Count of the most frequent element of *arr* (0 for empty), as
+    ONE native array_sort + ONE O(n) fold counting the longest equal
+    run.  The naive form — for each distinct element, filter-and-count
+    the whole array — is O(distinct × n) *interpreted* lambda steps
+    (higher-order functions run outside whole-stage codegen), which
+    measured 4+ s over sf0.1; this form is ~n steps per row.  Value is
+    identical, so oracles replaying the naive definition still match."""
+    s = F.array_sort(arr)
+    acc = F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    return acc
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, line_sep: str = "\n"
 ) -> DataFrame:
@@ -72,12 +101,7 @@ def repetition_stats(
         + (F.size(F.filter(lines_c, lambda x: x == g)) - 1) * F.length(g),
     )
     n_toks = F.size(toks_c)
-    top_tok = F.array_max(
-        F.transform(
-            F.array_distinct(toks_c),
-            lambda g: F.size(F.filter(toks_c, lambda x: x == g)),
-        )
-    )
+    top_tok = _mode_count(toks_c)
     bigrams = F.when(
         n_toks >= 2,
         F.transform(
@@ -90,12 +114,7 @@ def repetition_stats(
     work = work.withColumn("__bi", bigrams)
     bi_c = F.col("__bi")
     n_bi = F.size(bi_c)
-    top_bi = F.array_max(
-        F.transform(
-            F.array_distinct(bi_c),
-            lambda g: F.size(F.filter(bi_c, lambda x: x == g)),
-        )
-    )
+    top_bi = _mode_count(bi_c)
 
     def frac(num, den):
         return F.round(

@@ -1766,6 +1766,24 @@ def text_chunk_sliding(spark, sf_dir):
     )
 
 
+def text_hash_embed_ann(spark, sf_dir):
+    """Model-free text→vector→ANN composition: feature-hashing
+    embedding (operators/similarity.py:hash_embed, dim 32) straight
+    into exact cosine top-5 for query docs doc_id < 5 — documents
+    reach the embedding operator family without an external encoder,
+    and the oracle replays the hashing (md5 bucket + sign parity),
+    densification, and ranking exactly."""
+    from hive_scd_spark.operators.similarity import cosine_topk, hash_embed
+
+    docs = t(spark, sf_dir, "documents")
+    emb = hash_embed(docs, "doc_id", "text", dim=32).select(
+        "doc_id", F.col("vec").cast("array<double>").alias("vec")
+    )
+    return cosine_topk(
+        emb, emb.filter(F.col("doc_id") < 5), id_col="doc_id", vec_col="vec", k=5
+    )
+
+
 def text_script_detect(spark, sf_dir):
     """Unicode-script detection (operators/text.py:script_detect) over
     a corpus with planted non-Latin snippets — the coverage layer for
@@ -2581,6 +2599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_url_domain_filter": text_url_domain_filter,
     "sample_split_assign": sample_split_assign,
     "text_script_detect": text_script_detect,
+    "text_hash_embed_ann": text_hash_embed_ann,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3280,3 +3299,47 @@ def _script_detect_oracle() -> str:
 
 
 ORACLES["text_script_detect"] = _script_detect_oracle()
+
+ORACLES["text_hash_embed_ann"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               x -> x <> '')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('hembed:' || t), 1, 8))::BIGINT % 32 AS b,
+             CASE WHEN ('0x' || substr(md5('hembed:' || t), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM tok
+    ), agg AS (
+      SELECT doc_id, b, SUM(s) AS v FROM h GROUP BY 1, 2
+    ), ids AS (SELECT DISTINCT doc_id FROM documents),
+    dense AS (
+      SELECT i.doc_id, r.range AS j, COALESCE(a.v, 0) AS v
+      FROM ids i CROSS JOIN range(0, 32) r
+      LEFT JOIN agg a ON a.doc_id = i.doc_id AND a.b = r.range
+    ), vec0 AS (
+      SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY j) AS vec
+      FROM dense GROUP BY 1
+    ), vec AS (
+      -- norm from the assembled list (sequential list_sum), not a
+      -- GROUP BY SUM: grouped double addition is order-nondeterministic
+      SELECT doc_id, vec,
+             SQRT(list_sum(list_transform(vec, x -> x*x))) AS nrm
+      FROM vec0
+    ), scored AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(q.vec, c.vec),
+                     p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                   / (q.nrm * c.nrm), 6) AS cos
+      FROM vec q JOIN vec c ON c.doc_id <> q.doc_id
+      WHERE q.doc_id < 5
+    )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored) WHERE rk <= 5
+"""

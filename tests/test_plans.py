@@ -91,6 +91,7 @@ def test_jvm_operators_have_no_python_in_plan(spark, sf_dir):
         "text_url_domain_filter",
         "sample_split_assign",
         "text_script_detect",
+        "text_hash_embed_ann",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert plan_summary(df)["python_evals"] == 0, name

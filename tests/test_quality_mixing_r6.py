@@ -458,3 +458,46 @@ def test_script_detect_null_text(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = script_detect(df, "doc_id", "text").collect()[0]
     assert r.pred_script == "und" and r.n_letters == 0
+
+
+# -- hash_embed --------------------------------------------------------------
+
+
+def test_hash_embed_deterministic_and_identical_docs(spark):
+    from hive_scd_spark.operators.similarity import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat sat"), (3, "dogs run fast today"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in hash_embed(df, "doc_id", "text", dim=16).collect()}
+    assert list(out[1].vec) == list(out[2].vec)  # same text, same vector
+    assert out[1].n_tokens == 3 and out[3].n_tokens == 4
+    # signed counts: component magnitudes sum to at most n_tokens
+    assert sum(abs(v) for v in out[3].vec) <= 4
+    # empty/NULL doc is the zero vector
+    assert out[4].n_tokens == 0 and set(out[4].vec) == {0}
+    # layout independence
+    out2 = {
+        r.doc_id: list(r.vec)
+        for r in hash_embed(df.repartition(5), "doc_id", "text", dim=16).collect()
+    }
+    assert all(list(out[k].vec) == out2[k] for k in out2)
+
+
+def test_hash_embed_case_and_whitespace_normalized(spark):
+    from hive_scd_spark.operators.similarity import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world")], "doc_id long, text string"
+    )
+    out = {r.doc_id: list(r.vec) for r in hash_embed(df, "doc_id", "text", dim=8).collect()}
+    assert out[1] == out[2]
+
+
+def test_hash_embed_rejects_bad_dim(spark):
+    from hive_scd_spark.operators.similarity import hash_embed
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="dim"):
+        hash_embed(df, "doc_id", "text", dim=0)
