@@ -526,3 +526,44 @@ def script_detect(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         frac.alias("script_frac"),
         total.alias("n_letters"),
     )
+
+
+# HTML stripping — tag regex is lookahead-free ('<' then anything-but-'>'),
+# identical in Java regex and RE2.  Entity decode covers the named
+# entities that matter for token statistics; &#NN; numeric forms are out
+# of scope (documented) — a full HTML5 parser is an extraction library's
+# job, this is the corpus-hygiene regex pass.
+HTML_TAG_REGEX = r"<[^>]+>"
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: otherwise &amp;lt; would double-decode
+]
+
+
+def strip_html(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Web-extraction hygiene as ONE codegen projection: drop HTML tags,
+    decode the common named entities (&amp; deliberately decoded last so
+    double-escaped text cannot double-decode), collapse the whitespace
+    the removed markup leaves behind.  Output keeps the audit columns
+    (tag count, before/after lengths).
+
+    The oracle replays the identical replace sequence; same explicit
+    whitespace class as clean_text (Java \\s and RE2 \\s diverge on
+    \\x0B)."""
+    t0 = F.col(text_col)
+    no_tags = F.regexp_replace(t0, HTML_TAG_REGEX, " ")
+    decoded = no_tags
+    for ent, rep in _HTML_ENTITIES:
+        decoded = F.replace(decoded, F.lit(ent), F.lit(rep))
+    cleaned = F.trim(F.regexp_replace(decoded, WS_CLASS + "+", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("stripped_text"),
+        F.regexp_count(t0, F.lit(HTML_TAG_REGEX)).cast("long").alias("n_tags"),
+        F.length(t0).cast("long").alias("n_chars_raw"),
+        F.length(cleaned).cast("long").alias("n_chars_stripped"),
+    )

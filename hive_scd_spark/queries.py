@@ -1766,6 +1766,70 @@ def text_chunk_sliding(spark, sf_dir):
     )
 
 
+def text_strip_html(spark, sf_dir):
+    """HTML stripping (operators/text.py:strip_html) over a corpus with
+    planted markup: every 3rd doc is wrapped in tags with entity-escaped
+    punctuation so tag removal, entity decode (incl. the &amp;-last
+    ordering), and whitespace collapse are all genuinely exercised."""
+    from hive_scd_spark.operators.text import strip_html
+
+    docs = t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<html><body class="main">\n<p>'),
+                F.col("text"),
+                F.lit("</p>\n<a href=\"http://x.example\">a &amp; b &lt;tag&gt;</a></body></html>"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = strip_html(planted, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("stripped_text").alias("stripped_md5"),
+        "n_tags",
+        "n_chars_raw",
+        "n_chars_stripped",
+    )
+
+
+def corpus_source_report(spark, sf_dir):
+    """Per-source corpus report card — the aggregate a data-mixing
+    decision is actually made from: document and token counts, unique
+    rate (exact-dedup digest), and mean quality score per source, one
+    combiner-collapsed groupBy over the quality_stats projection."""
+    from hive_scd_spark.operators.text import quality_stats
+
+    docs = t(spark, sf_dir, "documents")
+    q = quality_stats(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source", "text"), "doc_id"
+    )
+    digest = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.count_distinct(digest).cast("long").alias("n_unique"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            F.round(F.avg("stopword_ratio"), 6).alias("mean_stopword_ratio"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_docs"), 6).alias("unique_rate"),
+            "mean_quality",
+            "mean_stopword_ratio",
+        )
+    )
+
+
 def text_hash_embed_ann(spark, sf_dir):
     """Model-free text→vector→ANN composition: feature-hashing
     embedding (operators/similarity.py:hash_embed, dim 32) straight
@@ -2512,8 +2576,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_logprob": text_unigram_logprob,
     "window_running_supplier_revenue": window_running_supplier_revenue,
     "events_sessionize": events_sessionize,
-    # join surface
-    "join_anti_customers_without_orders": join_anti_customers_without_orders,
+    # join surface (anti-join rotated out: green r3+r4+r5; the corpus
+    # boilerplate census takes its slot — full_outer/asof/range keep
+    # the join family represented)
+    "text_remove_boilerplate": text_remove_boilerplate,
     "sample_token_budget_per_source": sample_token_budget_per_source,
     "join_full_outer_period_activity": join_full_outer_period_activity,
     "asof_join_click_purchase": asof_join_click_purchase,
@@ -2542,7 +2608,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # deduplication family
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
+    # simhash rotated out (green r3+r4+r5; six dedup reps stay in
+    # window) for the text→vector→ANN composition gate
+    "text_hash_embed_ann": text_hash_embed_ann,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_corpus_canonical": dedup_corpus_canonical,
@@ -2595,11 +2663,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk": ivf_cosine_topk_q,
     "text_chunk_sliding": text_chunk_sliding,
     "corpus_top_ngrams": corpus_top_ngrams,
-    "text_remove_boilerplate": text_remove_boilerplate,
     "text_url_domain_filter": text_url_domain_filter,
     "sample_split_assign": sample_split_assign,
     "text_script_detect": text_script_detect,
-    "text_hash_embed_ann": text_hash_embed_ann,
+    "corpus_source_report": corpus_source_report,
+    "text_strip_html": text_strip_html,
+    # displaced in the third r6 rotation (both green r3+r4+r5)
+    "join_anti_customers_without_orders": join_anti_customers_without_orders,
+    "dedup_simhash": dedup_simhash,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3342,4 +3413,63 @@ ORACLES["text_hash_embed_ann"] = """
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id) AS rk
       FROM scored) WHERE rk <= 5
+"""
+
+ORACLES["corpus_source_report"] = """
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+                  FROM documents),
+    agg AS (SELECT doc_id, count(*) AS nt, SUM(len(t)) AS char_sum,
+                   SUM(CASE WHEN t IN ('the','and','of','to','in','is','that','with','for','a')
+                            THEN 1 ELSE 0 END) AS stop_hits
+            FROM toks GROUP BY 1),
+    perdoc AS (
+      SELECT d.doc_id, d.source, agg.nt,
+             md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS dig,
+             ROUND(CAST(stop_hits AS DOUBLE) / nt, 6) AS stopword_ratio,
+             ROUND(LEAST(CAST(nt AS DOUBLE) / 100.0, 1.0) * 0.5
+                   + (1.0 - LEAST(CAST(len(d.text) - len(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                                  / len(d.text) * 5.0, 1.0)) * 0.3
+                   + LEAST(CAST(stop_hits AS DOUBLE) / nt * 5.0, 1.0) * 0.2, 6) AS quality_score
+      FROM documents d JOIN agg ON d.doc_id = agg.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT dig) AS BIGINT) AS n_unique,
+           ROUND(count(DISTINCT dig)*1.0/count(*), 6) AS unique_rate,
+           ROUND(AVG(quality_score), 6) AS mean_quality,
+           ROUND(AVG(stopword_ratio), 6) AS mean_stopword_ratio
+    FROM perdoc GROUP BY 1
+"""
+
+ORACLES["text_strip_html"] = """
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '<html><body class="main">' || chr(10) || '<p>' || text
+                       || '</p>' || chr(10)
+                       || '<a href="http://x.example">a &amp; b &lt;tag&gt;</a></body></html>'
+                  ELSE text END AS text
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '<[^>]+>', ' ', 'g') AS no_tags
+      FROM planted
+    ), s2 AS (
+      SELECT doc_id, text, no_tags,
+             replace(replace(replace(replace(replace(replace(no_tags,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') AS decoded
+      FROM s1
+    ), fin AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(decoded, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS cleaned
+      FROM s2
+    )
+    SELECT f.doc_id,
+           md5(f.cleaned) AS stripped_md5,
+           CAST(len(regexp_extract_all(f.text, '<[^>]+>')) AS BIGINT) AS n_tags,
+           CAST(len(f.text) AS BIGINT) AS n_chars_raw,
+           CAST(len(f.cleaned) AS BIGINT) AS n_chars_stripped
+    FROM fin f
 """

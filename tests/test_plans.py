@@ -92,6 +92,8 @@ def test_jvm_operators_have_no_python_in_plan(spark, sf_dir):
         "sample_split_assign",
         "text_script_detect",
         "text_hash_embed_ann",
+        "corpus_source_report",
+        "text_strip_html",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert plan_summary(df)["python_evals"] == 0, name

@@ -501,3 +501,25 @@ def test_hash_embed_rejects_bad_dim(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="dim"):
         hash_embed(df, "doc_id", "text", dim=0)
+
+
+# -- strip_html --------------------------------------------------------------
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    from hive_scd_spark.operators.text import strip_html
+
+    rows = [
+        (1, '<p class="x">Hello <b>world</b></p>'),
+        (2, "no markup"),
+        (3, "a &amp; b &lt;kept&gt; &quot;q&quot;"),
+        (4, "&amp;lt; stays escaped-once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_html(df, "doc_id", "text").collect()}
+    assert out[1].stripped_text == "Hello world"
+    assert out[1].n_tags == 4
+    assert out[2].stripped_text == "no markup" and out[2].n_tags == 0
+    assert out[3].stripped_text == 'a & b <kept> "q"'
+    # &amp; decoded LAST: double-escaped input decodes exactly once
+    assert out[4].stripped_text == "&lt; stays escaped-once"
