@@ -1797,6 +1797,29 @@ def text_strip_html(spark, sf_dir):
     )
 
 
+def sql_recursive_calendar(spark, sf_dir):
+    """Recursive CTE (§2.B SQL surface — Spark 4 WITH RECURSIVE):
+    generate the Q1-1995 calendar recursively and left-join daily order
+    counts, zero-filling gap days — the standard gap-filled time-series
+    shape.  The recursion is 90 driver-side-free iterations of a
+    one-row frontier; DuckDB replays the identical recursion."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(day) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT date_add(day, 1) FROM cal WHERE day < DATE '1995-03-31'
+        )
+        SELECT cal.day AS day, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders
+        FROM cal LEFT JOIN (
+          SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt
+          FROM orders_rc GROUP BY 1
+        ) o ON o.d = cal.day
+        """
+    )
+
+
 def corpus_source_report(spark, sf_dir):
     """Per-source corpus report card — the aggregate a data-mixing
     decision is actually made from: document and token counts, unique
@@ -2668,6 +2691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_script_detect": text_script_detect,
     "corpus_source_report": corpus_source_report,
     "text_strip_html": text_strip_html,
+    "sql_recursive_calendar": sql_recursive_calendar,
     # displaced in the third r6 rotation (both green r3+r4+r5)
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
@@ -3472,4 +3496,17 @@ ORACLES["text_strip_html"] = """
            CAST(len(f.text) AS BIGINT) AS n_chars_raw,
            CAST(len(f.cleaned) AS BIGINT) AS n_chars_stripped
     FROM fin f
+"""
+
+ORACLES["sql_recursive_calendar"] = """
+    WITH RECURSIVE cal(day) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT day + 1 FROM cal WHERE day < DATE '1995-03-31'
+    )
+    SELECT cal.day AS day, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders
+    FROM cal LEFT JOIN (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ) o ON o.d = cal.day
 """
