@@ -1797,6 +1797,50 @@ def text_strip_html(spark, sf_dir):
     )
 
 
+def pipeline_semantic_dedup(spark, sf_dir):
+    """CAPSTONE #2 — model-free semantic dedup, two operator families
+    composed in one plan: feature-hashing embedding
+    (similarity.hash_embed, dim 32) over the planted-dup corpus feeds
+    banded hyperplane LSH near-dup pair generation
+    (dedup.embedding_near_dup_pairs, 4 planes × 4 bands, θ ≥ 0.95) —
+    text in, near-dup pairs out, no external model, no all-pairs join.
+    The oracle replays BOTH approximations: the md5 hashing-trick
+    vectors AND the md5 hyperplane buckets."""
+    from hive_scd_spark.operators.dedup import embedding_near_dup_pairs
+    from hive_scd_spark.operators.similarity import hash_embed
+
+    corpus = _dup_corpus(spark, sf_dir)
+    emb = hash_embed(corpus, "doc_id", "text", dim=32).select(
+        "doc_id", F.col("vec").cast("array<double>").alias("vec")
+    )
+    # lazy checkpoint: the embedding feeds bucketize AND both scoring
+    # sides — without it the whole embed DAG re-executes per consumer
+    # (the same double-pass the MinHash path kills this way)
+    emb = emb.localCheckpoint(eager=False)
+    # auto plane sizing is NOT optional here: fixed 4 planes measured
+    # 46 s at sf0.1 (bucket population ∝ N ⇒ candidates ∝ N²/2^P — the
+    # SCALE_NOTES r5 pathology, reproduced).  n_rows is the corpus
+    # count (docs + every-5th copies) so sizing doesn't re-execute the
+    # embedding pipeline just to count its rows.
+    n_rows = corpus.count()
+    return embedding_near_dup_pairs(
+        emb,
+        "doc_id",
+        "vec",
+        threshold=0.95,
+        use_lsh=True,
+        n_planes="auto",
+        n_bands=4,
+        dim=32,
+        # target 8 (not the default 32): candidate scoring is the cost
+        # at this corpus size — population 8 keeps the pair volume
+        # ~N·16 while exact dups (identical vectors) collide in EVERY
+        # band regardless of resolution
+        target_bucket=8,
+        n_rows=n_rows,
+    )
+
+
 def sql_recursive_calendar(spark, sf_dir):
     """Recursive CTE (§2.B SQL surface — Spark 4 WITH RECURSIVE):
     generate the Q1-1995 calendar recursively and left-join daily order
@@ -2021,12 +2065,14 @@ ROUND(
      * SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)
 """
 
-def _lsh_bucket_cte(n_planes: int, dim: int, n_bands: int = 1) -> str:
+def _lsh_bucket_cte(n_planes: int, dim: int, n_bands: int = 1, src: str = "embeddings") -> str:
     """DuckDB replica of operators.similarity lsh bucketing: the same
     md5-derived hyperplanes (global plane index keys the md5; bit
     position is the index within the band), so the approximation itself
     is checked.  With ``n_bands=1`` `buckets` has (vec_id, bucket);
-    otherwise (vec_id, band, bucket)."""
+    otherwise (vec_id, band, bucket).  *src*: table or prior CTE with
+    (vec_id, embedding) — defaults to the embeddings table; the
+    semantic-dedup oracle points it at hash-embed vectors."""
     total = n_planes * n_bands
     band_sel = f"p // {n_planes} AS band," if n_bands > 1 else ""
     return f"""
@@ -2036,7 +2082,7 @@ planes AS (SELECT p, d,
            FROM (SELECT unnest(range({total})) AS p), (SELECT unnest(range({dim})) AS d)),
 dots AS (SELECT e.vec_id, pl.p,
                 SUM(CAST(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS dot
-         FROM embeddings e, planes pl GROUP BY 1, 2),
+         FROM {src} e, planes pl GROUP BY 1, 2),
 buckets AS (SELECT vec_id, {band_sel}
                    SUM(CASE WHEN dot > 0 THEN 1::BIGINT << (p % {n_planes}) ELSE 0 END) AS bucket
             FROM dots GROUP BY vec_id{', band' if n_bands > 1 else ''})
@@ -2046,7 +2092,9 @@ buckets AS (SELECT vec_id, {band_sel}
 _LSH_BUCKET_CTE = _lsh_bucket_cte(8, 64)
 
 
-def _lsh_bucket_cte_auto(dim: int, n_bands: int, target_bucket: int) -> str:
+def _lsh_bucket_cte_auto(
+    dim: int, n_bands: int, target_bucket: int, src: str = "embeddings"
+) -> str:
     """The dynamic-resolution replica of :func:`_lsh_bucket_cte`: the
     plane count per band is DERIVED FROM THE DATA inside the SQL —
     ``GREATEST(2, CEIL(LOG2(GREATEST(N,2)/target)))`` over
@@ -2058,7 +2106,7 @@ def _lsh_bucket_cte_auto(dim: int, n_bands: int, target_bucket: int) -> str:
     string."""
     return f"""
 params AS (SELECT GREATEST(2, CAST(CEIL(LOG2(
-             CAST(GREATEST((SELECT COUNT(*) FROM embeddings), 2) AS DOUBLE)
+             CAST(GREATEST((SELECT COUNT(*) FROM {src}), 2) AS DOUBLE)
              / {max(target_bucket, 1)})) AS BIGINT)) AS np),
 planes AS (SELECT p, d,
                   ('0x'||substr(md5(p::VARCHAR||'_'||d::VARCHAR),1,8))::BIGINT
@@ -2067,7 +2115,7 @@ planes AS (SELECT p, d,
                 (SELECT unnest(range({dim})) AS d)),
 dots AS (SELECT e.vec_id, pl.p,
                 SUM(CAST(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS dot
-         FROM embeddings e, planes pl GROUP BY 1, 2),
+         FROM {src} e, planes pl GROUP BY 1, 2),
 buckets AS (SELECT vec_id, p // (SELECT np FROM params) AS band,
                    SUM(CASE WHEN dot > 0
                             THEN 1::BIGINT << (p % (SELECT np FROM params))
@@ -2692,6 +2740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_source_report": corpus_source_report,
     "text_strip_html": text_strip_html,
     "sql_recursive_calendar": sql_recursive_calendar,
+    "pipeline_semantic_dedup": pipeline_semantic_dedup,
     # displaced in the third r6 rotation (both green r3+r4+r5)
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
@@ -3510,3 +3559,45 @@ ORACLES["sql_recursive_calendar"] = """
       FROM orders GROUP BY 1
     ) o ON o.d = cal.day
 """
+
+_HASH_EMBED_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+), tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(trim(lower(text)), '\\s+'),
+           x -> x <> '')) AS t
+  FROM corpus
+), hb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('hembed:' || t), 1, 8))::BIGINT % 32 AS b,
+         CASE WHEN ('0x' || substr(md5('hembed:' || t), 9, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok
+), hagg AS (
+  SELECT doc_id, b, SUM(s) AS v FROM hb GROUP BY 1, 2
+), hdense AS (
+  SELECT i.doc_id, r.range AS j, COALESCE(a.v, 0) AS v
+  FROM (SELECT DISTINCT doc_id FROM corpus) i CROSS JOIN range(0, 32) r
+  LEFT JOIN hagg a ON a.doc_id = i.doc_id AND a.b = r.range
+), emb AS (
+  SELECT doc_id AS vec_id, list(CAST(v AS DOUBLE) ORDER BY j) AS embedding
+  FROM hdense GROUP BY 1
+)"""
+
+ORACLES["pipeline_semantic_dedup"] = f"""
+    WITH {_HASH_EMBED_CTE},
+    {_lsh_bucket_cte_auto(32, 4, 8, src="emb")},
+    cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM buckets x JOIN buckets y
+               ON x.band = y.band AND x.bucket = y.bucket
+              AND x.vec_id < y.vec_id)
+    SELECT cd.id_a, cd.id_b, {{cos}} AS cos
+    FROM cand cd
+    JOIN emb q ON q.vec_id = cd.id_a
+    JOIN emb c ON c.vec_id = cd.id_b
+    WHERE {{cos}} >= 0.95
+""".format(cos=_COS_SQL)

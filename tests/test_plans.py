@@ -94,6 +94,7 @@ def test_jvm_operators_have_no_python_in_plan(spark, sf_dir):
         "text_hash_embed_ann",
         "corpus_source_report",
         "text_strip_html",
+        "pipeline_semantic_dedup",
     ]:
         df = QUERIES[name](spark, sf_dir)
         assert plan_summary(df)["python_evals"] == 0, name
