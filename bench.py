@@ -57,6 +57,9 @@ HEADLINE = [
     "text_unigram_logprob",
     "sample_token_budget_per_source",
     "text_remove_boilerplate",
+    # round-6 text→vector composition
+    "text_hash_embed_ann",
+    "pipeline_semantic_dedup",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -76,6 +79,8 @@ ITERATIVE = {
     # distributed_prefix_sum collects per-partition totals at build time
     "pack_sequences_ctx",
     "pipeline_corpus_to_sequences",
+    # corpus.count() for auto plane sizing + lazy checkpoint at build
+    "pipeline_semantic_dedup",
 }
 
 

@@ -1830,7 +1830,10 @@ def pipeline_semantic_dedup(spark, sf_dir):
         threshold=0.95,
         use_lsh=True,
         n_planes="auto",
-        n_bands=4,
+        # 2 bands: identical vectors (the dup class this gate targets)
+        # collide in EVERY band, so exact-dup recall is band-count-free;
+        # extra bands only buy borderline-pair recall at 2x plane cost
+        n_bands=2,
         dim=32,
         # target 8 (not the default 32): candidate scoring is the cost
         # at this corpus size — population 8 keeps the pair volume
@@ -3590,7 +3593,7 @@ corpus AS (
 
 ORACLES["pipeline_semantic_dedup"] = f"""
     WITH {_HASH_EMBED_CTE},
-    {_lsh_bucket_cte_auto(32, 4, 8, src="emb")},
+    {_lsh_bucket_cte_auto(32, 2, 8, src="emb")},
     cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
              FROM buckets x JOIN buckets y
                ON x.band = y.band AND x.bucket = y.bucket
