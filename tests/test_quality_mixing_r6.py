@@ -523,3 +523,34 @@ def test_strip_html_tags_entities_whitespace(spark):
     assert out[3].stripped_text == 'a & b <kept> "q"'
     # &amp; decoded LAST: double-escaped input decodes exactly once
     assert out[4].stripped_text == "&lt; stays escaped-once"
+
+
+def test_chunk_invariants_parameter_grid(spark):
+    """Coverage invariants over a (doc_length × window × stride) grid,
+    one Spark job per (window, stride): every token index is covered by
+    ≥1 chunk, chunk starts advance by exactly stride, the tail chunk
+    ends exactly at n, and overlap equals window - stride everywhere."""
+    from hive_scd_spark.operators.text import chunk_text_tokens
+
+    docs = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for window, stride in [(1, 1), (4, 4), (4, 3), (8, 2), (5, 5), (7, 3)]:
+        rows = chunk_text_tokens(df, "doc_id", "text", window=window, stride=stride).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for n, _ in docs:
+            chunks = sorted(by_doc[n], key=lambda r: r.chunk_id)
+            # starts advance by exactly stride from zero
+            assert [c.start_tok for c in chunks] == [i * stride for i in range(len(chunks))]
+            covered = set()
+            for c in chunks:
+                assert 1 <= c.n_chunk_tokens <= window
+                covered.update(range(c.start_tok, c.start_tok + c.n_chunk_tokens))
+            assert covered == set(range(n)), (n, window, stride)
+            # no chunk starts past the end; the final chunk reaches exactly n
+            last = chunks[-1]
+            assert last.start_tok < n
+            assert last.start_tok + last.n_chunk_tokens == n
+            # minimality: every chunk before the last is full-width
+            assert all(c.n_chunk_tokens == window for c in chunks[:-1])
