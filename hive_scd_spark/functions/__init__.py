@@ -22,6 +22,19 @@ def norm_text(col) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def ws_tokens(col) -> Column:
+    """Lowercased whitespace tokens — THE shared tokenizer
+    (text analysis, quality filters, BM25, unigram LM all key on it).
+    Splits on \\s, which Java extends to \\x0B and RE2 does not, so the
+    oracle contract assumes \\x0B-free text (``clean_text``'s explicit
+    whitespace class is the sanctioned pre-step where that matters).
+    Empty input yields [''] (split semantics) and NULL yields NULL —
+    callers that must keep empty/NULL docs guard at the row level
+    (see quality.repetition_stats / similarity.hash_embed)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
 def hash32(col) -> Column:
     """First 8 hex chars of md5 → bigint in [0, 2^32).  Deterministic
     across engines (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``)."""

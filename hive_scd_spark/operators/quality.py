@@ -17,14 +17,17 @@ external model file.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _ws_tokens(text_col):
-    """Lowercased whitespace tokens (same contract as text._tokens —
-    assumes \\x0B-free text; clean_text is the sanctioned pre-step)."""
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    """The shared tokenizer (see functions.ws_tokens for the contract)."""
+    from hive_scd_spark.functions import ws_tokens
+
+    return ws_tokens(text_col)
 
 
 def _mode_count(arr):
@@ -75,15 +78,28 @@ def repetition_stats(
     - ``repetitive`` — 1 when dup_line_char_frac > 0.30 or
       top_bigram_frac > 0.18 (the published thresholds)
 
-    Everything is row-local higher-order functions — no shuffle, no
-    UDF; the plan is one codegen projection over the scan.  The mode
-    computations are O(distinct × n) per row, which is fine for
-    documents (n ≈ tokens per doc); for pathological million-token rows
-    truncate first (``substring``) as any real quality pass does.
+    *line_sep* is a LITERAL separator (regex-escaped before the split,
+    so '.' or '|' split on the character, matching the literal
+    ``string_split`` the oracles use).  NULL/empty/whitespace-only text
+    yields zeros, not NULLs and not a phantom '' token.
+
+    Everything is row-local — no shuffle, no UDF.  Both mode counts and
+    the duplicate-character sum run as native ``array_sort`` + ONE
+    O(n) fold (higher-order lambdas are interpreted, so the naive
+    O(distinct × n) filter-and-count forms measured seconds at sf0.1 —
+    see ``_mode_count``); for pathological million-token rows truncate
+    first (``substring``) as any real quality pass does.
     """
-    lines_raw = F.split(F.col(text_col), line_sep)
+    base = F.coalesce(F.col(text_col), F.lit(""))
+    lines_raw = F.split(base, re.escape(line_sep))
     lines = F.filter(lines_raw, lambda x: F.length(F.trim(x)) > 0)
-    toks = _ws_tokens(text_col)
+    # row-level guard (cheap scalar when, not a per-token lambda):
+    # split of empty text is [''] — a phantom token that would make an
+    # empty doc look maximally repetitive (top_token_frac = 1.0)
+    toks_all = _ws_tokens(text_col)
+    toks = F.when(F.length(F.trim(base)) > 0, toks_all).otherwise(
+        F.array().cast("array<string>")
+    )
 
     work = df.select(
         F.col(id_col), lines.alias("__lines"), toks.alias("__toks")
@@ -93,12 +109,24 @@ def repetition_stats(
     dlines = F.array_distinct(lines_c)
     n_dup = n_lines - F.size(dlines)
     line_chars = F.aggregate(lines_c, F.lit(0), lambda a, x: a + F.length(x))
-    # chars inside repeated lines: for each distinct line, (count-1)·len
+    # chars inside repeated lines: every occurrence of a line beyond its
+    # first adds len(line).  Sorted-run fold (the _mode_count trick):
+    # after array_sort, a repeat is exactly "equal to the previous
+    # element" — O(n) instead of the O(distinct × n) filter-and-count
     dup_chars = F.aggregate(
-        dlines,
-        F.lit(0),
-        lambda a, g: a
-        + (F.size(F.filter(lines_c, lambda x: x == g)) - 1) * F.length(g),
+        F.array_sort(lines_c),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("extra"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            (
+                a["extra"]
+                + F.when(x == a["prev"], F.length(x)).otherwise(F.lit(0).cast("long"))
+            ).alias("extra"),
+        ),
+        lambda a: a["extra"],
     )
     n_toks = F.size(toks_c)
     top_tok = _mode_count(toks_c)
@@ -163,10 +191,25 @@ def unigram_logprob(
     """
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    # NO pre-aggregation token filter: split of empty/NULL text yields
+    # one '' token, and dropping those rows before the groupBy would
+    # drop the DOCUMENT from the output (a pipeline joining scores back
+    # would then keep/drop it by join type — the package convention,
+    # cf. remove_boilerplate_lines/hash_embed, is that every input row
+    # survives).  '' is excluded from the vocab and from every
+    # aggregate instead; an empty doc scores (0, 0, 0.0, NULL).
+    # coalesce: split of NULL text is a NULL array, which explode would
+    # drop — NULL docs ride through as one '' token like empty docs
     toks_df = df.select(
-        F.col(id_col), F.explode(_ws_tokens(text_col)).alias("__tok")
-    ).filter(F.col("__tok") != "")
-    counts = toks_df.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+        F.col(id_col),
+        F.explode(
+            F.coalesce(_ws_tokens(text_col), F.array(F.lit("")))
+        ).alias("__tok"),
+    )
+    real = F.col("__tok") != ""
+    counts = (
+        toks_df.filter(real).groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    )
     total_df = counts.agg(F.sum("__cnt").cast("double").alias("__total"))
     vocab = counts.orderBy(F.col("__cnt").desc(), F.col("__tok")).limit(vocab_size)
     scored = (
@@ -174,20 +217,24 @@ def unigram_logprob(
         .join(F.broadcast(total_df))
         .withColumn("__c", F.coalesce(F.col("__cnt"), F.lit(1)).cast("double"))
     )
+    is_oov = real & F.col("__cnt").isNull()
     return (
         scored.groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("__cnt").isNull(), 1).otherwise(0)).alias("n_oov"),
-            F.round(F.avg(F.log(F.col("__c") / F.col("__total"))), 6).alias(
-                "avg_logprob"
-            ),
+            F.sum(F.when(real, 1).otherwise(0)).alias("n_tokens"),
+            F.sum(F.when(is_oov, 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.avg(F.when(real, F.log(F.col("__c") / F.col("__total")))), 6
+            ).alias("avg_logprob"),
         )
         .select(
             F.col(id_col),
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("n_oov").cast("long").alias("n_oov"),
-            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_frac"),
+            F.coalesce(
+                F.round(F.try_divide(F.col("n_oov"), F.col("n_tokens")), 6),
+                F.lit(0.0),
+            ).alias("oov_frac"),
             "avg_logprob",
         )
     )
@@ -265,7 +312,10 @@ def remove_boilerplate_lines(
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)
+            # re.escape: line_sep is a LITERAL separator everywhere
+            # (the rebuild's array_join and the oracle's string_split
+            # are literal; an unescaped regex split would fork them)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(line_sep))
         ).alias("__pos", "__line"),
     )
     norm = F.lower(F.trim(F.col("__line")))

@@ -21,12 +21,11 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def _tokens(text_col):
-    # tokenizer splits on \s, which Java extends to \x0B and RE2 does
-    # not — the oracle contract therefore assumes \x0B-free text (true
-    # of the synthetic corpus).  clean_text uses an explicit class
-    # (WS_CLASS) and is the sanctioned pre-step for corpora where the
-    # distinction matters.
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # the shared tokenizer — contract (incl. the \x0B caveat) documented
+    # once at functions.ws_tokens
+    from hive_scd_spark.functions import ws_tokens
+
+    return ws_tokens(text_col)
 
 
 def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -398,11 +397,22 @@ def chunk_text_tokens(
         # stride > window would leave token gaps AND can produce an empty
         # trailing chunk; gapped sampling is pack/sampling territory
         raise ValueError(f"stride ({stride}) must be <= window ({window})")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # row-level empty guard: split of empty text is [''] — without it an
+    # empty/NULL doc emits one phantom chunk of one '' token.  NULL
+    # array → the sequence/explode below drops the doc: no content, no
+    # chunks (the retrieval-side convention; cf. pack's n > 0 filter).
+    base = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(F.length(base) > 0, F.split(base, r"\s+")).otherwise(
+        F.lit(None).cast("array<string>")
+    )
     work = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size("__toks")
+    # ceil((n-window)/stride) in EXACT integer arithmetic: m % stride is
+    # integer-exact, so (m - m%stride)/stride divides exactly and the
+    # double division cannot round (the oracle's '//' replays it)
+    m = n - window + stride - 1
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(
-        (n - window + stride - 1) / stride + 1
+        (m - m % stride) / stride + 1
     ).cast("int")
     work = work.select(
         F.col(id_col),
@@ -452,9 +462,17 @@ def url_domain_stats(
         hosts, lambda h: F.regexp_replace(F.lower(h), r"^www\.", "")
     )
     work = df.select(F.col(id_col), norm.alias("__hosts"))
-    blocked = (
-        F.exists(F.col("__hosts"), lambda h: h.isin(*blocklist))
+    # normalize the blocklist the same way the hosts are normalized —
+    # otherwise 'WWW.Spam.Example' or 'www.spam.example' entries (the
+    # exact forms the extraction strips) silently never match
+    norm_block = (
+        sorted({b.lower().removeprefix("www.") for b in blocklist})
         if blocklist
+        else []
+    )
+    blocked = (
+        F.exists(F.col("__hosts"), lambda h: h.isin(*norm_block))
+        if norm_block
         else F.lit(False)
     )
     return work.select(

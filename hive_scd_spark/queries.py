@@ -1802,10 +1802,12 @@ def pipeline_semantic_dedup(spark, sf_dir):
     composed in one plan: feature-hashing embedding
     (similarity.hash_embed, dim 32) over the planted-dup corpus feeds
     banded hyperplane LSH near-dup pair generation
-    (dedup.embedding_near_dup_pairs, 4 planes × 4 bands, θ ≥ 0.95) —
-    text in, near-dup pairs out, no external model, no all-pairs join.
-    The oracle replays BOTH approximations: the md5 hashing-trick
-    vectors AND the md5 hyperplane buckets."""
+    (dedup.embedding_near_dup_pairs, ``n_planes='auto'`` sized from the
+    corpus count at target bucket 8, 2 bands, θ ≥ 0.95) — text in,
+    near-dup pairs out, no external model, no all-pairs join.  The
+    oracle replays BOTH approximations: the md5 hashing-trick vectors
+    AND the md5 hyperplane buckets, including the COUNT(*)-derived
+    plane count."""
     from hive_scd_spark.operators.dedup import embedding_near_dup_pairs
     from hive_scd_spark.operators.similarity import hash_embed
 

@@ -554,3 +554,84 @@ def test_chunk_invariants_parameter_grid(spark):
             assert last.start_tok + last.n_chunk_tokens == n
             # minimality: every chunk before the last is full-width
             assert all(c.n_chunk_tokens == window for c in chunks[:-1])
+
+
+# -- review fixes: empty/NULL-doc semantics + contract foot-guns -------------
+
+
+def test_repetition_empty_and_null_docs_are_zeroed(spark):
+    from hive_scd_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real text here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    for i in (1, 2, 3):
+        r = out[i]
+        # no phantom '' token: an empty doc is NOT maximally repetitive
+        assert r.n_lines == 0 and r.top_token_frac == 0.0
+        assert r.repetitive == 0
+    assert out[4].top_token_frac > 0
+
+
+def test_repetition_line_sep_is_literal(spark):
+    from hive_scd_spark.operators.quality import repetition_stats
+
+    # '.' as separator must split on the DOT, not on every character
+    df = spark.createDataFrame([(1, "aa bb.aa bb.cc")], "doc_id long, text string")
+    r = repetition_stats(df, "doc_id", "text", line_sep=".").collect()[0]
+    assert r.n_lines == 3
+    assert r.dup_line_frac == round(1 / 3, 6)
+
+
+def test_unigram_logprob_keeps_empty_docs(spark):
+    from hive_scd_spark.operators.quality import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df, "doc_id", "text", vocab_size=5).collect()}
+    assert set(out) == {1, 2, 3}  # every input row survives
+    for i in (2, 3):
+        r = out[i]
+        assert r.n_tokens == 0 and r.n_oov == 0 and r.oov_frac == 0.0
+        assert r.avg_logprob is None
+    assert out[1].n_tokens == 3
+
+
+def test_chunk_empty_doc_yields_no_chunks(spark):
+    from hive_scd_spark.operators.text import chunk_text_tokens
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a b c")], "doc_id long, text string"
+    )
+    rows = chunk_text_tokens(df, "doc_id", "text", window=4, stride=3).collect()
+    assert {r.doc_id for r in rows} == {3}  # no phantom '' chunks
+
+
+def test_url_blocklist_entries_are_normalized(spark):
+    from hive_scd_spark.operators.text import url_domain_stats
+
+    df = spark.createDataFrame(
+        [(1, "x https://www.spam.example/p y")], "doc_id long, text string"
+    )
+    # the exact forms extraction strips must still match
+    for bl in (["WWW.Spam.Example"], ["www.spam.example"], ["spam.example"]):
+        r = url_domain_stats(df, "doc_id", "text", blocklist=bl).collect()[0]
+        assert r.blocked == 1, bl
+
+
+def test_boilerplate_line_sep_is_literal(spark):
+    from hive_scd_spark.operators.quality import remove_boilerplate_lines
+
+    rows = [(1, "keep.bp"), (2, "bp.other"), (3, "bp.third")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", min_docs=3, line_sep="."
+        ).collect()
+    }
+    assert out[1].text == "keep" and out[1].n_lines_removed == 1
+    assert out[2].text == "other"
