@@ -1942,6 +1942,186 @@ def q7_nation_volume(spark, sf_dir):
     )
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority checking — a correlated EXISTS
+    whose inner predicate references BOTH sides (l_shipdate >
+    o_orderdate), so it cannot be pre-filtered into a plain semi join
+    key-match; Catalyst rewrites it to a left-semi with a mixed
+    condition.  Counts are exact integers.  The reduced schema has no
+    l_commitdate/l_receiptdate (TESTDATA.md), so the classic "late
+    commit" predicate becomes "shipped after the order quarter opened"
+    — same plan shape, same rewrite."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join with a filter INSIDE the join condition (the classic outer-join
+    trap: pushing o_orderstatus <> 'F' below the join as a WHERE would
+    silently drop zero-order customers), then aggregation-of-an-
+    aggregation.  Both groupBys are exact integer counts; the second
+    one's input is one row per customer — tiny."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderstatus != F.lit("F")),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    scalar AVG subquery (avg l_quantity per part), expressed as an
+    aggregate-then-rejoin on the fact's own key.  The threshold
+    comparison l_quantity < 0.2 * avg(l_quantity) is evaluated in
+    EXACT integer arithmetic (5 * qty * cnt < sum — l_quantity is
+    integer-valued, so the bigint cross-multiplication dodges the
+    engine-dependent double-division boundary that 0.2*sum/cnt would
+    hit).  The per-part aggregate is map-side combinable, so the only
+    data that moves is one (partkey, sum, cnt) row per part — the fact
+    table itself never shuffles: the plan probes it once against the
+    broadcast part dim and once against the (broadcast at this SF,
+    sort-merge beyond the threshold) aggregate side."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count("*").alias("cnt_qty"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("agg_partkey"))
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("cnt_qty")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+            ).alias("small_qty_revenue_cents")
+        )
+    )
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume customers — an IN subquery over a
+    HAVING-filtered aggregate of the same fact table (orderkeys whose
+    total quantity exceeds a threshold), then a 3-way join and a
+    deterministic top-k.  sum(l_quantity) is exact (integer-valued
+    doubles), so the HAVING boundary cannot flip between engines.  The
+    qualifying-key set is tiny → Catalyst broadcasts the semi join."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("tot_qty"))
+        .filter(F.col("tot_qty") > 160)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "tot_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+def q19_disjunctive_pred(spark, sf_dir):
+    """TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    predicate spanning both join sides (brand/size ranges × quantity
+    ranges).  The disjunction can only be evaluated ABOVE the join, but
+    Catalyst factors the common conjuncts (p_size >= 1, quantity
+    bounds) below it and broadcasts the filtered part side — the
+    textbook disjunctive-pushdown plan.  Revenue in exact integer
+    cents."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & qty.between(qlo, qhi)
+    )
+    return j.filter(
+        arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30)
+    ).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            ).cast("bigint")
+        ).alias("revenue_cents")
+    )
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average balances and no
+    orders — a global scalar-AVG subquery feeding a filter, an anti
+    join, and a substring-key aggregation.  The average is computed
+    over exact integer cents and the comparison cross-multiplied
+    (cents * n > sum_cents), so the threshold is engine-exact; the
+    1-row aggregate enters the plan as a broadcast nested-loop join of
+    a single row (the one place BNLJ is the RIGHT plan).  The reduced
+    customer schema has no c_phone, so the country-code grouping
+    becomes a mktsegment grouping — same shape.  Every sf0.01 customer
+    has SOME order, so "no orders" is scoped to the most recent period
+    (>= 2000-01-01) to keep the gate population non-vacuous; the date
+    filter lands below the anti join's build side."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    stats = pos.agg(
+        F.sum(cents).alias("sum_cents"), F.count("*").alias("n_pos")
+    )
+    return (
+        cust.withColumn("acct_cents", cents)
+        .join(F.broadcast(stats))
+        .filter(F.col("acct_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("acct_cents").alias("totacctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def sql_recursive_calendar(spark, sf_dir):
     """Recursive CTE (§2.B SQL surface — Spark 4 WITH RECURSIVE):
     generate the Q1-1995 calendar recursively and left-join daily order
@@ -2732,8 +2912,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # agg_percentiles_per_segment, pivot_nation_by_segment,
     # json_props_stats — green r3+r4+r5, now contract-checked >50)
     "text_clean_normalize": text_clean_normalize,
-    # aggregation surface
-    "agg_grouping_sets": agg_grouping_sets,
+    # r6 fourth rotation: the Spark-4 recursive-CTE gate (brand-new
+    # capability this round) takes the slot of agg_grouping_sets
+    # (green r3+r4+r5; rollup/cube keep the family contract-checked)
+    "sql_recursive_calendar": sql_recursive_calendar,
     "sample_top_n_per_group": sample_top_n_per_group,
     # r6 second rotation: five brand-new operators (repetition screen,
     # unigram LM score, token-budget mixing, PII redaction, int8
@@ -2769,11 +2951,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multiply-verified unpivot/correlated-subquery entries (r3+r4 green)
     "pack_sequences_ctx": pack_sequences_ctx,
     "decontam_ngram_overlap": decontam_ngram_overlap,
-    # r5 rotation: events_window_counts swapped in for sample_deterministic
-    # — it is the one load_events-repaired query whose only green driver
-    # row predates the testdata regen; sample_deterministic holds green
-    # r3+r4 rows and stays contract-checked out of window
-    "events_window_counts": events_window_counts,
+    # r6 fourth rotation: the semantic-dedup capstone (hash_embed →
+    # auto-sized hyperplane LSH, both approximations replayed in SQL)
+    # takes the slot events_window_counts held (green r5; the windowed
+    # streaming family stays covered by events_sessionize in-window and
+    # the contract log out of window)
+    "pipeline_semantic_dedup": pipeline_semantic_dedup,
     # r5 capstone: four operators composed in one plan — brand-new code
     # takes the window slot from feature_histogram (green r3+r4+contract)
     "pipeline_corpus_to_sequences": pipeline_corpus_to_sequences,
@@ -2820,6 +3003,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute_force": knn_brute_force,
     # r6 rotation: displaced multiply-green veterans — every one stays
     # DuckDB-verified by scripts/check_contract.py each round
+    "agg_grouping_sets": agg_grouping_sets,
+    "events_window_counts": events_window_counts,
     "q6_revenue_forecast": q6_revenue_forecast,
     "agg_percentiles_per_segment": agg_percentiles_per_segment,
     "pivot_nation_by_segment": pivot_nation_by_segment,
@@ -2840,11 +3025,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_script_detect": text_script_detect,
     "corpus_source_report": corpus_source_report,
     "text_strip_html": text_strip_html,
-    "sql_recursive_calendar": sql_recursive_calendar,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q7_nation_volume": q7_nation_volume,
-    "pipeline_semantic_dedup": pipeline_semantic_dedup,
+    "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_pred": q19_disjunctive_pred,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     # displaced in the third r6 rotation (both green r3+r4+r5)
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
@@ -3730,6 +3919,83 @@ ORACLES["q14_promo_revenue"] = """
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
+"""
+
+ORACLES["q4_order_priority"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+ORACLES["q13_customer_distribution"] = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["q17_small_quantity_revenue"] = """
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS small_qty_revenue_cents
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN (SELECT l_partkey AS agg_partkey,
+                 SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                 count(*) AS cnt_qty
+          FROM lineitem GROUP BY l_partkey) ON l_partkey = agg_partkey
+    WHERE p_brand = 'Brand#23'
+      AND CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty
+"""
+
+ORACLES["q18_large_volume_customers"] = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(tot_qty AS BIGINT) AS tot_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS tot_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS BIGINT)) > 160) big
+      ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+"""
+
+ORACLES["q19_disjunctive_pred"] = """
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["q22_global_sales_opportunity"] = """
+    WITH stats AS (
+      SELECT SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS sum_cents,
+             count(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer, stats
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_pos > sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
 """
 
 ORACLES["q7_nation_volume"] = """
