@@ -60,6 +60,12 @@ HEADLINE = [
     # round-6 text→vector composition
     "text_hash_embed_ann",
     "pipeline_semantic_dedup",
+    # round-6 TPC-H plan shapes (double-dim star, outer-join-condition
+    # filter + double agg, agg-then-rejoin scalar subquery, HAVING semi)
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

@@ -431,3 +431,73 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
         term = F.shiftleft(bit, b)
         fingerprint = term if fingerprint is None else fingerprint + term
     return votes.select(F.col("__id").alias(id_col), fingerprint.alias("simhash"))
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact-substring duplicate pairs: documents sharing at least one
+    verbatim *n*-word window (the distributed approximation of
+    suffix-array substring dedup — Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which flags 50-token
+    exact matches; a true distributed suffix array is not expressible
+    without superlinear shuffles, but a hashed fixed-length window
+    catches every match of length >= n by construction: any such match
+    contains an aligned n-window).
+
+    Output ``(id_a, id_b, n_shared)``: for every n-gram bucket the
+    MINIMUM doc id is the representative and each other member pairs
+    with it — star edges, linear in bucket size, cluster-equivalent to
+    the full pairwise set (feed them to ``cluster.dup_clusters`` for
+    components).  ``n_shared`` counts the distinct shared windows
+    behind each edge.
+
+    ``max_df`` drops n-grams present in MORE than that many documents
+    before pair generation.  This is a semantic choice, not a silent
+    cap: a window shared by hundreds of documents is boilerplate (a
+    license header, a nav bar), and boilerplate-linked documents are
+    not duplicates of each other — ``text.remove_boilerplate_lines``
+    is the operator for that content.  It is also what bounds the
+    plan: edges per gram <= max_df - 1, so the output is linear in the
+    gram count, never quadratic in a hot bucket.
+
+    Plan shape: ONE corpus-sized shuffle.  Doc frequency and the
+    bucket representative are unbounded-frame window aggregates over
+    ``partitionBy(gram)`` — NOT an aggregate-then-rejoin: the rejoin
+    form plans the per-gram stats table as a broadcast at small scale,
+    and that table has one row per DISTINCT GRAM, i.e. it is
+    corpus-sized — a driver OOM wearing a small-input disguise (caught
+    in this operator's own plan review; asserted join-free in
+    tests/test_plans.py).  The window needs no ordering, so there is
+    no sort — each bucket computes count+min in one pass.  A
+    boilerplate gram concentrates its rows in one task, but the work
+    per row is O(1) and the rows are (hash, id) pairs, so even a
+    gram in a million documents is a ~16 MB task, then dropped by the
+    max_df filter.  Hashes are the same public 60-bit md5 construction
+    as decontamination, replayed exactly by the DuckDB oracle."""
+    from hive_scd_spark.operators.decontam import _doc_ngram_hashes
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    grams = _doc_ngram_hashes(df, id_col, text_col, n, "__id")
+    bucket = W.partitionBy("__h")
+    return (
+        grams.select(
+            "__id",
+            F.count("*").over(bucket).alias("__c"),
+            F.min("__id").over(bucket).alias("__rep"),
+        )
+        .filter(
+            (F.col("__c") >= 2)
+            & (F.col("__c") <= max_df)
+            & (F.col("__id") != F.col("__rep"))
+        )
+        .groupBy(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -1012,6 +1012,19 @@ def dedup_simhash(spark, sf_dir):
     return simhash(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring dup pairs (Lee-et-al-style window dedup): star
+    edges between documents sharing a verbatim 15-word window, hot
+    (boilerplate) windows excluded at doc-frequency > 50.  n=15 rather
+    than the production 50 because the synthetic docs average ~50
+    words; the plan is n-independent."""
+    from hive_scd_spark.operators.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=15, max_df=50
+    )
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs baseline —
     O(n²), kept as the labeled correctness reference; the at-scale
@@ -3037,6 +3050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced in the third r6 rotation (both green r3+r4+r5)
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
+    "dedup_exact_substring": dedup_exact_substring,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3231,6 +3245,25 @@ ORACLES["decontam_ngram_overlap"] = """
            CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM (SELECT * FROM g WHERE NOT (doc_id % 97 = 0 AND doc_id < 19400)) t
     JOIN (SELECT * FROM g WHERE doc_id % 97 = 0 AND doc_id < 19400) e USING (h)
+    GROUP BY 1, 2
+"""
+
+ORACLES["dedup_exact_substring"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), g0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, CAST(len(w) AS BIGINT) - 13), i ->
+               ('0x' || substring(md5(array_to_string(w[i:i+14], ' ')), 1, 15))::BIGINT)) AS h
+      FROM w WHERE len(w) >= 15
+    ), g AS (SELECT DISTINCT doc_id, h FROM g0),
+    df AS (SELECT h, count(*) AS c, min(doc_id) AS rep FROM g GROUP BY h)
+    SELECT d.rep AS id_a, g.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM g JOIN df d USING (h)
+    WHERE d.c BETWEEN 2 AND 50 AND g.doc_id <> d.rep
     GROUP BY 1, 2
 """
 

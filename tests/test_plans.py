@@ -119,3 +119,18 @@ def test_capstone_pipeline_plan_is_scale_safe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan_summary(df)["python_evals"] == 0
+
+
+def test_substring_dedup_plan_is_join_free_single_scan(spark, sf_dir):
+    """substring_dup_pairs must compute doc-frequency + representative
+    as window aggregates — the aggregate-then-rejoin form broadcasts a
+    CORPUS-SIZED per-gram stats table (one row per distinct gram) on a
+    small-input estimate, a driver OOM at scale."""
+    from hive_scd_spark.queries import QUERIES
+
+    df = QUERIES["dedup_exact_substring"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    s = plan_summary(df)
+    assert s["scans"] == 1
+    assert s["python_evals"] == 0
