@@ -1,0 +1,106 @@
+"""Table profiling: per-column statistics in two passes.
+
+The data-engineering "what is in this table" primitive (the shape
+popularized by AWS Deequ / Great Expectations): for every column, the
+row count, null count, exact distinct count, and min/max.  At 100 TB
+this is the operator run BEFORE the pipeline is designed — its own
+plan has to be exemplary:
+
+- **Pass 1** (min/max/nulls): ONE single-row aggregate over the scan —
+  4k agg expressions for k columns, all map-side combinable, zero
+  shuffle beyond the 1-row final combine.  min/max are computed on the
+  NATIVE type and cast to string afterwards (stringifying first would
+  order "10" < "9").
+- **Pass 2** (exact distinct): melt to ``(column, value)`` pairs —
+  k rows per input row — then two map-combinable groupBys
+  ``(column, value) → (column)``.  This is the exact-distinct plan
+  WITHOUT ``count(distinct a), count(distinct b), ...`` in one agg,
+  which Catalyst expands k× through an Expand node AND keeps every
+  distinct set in one aggregation's hash map at once; the melt form
+  shards (column, value) across the cluster uniformly.  Swap the
+  second pass to ``approx_count_distinct`` when ±2 % is acceptable —
+  one groupBy, no melt (parameter ``exact=False``).
+- The two branches join on column name — k rows, broadcast.
+
+The 1-row pass-1 "explode" back to per-column rows goes through an
+inline array of structs (``F.inline``) — a plan-side unpivot, no
+driver round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
+    """Per-column profile: ``(col_name, n_rows, n_nulls, n_distinct,
+    min_str, max_str)``, one row per column of *df*.
+
+    ``n_distinct`` counts distinct NON-NULL values (exact by default;
+    ``exact=False`` switches to ``approx_count_distinct`` for the
+    single-shuffle sketch plan).  min/max are native-type results cast
+    to string for a uniform schema; NULLs are excluded (SQL aggregate
+    semantics) and all-NULL columns profile as NULL min/max."""
+    cols = df.columns
+    stats_exprs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        stats_exprs += [
+            F.sum(F.isnull(c).cast("long")).alias(f"__nulls_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*stats_exprs)
+    per_col = one.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__nulls_{c}").alias("n_nulls"),
+                        F.col(f"__min_{c}").alias("min_str"),
+                        F.col(f"__max_{c}").alias("max_str"),
+                    )
+                    for c in cols
+                ]
+            )
+        )
+    )
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.value")
+    if exact:
+        nd = (
+            pairs.filter(F.col("value").isNotNull())
+            .groupBy("col_name", "value")
+            .agg(F.lit(1))
+            .groupBy("col_name")
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+    else:
+        nd = (
+            pairs.filter(F.col("value").isNotNull())
+            .groupBy("col_name")
+            .agg(F.approx_count_distinct("value").alias("n_distinct"))
+        )
+
+    return per_col.join(F.broadcast(nd), "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )

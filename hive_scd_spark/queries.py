@@ -1012,6 +1012,16 @@ def dedup_simhash(spark, sf_dir):
     return simhash(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def table_profile_documents(spark, sf_dir):
+    """Per-column profile of the documents table (Deequ-shape): rows,
+    nulls, exact distinct, native-typed min/max as strings.  Two scans
+    by design — a 1-row min/max/null aggregate and a melt-based exact
+    distinct (no Expand-node multi-distinct); see operators/profile.py."""
+    from hive_scd_spark.operators.profile import table_profile
+
+    return table_profile(t(spark, sf_dir, "documents"))
+
+
 def dedup_exact_substring(spark, sf_dir):
     """Exact-substring dup pairs (Lee-et-al-style window dedup): star
     edges between documents sharing a verbatim 15-word window, hot
@@ -3051,6 +3061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
     "dedup_exact_substring": dedup_exact_substring,
+    "table_profile_documents": table_profile_documents,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3246,6 +3257,35 @@ ORACLES["decontam_ngram_overlap"] = """
     FROM (SELECT * FROM g WHERE NOT (doc_id % 97 = 0 AND doc_id < 19400)) t
     JOIN (SELECT * FROM g WHERE doc_id % 97 = 0 AND doc_id < 19400) e USING (h)
     GROUP BY 1, 2
+"""
+
+ORACLES["table_profile_documents"] = """
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_str,
+           CAST(max(doc_id) AS VARCHAR) AS max_str
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*), CAST(count(*) - count(text) AS BIGINT),
+           CAST(count(DISTINCT text) AS BIGINT),
+           CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), CAST(count(*) - count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*), CAST(count(*) - count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), CAST(count(*) - count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
 """
 
 ORACLES["dedup_exact_substring"] = """
