@@ -1,0 +1,110 @@
+"""Plan linter: known-bad plans flag, registry plans audit clean.
+
+The linter (hive_scd_spark/plans/audit.py) mechanizes the plan-review
+checklist applied by hand each round: no cartesian/unbounded
+nested-loop joins, no row-pickled Python, no full-stream
+single-partition exchanges.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import Window, functions as F
+
+from hive_scd_spark.plans.audit import assert_scale_safe, audit_plan
+
+
+def codes(df):
+    return sorted({f.code for f in audit_plan(df) if f.severity == "error"})
+
+
+def test_cartesian_and_nested_loop_flag(spark):
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    assert codes(a.crossJoin(b)) == ["nested-loop"]
+    with pytest.raises(AssertionError, match="nested-loop"):
+        assert_scale_safe(a.crossJoin(b))
+
+
+def test_one_row_aggregate_build_is_exempt(spark):
+    a = spark.range(100)
+    stats = a.agg(F.sum("id").alias("s"))
+    assert codes(a.join(F.broadcast(stats))) == []
+
+
+def test_row_udf_flags_but_pandas_udf_does_not(spark):
+    from pyspark.sql.functions import pandas_udf, udf
+
+    rowu = udf(lambda x: x + 1, "bigint")
+    assert codes(spark.range(10).select(rowu("id"))) == ["python-row-udf"]
+
+    @pandas_udf("bigint")
+    def vec(x: pd.Series) -> pd.Series:
+        return x + 1
+
+    assert codes(spark.range(10).select(vec("id"))) == []
+
+
+def test_global_window_flags_single_partition(spark):
+    w = Window.orderBy("id")
+    df = spark.range(100).withColumn("rn", F.row_number().over(w))
+    assert codes(df) == ["single-partition"]
+    # partitioned window is fine
+    wp = Window.partitionBy(F.col("id") % 10).orderBy("id")
+    assert codes(spark.range(100).withColumn("rn", F.row_number().over(wp))) == []
+
+
+def test_global_aggregate_combine_is_exempt(spark):
+    assert codes(spark.range(100).agg(F.sum("id"))) == []
+
+
+def test_unpushed_filter_is_info_not_error(spark, sf_dir):
+    # a filter Spark cannot push (expression over a computed value)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.length(F.reverse("text")) % 7 == 3
+    )
+    fs = audit_plan(df)
+    assert all(f.severity == "info" for f in fs)
+
+
+# One representative per family; the ANN gates carry the documented
+# bounded-build exemption (the query-vector set is small BY CONTRACT —
+# a filtered scan, so the plan cannot prove it; the allowlist is the
+# contract's signature).
+SWEEP = [
+    ("scd_asof_timeline", set()),
+    ("q1_pricing_summary", set()),
+    ("q5_local_supplier_revenue", set()),
+    ("q13_customer_distribution", set()),
+    ("q17_small_quantity_revenue", set()),
+    ("q22_global_sales_opportunity", set()),
+    ("window_running_supplier_revenue", set()),
+    ("events_sessionize", set()),
+    ("range_join_event_windows", set()),
+    ("asof_join_click_purchase", set()),
+    ("dedup_exact", set()),
+    ("dedup_minhash_lsh", set()),
+    ("dedup_exact_substring", set()),
+    ("decontam_ngram_overlap", set()),
+    ("pack_sequences_ctx", set()),
+    ("pipeline_corpus_to_sequences", set()),
+    ("pipeline_semantic_dedup", set()),
+    ("text_bm25_topk", set()),
+    ("text_hash_embed_ann", set()),
+    ("table_profile_documents", set()),
+    ("sample_token_budget_per_source", set()),
+    ("shard_assignment", set()),
+    ("ann_lsh_topk", set()),
+    ("knn_brute_force", {"nested-loop"}),
+    ("ivf_cosine_topk", {"nested-loop"}),
+    ("ivf_kmeans_topk", {"nested-loop"}),
+]
+
+
+@pytest.mark.parametrize("name,allow", SWEEP, ids=[n for n, _ in SWEEP])
+def test_registry_plans_audit_scale_safe(spark, sf_dir, name, allow):
+    from hive_scd_spark.queries import QUERIES
+
+    assert_scale_safe(QUERIES[name](spark, sf_dir), allow=allow)
