@@ -146,25 +146,24 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def minhash_near_dup_pairs(
+def minhash_band_table(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 8,
     num_perm: int = 32,
     bands: int = 8,
-    threshold: float = 0.3,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
+    """The LSH banding state: ``(__id, __band, __key)`` per document —
+    one row per band, the key being that band's signature slice.
 
-    shingle → 32-perm minhash signature (per-row array math, codegen)
-    → 8 bands × 4 rows → shuffle on (band, band_key) → candidate pairs
-    within buckets → exact-Jaccard verification of candidates only.
-    With s = Jaccard, the banding hit probability is
-    1-(1-s^4)^8 (≈0.97 at s=0.5), and verification removes false
-    positives, so output = exact pairs above *threshold* that LSH
-    recalled.  Scales as O(candidates), not O(n²)."""
+    This is both the internal first half of
+    :func:`minhash_near_dup_pairs` and the PERSISTED state of
+    incremental ingestion: write this table once for the standing
+    corpus, then each new batch joins its own (tiny) band table against
+    it (:func:`minhash_incremental_pairs`) without ever re-shingling
+    the corpus."""
     from hive_scd_spark.operators.layout import fan_out
 
     df = fan_out(df)  # single-split inputs serialize the md5 explode
@@ -208,9 +207,31 @@ def minhash_near_dup_pairs(
         )
         for b in range(bands)
     )
-    banded = sig.select(
+    return sig.select(
         "__id", F.expr(f"explode(array({band_structs}))").alias("__b")
     ).select("__id", F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
+
+    shingle → 32-perm minhash signature (per-row array math, codegen)
+    → 8 bands × 4 rows → shuffle on (band, band_key) → candidate pairs
+    within buckets → exact-Jaccard verification of candidates only.
+    With s = Jaccard, the banding hit probability is
+    1-(1-s^4)^8 (≈0.97 at s=0.5), and verification removes false
+    positives, so output = exact pairs above *threshold* that LSH
+    recalled.  Scales as O(candidates), not O(n²)."""
+    banded = minhash_band_table(df, id_col, text_col, k, num_perm, bands, seed)
     # (2) bucket-local candidate pairs (shuffle on (band, key) only)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -256,6 +277,21 @@ def minhash_near_dup_pairs(
     # join at 10×).  The two membership joins are cheap (corpus ⋈ tiny
     # pair list); the one pair-keyed shuffle carries |candidates| rows
     # per side and is skew-bounded by pair multiplicity.
+    return _verify_jaccard(df, candidates, id_col, text_col, k, threshold)
+
+
+def _verify_jaccard(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard scoring of a candidate (id_a, id_b) list against
+    the text source *df* — shingles computed ABOVE the membership joins
+    so CPU cost is O(candidates), never O(corpus) (full rationale in
+    minhash_near_dup_pairs step 3)."""
     side_a = (
         df.join(candidates, df[id_col] == F.col("id_a"))
         .select("id_a", "id_b", char_shingles(text_col, k).alias("__sha"))
@@ -271,6 +307,86 @@ def minhash_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_bands: DataFrame | None = None,
+    k: int = 8,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.3,
+    seed: int = 42,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental (daily-ingest) near-dup detection: every verified
+    pair touching the NEW batch — new×corpus and new×new — without
+    re-banding, re-shingling, or shuffling the standing corpus.
+
+    The production loop this serves: maintain
+    :func:`minhash_band_table` of the corpus as a persisted table;
+    per ingest, pass it as *corpus_bands* (pass None to compute it
+    from *corpus_df* for a one-off run), get the pairs, decide
+    keep/drop, append the new batch's own band rows to the state.
+
+    Scale contract mirrors decontamination: the new batch is bounded
+    by ingest size, so its band table BROADCASTS
+    (``broadcast_new=True`` default) and the corpus band table — the
+    100 TB side — is probed in place, never shuffled.  Batches too big
+    to broadcast pass ``broadcast_new=False`` for a plain shuffle join
+    (AQE still demotes to broadcast when the batch turns out small).
+    Verification fetches text only for candidate members via the same
+    O(candidates) join-above-shingle shape as the full-corpus path;
+    new×new pairs come from a self-join of the (tiny) new band table.
+    Output: ``(id_a, id_b, jaccard)``, ids ordered id_a < id_b; ids
+    must be unique ACROSS both inputs (they share one id space)."""
+    nb = minhash_band_table(new_df, id_col, text_col, k, num_perm, bands, seed)
+    if corpus_bands is None:
+        cb = minhash_band_table(
+            corpus_df, id_col, text_col, k, num_perm, bands, seed
+        )
+    else:
+        cb = corpus_bands.toDF("__id", "__band", "__key")
+    nbj = F.broadcast(nb) if broadcast_new else nb
+    cross = (
+        cb.alias("c")
+        .join(
+            nbj.alias("n"),
+            (F.col("c.__band") == F.col("n.__band"))
+            & (F.col("c.__key") == F.col("n.__key"))
+            & (F.col("c.__id") != F.col("n.__id")),
+        )
+        .select(
+            F.least(F.col("c.__id"), F.col("n.__id")).alias("id_a"),
+            F.greatest(F.col("c.__id"), F.col("n.__id")).alias("id_b"),
+        )
+    )
+    within = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    )
+    # a new id present in BOTH inputs would make a cross pair equal a
+    # within pair — the union-level dropDuplicates also collapses that
+    candidates = (
+        cross.union(within)
+        .dropDuplicates(["id_a", "id_b"])
+        # same lazy-checkpoint rationale as the full-corpus path: the
+        # verifier references candidates from both membership joins
+        .localCheckpoint(eager=False)
+    )
+    texts = new_df.select(
+        F.col(id_col), F.col(text_col)
+    ).unionByName(corpus_df.select(F.col(id_col), F.col(text_col)))
+    return _verify_jaccard(texts, candidates, id_col, text_col, k, threshold)
 
 
 def auto_n_planes(n: int, target_bucket: int = 32) -> int:

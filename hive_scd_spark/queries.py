@@ -1005,6 +1005,24 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental-ingest near-dup detection: documents with
+    doc_id % 5 == 3 play the arriving batch, the rest the standing
+    corpus; result = every verified pair touching the batch.  The batch
+    band table broadcasts, so the corpus side is probed unshuffled —
+    the daily-ingest counterpart of the full-corpus dedup_minhash_lsh
+    gate (identical hashing, so the oracle is the same CTE with a
+    pair filter)."""
+    from hive_scd_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 3)
+    corpus = docs.filter(F.col("doc_id") % 5 != 3)
+    return minhash_incremental_pairs(
+        new, corpus, "doc_id", "text", k=8, threshold=0.3
+    )
+
+
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash fingerprint per document."""
     from hive_scd_spark.operators.dedup import simhash
@@ -2333,12 +2351,16 @@ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(pair_filter: str = "") -> str:
+    """DuckDB replica of the MinHash+LSH pipeline.  *pair_filter*: extra
+    AND-condition on candidate pairs (a = lower id side, b = higher) —
+    the incremental gate restricts to pairs touching the new batch."""
     from hive_scd_spark.functions import minhash_perms
 
     values = ",".join(
         f"({j},{a},{b})" for j, (a, b) in enumerate(minhash_perms(32, 42))
     )
+    flt = f" AND ({pair_filter})" if pair_filter else ""
     return f"""
         WITH {_SHINGLE_CTE},
         h AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT % 2147483647 AS hv FROM sh),
@@ -2348,7 +2370,7 @@ def _minhash_oracle() -> str:
                   FROM sigs GROUP BY 1,2),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b ON a.band=b.band AND a.key=b.key
-                                          AND a.doc_id < b.doc_id),
+                                          AND a.doc_id < b.doc_id{flt}),
         shared AS (SELECT c.id_a, c.id_b, count(*) AS cnt
                    FROM cand c JOIN sh x ON x.doc_id = c.id_a
                                JOIN sh y ON y.doc_id = c.id_b AND x.s = y.s
@@ -2437,6 +2459,9 @@ EXT_ORACLES: dict[str, str] = {
         GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
     """,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_minhash_incremental": _minhash_oracle(
+        "a.doc_id % 5 = 3 OR b.doc_id % 5 = 3"
+    ),
     "dedup_embedding_lsh": f"""
         WITH {_lsh_bucket_cte(4, 64, n_bands=4)},
         cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -3062,6 +3087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "dedup_exact_substring": dedup_exact_substring,
     "table_profile_documents": table_profile_documents,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)

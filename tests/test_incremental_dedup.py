@@ -1,0 +1,66 @@
+"""Incremental MinHash: batch-vs-corpus pairs must equal the
+full-corpus pair set restricted to pairs touching the batch, and the
+persisted band-table path must agree with the recompute path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_scd_spark.operators.dedup import (
+    minhash_band_table,
+    minhash_incremental_pairs,
+    minhash_near_dup_pairs,
+)
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
+
+
+def test_incremental_equals_restricted_full(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 3)
+    corpus = docs.filter(F.col("doc_id") % 5 != 3)
+
+    full = minhash_near_dup_pairs(docs, "doc_id", "text", k=8, threshold=0.3)
+    want = {
+        p for p in _pairs(full) if p[0] % 5 == 3 or p[1] % 5 == 3
+    }
+    got = _pairs(
+        minhash_incremental_pairs(new, corpus, "doc_id", "text", k=8, threshold=0.3)
+    )
+    assert got == want
+    assert got  # non-vacuous: the planted dups straddle the split
+
+
+def test_incremental_with_persisted_band_table(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 3)
+    corpus = docs.filter(F.col("doc_id") % 5 != 3)
+
+    state = str(tmp_path / "bands")
+    minhash_band_table(corpus, "doc_id", "text", k=8).write.parquet(state)
+    persisted = spark.read.parquet(state)
+
+    recompute = _pairs(
+        minhash_incremental_pairs(new, corpus, "doc_id", "text", k=8, threshold=0.3)
+    )
+    from_state = _pairs(
+        minhash_incremental_pairs(
+            new, corpus, "doc_id", "text",
+            corpus_bands=persisted, k=8, threshold=0.3,
+        )
+    )
+    assert from_state == recompute
+
+
+def test_incremental_broadcast_contract_in_plan(spark, sf_dir):
+    """broadcast_new=True must not shuffle the corpus band side for the
+    cross join; broadcast_new=False plans a plain join."""
+    from hive_scd_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 3)
+    corpus = docs.filter(F.col("doc_id") % 5 != 3)
+    df = minhash_incremental_pairs(new, corpus, "doc_id", "text", k=8)
+    assert "BroadcastHashJoin" in physical_plan(df)
