@@ -21,6 +21,7 @@ their scan-aligned layout.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Logical nodes that cannot introduce an exchange: probing .rdd under
 # these is pure physical planning, no job, even with AQE.  Anything
@@ -77,3 +78,51 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Pruning-optimized parquet layout: hive-style directory
+    partitioning for partition pruning + range clustering for parquet
+    row-group min/max skipping.
+
+    At 100 TB the scan you DON'T do is the fastest one; this writer
+    arranges the two mechanisms Spark's reader exploits for free:
+
+    - *partition_by*: low-cardinality columns become directories;
+      readers with equality/range predicates on them never list, let
+      alone open, the pruned directories (``PartitionFilters`` in the
+      scan — asserted in tests).
+    - *cluster_by*: each file covers a narrow key span, so parquet's
+      per-row-group min/max stats skip whole files for selective
+      predicates (footer-span evidence asserted in tests).  This is
+      the Z-order-lite layout: single-key range clustering —
+      multi-key interleaving is a deliberate non-goal (it needs a
+      space-filling-curve expression, and one well-chosen leading key
+      captures most scans).
+
+    The task routing solves the small-files problem and hot-partition
+    skew in one move: rows are RANGE-partitioned on
+    ``partition_by + cluster_by`` and sorted the same way within each
+    task.  The range partitioner balances by ROW COUNT (it samples the
+    data), so a hot partition value simply spans proportionally more
+    tasks/files, while cold values share a task — total files stay
+    bounded by the shuffle partition count (plus one boundary file per
+    directory), with no per-partition fan-out knob to tune.  The naive
+    ``partitionBy`` write would instead produce
+    (input tasks × partition values) files."""
+    partition_by = partition_by or []
+    cluster_by = cluster_by or []
+    keys = partition_by + cluster_by
+    if not keys:
+        raise ValueError("need partition_by and/or cluster_by")
+    out = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,93 @@
+"""write_clustered: partition pruning + range clustering evidence."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from contextlib import contextmanager
+
+from hive_scd_spark.operators.layout import write_clustered
+from hive_scd_spark.plans import physical_plan
+
+
+@contextmanager
+def no_coalesce(spark):
+    """AQE partition coalescing off — at test scale it merges ALL the
+    tiny range partitions into one (at real scale that merging is the
+    wanted right-sizing to ~advisoryPartitionSize files), hiding the
+    layout behavior under test."""
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def test_partition_pruning_and_bounded_files(spark, tmp_path):
+    df = spark.range(10000).select(
+        "id",
+        (F.col("id") % 5).alias("p"),
+        F.rand(7).alias("x"),
+    )
+    out = str(tmp_path / "t")
+    write_clustered(df, out, partition_by=["p"], cluster_by=["id"])
+    # total files bounded by shuffle partitions + one boundary file per
+    # directory — NOT (tasks x partition values)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = sum(
+        1
+        for d in glob.glob(os.path.join(out, "p=*"))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    assert total <= n_shuffle + 5
+    back = spark.read.parquet(out).filter(F.col("p") == 3)
+    plan = physical_plan(back)
+    # the partition predicate must reach the file index (directory
+    # pruning), not run as a post-scan filter
+    assert "PartitionFilters: [isnotnull(p" in plan
+    assert back.count() == 2000
+
+
+def test_hot_partition_spans_more_files(spark, tmp_path):
+    # p=0 holds 90% of rows; range partitioning by row count must give
+    # it proportionally more files than a cold partition
+    df = spark.range(20000).select(
+        "id", F.when(F.col("id") % 10 < 9, 0).otherwise(1).alias("p")
+    )
+    out = str(tmp_path / "t2")
+    with no_coalesce(spark):
+        write_clustered(df, out, partition_by=["p"], cluster_by=["id"])
+    counts = {
+        os.path.basename(d): sum(
+            1 for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        for d in glob.glob(os.path.join(out, "p=*"))
+    }
+    assert counts["p=0"] > counts["p=1"]
+
+
+def test_range_clustering_gives_narrow_file_spans(spark, tmp_path):
+    n = 40000
+    df = spark.range(n).select(F.col("id").alias("k"), F.rand(11).alias("v"))
+    # shuffle the rows so the input arrives unclustered
+    df = df.orderBy(F.rand(13))
+    out = str(tmp_path / "t3")
+    with no_coalesce(spark):
+        write_clustered(df, out, cluster_by=["k"])
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        row = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).first()
+        spans.append((row.lo, row.hi))
+    # each file covers a narrow, non-overlapping slice of the key space
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    assert sum(hi - lo for lo, hi in spans) < n  # narrow slices, not the full span each
