@@ -186,3 +186,80 @@ def decontam_stream(
         n=n,
         min_shared=min_shared,
     )
+
+
+def minhash_ingest_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.3,
+):
+    """Continuous-ingest near-dup detection: a ``foreachBatch`` loop
+    around ``operators.dedup.minhash_incremental_pairs`` maintaining
+    the persisted band-table state.
+
+    Per micro-batch: (1) detect every verified near-dup pair between
+    the batch and the standing corpus state at *state_path* (plus
+    within-batch pairs) and append them to *pairs_path*; (2) append the
+    batch's own band rows to the state, so later batches dedup against
+    it.  Batch-side work is bounded by batch size (its band table
+    broadcasts); the corpus state is only ever PROBED and appended —
+    never rewritten, never shuffled.  Exactly the incremental contract
+    of ``minhash_incremental_pairs``, driven by the streaming engine's
+    delivery/checkpoint machinery.
+
+    Verification needs candidate texts, so the batch's (id, text) pairs
+    are also appended to the state directory (subdir ``texts``) —
+    state growth is one band-table row per (doc, band) plus the text
+    payload, both linear in ingested volume.  foreachBatch sinks are
+    at-least-once: a replayed batch re-appends its rows; downstream
+    consumers of *pairs_path* dedupe on (id_a, id_b) — documented
+    rather than hidden, matching scd_snapshot_sink's contract."""
+    from hive_scd_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_incremental_pairs,
+    )
+
+    bands_dir = f"{state_path}/bands"
+    texts_dir = f"{state_path}/texts"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select(id_col, text_col).localCheckpoint()
+        import os
+
+        have_state = os.path.exists(os.path.join(bands_dir, "_SUCCESS"))
+        if have_state:
+            corpus_bands = spark.read.parquet(bands_dir)
+            corpus_texts = spark.read.parquet(texts_dir)
+            pairs = minhash_incremental_pairs(
+                batch_df,
+                corpus_texts,
+                id_col,
+                text_col,
+                corpus_bands=corpus_bands,
+                k=k,
+                threshold=threshold,
+            )
+        else:
+            # first batch: only within-batch pairs exist
+            from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
+
+            pairs = minhash_near_dup_pairs(
+                batch_df, id_col, text_col, k=k, threshold=threshold
+            )
+        pairs.write.mode("append").parquet(pairs_path)
+        minhash_band_table(batch_df, id_col, text_col, k=k).write.mode(
+            "append"
+        ).parquet(bands_dir)
+        batch_df.write.mode("append").parquet(texts_dir)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest)
+    )

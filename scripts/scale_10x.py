@@ -250,6 +250,32 @@ def main():
         )
         return remove_boilerplate_lines(planted, "doc_id", "text", min_docs=3)
 
+    from hive_scd_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        substring_dup_pairs,
+    )
+    from hive_scd_spark.operators.profile import table_profile
+
+    def substring_gate(docs):
+        # vowel translation keeps replica gram sets disjoint, so the
+        # in-replica exact-window dup structure is what scales
+        return substring_dup_pairs(docs, "doc_id", "text", n=15, max_df=50)
+
+    base_max_id = docs1.agg(F.max("doc_id")).first()[0]
+
+    def incremental_gate(docs):
+        # the design contract under test: the BATCH stays bounded
+        # (replica-0 slice) while the standing corpus grows 10x — the
+        # broadcast side must not grow with the corpus
+        is_new = (F.col("doc_id") % 5 == 3) & (F.col("doc_id") <= base_max_id)
+        return minhash_incremental_pairs(
+            docs.filter(is_new), docs.filter(~is_new), "doc_id", "text",
+            k=8, threshold=0.3,
+        )
+
+    def profile_gate(docs):
+        return table_profile(docs)
+
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
@@ -265,6 +291,10 @@ def main():
         # round-6 corpus-global quality operators
         ("text_unigram_logprob", unigram_gate, docs1, docs10),
         ("text_remove_boilerplate", boilerplate_gate, docs1, docs10),
+        # round-6 second wave: window dedup, bounded-batch ingest, profile
+        ("dedup_exact_substring", substring_gate, docs1, docs10),
+        ("dedup_minhash_incremental", incremental_gate, docs1, docs10),
+        ("table_profile_documents", profile_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

@@ -64,3 +64,59 @@ def test_incremental_broadcast_contract_in_plan(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 5 != 3)
     df = minhash_incremental_pairs(new, corpus, "doc_id", "text", k=8)
     assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    """Two micro-batches through minhash_ingest_sink must discover
+    exactly the pairs batch MinHash finds on the union corpus: batch-1
+    internal pairs in epoch 1, then batch-2-vs-state and batch-2
+    internal pairs in epoch 2."""
+    from hive_scd_spark.streaming import minhash_ingest_sink
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows1 = [
+        (1, base),
+        (2, base + " again"),          # near-dup of 1
+        (3, "completely different content about spark physical plans"),
+    ]
+    rows2 = [
+        (4, base + " AGAIN and again"),  # near-dup of 1/2 ACROSS batches
+        (5, "completely different content about spark physical plans!"),  # near-dup of 3
+        (6, "nothing shares shingles with this one at all, truly unique"),
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    sink = minhash_ingest_sink(
+        stream,
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.3,
+    )
+    q = sink.start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    all_docs = spark.createDataFrame(rows1 + rows2, schema)
+    want = _pairs(
+        minhash_near_dup_pairs(all_docs, "doc_id", "text", k=8, threshold=0.3)
+    )
+    assert got == want
+    # the scenario must exercise cross-batch detection, not just replays
+    assert any(a <= 3 < b for a, b, _ in got)
