@@ -423,11 +423,29 @@ def translate_h2(fragment: str) -> str:
       (``(?i)`` etc. — both engines run java.util.regex, so this is
       exact); non-literal or unknown flags → :class:`ScdScriptError`.
       2-arg REGEXP_LIKE is untouched (already valid Spark)
+    - ``BITAND/BITOR/BITXOR(a, b)`` → ``(a & b)`` / ``|`` / ``^``
+      (H2 spells these as functions; Spark's ``bit_and`` etc. are
+      AGGREGATES, so a name-for-name mapping would silently change
+      semantics — the operator rewrite is the faithful one)
+    - ``LSHIFT/RSHIFT(a, n)`` → ``shiftleft/shiftright(a, n)``
+    - ``DAY_OF_WEEK/DAY_OF_MONTH/DAY_OF_YEAR`` (H2 underscore aliases)
+      → ``dayofweek/dayofmonth/dayofyear``
+    - ``ISO_DAY_OF_WEEK(d)`` → ``((dayofweek(d) + 5) % 7) + 1``
+      (Mon=1..Sun=7; Spark's dayofweek is Sun=1..Sat=7)
+    - ``CURDATE`` (bare or call) → ``current_date()``
+    - ``RANDOM_UUID()`` → ``uuid()``
+    - ``INSERT(s, start, len, repl)`` (the H2 STRING function — DML
+      INSERT never reaches a fragment) → ``overlay(s, repl, start,
+      len)``
     - ``LOCATE`` / ``IFNULL`` / ``NVL`` / ``NVL2`` / ``DECODE`` /
       ``||`` need no rewrite — identical in both dialects (within the
       supported type universe) — and are covered by the fuzz corpus
     - ``CURTIME`` / ``CURRENT_TIME`` → :class:`ScdScriptError` (Spark
       has no TIME type — fail with a dialect-specific message)
+    - ``TRUNCATE(n, d)`` (numeric) → :class:`ScdScriptError` — Spark
+      has no toward-zero numeric truncate; a pow(10)-based emulation
+      would round-trip through doubles and diverge from H2 on exact
+      decimals, the silent-wrongness this shim exists to prevent
     """
     out: list[str] = []
     i, n = 0, len(fragment)
@@ -477,6 +495,65 @@ def translate_h2(fragment: str) -> str:
                 f"type); use CURRENT_TIMESTAMP and extract fields instead: "
                 f"{fragment!r}"
             )
+        if lw == "truncate" and is_call:
+            raise ScdScriptError(
+                "H2 numeric TRUNCATE(n, d) has no exact Spark equivalent "
+                "(a pow(10) emulation would run through doubles and diverge "
+                f"on exact decimals); rewrite with floor/ceil explicitly: "
+                f"{fragment!r}"
+            )
+        if lw == "curdate":
+            out.append("current_date()")
+            if is_call:
+                _, after = _call_args(fragment, k)
+                i = after
+            else:
+                i = j
+            continue
+        if lw == "random_uuid" and is_call:
+            out.append("uuid")
+            i = j
+            continue
+        if lw in ("bitand", "bitor", "bitxor") and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) != 2:
+                raise ScdScriptError(
+                    f"H2 {word.upper()} needs exactly 2 arguments: {fragment!r}"
+                )
+            op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[lw]
+            a, b = (translate_h2(x.strip()) for x in args)
+            out.append(f"({a} {op} {b})")
+            i = after
+            continue
+        if lw in ("lshift", "rshift") and is_call:
+            out.append("shiftleft" if lw == "lshift" else "shiftright")
+            i = j
+            continue
+        if lw in ("day_of_week", "day_of_month", "day_of_year") and is_call:
+            out.append(lw.replace("_", ""))
+            i = j
+            continue
+        if lw == "iso_day_of_week" and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) != 1:
+                raise ScdScriptError(
+                    f"H2 ISO_DAY_OF_WEEK needs exactly 1 argument: {fragment!r}"
+                )
+            a = translate_h2(args[0].strip())
+            out.append(f"(((dayofweek({a}) + 5) % 7) + 1)")
+            i = after
+            continue
+        if lw == "insert" and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) != 4:
+                raise ScdScriptError(
+                    f"H2 string INSERT needs exactly 4 arguments "
+                    f"(s, start, len, repl): {fragment!r}"
+                )
+            s, start, ln, repl = (translate_h2(x.strip()) for x in args)
+            out.append(f"overlay({s}, {repl}, {start}, {ln})")
+            i = after
+            continue
         if lw in ("dateadd", "datediff") and is_call:
             unit = _leading_unit(fragment, k + 1)
             if unit is not None:

@@ -224,3 +224,51 @@ def test_regexp_like_flags_end_to_end(spark):
     assert df.select(F.expr(frag).alias("r")).collect()[0]["r"] is True
     frag2 = translate_h2("REGEXP_LIKE(s, 'C.d', 'in')")
     assert df.select(F.expr(frag2).alias("r")).collect()[0]["r"] is True
+
+
+def test_bit_functions_rewrite_to_operators(spark):
+    """H2 spells bit ops as functions; Spark's bit_and/bit_or are
+    AGGREGATES, so the shim must emit the operators, not the names."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(12, 10)], "a int, b int")
+    frag = translate_h2("BITAND(a, b) + BITOR(a, b) + BITXOR(a, b)")
+    got = df.select(F.expr(frag).alias("r")).collect()[0]["r"]
+    assert got == (12 & 10) + (12 | 10) + (12 ^ 10)
+    frag2 = translate_h2("LSHIFT(a, 2) + RSHIFT(b, 1)")
+    got2 = df.select(F.expr(frag2).alias("r")).collect()[0]["r"]
+    assert got2 == (12 << 2) + (10 >> 1)
+
+
+def test_date_alias_rewrites_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    # 2024-03-15 is a Friday: H2 DAY_OF_WEEK (Sun=1) = 6, ISO = 5
+    frag = translate_h2(
+        "DAY_OF_WEEK(DATE '2024-03-15') * 10 + ISO_DAY_OF_WEEK(DATE '2024-03-15')"
+    )
+    got = spark.range(1).select(F.expr(frag).alias("r")).collect()[0]["r"]
+    assert got == 65
+
+
+def test_string_insert_rewrites_to_overlay(spark):
+    from pyspark.sql import functions as F
+
+    frag = translate_h2("INSERT('abcdef', 2, 3, 'XY')")
+    got = spark.range(1).select(F.expr(frag).alias("r")).collect()[0]["r"]
+    assert got == "aXYef"  # H2: replace 3 chars from position 2 with 'XY'
+
+
+def test_truncate_rejected_loudly():
+    with pytest.raises(ScdScriptError, match="numeric TRUNCATE"):
+        translate_h2("TRUNCATE(bal, 2)")
+
+
+def test_curdate_and_random_uuid(spark):
+    from pyspark.sql import functions as F
+
+    assert translate_h2("CURDATE") == "current_date()"
+    assert translate_h2("CURDATE()") == "current_date()"
+    frag = translate_h2("RANDOM_UUID()")
+    got = spark.range(1).select(F.expr(frag).alias("r")).collect()[0]["r"]
+    assert len(got) == 36 and got.count("-") == 4

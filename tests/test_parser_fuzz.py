@@ -129,7 +129,9 @@ def h2_fragment(draw):
     kind = draw(
         st.sampled_from(
             ["concat", "instr2", "instr3", "locate", "ifnull", "nvl",
-             "regexp2", "regexp3", "casewhen", "nested"]
+             "regexp2", "regexp3", "casewhen", "nested",
+             "bitand", "bitor", "bitxor", "lshift", "rshift",
+             "day_of_week", "iso_dow", "curdate", "strinsert"]
         )
     )
     e1, e2 = draw(_str_expr), draw(_str_expr)
@@ -153,6 +155,18 @@ def h2_fragment(draw):
         return f"REGEXP_LIKE({e1}, {p}, {draw(_good_flags)})"
     if kind == "casewhen":
         return f"CASEWHEN({e1} = {e2}, {e1}, {e2})"
+    if kind in ("bitand", "bitor", "bitxor"):
+        return f"{kind.upper()}({i1}, 5)"
+    if kind in ("lshift", "rshift"):
+        return f"{kind.upper()}({i1}, 2)"
+    if kind == "day_of_week":
+        return "DAY_OF_WEEK(DATE '2024-03-15')"
+    if kind == "iso_dow":
+        return "ISO_DAY_OF_WEEK(DATE '2024-03-15')"
+    if kind == "curdate":
+        return draw(st.sampled_from(["CURDATE", "CURDATE()"]))
+    if kind == "strinsert":
+        return f"INSERT({e1}, {i1}, 2, {e2})"
     # one level of nesting: H2 construct inside an H2 construct
     return f"CONCAT(CASEWHEN({e1} = {e2}, {e1}, 'n'), INSTR({e1}, {e2}, {i1}))"
 
