@@ -1983,6 +1983,32 @@ def q7_nation_volume(spark, sf_dir):
     )
 
 
+def window_range_frame_spend(spark, sf_dir):
+    """RANGE-frame window (§2.B window surface, the frame type no other
+    gate covers): per customer, rolling 30-day order spend — RANGE
+    BETWEEN 30 PRECEDING AND CURRENT ROW over epoch-day ordering.  A
+    RANGE frame is peer-inclusive (all rows tied on the order key join
+    the frame), so the result is deterministic under date ties with no
+    tiebreak column needed — unlike ROWS frames, where ties forced the
+    window_running gate's value-tiebreak.  Spend in exact integer
+    cents."""
+    orders = t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days.alias("__d"))
+        .rangeBetween(-30, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        days.alias("order_day"),
+        F.sum(cents).over(w).alias("spend_30d_cents"),
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    )
+
+
 def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: order-priority checking — a correlated EXISTS
     whose inner predicate references BOTH sides (l_shipdate >
@@ -3088,6 +3114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_substring": dedup_exact_substring,
     "table_profile_documents": table_profile_documents,
     "dedup_minhash_incremental": dedup_minhash_incremental,
+    "window_range_frame_spend": window_range_frame_spend,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -4018,6 +4045,19 @@ ORACLES["q14_promo_revenue"] = """
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
+"""
+
+ORACLES["window_range_frame_spend"] = """
+    SELECT o_custkey, o_orderkey,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT)
+             AS order_day,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS spend_30d_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS orders_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
 """
 
 ORACLES["q4_order_priority"] = """
