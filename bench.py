@@ -66,6 +66,10 @@ HEADLINE = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    # round-6 second wave: window dedup, bounded-batch ingest, profiling
+    "dedup_exact_substring",
+    "dedup_minhash_incremental",
+    "table_profile_documents",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

@@ -3002,7 +3002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_filtered_event_stats": agg_filtered_event_stats,
     # window functions
     "text_unigram_logprob": text_unigram_logprob,
-    "window_running_supplier_revenue": window_running_supplier_revenue,
+    "window_range_frame_spend": window_range_frame_spend,
     "events_sessionize": events_sessionize,
     # join surface (anti-join rotated out: green r3+r4+r5; the corpus
     # boilerplate census takes its slot — full_outer/asof/range keep
@@ -3035,7 +3035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # takes the window slot from feature_histogram (green r3+r4+contract)
     "pipeline_corpus_to_sequences": pipeline_corpus_to_sequences,
     # deduplication family
-    "dedup_exact": dedup_exact,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     # simhash rotated out (green r3+r4+r5; six dedup reps stay in
     # window) for the text→vector→ANN composition gate
@@ -3045,7 +3045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_canonical": dedup_corpus_canonical,
     # text analysis
     "text_quality_stats": text_quality_stats,
-    "text_lang_id": text_lang_id,
+    "table_profile_documents": table_profile_documents,
     "text_redact_pii": text_redact_pii,
     "text_bm25_topk": text_bm25_topk,
     # similarity search
@@ -3054,7 +3054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_kmeans_topk": ivf_kmeans_topk,  # oracle replays the k-means training in SQL
     # layout / skew / multimodal
     "shard_assignment": shard_assignment,
-    "skew_salted_order_stats": skew_salted_order_stats,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "multimodal_chunking": multimodal_chunking,
     # --- beyond the driver window (slot >50) ----------------------------
     # Near-duplicates of gates above; every operator family keeps a
@@ -3108,13 +3108,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_pred": q19_disjunctive_pred,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    # displaced in the r6 fifth rotation (all multiply-green; their
+    # families stay window-represented by newer gates)
+    "dedup_exact": dedup_exact,
+    "skew_salted_order_stats": skew_salted_order_stats,
+    "window_running_supplier_revenue": window_running_supplier_revenue,
+    "text_lang_id": text_lang_id,
     # displaced in the third r6 rotation (both green r3+r4+r5)
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
-    "dedup_exact_substring": dedup_exact_substring,
-    "table_profile_documents": table_profile_documents,
-    "dedup_minhash_incremental": dedup_minhash_incremental,
-    "window_range_frame_spend": window_range_frame_spend,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)

@@ -87,6 +87,9 @@ SWEEP = [
     ("dedup_exact", set()),
     ("dedup_minhash_lsh", set()),
     ("dedup_exact_substring", set()),
+    ("dedup_minhash_incremental", set()),
+    ("window_range_frame_spend", set()),
+    ("q19_disjunctive_pred", set()),
     ("decontam_ngram_overlap", set()),
     ("pack_sequences_ctx", set()),
     ("pipeline_corpus_to_sequences", set()),
