@@ -1624,6 +1624,29 @@ def json_props_stats(spark, sf_dir):
     )
 
 
+def variant_props_stats(spark, sf_dir):
+    """Spark 4 VARIANT type (§2.B scalar surface, the semi-structured
+    path): ``parse_json`` materializes the props column as a VARIANT —
+    a binary-encoded document parsed ONCE — and typed ``variant_get``
+    extractions read it without re-parsing, where the older
+    ``get_json_object`` path (json_props_stats) re-parses the string
+    per extraction.  Same aggregate contract as the JSON gate, so the
+    two gates cross-check each other's extraction semantics; quartile
+    bucketing of k exercises a second typed extraction."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("__v"))
+    k = F.expr("variant_get(__v, '$.k', 'bigint')")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
 def skew_salted_order_stats(spark, sf_dir):
     """Two-phase salted aggregation (operators/skew.py) over a
     deliberately skewed key: order counts and revenue per orderstatus
@@ -3117,6 +3140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced in the third r6 rotation (both green r3+r4+r5)
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
+    "variant_props_stats": variant_props_stats,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3400,6 +3424,15 @@ ORACLES["json_props_stats"] = """
            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY 1
+"""
+
+ORACLES["variant_props_stats"] = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM events GROUP BY 1
 """
 

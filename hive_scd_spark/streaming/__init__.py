@@ -263,3 +263,41 @@ def minhash_ingest_sink(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(ingest)
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join: pair each left event with the right
+    events of the same *key* arriving within ``[left_ts, left_ts +
+    within]`` — the click→purchase attribution shape, both sides live
+    streams (the stream-static variant is plain ``range_join``
+    composition; this is the one that needs engine state).
+
+    Both sides carry a watermark, and the time-bound condition is what
+    lets the engine EVICT state: a buffered left row can stop waiting
+    once the right watermark passes ``left_ts + within``, so state is
+    bounded by (watermark + within) × arrival rate, not by stream
+    history.  Spark rejects the join without both constraints — the
+    API here just packages the contract (rename-safe columns, the
+    interval condition spelled once) so callers can't accidentally
+    build the unbounded version.  Batch parity: applying the same
+    condition to static frames gives the identical row set
+    (pinned in tests/test_streaming_r6.py)."""
+    lt = left.withWatermark(left_ts, watermark).alias("l")
+    rt = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lt.join(rt, cond)
