@@ -1624,6 +1624,33 @@ def json_props_stats(spark, sf_dir):
     )
 
 
+def lateral_recent_orders(spark, sf_dir):
+    """LATERAL correlated subquery (§2.B SQL surface — the per-row
+    dependent subquery form, distinct from the window-topk rewrite):
+    each BUILDING-segment customer joined to its 3 most recent orders
+    via LATERAL (ORDER BY ... LIMIT inside the correlation).  Catalyst
+    decorrelates this into a join + per-key WindowGroupLimit — same
+    physical shape as the window formulation, which is exactly the
+    point: the SQL surface is supported without a plan penalty.
+    Deterministic: date ties broken by orderkey."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, r.o_orderkey, r.o_orderdate, r.o_totalprice
+        FROM customer_lat c,
+        LATERAL (
+          SELECT o_orderkey, o_orderdate, o_totalprice
+          FROM orders_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey ASC
+          LIMIT 3
+        ) r
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
 def variant_props_stats(spark, sf_dir):
     """Spark 4 VARIANT type (§2.B scalar surface, the semi-structured
     path): ``parse_json`` materializes the props column as a VARIANT —
@@ -3141,6 +3168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
     "variant_props_stats": variant_props_stats,
+    "lateral_recent_orders": lateral_recent_orders,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3425,6 +3453,19 @@ ORACLES["json_props_stats"] = """
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY 1
+"""
+
+ORACLES["lateral_recent_orders"] = """
+    SELECT c.c_custkey, r.o_orderkey, r.o_orderdate, r.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey ASC
+      LIMIT 3
+    ) r
+    WHERE c.c_mktsegment = 'BUILDING'
 """
 
 ORACLES["variant_props_stats"] = """
