@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""100x scale experiment for the dedup-family scale paths.
+
+scale_10x.py's vowel-translation scheme only has 10 distinct maps, so
+at 100 replicas every 10th replica would be text-identical (map 0 is
+the identity) and the corpus would degenerate to a 10%-exact-duplicate
+set — measuring pair explosion, not scale.  Here each replica suffixes
+EVERY word with its replica index ("fox" → "fox_42"): intra-replica
+near-dup structure is preserved exactly (both sides of a planted dup
+get the same suffixes), while word n-grams AND char shingles are
+disjoint across replicas at ANY replication factor.
+
+Focused subset (the operators whose asymptotics matter most at
+100 TB), warm + single timed rep at 100x (the 10x artifact carries the
+min-of-2 discipline; this one answers "does the curve BEND").
+
+Usage: python scripts/scale_100x.py [sf_dir] [n]   (default sf0.1, 100)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hive_scd_spark.session import get_spark
+
+
+def replicate_suffixed(spark, src_parquet: str, out_dir: str, n: int):
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return
+    base = spark.read.parquet(src_parquet).select("doc_id", "text", "source")
+    shift = base.agg(F.max("doc_id")).first()[0] + 1
+    # one plan: cross join with the replica index range, suffix every
+    # word with the replica id — no 100-way union on the driver
+    reps = spark.range(n).select(F.col("id").alias("__rep"))
+    out = (
+        base.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("__rep") * shift).alias("doc_id"),
+            F.when(F.col("__rep") == 0, F.col("text"))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    r"(\S+)",
+                    F.concat(F.lit("$1_"), F.col("__rep").cast("string")),
+                )
+            )
+            .alias("text"),
+            "source",
+        )
+        .repartition(64)
+    )
+    out.write.mode("overwrite").parquet(out_dir)
+
+
+def timed(label, thunk):
+    t0 = time.perf_counter()
+    thunk().write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"{label:55s}{dt:8.3f}s", flush=True)
+    return dt
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("scale100x")
+    docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d100_path = f"/tmp/scale100x_documents_{n}"
+    replicate_suffixed(spark, f"{sf_dir}/documents.parquet", d100_path, n)
+    docs100 = spark.read.parquet(d100_path)
+    n1, n100 = docs1.count(), docs100.count()
+    print(f"docs 1x={n1} {n}x={n100}", flush=True)
+    base_max_id = docs1.agg(F.max("doc_id")).first()[0]
+
+    from hive_scd_spark.operators.dedup import (
+        exact_dedup,
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+        substring_dup_pairs,
+    )
+    from hive_scd_spark.operators.text_rank import bm25_topk
+
+    def minhash_gate(d):
+        return minhash_near_dup_pairs(d, "doc_id", "text", k=8, threshold=0.3)
+
+    def substring_gate(d):
+        return substring_dup_pairs(d, "doc_id", "text", n=15, max_df=50)
+
+    def incremental_gate(d):
+        # batch bounded at the replica-0 slice; the corpus side grows
+        is_new = (F.col("doc_id") % 5 == 3) & (F.col("doc_id") <= base_max_id)
+        return minhash_incremental_pairs(
+            d.filter(is_new), d.filter(~is_new), "doc_id", "text",
+            k=8, threshold=0.3,
+        )
+
+    def exact_gate(d):
+        return exact_dedup(d, "doc_id", text_col="text")
+
+    def bm25_gate(d):
+        return bm25_topk(d, "doc_id", "text",
+                         ["model", "training", "data", "quality"], k=20)
+
+    experiments = [
+        ("dedup_minhash_lsh", minhash_gate),
+        ("dedup_exact_substring", substring_gate),
+        ("dedup_minhash_incremental", incremental_gate),
+        ("dedup_exact", exact_gate),
+        ("text_bm25_topk", bm25_gate),
+    ]
+    results: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    for label, fn in experiments:
+        try:
+            fn(docs1).write.format("noop").mode("overwrite").save()  # warm
+            t1 = min(timed(f"{label} @1x", lambda: fn(docs1)) for _ in range(2))
+            fn(docs100).write.format("noop").mode("overwrite").save()  # warm
+            t100 = timed(f"{label} @{n}x", lambda: fn(docs100))
+            ratio = round(t100 / t1, 2)
+            print(f"{label:55s} {n}x/1x ratio = {ratio:6.2f}", flush=True)
+            results[label] = {"t1": round(t1, 3), f"t{n}": round(t100, 3),
+                              "ratio": ratio}
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
+            errors[label] = f"{type(exc).__name__}: {msg[:300]}"
+    out = {
+        "metric": f"scale{n}x_ratios",
+        "unit": "sec",
+        "sf_base": os.path.basename(sf_dir.rstrip("/")),
+        "replication": n,
+        "queries": results,
+    }
+    if errors:
+        out["errors"] = errors
+        out["partial"] = True
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1 if not results else 2)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,50 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     assert got == want
     # the scenario must exercise cross-batch detection, not just replays
     assert any(a <= 3 < b for a, b, _ in got)
+
+
+def test_substring_pairs_match_bruteforce_reference(spark):
+    """Property: substring_dup_pairs over random tiny corpora equals a
+    row-by-row Python replay of the definition (star edges per
+    in-band-df gram, n_shared = linking-gram count)."""
+    import itertools
+    import random
+    import re
+
+    rng = random.Random(20260814)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(6):
+        n = rng.choice([2, 3])
+        max_df = rng.choice([2, 3, 50])
+        docs = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 8))))
+            for i in range(rng.randint(4, 10))
+        ]
+        # Python reference
+        grams: dict[tuple, set] = {}
+        for i, text in docs:
+            toks = [w for w in re.split(r"[^0-9a-z_]+", text.lower()) if w]
+            seen = set()
+            for j in range(len(toks) - n + 1):
+                seen.add(tuple(toks[j : j + n]))
+            for g in seen:
+                grams.setdefault(g, set()).add(i)
+        want: dict[tuple, int] = {}
+        for g, members in grams.items():
+            if not (2 <= len(members) <= max_df):
+                continue
+            rep = min(members)
+            for m in members:
+                if m != rep:
+                    want[(rep, m)] = want.get((rep, m), 0) + 1
+
+        from hive_scd_spark.operators.dedup import substring_dup_pairs
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in substring_dup_pairs(
+                df, "doc_id", "text", n=n, max_df=max_df
+            ).collect()
+        }
+        assert got == want, (trial, n, max_df, docs)
