@@ -182,6 +182,28 @@ _LANG_SEEDS: dict[str, str] = {
         "no habría sido lo mismo para todos los que vinieron después "
         "cuáles de esos todavía podrían hacerse una vez más ahora mismo"
     ),
+    # r6 second wave: the next three highest-volume Latin-script web
+    # languages.  Seeds are original compositions over each language's
+    # commonest function words (public knowledge), same register and
+    # length as the first four so no profile dominates by seed size.
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro e questo è "
+        "quello che hanno detto quando le persone erano lì con le loro "
+        "cose perché non sarebbe stato lo stesso per tutti quelli che "
+        "sono venuti dopo alcuni dei quali si potrebbero ancora fare"
+    ),
+    "pt": (
+        "a rápida raposa marrom pula sobre o cão preguiçoso e isso é o "
+        "que eles disseram quando as pessoas estavam lá com as suas "
+        "coisas porque não teria sido o mesmo para todos os que vieram "
+        "depois alguns dos quais ainda poderiam ser feitos outra vez"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en dit is wat "
+        "ze zeiden toen de mensen daar waren met hun spullen omdat het "
+        "niet hetzelfde zou zijn geweest voor iedereen die daarna kwam "
+        "waarvan sommige nog een keer gedaan zouden kunnen worden"
+    ),
 }
 
 _PROFILE_TOP_K = 120

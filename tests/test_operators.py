@@ -360,6 +360,20 @@ def test_lang_id_ngram_real_multilingual_text(spark):
         (8, "Ayer decidimos que sería mejor esperar hasta que todos "
             "pudieran venir con nosotros para el viaje", "es"),
         (9, "", None),  # degenerate: no trigrams -> und
+        # r6 second wave: it/pt/nl profiles — pt is the es-confusability
+        # stress case, nl the de-confusability one
+        (10, "Il tempo era terribile ieri ma i bambini sono usciti lo "
+             "stesso per giocare con i loro amici nel parco", "it"),
+        (11, "O tempo estava terrível ontem mas as crianças saíram "
+             "mesmo assim para brincar com os seus amigos no parque", "pt"),
+        (12, "Het weer was gisteren verschrikkelijk maar de kinderen "
+             "gingen toch naar buiten om met hun vrienden te spelen", "nl"),
+        (13, "Abbiamo deciso ieri che sarebbe stato meglio aspettare "
+             "che tutti potessero venire con noi per il viaggio", "it"),
+        (14, "Ontem decidimos que seria melhor esperar até que todos "
+             "pudessem vir conosco para a viagem", "pt"),
+        (15, "We hebben gisteren besloten dat het beter zou zijn om te "
+             "wachten tot iedereen mee kon komen voor de reis", "nl"),
     ]
     df = spark.createDataFrame(
         [(i, txt) for i, txt, _ in rows], "doc_id int, text string"
