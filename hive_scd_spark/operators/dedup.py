@@ -315,6 +315,7 @@ def minhash_incremental_pairs(
     id_col: str,
     text_col: str,
     corpus_bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
     k: int = 8,
     num_perm: int = 32,
     bands: int = 8,
@@ -342,14 +343,28 @@ def minhash_incremental_pairs(
     O(candidates) join-above-shingle shape as the full-corpus path;
     new×new pairs come from a self-join of the (tiny) new band table.
     Output: ``(id_a, id_b, jaccard)``, ids ordered id_a < id_b; ids
-    must be unique ACROSS both inputs (they share one id space)."""
-    nb = minhash_band_table(new_df, id_col, text_col, k, num_perm, bands, seed)
+    must be unique ACROSS both inputs (they share one id space).
+
+    *new_bands* / *corpus_bands*: pre-computed
+    :func:`minhash_band_table` outputs for the respective side — pass
+    them when the caller already has (or persists) the band table so
+    the signature pipeline is not re-run (the streaming ingest sink
+    computes the batch's bands ONCE for both pair detection and the
+    state append)."""
+    nb = (
+        new_bands.select("__id", "__band", "__key")
+        if new_bands is not None
+        else minhash_band_table(new_df, id_col, text_col, k, num_perm, bands, seed)
+    )
     if corpus_bands is None:
         cb = minhash_band_table(
             corpus_df, id_col, text_col, k, num_perm, bands, seed
         )
     else:
-        cb = corpus_bands.toDF("__id", "__band", "__key")
+        # select BY NAME: a positional rebind would silently misbind a
+        # column-reordered read (partitioned writes and pruned scans
+        # reorder); a wrong/missing column must fail analysis instead
+        cb = corpus_bands.select("__id", "__band", "__key")
     nbj = F.broadcast(nb) if broadcast_new else nb
     cross = (
         cb.alias("c")

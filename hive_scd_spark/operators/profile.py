@@ -68,13 +68,24 @@ def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
         )
     )
 
+    # the melt compares STRING renderings, so float negative zero must
+    # be normalized first: -0.0 == 0.0 in SQL (and Spark's own groupBy
+    # normalizes it) but renders as a distinct string — without this a
+    # double column holding both would overcount "exact" distinct by 1
+    def _distinct_key(c: str):
+        dt = dict(df.dtypes)[c]
+        col = F.col(c)
+        if dt in ("float", "double"):
+            col = F.when(col == 0.0, F.lit(0.0).cast(dt)).otherwise(col)
+        return col.cast("string")
+
     pairs = df.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("col_name"),
-                        F.col(c).cast("string").alias("value"),
+                        _distinct_key(c).alias("value"),
                     )
                     for c in cols
                 ]

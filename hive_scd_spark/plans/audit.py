@@ -103,6 +103,9 @@ _COMBINE_CHILDREN = (
     "SortAggregate",
     "ObjectHashAggregate",
     "TakeOrderedAndProject",
+    # a global limit's exchange carries <= (partitions x limit) rows —
+    # the docstring's "global limit" exemption
+    "LocalLimit",
 )
 
 

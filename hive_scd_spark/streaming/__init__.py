@@ -230,32 +230,48 @@ def minhash_ingest_sink(
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.select(id_col, text_col).localCheckpoint()
-        import os
-
-        have_state = os.path.exists(os.path.join(bands_dir, "_SUCCESS"))
-        if have_state:
+        # state probe through Spark's reader, NOT driver-local
+        # os.path.exists — state_path is any Hadoop filesystem
+        # (hdfs://, s3a://); a local-only check would silently take the
+        # first-batch path forever and never detect cross-corpus dups
+        try:
             corpus_bands = spark.read.parquet(bands_dir)
             corpus_texts = spark.read.parquet(texts_dir)
+            have_state = True
+        except Exception:  # AnalysisException: path does not exist yet
+            have_state = False
+        # the batch band table is computed ONCE (checkpointed) and
+        # serves both pair detection and the state append — the
+        # signature pipeline is the dominant per-batch CPU cost
+        nb = minhash_band_table(batch_df, id_col, text_col, k=k).localCheckpoint()
+        if have_state:
             pairs = minhash_incremental_pairs(
                 batch_df,
                 corpus_texts,
                 id_col,
                 text_col,
                 corpus_bands=corpus_bands,
+                new_bands=nb,
                 k=k,
                 threshold=threshold,
             )
         else:
-            # first batch: only within-batch pairs exist
-            from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
-
-            pairs = minhash_near_dup_pairs(
-                batch_df, id_col, text_col, k=k, threshold=threshold
+            # first batch: only within-batch pairs exist — the
+            # incremental path with an EMPTY corpus reuses nb for the
+            # within-batch self-join instead of re-signing the batch
+            empty = spark.createDataFrame([], batch_df.schema)
+            pairs = minhash_incremental_pairs(
+                batch_df,
+                empty,
+                id_col,
+                text_col,
+                corpus_bands=nb.limit(0),
+                new_bands=nb,
+                k=k,
+                threshold=threshold,
             )
         pairs.write.mode("append").parquet(pairs_path)
-        minhash_band_table(batch_df, id_col, text_col, k=k).write.mode(
-            "append"
-        ).parquet(bands_dir)
+        nb.write.mode("append").parquet(bands_dir)
         batch_df.write.mode("append").parquet(texts_dir)
 
     return (

@@ -503,12 +503,16 @@ def translate_h2(fragment: str) -> str:
                 f"{fragment!r}"
             )
         if lw == "curdate":
-            out.append("current_date()")
             if is_call:
-                _, after = _call_args(fragment, k)
+                args, after = _call_args(fragment, k)
+                if any(a.strip() for a in args):
+                    raise ScdScriptError(
+                        f"H2 CURDATE takes no arguments: {fragment!r}"
+                    )
                 i = after
             else:
                 i = j
+            out.append("current_date()")
             continue
         if lw == "random_uuid" and is_call:
             out.append("uuid")
@@ -526,8 +530,27 @@ def translate_h2(fragment: str) -> str:
             i = after
             continue
         if lw in ("lshift", "rshift") and is_call:
-            out.append("shiftleft" if lw == "lshift" else "shiftright")
-            i = j
+            # H2 and Java diverge outside [0, 63]: H2 shifts the OTHER
+            # direction for negative distances and saturates to 0 /
+            # sign-fill at |n| >= bit width, while Spark/Java wraps the
+            # distance mod 64 (LSHIFT(x, 64) would silently become x).
+            # Only literal in-range distances are provably safe —
+            # anything else fails loudly, same contract as TRUNCATE.
+            args, after = _call_args(fragment, k)
+            if len(args) != 2:
+                raise ScdScriptError(
+                    f"H2 {word.upper()} needs exactly 2 arguments: {fragment!r}"
+                )
+            dist = args[1].strip()
+            if not re.fullmatch(r"\d+", dist) or not 0 <= int(dist) <= 63:
+                raise ScdScriptError(
+                    f"H2 {word.upper()} distance must be a literal in [0, 63] "
+                    f"(H2 negative/overflow shift semantics differ from "
+                    f"Spark's mod-64 wrap): {fragment!r}"
+                )
+            fn = "shiftleft" if lw == "lshift" else "shiftright"
+            out.append(f"{fn}({translate_h2(args[0].strip())}, {dist})")
+            i = after
             continue
         if lw in ("day_of_week", "day_of_month", "day_of_year") and is_call:
             out.append(lw.replace("_", ""))

@@ -272,3 +272,17 @@ def test_curdate_and_random_uuid(spark):
     frag = translate_h2("RANDOM_UUID()")
     got = spark.range(1).select(F.expr(frag).alias("r")).collect()[0]["r"]
     assert len(got) == 36 and got.count("-") == 4
+
+
+def test_shift_distance_must_be_literal_in_range():
+    """H2 shifts diverge from Spark's mod-64 wrap outside [0, 63] —
+    out-of-range and non-literal distances must fail loudly."""
+    assert translate_h2("LSHIFT(x, 2)") == "shiftleft(x, 2)"
+    for bad in ("LSHIFT(x, 64)", "RSHIFT(x, -1)", "LSHIFT(x, n)"):
+        with pytest.raises(ScdScriptError, match="distance must be a literal"):
+            translate_h2(bad)
+
+
+def test_curdate_with_arguments_rejected():
+    with pytest.raises(ScdScriptError, match="CURDATE takes no arguments"):
+        translate_h2("CURDATE('junk', col_x)")

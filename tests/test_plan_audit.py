@@ -111,3 +111,16 @@ def test_registry_plans_audit_scale_safe(spark, sf_dir, name, allow):
     from hive_scd_spark.queries import QUERIES
 
     assert_scale_safe(QUERIES[name](spark, sf_dir), allow=allow)
+
+
+def test_global_limit_exchange_is_exempt(spark):
+    """GlobalLimit <- Exchange SinglePartition <- LocalLimit carries at
+    most partitions x limit rows — the docstring's 'global limit'
+    exemption (was a confirmed false positive)."""
+    dim = spark.range(10).withColumnRenamed("id", "k")
+    df = (
+        spark.range(100000)
+        .limit(10)
+        .join(F.broadcast(dim), F.col("id") == F.col("k"))
+    )
+    assert codes(df) == []

@@ -40,3 +40,11 @@ def test_profile_approx_path_within_tolerance(spark):
     p = _by_col(table_profile(df, exact=False).collect())
     assert abs(p["s"]["n_distinct"] - 37) <= 3
     assert abs(p["id"]["n_distinct"] - 2000) <= 2000 * 0.05
+
+
+def test_profile_negative_zero_counts_once(spark):
+    """-0.0 and 0.0 are SQL-equal; the melt's string rendering must not
+    double-count them (was a confirmed overcount)."""
+    df = spark.createDataFrame([(0.0,), (-0.0,), (1.5,)], "x double")
+    p = _by_col(table_profile(df).collect())
+    assert p["x"]["n_distinct"] == 2
