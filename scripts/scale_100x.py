@@ -4,11 +4,22 @@
 scale_10x.py's vowel-translation scheme only has 10 distinct maps, so
 at 100 replicas every 10th replica would be text-identical (map 0 is
 the identity) and the corpus would degenerate to a 10%-exact-duplicate
-set — measuring pair explosion, not scale.  Here each replica suffixes
-EVERY word with its replica index ("fox" → "fox_42"): intra-replica
-near-dup structure is preserved exactly (both sides of a planted dup
-get the same suffixes), while word n-grams AND char shingles are
-disjoint across replicas at ANY replication factor.
+set — measuring pair explosion, not scale.  Each replica here applies
+a CHARACTER BIJECTION instead: rotate the letter alphabet by
+i mod 26 and the digits by i mod 10 — lcm(26,10)=130 distinct
+compositions, so all 100 replicas are distinct.  A bijection preserves
+shingle-set structure EXACTLY (every intra-replica Jaccard unchanged,
+so each replica carries the original near-dup rate), while shingles
+from different replicas collide only by coincidence.
+
+(A first attempt suffixed every word with the replica index; that
+made the suffix shingles — "_42 " and friends — common to EVERY doc
+of a replica, which drags random pairwise Jaccard up and, worse,
+makes the minhash MINIMUM come from the shared suffix shingles:
+whole replicas collapsed into single LSH buckets and the candidate
+set exploded to billions.  A useful failure: it is precisely the
+hot-bucket pathology LSH auditing looks for, induced by a testdata
+bug.)
 
 Focused subset (the operators whose asymptotics matter most at
 100 TB), warm + single timed rep at 100x (the 10x artifact carries the
@@ -31,27 +42,47 @@ from pyspark.sql import functions as F
 from hive_scd_spark.session import get_spark
 
 
-def replicate_suffixed(spark, src_parquet: str, out_dir: str, n: int):
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_DIGITS = "0123456789"
+
+
+def _rot_map(i: int) -> tuple[str, str]:
+    """Source and target strings for replica *i*'s character bijection:
+    letters rotated by i mod 26 (both cases), digits by i mod 10."""
+    lr, dr = i % 26, i % 10
+    src = _LETTERS + _LETTERS.upper() + _DIGITS
+    dst = (
+        _LETTERS[lr:] + _LETTERS[:lr]
+        + (_LETTERS[lr:] + _LETTERS[:lr]).upper()
+        + _DIGITS[dr:] + _DIGITS[:dr]
+    )
+    return src, dst
+
+
+def replicate_translated(spark, src_parquet: str, out_dir: str, n: int):
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return
     base = spark.read.parquet(src_parquet).select("doc_id", "text", "source")
     shift = base.agg(F.max("doc_id")).first()[0] + 1
-    # one plan: cross join with the replica index range, suffix every
-    # word with the replica id — no 100-way union on the driver
+    # one plan: cross join with the replica range; per-replica translate
+    # via a CASE over the 100 rotation maps (all literals, codegen)
     reps = spark.range(n).select(F.col("id").alias("__rep"))
+    translated = None
+    for i in range(n):
+        src, dst = _rot_map(i)
+        branch = F.translate(F.col("text"), src, dst)
+        translated = (
+            branch
+            if translated is None
+            else F.when(F.col("__rep") == i, branch).otherwise(translated)
+        )
+    # note: the when-chain above evaluates branches lazily per row; the
+    # final expression is replica-indexed, replica 0 = identity rotation
     out = (
         base.crossJoin(F.broadcast(reps))
         .select(
             (F.col("doc_id") + F.col("__rep") * shift).alias("doc_id"),
-            F.when(F.col("__rep") == 0, F.col("text"))
-            .otherwise(
-                F.regexp_replace(
-                    F.col("text"),
-                    r"(\S+)",
-                    F.concat(F.lit("$1_"), F.col("__rep").cast("string")),
-                )
-            )
-            .alias("text"),
+            translated.alias("text"),
             "source",
         )
         .repartition(64)
@@ -73,7 +104,7 @@ def main():
     spark = get_spark("scale100x")
     docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d100_path = f"/tmp/scale100x_documents_{n}"
-    replicate_suffixed(spark, f"{sf_dir}/documents.parquet", d100_path, n)
+    replicate_translated(spark, f"{sf_dir}/documents.parquet", d100_path, n)
     docs100 = spark.read.parquet(d100_path)
     n1, n100 = docs1.count(), docs100.count()
     print(f"docs 1x={n1} {n}x={n100}", flush=True)
