@@ -101,10 +101,10 @@ def write_clustered(
     - *cluster_by*: each file covers a narrow key span, so parquet's
       per-row-group min/max stats skip whole files for selective
       predicates (footer-span evidence asserted in tests).  This is
-      the Z-order-lite layout: single-key range clustering —
-      multi-key interleaving is a deliberate non-goal (it needs a
-      space-filling-curve expression, and one well-chosen leading key
-      captures most scans).
+      single-key range clustering — one well-chosen leading key
+      captures most scans; when two-to-four columns genuinely share
+      the filter load, :func:`write_zordered` interleaves them on a
+      Morton key instead.
 
     The task routing solves the small-files problem and hot-partition
     skew in one move: rows are RANGE-partitioned on
@@ -126,3 +126,80 @@ def write_clustered(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def zorder_key(
+    cols: list[str],
+    ranges: dict[str, tuple[float, float]],
+    bits: int = 10,
+):
+    """Morton (Z-order) key column: interleave the bits of each
+    column's *bits*-bit bucket index so that sorting by ONE key keeps
+    locality in EVERY listed dimension — the public technique behind
+    multi-column data-skipping layouts (space-filling curves; Morton
+    1966).  Pure JVM column arithmetic — floor/shift/or per bit, no
+    UDF, codegen-friendly.
+
+    *ranges* maps each column to its (min, max) — metadata the caller
+    owns (a 1-row aggregate, or table statistics); values outside the
+    range clamp to the boundary buckets, so stale statistics degrade
+    locality, never correctness."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_key supports 1-4 columns")
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = ranges[c]
+        span = float(hi) - float(lo)
+        if span <= 0:
+            raise ValueError(f"empty range for {c!r}: {ranges[c]}")
+        bucket = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+            * F.lit(float(2**bits))
+        ).cast("long")
+        bucket = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(bucket, F.lit(2**bits - 1).cast("long")),
+        )
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("long")),
+                    b * n + ci,
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    by: list[str],
+    bits: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: range-partition + sort on the
+    Morton key of *by*, so EVERY listed column gets narrow per-file
+    min/max spans (parquet row-group skipping works on each dimension),
+    where single-key clustering (``write_clustered``) serves only its
+    leading key.  The price is resolution: with k columns each gets
+    ~bits of the key, so per-dimension spans are ~1/2^(bits_used/k) of
+    the domain per file instead of 1/files — the standard Z-order
+    trade (tested: a selective filter on EITHER dimension touches a
+    bounded fraction of files).
+
+    Column ranges come from one metadata-sized min/max aggregate over
+    the input (1 row, 2k values); callers with table statistics can
+    avoid the pass by calling :func:`zorder_key` directly."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in by],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in by],
+    ).first()
+    ranges = {c: (stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in by}
+    out = (
+        df.withColumn("__z", zorder_key(by, ranges, bits))
+        .repartitionByRange("__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).parquet(path)

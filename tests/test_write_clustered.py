@@ -91,3 +91,59 @@ def test_range_clustering_gives_narrow_file_spans(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
     assert sum(hi - lo for lo, hi in spans) < n  # narrow slices, not the full span each
+
+
+def _x_file_spans(spark, out, col):
+    spans = []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        r = spark.read.parquet(f).agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).first()
+        spans.append((r.lo, r.hi))
+    return spans
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order: a selective filter on EITHER column overlaps only a
+    bounded fraction of files; single-key clustering serves only its
+    leading key (the y-spans of x-clustered files cover ~the whole
+    domain)."""
+    from hive_scd_spark.operators.layout import write_zordered
+
+    n = 60000
+    df = (
+        spark.range(n)
+        .select(
+            (F.rand(5) * 1000).alias("x"),
+            (F.rand(17) * 1000).alias("y"),
+        )
+    )
+    zout = str(tmp_path / "z")
+    cout = str(tmp_path / "c")
+    with no_coalesce(spark):
+        write_zordered(df, zout, by=["x", "y"], bits=10)
+        write_clustered(df, cout, cluster_by=["x"])
+
+    def overlap_fraction(out, col, lo, hi):
+        spans = _x_file_spans(spark, out, col)
+        assert len(spans) > 2
+        touched = sum(1 for s_lo, s_hi in spans if s_hi >= lo and s_lo <= hi)
+        return touched / len(spans)
+
+    # a 5%-of-domain filter on either z-ordered dimension skips files
+    assert overlap_fraction(zout, "x", 100, 150) < 0.8
+    assert overlap_fraction(zout, "y", 100, 150) < 0.8
+    # the single-key layout skips on its key but NOT the other column
+    assert overlap_fraction(cout, "x", 100, 150) < 0.5
+    assert overlap_fraction(cout, "y", 100, 150) == 1.0
+
+
+def test_zorder_key_validates_input(spark):
+    from hive_scd_spark.operators.layout import zorder_key
+
+    import pytest
+
+    with pytest.raises(ValueError, match="supports 1-4"):
+        zorder_key(["a", "b", "c", "d", "e"], {})
+    with pytest.raises(ValueError, match="empty range"):
+        zorder_key(["a"], {"a": (3.0, 3.0)})
