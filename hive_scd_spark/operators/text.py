@@ -607,3 +607,86 @@ def strip_html(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(t0).cast("long").alias("n_chars_raw"),
         F.length(cleaned).cast("long").alias("n_chars_stripped"),
     )
+
+
+# A deterministic mini merge table (BPE, Sennrich et al. 2016 — public
+# technique): common English digraphs first, then second-order merges
+# over earlier outputs.  WELL-FORMED by construction: every pair's
+# operands exist before it fires (single chars, or products of
+# earlier-ranked merges), which is what makes sequential exhaustive
+# application in rank order equivalent to the classic
+# lowest-rank-pair-first loop (each merge's output can only
+# participate in LATER-ranked merges).
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("e", "r"), ("a", "n"), ("i", "n"), ("o", "n"),
+    ("r", "e"), ("a", "t"), ("o", "r"), ("e", "n"), ("e", "s"),
+    ("a", "l"), ("s", "t"), ("l", "e"), ("q", "u"), ("c", "o"),
+    ("d", "e"), ("m", "a"), ("s", "c"), ("th", "e"), ("an", "d"),
+    ("in", "g"), ("er", "</w>"), ("es", "</w>"), ("the", "</w>"),
+    ("on", "</w>"), ("at", "a"), ("qu", "er"), ("quer", "y"),
+    ("ma", "p"), ("sc", "an"),
+]
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """BPE tokenization as a PURE column expression — no UDF, no
+    Python, no external tokenizer: the merge table is applied as a
+    chain of literal ``replace`` calls over a space-separated symbol
+    string, so the whole tokenizer lives in one whole-stage-codegen
+    projection AND replays exactly in the DuckDB oracle (same replace
+    chain, same merge table).
+
+    Encoding: lowercase → non-alphanumerics to word breaks → each word
+    spelled as space-separated characters with a ``</w>`` end-of-word
+    symbol → each merge ``(a, b)`` rewrites `` a b `` → `` ab ``.
+    Each merge's replace runs TWICE: a literal replace consumes the
+    boundary space, so adjacent occurrences (`` t h t h ``) are only
+    caught by a second pass — two passes fully merge any run, because
+    a run of k adjacent pairs halves per pass and the pattern cannot
+    re-arise later.  Sequential rank-order application is equivalent
+    to the classic priority loop for a well-formed table (see
+    BPE_MERGES).  Cost: 2x|merges| string scans per row — linear,
+    JVM-side, no shuffle.
+
+    Output: ``(id, tokens array<string>, n_tokens)``.  Production-size
+    merge tables (32k) would make the expression chain unwieldy — the
+    documented path there is the same algorithm over a loop of
+    narrower column batches or a Pandas-UDF port; THIS operator's
+    value is tokenizer-exact budgeting with zero dependencies and an
+    exact cross-engine contract."""
+    merges = BPE_MERGES if merges is None else merges
+    for a, b in merges:
+        if " " in a or " " in b:
+            raise ValueError(f"merge symbols cannot contain spaces: {(a, b)}")
+    t1 = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            "[^a-z0-9]+",
+            " ",
+        )
+    )
+    # spell out characters: every char gains a trailing space, so the
+    # single word-break space becomes a 3-space run -> '</w>' marker
+    spelled = F.regexp_replace(t1, "(.)", "$1 ")
+    s = F.when(t1 == "", F.lit("")).otherwise(
+        F.concat(
+            F.lit(" "),
+            F.replace(spelled, F.lit("   "), F.lit(" </w> ")),
+            F.lit("</w> "),
+        )
+    )
+    for a, b in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    toks = F.split(F.trim(s), " +")
+    toks = F.when(F.trim(s) == "", F.array().cast("array<string>")).otherwise(toks)
+    return df.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )

@@ -1651,6 +1651,23 @@ def lateral_recent_orders(spark, sf_dir):
     )
 
 
+def text_bpe_tokenize(spark, sf_dir):
+    """BPE tokenization as a pure column expression (operators/text.py
+    bpe_tokenize): the merge table is a chain of literal replaces, so
+    the ENTIRE tokenizer is one codegen projection and the oracle
+    replays the identical chain — tokenizer-exact budgeting with zero
+    dependencies.  Tokens emitted as CSV for a representation-
+    independent value hash."""
+    from hive_scd_spark.operators.text import bpe_tokenize
+
+    out = bpe_tokenize(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+    )
+
+
 def variant_props_stats(spark, sf_dir):
     """Spark 4 VARIANT type (§2.B scalar surface, the semi-structured
     path): ``parse_json`` materializes the props column as a VARIANT —
@@ -3169,6 +3186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "variant_props_stats": variant_props_stats,
     "lateral_recent_orders": lateral_recent_orders,
+    "text_bpe_tokenize": text_bpe_tokenize,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3467,6 +3485,45 @@ ORACLES["lateral_recent_orders"] = """
     ) r
     WHERE c.c_mktsegment = 'BUILDING'
 """
+
+def _bpe_oracle() -> str:
+    """DuckDB replica of bpe_tokenize: the same spell-out prep and the
+    same merge table as nested literal replace() calls (each twice —
+    the adjacency pass), generated from operators.text.BPE_MERGES so
+    the two engines cannot drift."""
+    from hive_scd_spark.operators.text import BPE_MERGES
+
+    s = "sp.s"
+    for a, b in BPE_MERGES:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        for _ in range(2):
+            s = f"replace({s}, '{pat}', '{rep}')"
+    return f"""
+    WITH t1 AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN t = '' THEN ''
+                  ELSE ' ' || replace(regexp_replace(t, '(.)', '\\1 ', 'g'),
+                                      '   ', ' </w> ') || '</w> '
+             END AS s
+      FROM t1
+    ), merged AS (SELECT doc_id, {s} AS s FROM sp)
+    SELECT doc_id,
+           CASE WHEN trim(s) = '' THEN 0
+                ELSE CAST(len(string_split_regex(trim(s), ' +')) AS INT)
+           END AS n_tokens,
+           CASE WHEN trim(s) = '' THEN ''
+                ELSE array_to_string(string_split_regex(trim(s), ' +'), ',')
+           END AS tokens_csv
+    FROM merged
+    """
+
+
+ORACLES["text_bpe_tokenize"] = _bpe_oracle()
 
 ORACLES["variant_props_stats"] = """
     SELECT event_type,

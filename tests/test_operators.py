@@ -387,3 +387,30 @@ def test_lang_id_ngram_real_multilingual_text(spark):
         else:
             assert pred == want, (i, pred, want, conf)
             assert conf > 0.15  # real text overlaps its profile heavily
+
+
+def test_bpe_tokenize_exact_and_reconstructable(spark):
+    """Hand-verified merges plus the losslessness property: stripping
+    </w> markers and concatenating tokens reproduces the cleaned text
+    exactly (BPE is a segmentation, not a transformation)."""
+    import re
+
+    from hive_scd_spark.operators.text import bpe_tokenize
+
+    rows = [
+        (1, "The query scanner"),
+        (2, ""),
+        (3, None),
+        (4, "thethe"),
+        (5, "Data-Mapping, for query engines!  42 maps."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bpe_tokenize(df, "doc_id", "text").collect()}
+    assert got[1].tokens == ["the</w>", "query", "</w>", "scan", "n", "er</w>"]
+    assert got[2].tokens == [] and got[2].n_tokens == 0
+    assert got[3].tokens == [] and got[3].n_tokens == 0
+    assert got[4].tokens == ["the", "the</w>"]
+    for i, text in rows:
+        cleaned = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+        rebuilt = "".join(got[i].tokens).replace("</w>", " ").rstrip()
+        assert rebuilt == cleaned, (i, rebuilt, cleaned)
