@@ -70,6 +70,8 @@ HEADLINE = [
     "dedup_exact_substring",
     "dedup_minhash_incremental",
     "table_profile_documents",
+    # pure-expression BPE (60 literal-replace passes in one codegen span)
+    "text_bpe_tokenize",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

@@ -290,3 +290,74 @@ def dedup_corpus(
         F.col("node").alias("__loser")
     )
     return df.join(losers, df[id_col] == losers["__loser"], "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    scale: int = 1_000_000,
+    directed: bool = False,
+) -> DataFrame:
+    """PageRank in EXACT integer arithmetic — the iterative-algorithm
+    complement to :func:`dup_clusters` (CC answers "which documents are
+    the same"; PageRank ranks centrality within the duplicate/link
+    graph, e.g. picking the canonical doc as the most-linked variant).
+
+    Ranks live in integer units of 1/*scale*: every update is
+    ``floor(0.15*scale) + (17 * sum(contrib)) // 20`` with
+    ``contrib = rank // out_degree`` — integer division throughout, so
+    the fixed-*iters* result is bit-identical in any engine (a double
+    formulation would be summation-order-dependent and un-oracle-able;
+    the truncation error per step is bounded by degree/scale, irrelevant
+    for ranking).  Dangling mass: with ``directed=False`` (default) the
+    graph is symmetrized so no dangling nodes exist; with
+    ``directed=True`` sink nodes leak their mass (documented standard
+    simplification — totals shrink, the ORDER is what the operator
+    serves).
+
+    Plan shape per iteration: one join of the edge list with the
+    current rank (both keyed by node — AQE broadcasts the rank side
+    when small), one map-combinable groupBy(dst) sum, a left join back
+    onto the node set.  ``localCheckpoint`` truncates lineage per round
+    (same rationale as dup_clusters' rounds).  Output:
+    ``(node, rank_scaled)``."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+        )
+    e = e.distinct()
+    deg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    base = scale * 3 // 20  # floor(0.15 * scale), exactly
+    r = nodes.withColumn("rank_scaled", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(r, e.__s == r.node)
+            .join(deg, "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("rank_scaled div __deg").alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
+        r = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("(17 * coalesce(__in, 0L)) div 20")
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r

@@ -1651,6 +1651,22 @@ def lateral_recent_orders(spark, sf_dir):
     )
 
 
+def graph_pagerank_dups(spark, sf_dir):
+    """Integer-exact PageRank (operators/cluster.py pagerank) over the
+    exact-substring duplicate graph — ranks centrality within dup
+    components (the canonical-doc-selection signal).  Every update is
+    integer arithmetic, so the fixed-5-iteration result is
+    bit-identical in DuckDB, which replays the same edge CTE and the
+    same unrolled steps."""
+    from hive_scd_spark.operators.cluster import pagerank
+    from hive_scd_spark.operators.dedup import substring_dup_pairs
+
+    pairs = substring_dup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=15, max_df=50
+    )
+    return pagerank(pairs, "id_a", "id_b", iters=5)
+
+
 def text_bpe_tokenize(spark, sf_dir):
     """BPE tokenization as a pure column expression (operators/text.py
     bpe_tokenize): the merge table is a chain of literal replaces, so
@@ -3187,6 +3203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_props_stats": variant_props_stats,
     "lateral_recent_orders": lateral_recent_orders,
     "text_bpe_tokenize": text_bpe_tokenize,
+    "graph_pagerank_dups": graph_pagerank_dups,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3524,6 +3541,58 @@ def _bpe_oracle() -> str:
 
 
 ORACLES["text_bpe_tokenize"] = _bpe_oracle()
+
+
+def _pagerank_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
+    """DuckDB replica of graph_pagerank_dups: the substring-dup edge
+    CTE plus *iters* UNROLLED integer-exact update steps (recursive
+    CTEs cannot aggregate over their own reference, and the iteration
+    count is fixed anyway)."""
+    base = scale * 3 // 20
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+      SELECT n.node,
+             CAST({base} + (17 * COALESCE(s.i, 0)) // 20 AS BIGINT)
+               AS rank_scaled
+      FROM nodes n
+      LEFT JOIN (SELECT e.d AS node,
+                        SUM(r.rank_scaled // dg.deg) AS i
+                 FROM und e
+                 JOIN r{k-1} r ON e.s = r.node
+                 JOIN deg dg ON e.s = dg.s
+                 GROUP BY e.d) s ON n.node = s.node
+    )"""
+        )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), g0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, CAST(len(w) AS BIGINT) - 13), i ->
+               ('0x' || substring(md5(array_to_string(w[i:i+14], ' ')), 1, 15))::BIGINT)) AS h
+      FROM w WHERE len(w) >= 15
+    ), g AS (SELECT DISTINCT doc_id, h FROM g0),
+    df AS (SELECT h, count(*) AS c, min(doc_id) AS rep FROM g GROUP BY h),
+    pairs AS (SELECT DISTINCT d.rep AS id_a, g.doc_id AS id_b
+              FROM g JOIN df d USING (h)
+              WHERE d.c BETWEEN 2 AND 50 AND g.doc_id <> d.rep),
+    und AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS node FROM und
+              UNION SELECT DISTINCT d FROM und),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_scaled FROM nodes),
+    {", ".join(steps)}
+    SELECT node, rank_scaled FROM r{iters}
+    """
+
+
+ORACLES["graph_pagerank_dups"] = _pagerank_oracle()
 
 ORACLES["variant_props_stats"] = """
     SELECT event_type,

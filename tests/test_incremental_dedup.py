@@ -167,3 +167,32 @@ def test_substring_pairs_match_bruteforce_reference(spark):
             ).collect()
         }
         assert got == want, (trial, n, max_df, docs)
+
+
+def test_pagerank_star_center_wins_and_is_deterministic(spark):
+    from hive_scd_spark.operators.cluster import pagerank
+
+    # star: 0-1, 0-2, 0-3, 0-4 plus an isolated pair 5-6
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6)], "id_a long, id_b long"
+    )
+    r = {x.node: x.rank_scaled for x in pagerank(edges, iters=5).collect()}
+    assert set(r) == {0, 1, 2, 3, 4, 5, 6}
+    # the hub out-ranks every leaf; leaves are symmetric → equal ranks
+    assert all(r[0] > r[i] for i in (1, 2, 3, 4))
+    assert len({r[i] for i in (1, 2, 3, 4)}) == 1
+    # the isolated symmetric pair: equal ranks, below the hub
+    assert r[5] == r[6] < r[0]
+    # integer arithmetic → bit-identical on re-run
+    r2 = {x.node: x.rank_scaled for x in pagerank(edges, iters=5).collect()}
+    assert r == r2
+
+
+def test_pagerank_directed_sink_leaks_documented_mass(spark):
+    from hive_scd_spark.operators.cluster import pagerank
+
+    # chain 0 -> 1 -> 2 (2 is a sink): ranks still orderable, sink
+    # highest (receives all flow), source lowest
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    r = {x.node: x.rank_scaled for x in pagerank(edges, directed=True, iters=5).collect()}
+    assert r[2] > r[1] > r[0]
