@@ -3082,7 +3082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ivf_cosine_topk — each green r3+r4+r5); the displaced stay
     # DuckDB-verified via scripts/check_contract.py
     "text_repetition_stats": text_repetition_stats,
-    "agg_filtered_event_stats": agg_filtered_event_stats,
+    "text_bpe_tokenize": text_bpe_tokenize,
     # window functions
     "text_unigram_logprob": text_unigram_logprob,
     "window_range_frame_spend": window_range_frame_spend,
@@ -3127,7 +3127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_corpus_canonical": dedup_corpus_canonical,
     # text analysis
-    "text_quality_stats": text_quality_stats,
+    "graph_pagerank_dups": graph_pagerank_dups,
     "table_profile_documents": table_profile_documents,
     "text_redact_pii": text_redact_pii,
     "text_bm25_topk": text_bm25_topk,
@@ -3191,6 +3191,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_pred": q19_disjunctive_pred,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    # displaced in the r6 sixth rotation (green r3+r4+r5; quality and
+    # conditional-agg families keep newer in-window representatives)
+    "agg_filtered_event_stats": agg_filtered_event_stats,
+    "text_quality_stats": text_quality_stats,
     # displaced in the r6 fifth rotation (all multiply-green; their
     # families stay window-represented by newer gates)
     "dedup_exact": dedup_exact,
@@ -3202,8 +3206,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "variant_props_stats": variant_props_stats,
     "lateral_recent_orders": lateral_recent_orders,
-    "text_bpe_tokenize": text_bpe_tokenize,
-    "graph_pagerank_dups": graph_pagerank_dups,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
