@@ -139,21 +139,58 @@ def main():
         return bm25_topk(d, "doc_id", "text",
                          ["model", "training", "data", "quality"], k=20)
 
-    experiments = [
+    # embeddings 100x: reuse scale_10x's isometric sign-flip replicator
+    # (maps are md5(replica:dim)-derived — distinct at ANY n)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_10x", os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_10x.py")
+    )
+    s10 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(s10)
+    emb100_path = f"/tmp/scale100x_embeddings_{n}"
+    s10.replicate_embeddings(spark, f"{sf_dir}/embeddings.parquet", emb100_path, n=n)
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb100 = spark.read.parquet(emb100_path)
+    print(f"embeddings 1x={emb1.count()} {n}x={emb100.count()}", flush=True)
+
+    from hive_scd_spark.operators.dedup import embedding_near_dup_pairs
+    from hive_scd_spark.operators.similarity import ann_cosine_topk
+
+    def emb_lsh_auto_gate(emb):
+        return embedding_near_dup_pairs(
+            emb, "vec_id", "embedding",
+            threshold=0.35, use_lsh=True, n_planes="auto", n_bands=4, dim=64,
+        )
+
+    def ann_gate(emb):
+        return ann_cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 10),
+            id_col="vec_id", vec_col="embedding", k=5, n_planes=8, dim=64,
+        )
+
+    doc_experiments = [
         ("dedup_minhash_lsh", minhash_gate),
         ("dedup_exact_substring", substring_gate),
         ("dedup_minhash_incremental", incremental_gate),
         ("dedup_exact", exact_gate),
         ("text_bm25_topk", bm25_gate),
     ]
+    emb_experiments = [
+        ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),
+        ("ann_lsh_topk", ann_gate),
+    ]
+    experiments = [
+        (lbl, fn, docs1, docs100) for lbl, fn in doc_experiments
+    ] + [(lbl, fn, emb1, emb100) for lbl, fn in emb_experiments]
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    for label, fn in experiments:
+    for label, fn, d1, d100 in experiments:
         try:
-            fn(docs1).write.format("noop").mode("overwrite").save()  # warm
-            t1 = min(timed(f"{label} @1x", lambda: fn(docs1)) for _ in range(2))
-            fn(docs100).write.format("noop").mode("overwrite").save()  # warm
-            t100 = timed(f"{label} @{n}x", lambda: fn(docs100))
+            fn(d1).write.format("noop").mode("overwrite").save()  # warm
+            t1 = min(timed(f"{label} @1x", lambda: fn(d1)) for _ in range(2))
+            fn(d100).write.format("noop").mode("overwrite").save()  # warm
+            t100 = timed(f"{label} @{n}x", lambda: fn(d100))
             ratio = round(t100 / t1, 2)
             print(f"{label:55s} {n}x/1x ratio = {ratio:6.2f}", flush=True)
             results[label] = {"t1": round(t1, 3), f"t{n}": round(t100, 3),
