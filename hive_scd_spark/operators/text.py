@@ -658,7 +658,13 @@ def bpe_tokenize(
     documented path there is the same algorithm over a loop of
     narrower column batches or a Pandas-UDF port; THIS operator's
     value is tokenizer-exact budgeting with zero dependencies and an
-    exact cross-engine contract."""
+    exact cross-engine contract.
+
+    Cost anatomy (SCALE_NOTES r6): ~3 s CONSTANT plan-compile for the
+    ~120-deep expression (Catalyst traversals; the projection runs as
+    interpreted expression eval — too deep for whole-stage codegen)
+    plus linear row work (~43k docs/s on 32 threads).  The constant
+    amortizes to zero at scale; the linear term is the price."""
     merges = BPE_MERGES if merges is None else merges
     for a, b in merges:
         if " " in a or " " in b:
