@@ -26,7 +26,7 @@ materialized index):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -85,4 +85,60 @@ def bm25_topk(
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int | None = None,
+    block_size: int = 1 << 20,
+) -> DataFrame:
+    """Materialized inverted index: ``(term, block, doc_freq,
+    postings)`` with postings sorted ascending — the artifact form of
+    retrieval (bm25_topk computes scores inline; a standing index is
+    what repeated query workloads read).
+
+    The two at-scale hazards, handled structurally:
+
+    - **Hot terms**: a stopword's posting list is corpus-sized; packing
+      it into ONE array row is the giant-row failure.  Postings are
+      BLOCKED by ``doc_id div block_size`` — every output row is
+      bounded by block_size entries regardless of term frequency, and
+      a reader streams a hot term's blocks like any other range scan.
+      ``doc_freq`` stays the GLOBAL per-term count (computed as an
+      unbounded-frame window over the term partition — one shuffle
+      shared with the grouping, no rejoin) so scorers don't need a
+      second aggregate.
+    - **max_df**: terms above the cap are dropped BEFORE list
+      assembly (stopword screening at build time — the same semantic
+      parameter as substring dedup's, and what bounds worst-case
+      output volume).
+
+    Per-document duplicate terms are removed row-locally
+    (``array_distinct`` before the explode — the decontamination
+    module's no-corpus-shuffle trick), so the only shuffle is the
+    (term, block) grouping.  ``sort_array`` makes postings
+    deterministic under any partitioning."""
+    words = F.expr(
+        f"array_distinct(filter(split(lower({text_col}), '[^0-9a-z_]+'), "
+        "w -> w <> ''))"
+    )
+    pairs = df.select(
+        F.col(id_col).alias("__id"), F.explode(words).alias("term")
+    )
+    bucket = W.partitionBy("term")
+    pairs = pairs.select(
+        "term", "__id", F.count("*").over(bucket).alias("doc_freq")
+    )
+    if max_df is not None:
+        pairs = pairs.filter(F.col("doc_freq") <= max_df)
+    return (
+        pairs.groupBy(
+            "term",
+            F.expr(f"__id div {int(block_size)}").alias("block"),
+            "doc_freq",
+        )
+        .agg(F.sort_array(F.collect_list("__id")).alias("postings"))
     )

@@ -1651,6 +1651,28 @@ def lateral_recent_orders(spark, sf_dir):
     )
 
 
+def text_inverted_index(spark, sf_dir):
+    """Materialized inverted index over documents (text_rank.
+    build_inverted_index): blocked posting lists — the
+    standing-artifact form of retrieval.  The synthetic vocabulary is
+    31 terms, ~all hot (df up to ~80% of the corpus), which is exactly
+    the shape the BLOCKING exists for: no max_df screen here, so every
+    hot term's postings split across doc_id div 200 blocks and no
+    output row exceeds the block bound.  Postings emitted as CSV for a
+    representation-independent hash."""
+    from hive_scd_spark.operators.text_rank import build_inverted_index
+
+    idx = build_inverted_index(
+        t(spark, sf_dir, "documents"), "doc_id", "text", block_size=200
+    )
+    return idx.select(
+        "term",
+        "block",
+        "doc_freq",
+        F.array_join("postings", ",").alias("postings_csv"),
+    )
+
+
 def graph_pagerank_dups(spark, sf_dir):
     """Integer-exact PageRank (operators/cluster.py pagerank) over the
     exact-substring duplicate graph — ranks centrality within dup
@@ -3206,6 +3228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "variant_props_stats": variant_props_stats,
     "lateral_recent_orders": lateral_recent_orders,
+    "text_inverted_index": text_inverted_index,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3595,6 +3618,23 @@ def _pagerank_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
 
 
 ORACLES["graph_pagerank_dups"] = _pagerank_oracle()
+
+ORACLES["text_inverted_index"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^0-9a-z_]+'),
+               x -> x <> '')) AS ws
+      FROM documents
+    ), p AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    c AS (SELECT term, doc_id,
+                 count(*) OVER (PARTITION BY term) AS doc_freq
+          FROM p)
+    SELECT term, doc_id // 200 AS block, CAST(doc_freq AS BIGINT) AS doc_freq,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+    FROM c
+    GROUP BY 1, 2, 3
+"""
 
 ORACLES["variant_props_stats"] = """
     SELECT event_type,

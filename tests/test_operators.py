@@ -414,3 +414,27 @@ def test_bpe_tokenize_exact_and_reconstructable(spark):
         cleaned = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
         rebuilt = "".join(got[i].tokens).replace("</w>", " ").rstrip()
         assert rebuilt == cleaned, (i, rebuilt, cleaned)
+
+
+def test_inverted_index_blocking_and_max_df(spark):
+    from hive_scd_spark.operators.text_rank import build_inverted_index
+
+    rows = [(i, "common " + ("rare " if i == 3 else "")) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_inverted_index(df, "doc_id", "text", block_size=4).collect()
+    by_term = {}
+    for r in idx:
+        by_term.setdefault(r.term, []).append(r)
+    # hot term split across ceil(10/4)=3 blocks, bounded postings,
+    # GLOBAL doc_freq on every block row
+    common = sorted(by_term["common"], key=lambda r: r.block)
+    assert [r.block for r in common] == [0, 1, 2]
+    assert all(len(r.postings) <= 4 for r in common)
+    assert all(r.doc_freq == 10 for r in common)
+    assert sorted(sum((list(r.postings) for r in common), [])) == list(range(10))
+    assert by_term["rare"][0].postings == [3]
+    # max_df screens the hot term entirely, keeps the rare one
+    screened = build_inverted_index(
+        df, "doc_id", "text", max_df=5, block_size=4
+    ).collect()
+    assert {r.term for r in screened} == {"rare"}
