@@ -330,7 +330,12 @@ def pagerank(
         e = e.unionByName(
             edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
         )
-    e = e.distinct()
+    # checkpoint the EDGE SET once before iterating (the dup_clusters
+    # discipline): each per-iteration rank checkpoint is its own
+    # boundary, so without this the upstream edge derivation — e.g. a
+    # full substring-dedup pipeline — re-executes in EVERY iteration
+    # (measured 12.3 s vs ~1.2 s for the edge pipeline alone at sf0.1)
+    e = e.distinct().localCheckpoint(eager=False)
     deg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
     nodes = (
         e.select(F.col("__s").alias("node"))

@@ -143,9 +143,21 @@ def zorder_key(
     *ranges* maps each column to its (min, max) — metadata the caller
     owns (a 1-row aggregate, or table statistics); values outside the
     range clamp to the boundary buckets, so stale statistics degrade
-    locality, never correctness."""
+    locality, never correctness.  NULLs map to bucket 0 explicitly
+    (without the coalesce they would silently ride Spark's
+    NULL-skipping least/greatest into the TOP bucket and cluster with
+    the highest values)."""
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_key supports 1-4 columns")
+    if bits * len(cols) > 63:
+        # the last interleaved shift is bits*n - 1; at >= 63 it lands in
+        # (or wraps past) the long sign bit and the key ORDER silently
+        # inverts for high buckets — the one failure mode a layout
+        # helper must not have
+        raise ValueError(
+            f"bits * len(cols) must be <= 63 (got {bits} * {len(cols)}); "
+            "lower bits or drop a column"
+        )
     n = len(cols)
     key = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
@@ -157,6 +169,7 @@ def zorder_key(
             (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
             * F.lit(float(2**bits))
         ).cast("long")
+        bucket = F.coalesce(bucket, F.lit(0).cast("long"))
         bucket = F.greatest(
             F.lit(0).cast("long"),
             F.least(bucket, F.lit(2**bits - 1).cast("long")),
@@ -190,14 +203,28 @@ def write_zordered(
 
     Column ranges come from one metadata-sized min/max aggregate over
     the input (1 row, 2k values); callers with table statistics can
-    avoid the pass by calling :func:`zorder_key` directly."""
+    avoid the pass by calling :func:`zorder_key` directly.
+
+    Degenerate columns degrade instead of crashing: an all-NULL or
+    constant column carries zero skipping information, so it is
+    DROPPED from the key (the remaining dimensions gain its bits'
+    resolution); if every column degenerates — e.g. an empty input —
+    the data is written as-is (there is nothing to cluster by)."""
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"lo_{c}") for c in by],
         *[F.max(c).cast("double").alias(f"hi_{c}") for c in by],
     ).first()
-    ranges = {c: (stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in by}
+    ranges = {}
+    for c in by:
+        lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        if lo is None or hi is None or not hi > lo:
+            continue  # all-NULL / constant / empty: no information
+        ranges[c] = (lo, hi)
+    if not ranges:
+        df.write.mode(mode).parquet(path)
+        return
     out = (
-        df.withColumn("__z", zorder_key(by, ranges, bits))
+        df.withColumn("__z", zorder_key(list(ranges), ranges, bits))
         .repartitionByRange("__z")
         .sortWithinPartitions("__z")
         .drop("__z")

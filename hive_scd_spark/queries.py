@@ -3226,6 +3226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced in the third r6 rotation (both green r3+r4+r5)
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
+    # r6 late additions (never displaced — next round's rotation pool)
     "variant_props_stats": variant_props_stats,
     "lateral_recent_orders": lateral_recent_orders,
     "text_inverted_index": text_inverted_index,

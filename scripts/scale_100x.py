@@ -103,7 +103,11 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     spark = get_spark("scale100x")
     docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    d100_path = f"/tmp/scale100x_documents_{n}"
+    # cache key encodes the REPLICATION SCHEME: a machine that ran the
+    # retired word-suffix replicator must not silently reuse its stale
+    # corpus (that data reproduces the hot-bucket pathology this
+    # script's docstring describes)
+    d100_path = f"/tmp/scale100x_documents_rot_{n}"
     replicate_translated(spark, f"{sf_dir}/documents.parquet", d100_path, n)
     docs100 = spark.read.parquet(d100_path)
     n1, n100 = docs1.count(), docs100.count()

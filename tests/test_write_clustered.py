@@ -70,6 +70,16 @@ def test_hot_partition_spans_more_files(spark, tmp_path):
     assert counts["p=0"] > counts["p=1"]
 
 
+def _x_file_spans(spark, out, col):
+    spans = []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        r = spark.read.parquet(f).agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).first()
+        spans.append((r.lo, r.hi))
+    return spans
+
+
 def test_range_clustering_gives_narrow_file_spans(spark, tmp_path):
     n = 40000
     df = spark.range(n).select(F.col("id").alias("k"), F.rand(11).alias("v"))
@@ -80,27 +90,12 @@ def test_range_clustering_gives_narrow_file_spans(spark, tmp_path):
         write_clustered(df, out, cluster_by=["k"])
     files = glob.glob(os.path.join(out, "*.parquet"))
     assert len(files) > 1
-    spans = []
-    for f in files:
-        row = spark.read.parquet(f).agg(
-            F.min("k").alias("lo"), F.max("k").alias("hi")
-        ).first()
-        spans.append((row.lo, row.hi))
+    spans = _x_file_spans(spark, out, "k")
     # each file covers a narrow, non-overlapping slice of the key space
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
     assert sum(hi - lo for lo, hi in spans) < n  # narrow slices, not the full span each
-
-
-def _x_file_spans(spark, out, col):
-    spans = []
-    for f in glob.glob(os.path.join(out, "*.parquet")):
-        r = spark.read.parquet(f).agg(
-            F.min(col).alias("lo"), F.max(col).alias("hi")
-        ).first()
-        spans.append((r.lo, r.hi))
-    return spans
 
 
 def test_zorder_skips_on_both_dimensions(spark, tmp_path):
@@ -147,3 +142,31 @@ def test_zorder_key_validates_input(spark):
         zorder_key(["a", "b", "c", "d", "e"], {})
     with pytest.raises(ValueError, match="empty range"):
         zorder_key(["a"], {"a": (3.0, 3.0)})
+
+
+def test_zorder_guards_and_degenerate_columns(spark, tmp_path):
+    import pytest
+
+    from hive_scd_spark.operators.layout import write_zordered, zorder_key
+
+    # sign-bit overflow guard
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key(["a", "b", "c", "d"], {c: (0.0, 1.0) for c in "abcd"}, bits=16)
+    # NULLs map to bucket 0, not the top bucket
+    df = spark.createDataFrame([(None,), (0.0,), (1000.0,)], "x double")
+    keyed = df.withColumn(
+        "z", zorder_key(["x"], {"x": (0.0, 1000.0)}, bits=4)
+    ).collect()
+    z = {r.x: r.z for r in keyed}
+    assert z[None] == 0 and z[1000.0] == 15
+    # constant column drops out of the key; all-degenerate writes as-is
+    mixed = spark.range(100).select(
+        F.col("id").cast("double").alias("a"), F.lit(7.0).alias("b")
+    )
+    out1 = str(tmp_path / "m")
+    write_zordered(mixed, out1, by=["a", "b"])
+    assert spark.read.parquet(out1).count() == 100
+    empty = spark.createDataFrame([], "a double, b double")
+    out2 = str(tmp_path / "e")
+    write_zordered(empty, out2, by=["a", "b"])
+    assert spark.read.parquet(out2).count() == 0
