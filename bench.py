@@ -72,6 +72,9 @@ HEADLINE = [
     "table_profile_documents",
     # pure-expression BPE (60 literal-replace passes in one codegen span)
     "text_bpe_tokenize",
+    # iterative graph ranking over the substring-dup edges (edge set
+    # checkpointed once; 5 integer rounds)
+    "graph_pagerank_dups",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
