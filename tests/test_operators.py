@@ -438,3 +438,77 @@ def test_inverted_index_blocking_and_max_df(spark):
         df, "doc_id", "text", max_df=5, block_size=4
     ).collect()
     assert {r.term for r in screened} == {"rare"}
+
+
+def test_bpe_tokenize_fuzz_vs_python_reference(spark):
+    """Random texts + random well-formed merge tables vs a row-by-row
+    Python replay of the classic lowest-rank-pair-first BPE loop — the
+    equivalence the operator's docstring claims (sequential rank-order
+    exhaustive application == priority merging for well-formed
+    tables)."""
+    import random
+    import re
+
+    from hive_scd_spark.operators.text import bpe_tokenize
+
+    def python_bpe(text, merges):
+        ranks = {pair: i for i, pair in enumerate(merges)}
+        cleaned = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+        out = []
+        for word in cleaned.split():
+            syms = list(word) + ["</w>"]
+            # merge the lowest-ranked adjacent pair until none applies
+            while True:
+                best, best_i = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, best_i = r, i
+                if best is None:
+                    break
+                a, b = merges[best]
+                merged = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            out.extend(syms)
+        return out
+
+    rng = random.Random(20260814)
+    alphabet = "abcde"
+    for trial in range(5):
+        # well-formed table: operands are single chars or products of
+        # EARLIER merges (the docstring's construction)
+        symbols = list(alphabet)
+        merges = []
+        for _ in range(rng.randint(3, 10)):
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            if (a, b) in merges or len(a + b) > 6:
+                continue
+            merges.append((a, b))
+            symbols.append(a + b)
+        texts = [
+            (i, " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+                for _ in range(rng.randint(0, 5))
+            ))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r.doc_id: list(r.tokens)
+            for r in bpe_tokenize(df, "doc_id", "text", merges=merges).collect()
+        }
+        for i, text in texts:
+            want = python_bpe(text, merges)
+            assert got[i] == want, (trial, merges, text, got[i], want)
