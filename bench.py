@@ -96,6 +96,16 @@ ITERATIVE = {
     "pipeline_corpus_to_sequences",
     # corpus.count() for auto plane sizing + lazy checkpoint at build
     "pipeline_semantic_dedup",
+    # r6 accounting correction: ANY lazy localCheckpoint materializes
+    # its upstream stages at BUILD time (the df→RDD conversion under
+    # AQE runs query stages), so a builder-untimed measurement skips
+    # that work entirely — measured: minhash build 1.22 s + write
+    # 1.13 s; pagerank build 3.32 s + write 0.04 s.  These three were
+    # under-reporting; their numbers STEP UP vs earlier rounds by the
+    # build cost (an accounting fix, not a regression).
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "graph_pagerank_dups",
 }
 
 
