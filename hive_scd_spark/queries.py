@@ -1651,6 +1651,44 @@ def lateral_recent_orders(spark, sf_dir):
     )
 
 
+def sketch_merge_distinct_users(spark, sf_dir):
+    """HLL sketch PERSISTENCE-and-MERGE (the incremental-analytics
+    primitive agg_approx_distinct_check's inline form doesn't cover):
+    per (event_type, time-block) sketches built independently —
+    exactly what a daily job would persist — then merged with
+    hll_union_agg and estimated.  This is how 100 TB pipelines answer
+    "distinct users this quarter" without rescanning: sketches are
+    mergeable state.  Binary sketches are engine-specific, so the gate
+    checks the deterministic property: the merged estimate stays
+    within tolerance of exact (same contract as the inline HLL
+    gate)."""
+    ev = load_events(spark, sf_dir)
+    blocks = ev.select(
+        "event_type",
+        "user_id",
+        (F.col("ts_us") / F.lit(7 * 86400 * 1_000_000)).cast("long").alias("wk"),
+    )
+    part = blocks.groupBy("event_type", "wk").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = part.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = blocks.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") / F.col("exact_users") - 1.0) <= 0.15
+            ).alias("within_15pct"),
+        )
+    )
+
+
 def text_inverted_index(spark, sf_dir):
     """Materialized inverted index over documents (text_rank.
     build_inverted_index): blocked posting lists — the
@@ -3230,6 +3268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_props_stats": variant_props_stats,
     "lateral_recent_orders": lateral_recent_orders,
     "text_inverted_index": text_inverted_index,
+    "sketch_merge_distinct_users": sketch_merge_distinct_users,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3619,6 +3658,13 @@ def _pagerank_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
 
 
 ORACLES["graph_pagerank_dups"] = _pagerank_oracle()
+
+ORACLES["sketch_merge_distinct_users"] = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_15pct
+    FROM events GROUP BY 1
+"""
 
 ORACLES["text_inverted_index"] = """
     WITH w AS (
