@@ -1651,6 +1651,56 @@ def lateral_recent_orders(spark, sf_dir):
     )
 
 
+def q8_national_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a nation's share of revenue by year — the
+    LARGEST join expressible over the reduced schemas (7 tables:
+    lineitem × orders × customer × supplier × part × nation × region),
+    with a conditional-share aggregate on top.  All five dimension
+    sides broadcast; the share is exact-integer cents over cents."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type").startswith("PROMO"))
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_reg") == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "BRAZIL", cents).otherwise(0)).alias(
+                "brazil_cents"
+            ),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            F.col("o_year").cast("long").alias("o_year"),
+            "brazil_cents",
+            "total_cents",
+        )
+        .orderBy("o_year")
+    )
+
+
 def sketch_merge_distinct_users(spark, sf_dir):
     """HLL sketch PERSISTENCE-and-MERGE (the incremental-analytics
     primitive agg_approx_distinct_check's inline form doesn't cover):
@@ -3269,6 +3319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateral_recent_orders": lateral_recent_orders,
     "text_inverted_index": text_inverted_index,
     "sketch_merge_distinct_users": sketch_merge_distinct_users,
+    "q8_national_market_share": q8_national_market_share,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3658,6 +3709,28 @@ def _pagerank_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
 
 
 ORACLES["graph_pagerank_dups"] = _pagerank_oracle()
+
+ORACLES["q8_national_market_share"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'BRAZIL'
+                         THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS brazil_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND p_type LIKE 'PROMO%'
+      AND r_name = 'AMERICA'
+    GROUP BY 1 ORDER BY 1
+"""
 
 ORACLES["sketch_merge_distinct_users"] = """
     SELECT event_type,
