@@ -645,13 +645,20 @@ def bpe_tokenize(
     spelled as space-separated characters with a ``</w>`` end-of-word
     symbol → each merge ``(a, b)`` rewrites `` a b `` → `` ab ``.
     Each merge's replace runs TWICE: a literal replace consumes the
-    boundary space, so adjacent occurrences (`` t h t h ``) are only
-    caught by a second pass — two passes fully merge any run, because
-    a run of k adjacent pairs halves per pass and the pattern cannot
-    re-arise later.  Sequential rank-order application is equivalent
-    to the classic priority loop for a well-formed table (see
-    BPE_MERGES).  Cost: 2x|merges| string scans per row — linear,
-    JVM-side, no shuffle.
+    boundary space, so an occurrence adjacent to a replaced one is
+    only caught by the second pass — and after pass one every missed
+    occurrence is flanked by merged (non-matching) tokens, so pass two
+    is exact.  That argument REQUIRES ``a != b``: a SELF-pair ``(x,
+    x)`` over a run of identical symbols pairs greedily differently
+    than the classic leftmost scan (``x x x x x x`` → ``xx x xx x``
+    here vs ``xx xx xx`` canonically — caught by this module's fuzz
+    review), so self-pairs are REJECTED loudly rather than silently
+    mistokenized; tables that need them (real 32k vocabs do) take the
+    documented Pandas-port path.  With that restriction, sequential
+    rank-order application is equivalent to the classic priority loop
+    for a well-formed table (see BPE_MERGES) — property-fuzzed against
+    a Python reference in tests.  Cost: 2x|merges| string scans per
+    row — linear, JVM-side, no shuffle.
 
     Output: ``(id, tokens array<string>, n_tokens)``.  Production-size
     merge tables (32k) would make the expression chain unwieldy — the
@@ -669,6 +676,12 @@ def bpe_tokenize(
     for a, b in merges:
         if " " in a or " " in b:
             raise ValueError(f"merge symbols cannot contain spaces: {(a, b)}")
+        if a == b:
+            raise ValueError(
+                f"self-pair merge {(a, b)} unsupported: non-overlapping "
+                "replace pairs runs differently than canonical BPE's "
+                "leftmost scan (see docstring); use the Pandas path"
+            )
     t1 = F.trim(
         F.regexp_replace(
             F.lower(F.coalesce(F.col(text_col), F.lit(""))),

@@ -1732,9 +1732,15 @@ def sketch_merge_distinct_users(spark, sf_dir):
         .select(
             "event_type",
             "exact_users",
-            (
-                F.abs(F.col("est") / F.col("exact_users") - 1.0) <= 0.15
-            ).alias("within_15pct"),
+            # exact == 0 would make the ratio NULL (never the oracle's
+            # TRUE); an all-NULL-user group is within tolerance iff the
+            # sketch also says zero
+            F.when(
+                F.col("exact_users") > 0,
+                F.abs(F.col("est") / F.col("exact_users") - 1.0) <= 0.15,
+            )
+            .otherwise(F.col("est") <= 0.0)
+            .alias("within_15pct"),
         )
     )
 

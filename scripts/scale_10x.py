@@ -276,6 +276,19 @@ def main():
     def profile_gate(docs):
         return table_profile(docs)
 
+    from hive_scd_spark.operators.cluster import pagerank
+    from hive_scd_spark.operators.text_rank import build_inverted_index
+
+    def inverted_gate(docs):
+        # all-hot synthetic vocabulary: the blocking stress case
+        return build_inverted_index(docs, "doc_id", "text", block_size=200)
+
+    def pagerank_gate(docs):
+        return pagerank(
+            substring_dup_pairs(docs, "doc_id", "text", n=15, max_df=50),
+            "id_a", "id_b", iters=5,
+        )
+
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
@@ -295,6 +308,9 @@ def main():
         ("dedup_exact_substring", substring_gate, docs1, docs10),
         ("dedup_minhash_incremental", incremental_gate, docs1, docs10),
         ("table_profile_documents", profile_gate, docs1, docs10),
+        # round-6 third wave: blocked index census, iterative graph rank
+        ("text_inverted_index", inverted_gate, docs1, docs10),
+        ("graph_pagerank_dups", pagerank_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

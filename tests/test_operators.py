@@ -459,11 +459,11 @@ def test_bpe_tokenize_fuzz_vs_python_reference(spark):
             syms = list(word) + ["</w>"]
             # merge the lowest-ranked adjacent pair until none applies
             while True:
-                best, best_i = None, None
+                best = None
                 for i in range(len(syms) - 1):
                     r = ranks.get((syms[i], syms[i + 1]))
                     if r is not None and (best is None or r < best):
-                        best, best_i = r, i
+                        best = r
                 if best is None:
                     break
                 a, b = merges[best]
@@ -493,7 +493,9 @@ def test_bpe_tokenize_fuzz_vs_python_reference(spark):
         merges = []
         for _ in range(rng.randint(3, 10)):
             a, b = rng.choice(symbols), rng.choice(symbols)
-            if (a, b) in merges or len(a + b) > 6:
+            # a == b excluded: self-pairs pair runs differently than the
+            # leftmost scan and the operator REJECTS them (see docstring)
+            if a == b or (a, b) in merges or len(a + b) > 6:
                 continue
             merges.append((a, b))
             symbols.append(a + b)
@@ -512,3 +514,16 @@ def test_bpe_tokenize_fuzz_vs_python_reference(spark):
         for i, text in texts:
             want = python_bpe(text, merges)
             assert got[i] == want, (trial, merges, text, got[i], want)
+
+
+def test_bpe_rejects_self_pair_merges(spark):
+    """The divergence case is refused, not silently mistokenized:
+    merge (x, x) over a run pairs greedily differently than canonical
+    BPE's leftmost scan."""
+    import pytest
+
+    from hive_scd_spark.operators.text import bpe_tokenize
+
+    df = spark.createDataFrame([(1, "aaaaaa")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="self-pair"):
+        bpe_tokenize(df, "doc_id", "text", merges=[("a", "a")])
