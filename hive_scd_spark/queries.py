@@ -1651,6 +1651,58 @@ def lateral_recent_orders(spark, sf_dir):
     )
 
 
+def skew_salted_join_orders(spark, sf_dir):
+    """salted_join gate (operators/skew.py — previously only
+    equality-tested in pytest): the skewed fact side joins a
+    16×-replicated dim side on (key, salt), spreading any hot key over
+    16 tasks without a broadcast.  The salt is internal — the result
+    is EXACTLY the plain join, which is the oracle."""
+    from hive_scd_spark.operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, "custkey", n_salts=16)
+    return j.select(
+        "custkey",
+        "o_orderkey",
+        "c_mktsegment",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias(
+            "price_cents"
+        ),
+    )
+
+
+def multimodal_dedup_exact(spark, sf_dir):
+    """Multimodal content dedup — the composition the image/audio
+    stubs exist to feed: binary payloads → Arrow-batched feature
+    extraction (mapInPandas computes the md5 content checksum) →
+    canonical media per checksum (min id), i.e. exact image dedup by
+    content hash, the first pass of any 100 TB media pipeline.  The
+    checksum is real (md5 of the payload bytes), so the oracle replays
+    the whole chain."""
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        extract_image_features,
+    )
+
+    media = attach_binary(
+        t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        payload_col="text",
+        media_type="image",
+    )
+    feats = extract_image_features(media)
+    canon = feats.groupBy("checksum").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+    return canon.select("canonical_id", "n_copies", "checksum")
+
+
 def q8_national_market_share(spark, sf_dir):
     """TPC-H Q8 shape: a nation's share of revenue by year — the
     LARGEST join expressible over the reduced schemas (7 tables:
@@ -3326,6 +3378,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_inverted_index": text_inverted_index,
     "sketch_merge_distinct_users": sketch_merge_distinct_users,
     "q8_national_market_share": q8_national_market_share,
+    "skew_salted_join_orders": skew_salted_join_orders,
+    "multimodal_dedup_exact": multimodal_dedup_exact,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3715,6 +3769,20 @@ def _pagerank_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
 
 
 ORACLES["graph_pagerank_dups"] = _pagerank_oracle()
+
+ORACLES["skew_salted_join_orders"] = """
+    SELECT o_custkey AS custkey, o_orderkey, c_mktsegment,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["multimodal_dedup_exact"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           count(*) AS n_copies,
+           md5(text) AS checksum
+    FROM documents
+    GROUP BY md5(text)
+"""
 
 ORACLES["q8_national_market_share"] = """
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
