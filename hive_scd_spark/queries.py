@@ -1651,6 +1651,36 @@ def lateral_recent_orders(spark, sf_dir):
     )
 
 
+def agg_median_listagg(spark, sf_dir):
+    """Spark 4 ordered-set aggregates (§2.B agg surface): exact
+    ``median`` (percentile_cont 0.5 — the midpoint interpolation
+    (a+b)/2 is exact in doubles for cent-valued inputs: the sum is
+    < 2^53 and /2 is a power-of-two scale) and ``listagg WITHIN GROUP
+    (ORDER BY)`` (deterministic by its mandatory ordering).  DuckDB
+    replays with median and string_agg ORDER BY."""
+    cust = t(spark, sf_dir, "customer")
+    top = cust.filter(F.col("c_acctbal") > 9900.0)
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(F.median("c_acctbal").alias("median_acctbal"))
+        .join(
+            top.groupBy("c_mktsegment").agg(
+                F.expr(
+                    "listagg(cast(c_custkey as string), ',') "
+                    "WITHIN GROUP (ORDER BY c_custkey)"
+                ).alias("top_custkeys")
+            ),
+            "c_mktsegment",
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            F.round("median_acctbal", 2).alias("median_acctbal"),
+            F.coalesce("top_custkeys", F.lit("")).alias("top_custkeys"),
+        )
+    )
+
+
 def skew_salted_join_orders(spark, sf_dir):
     """salted_join gate (operators/skew.py — previously only
     equality-tested in pytest): the skewed fact side joins a
@@ -3380,6 +3410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_national_market_share": q8_national_market_share,
     "skew_salted_join_orders": skew_salted_join_orders,
     "multimodal_dedup_exact": multimodal_dedup_exact,
+    "agg_median_listagg": agg_median_listagg,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3769,6 +3800,19 @@ def _pagerank_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
 
 
 ORACLES["graph_pagerank_dups"] = _pagerank_oracle()
+
+ORACLES["agg_median_listagg"] = """
+    SELECT m.c_mktsegment,
+           ROUND(m.med, 2) AS median_acctbal,
+           COALESCE(t.tk, '') AS top_custkeys
+    FROM (SELECT c_mktsegment, median(c_acctbal) AS med
+          FROM customer GROUP BY 1) m
+    LEFT JOIN (SELECT c_mktsegment,
+                      string_agg(CAST(c_custkey AS VARCHAR), ','
+                                 ORDER BY c_custkey) AS tk
+               FROM customer WHERE c_acctbal > 9900.0 GROUP BY 1) t
+      USING (c_mktsegment)
+"""
 
 ORACLES["skew_salted_join_orders"] = """
     SELECT o_custkey AS custkey, o_orderkey, c_mktsegment,
