@@ -1653,29 +1653,33 @@ def lateral_recent_orders(spark, sf_dir):
 
 def agg_median_listagg(spark, sf_dir):
     """Spark 4 ordered-set aggregates (§2.B agg surface): exact
-    ``median`` (percentile_cont 0.5 — the midpoint interpolation
-    (a+b)/2 is exact in doubles for cent-valued inputs: the sum is
-    < 2^53 and /2 is a power-of-two scale) and ``listagg WITHIN GROUP
-    (ORDER BY)`` (deterministic by its mandatory ordering).  DuckDB
-    replays with median and string_agg ORDER BY."""
+    ``median`` and ``listagg WITHIN GROUP (ORDER BY)`` in ONE groupBy
+    (the conditional-listagg form — listagg skips NULLs, so the CASE
+    realizes the filtered variant without a second scan or join).
+
+    Median is computed over integer CENTS: a half-cent midpoint like
+    4097.235 rounds to .24 in Spark but .23 in DuckDB (Spark rounds
+    the decimal string, DuckDB the binary double — empirically ~3.5 %
+    of half-cent values diverge), so a round(double, 2) gate is a
+    latent cross-engine flake.  Over bigint cents the midpoint is
+    exactly .0 or .5, and doubling it yields an exact integer — the
+    same integer-cents discipline every revenue gate here uses."""
     cust = t(spark, sf_dir, "customer")
-    top = cust.filter(F.col("c_acctbal") > 9900.0)
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
     return (
-        cust.groupBy("c_mktsegment")
-        .agg(F.median("c_acctbal").alias("median_acctbal"))
-        .join(
-            top.groupBy("c_mktsegment").agg(
-                F.expr(
-                    "listagg(cast(c_custkey as string), ',') "
-                    "WITHIN GROUP (ORDER BY c_custkey)"
-                ).alias("top_custkeys")
-            ),
-            "c_mktsegment",
-            "left",
+        cust.select("c_mktsegment", cents.alias("__c"), "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.median("__c") * 2).cast("bigint").alias("median_cents_x2"),
+            F.expr(
+                "listagg(CASE WHEN __c > 990000 "
+                "THEN cast(c_custkey as string) END, ',') "
+                "WITHIN GROUP (ORDER BY c_custkey)"
+            ).alias("top_custkeys"),
         )
         .select(
             "c_mktsegment",
-            F.round("median_acctbal", 2).alias("median_acctbal"),
+            "median_cents_x2",
             F.coalesce("top_custkeys", F.lit("")).alias("top_custkeys"),
         )
     )
@@ -3284,13 +3288,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window functions
     "text_unigram_logprob": text_unigram_logprob,
     "window_range_frame_spend": window_range_frame_spend,
-    "events_sessionize": events_sessionize,
+    "agg_median_listagg": agg_median_listagg,
     # join surface (anti-join rotated out: green r3+r4+r5; the corpus
     # boilerplate census takes its slot — full_outer/asof/range keep
     # the join family represented)
     "text_remove_boilerplate": text_remove_boilerplate,
     "sample_token_budget_per_source": sample_token_budget_per_source,
-    "join_full_outer_period_activity": join_full_outer_period_activity,
+    "skew_salted_join_orders": skew_salted_join_orders,
     "asof_join_click_purchase": asof_join_click_purchase,
     "range_join_event_windows": range_join_event_windows,
     # r6 new gates (never driver-checked) take the slots of
@@ -3336,7 +3340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # layout / skew / multimodal
     "shard_assignment": shard_assignment,
     "dedup_minhash_incremental": dedup_minhash_incremental,
-    "multimodal_chunking": multimodal_chunking,
+    "multimodal_dedup_exact": multimodal_dedup_exact,
     # --- beyond the driver window (slot >50) ----------------------------
     # Near-duplicates of gates above; every operator family keeps a
     # driver-window representative.  All of these stay value-checked
@@ -3402,15 +3406,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced in the third r6 rotation (both green r3+r4+r5)
     "join_anti_customers_without_orders": join_anti_customers_without_orders,
     "dedup_simhash": dedup_simhash,
+    # displaced in the r6 seventh rotation (multiply-green; their
+    # families keep newer in-window representatives)
+    "multimodal_chunking": multimodal_chunking,
+    "events_sessionize": events_sessionize,
+    "join_full_outer_period_activity": join_full_outer_period_activity,
     # r6 late additions (never displaced — next round's rotation pool)
     "variant_props_stats": variant_props_stats,
     "lateral_recent_orders": lateral_recent_orders,
     "text_inverted_index": text_inverted_index,
     "sketch_merge_distinct_users": sketch_merge_distinct_users,
     "q8_national_market_share": q8_national_market_share,
-    "skew_salted_join_orders": skew_salted_join_orders,
-    "multimodal_dedup_exact": multimodal_dedup_exact,
-    "agg_median_listagg": agg_median_listagg,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -3802,16 +3808,14 @@ def _pagerank_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
 ORACLES["graph_pagerank_dups"] = _pagerank_oracle()
 
 ORACLES["agg_median_listagg"] = """
-    SELECT m.c_mktsegment,
-           ROUND(m.med, 2) AS median_acctbal,
-           COALESCE(t.tk, '') AS top_custkeys
-    FROM (SELECT c_mktsegment, median(c_acctbal) AS med
-          FROM customer GROUP BY 1) m
-    LEFT JOIN (SELECT c_mktsegment,
-                      string_agg(CAST(c_custkey AS VARCHAR), ','
-                                 ORDER BY c_custkey) AS tk
-               FROM customer WHERE c_acctbal > 9900.0 GROUP BY 1) t
-      USING (c_mktsegment)
+    SELECT c_mktsegment,
+           CAST(median(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) * 2
+                AS BIGINT) AS median_cents_x2,
+           COALESCE(string_agg(
+             CASE WHEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > 990000
+                  THEN CAST(c_custkey AS VARCHAR) END, ','
+             ORDER BY c_custkey), '') AS top_custkeys
+    FROM customer GROUP BY 1
 """
 
 ORACLES["skew_salted_join_orders"] = """
@@ -3821,11 +3825,15 @@ ORACLES["skew_salted_join_orders"] = """
 """
 
 ORACLES["multimodal_dedup_exact"] = """
+    -- coalesce matches the decode boundary's documented semantics:
+    -- a NULL payload decodes as empty bytes (fake_decode_image and
+    -- the checksum both see b''), so NULL-text and empty-text docs
+    -- share the d41d8... checksum on BOTH engines
     SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
            count(*) AS n_copies,
-           md5(text) AS checksum
+           md5(coalesce(text, '')) AS checksum
     FROM documents
-    GROUP BY md5(text)
+    GROUP BY md5(coalesce(text, ''))
 """
 
 ORACLES["q8_national_market_share"] = """
