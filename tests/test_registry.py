@@ -36,3 +36,12 @@ def test_window_keeps_reference_core_first():
 def test_oracle_sql_is_nonempty_text():
     for name, sql in ORACLES.items():
         assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_bench_headline_is_registered_and_iterative_subset():
+    import bench
+
+    unknown = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert unknown == [], f"bench names not in the registry: {unknown}"
+    stray = [n for n in bench.ITERATIVE if n not in bench.HEADLINE]
+    assert stray == [], f"ITERATIVE entries outside HEADLINE: {stray}"
