@@ -207,9 +207,11 @@ def write_zordered(
 
     Degenerate columns degrade instead of crashing: an all-NULL or
     constant column carries zero skipping information, so it is
-    DROPPED from the key (the remaining dimensions gain its bits'
-    resolution); if every column degenerates — e.g. an empty input —
-    the data is written as-is (there is nothing to cluster by)."""
+    DROPPED from the key (each surviving dimension keeps its own
+    *bits* of resolution and the shorter key simply sorts on fewer
+    interleaved bits); if every column degenerates — e.g. an empty
+    input — the data is written as-is (there is nothing to cluster
+    by)."""
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"lo_{c}") for c in by],
         *[F.max(c).cast("double").alias(f"hi_{c}") for c in by],

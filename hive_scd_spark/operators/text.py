@@ -682,6 +682,16 @@ def bpe_tokenize(
                 "replace pairs runs differently than canonical BPE's "
                 "leftmost scan (see docstring); use the Pandas path"
             )
+        # canonical BPE is PER-WORD: nothing ever follows the </w>
+        # marker inside a word, so a first operand containing it (or a
+        # second operand with the marker anywhere but its end) would
+        # merge ACROSS word boundaries — silent mistokenization, same
+        # class as self-pairs
+        if "</w>" in a or ("</w>" in b and not b.endswith("</w>")):
+            raise ValueError(
+                f"merge {(a, b)} crosses a word boundary: '</w>' may "
+                "only appear as the suffix of the second operand"
+            )
     t1 = F.trim(
         F.regexp_replace(
             F.lower(F.coalesce(F.col(text_col), F.lit(""))),

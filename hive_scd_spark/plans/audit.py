@@ -98,15 +98,37 @@ def _detail_args(plan: str) -> dict[int, str]:
     return {k: "\n".join(v) for k, v in blocks.items()}
 
 
-_COMBINE_CHILDREN = (
-    "HashAggregate",
-    "SortAggregate",
-    "ObjectHashAggregate",
-    "TakeOrderedAndProject",
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_BOUNDED_NODES = (
     # a global limit's exchange carries <= (partitions x limit) rows —
     # the docstring's "global limit" exemption
+    "TakeOrderedAndProject",
     "LocalLimit",
 )
+# unary wrappers to look through when locating the substantive node
+# under an exchange/broadcast
+_WRAPPER_NODES = ("Project", "Filter", "ColumnarToRow", "InputAdapter")
+
+
+def _is_global_agg(nid: int, names: dict, details: dict) -> bool:
+    """True iff node *nid* is an aggregate with EMPTY grouping keys —
+    the 1-row (global) form.  A grouped aggregate is corpus-sized (one
+    row per key) and must NOT be exempted: both the nested-loop build
+    check and the single-partition check previously accepted any
+    aggregate and let corpus-sized plans through (caught by the round-6
+    high-effort review, reproduced empirically)."""
+    if not names.get(nid, "").startswith(_AGG_NODES):
+        return False
+    return "Keys: []" in details.get(nid, "")
+
+
+def _substantive_child(nid: int, names: dict, children: dict) -> int | None:
+    """First non-wrapper descendant below *nid* (following the single
+    chain through Project/Filter-style unary nodes)."""
+    kids = children.get(nid, [])
+    while len(kids) == 1 and names.get(kids[0], "").startswith(_WRAPPER_NODES):
+        kids = children.get(kids[0], [])
+    return kids[0] if len(kids) == 1 else None
 
 
 def audit_plan(df: DataFrame) -> list[Finding]:
@@ -121,15 +143,19 @@ def audit_plan(df: DataFrame) -> list[Finding]:
                 Finding("cartesian", "error", name, f"node ({nid})")
             )
         elif name.startswith("BroadcastNestedLoopJoin"):
-            # legitimate iff the broadcast child subtree bottoms out in a
-            # global aggregate (1-row build)
-            def _has_agg(n: int) -> bool:
-                if names.get(n, "").startswith(_COMBINE_CHILDREN):
-                    return True
-                return any(_has_agg(c) for c in children.get(n, []))
+            # legitimate iff the broadcast build's SUBSTANTIVE root (the
+            # first node under the exchange, looking through projection
+            # wrappers) IS a keys-empty aggregate — i.e., the build is
+            # one row BY CONSTRUCTION.  "some aggregate anywhere below"
+            # is not enough: a corpus-sized build containing any
+            # aggregate deeper down would pass
+            def _build_is_one_row(bx: int) -> bool:
+                sub = _substantive_child(bx, names, children)
+                return sub is not None and _is_global_agg(sub, names, details)
 
             build_ok = any(
-                names.get(c, "").startswith("BroadcastExchange") and _has_agg(c)
+                names.get(c, "").startswith("BroadcastExchange")
+                and _build_is_one_row(c)
                 for c in children.get(nid, [])
             )
             if not build_ok:
@@ -154,9 +180,14 @@ def audit_plan(df: DataFrame) -> list[Finding]:
             nid, ""
         ):
             kids = children.get(nid, [])
-            combine_like = all(
-                names.get(c, "").startswith(_COMBINE_CHILDREN) for c in kids
-            ) and kids
+            # exempt only bounded children: global limits, top-k, or a
+            # GLOBAL (keys-empty) aggregate's partial combine — a
+            # grouped aggregate is one row per key, corpus-sized
+            combine_like = bool(kids) and all(
+                names.get(c, "").startswith(_BOUNDED_NODES)
+                or _is_global_agg(c, names, details)
+                for c in kids
+            )
             if not combine_like:
                 findings.append(
                     Finding(

@@ -3643,8 +3643,11 @@ ORACLES["table_profile_documents"] = """
     FROM documents
 """
 
-ORACLES["dedup_exact_substring"] = """
-    WITH w AS (
+# Shared DuckDB CTE: the substring-gram census (n=15, max_df handled by
+# consumers) used by BOTH the substring-dedup oracle and the pagerank
+# oracle — one definition so the two gates cannot drift (the literals
+# 13/14/15 encode n=15: range end len-13, slice width 14+1 words).
+_SUBSTRING_GRAM_CTE = """    WITH w AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
                          x -> x <> '') AS w
@@ -3655,7 +3658,10 @@ ORACLES["dedup_exact_substring"] = """
                ('0x' || substring(md5(array_to_string(w[i:i+14], ' ')), 1, 15))::BIGINT)) AS h
       FROM w WHERE len(w) >= 15
     ), g AS (SELECT DISTINCT doc_id, h FROM g0),
-    df AS (SELECT h, count(*) AS c, min(doc_id) AS rep FROM g GROUP BY h)
+    df AS (SELECT h, count(*) AS c, min(doc_id) AS rep FROM g GROUP BY h)"""
+
+ORACLES["dedup_exact_substring"] = f"""
+{_SUBSTRING_GRAM_CTE}
     SELECT d.rep AS id_a, g.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
     FROM g JOIN df d USING (h)
     WHERE d.c BETWEEN 2 AND 50 AND g.doc_id <> d.rep
@@ -3779,18 +3785,7 @@ def _pagerank_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
     )"""
         )
     return f"""
-    WITH w AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
-                         x -> x <> '') AS w
-      FROM documents
-    ), g0 AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, CAST(len(w) AS BIGINT) - 13), i ->
-               ('0x' || substring(md5(array_to_string(w[i:i+14], ' ')), 1, 15))::BIGINT)) AS h
-      FROM w WHERE len(w) >= 15
-    ), g AS (SELECT DISTINCT doc_id, h FROM g0),
-    df AS (SELECT h, count(*) AS c, min(doc_id) AS rep FROM g GROUP BY h),
+{_SUBSTRING_GRAM_CTE},
     pairs AS (SELECT DISTINCT d.rep AS id_a, g.doc_id AS id_b
               FROM g JOIN df d USING (h)
               WHERE d.c BETWEEN 2 AND 50 AND g.doc_id <> d.rep),

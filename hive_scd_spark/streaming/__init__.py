@@ -233,12 +233,21 @@ def minhash_ingest_sink(
         # state probe through Spark's reader, NOT driver-local
         # os.path.exists — state_path is any Hadoop filesystem
         # (hdfs://, s3a://); a local-only check would silently take the
-        # first-batch path forever and never detect cross-corpus dups
+        # first-batch path forever and never detect cross-corpus dups.
+        # ONLY path-not-found means "no state yet": any other failure
+        # (throttle, permissions, corrupt footer) must raise, or the
+        # batch would silently dedup against nothing while the pair log
+        # permanently misses its cross-corpus pairs
+        from pyspark.errors import AnalysisException
+
         try:
             corpus_bands = spark.read.parquet(bands_dir)
             corpus_texts = spark.read.parquet(texts_dir)
             have_state = True
-        except Exception:  # AnalysisException: path does not exist yet
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             have_state = False
         # the batch band table is computed ONCE (checkpointed) and
         # serves both pair detection and the state append — the

@@ -527,3 +527,18 @@ def test_bpe_rejects_self_pair_merges(spark):
     df = spark.createDataFrame([(1, "aaaaaa")], "doc_id long, text string")
     with pytest.raises(ValueError, match="self-pair"):
         bpe_tokenize(df, "doc_id", "text", merges=[("a", "a")])
+
+
+def test_bpe_rejects_cross_word_merges(spark):
+    import pytest
+
+    from hive_scd_spark.operators.text import bpe_tokenize
+
+    df = spark.createDataFrame([(1, "x a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="word boundary"):
+        bpe_tokenize(df, "doc_id", "text", merges=[("</w>", "a")])
+    with pytest.raises(ValueError, match="word boundary"):
+        bpe_tokenize(df, "doc_id", "text", merges=[("x", "</w>a")])
+    # the legitimate placement — second-operand suffix — still works
+    out = bpe_tokenize(df, "doc_id", "text", merges=[("a", "</w>")]).collect()
+    assert out[0].tokens == ["x", "</w>", "a</w>"]

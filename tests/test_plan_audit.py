@@ -95,7 +95,10 @@ SWEEP = [
     ("pipeline_corpus_to_sequences", set()),
     ("pipeline_semantic_dedup", set()),
     ("text_bm25_topk", set()),
-    ("text_hash_embed_ann", set()),
+    # bounded-build contract like the ANN gates: the BNLJ build is the
+    # QUERY docs' hash embeddings (grouped per query doc — bounded by
+    # the query-set contract, provably small but not 1-row)
+    ("text_hash_embed_ann", {"nested-loop"}),
     ("table_profile_documents", set()),
     ("sample_token_budget_per_source", set()),
     ("shard_assignment", set()),
@@ -124,3 +127,30 @@ def test_global_limit_exchange_is_exempt(spark):
         .join(F.broadcast(dim), F.col("id") == F.col("k"))
     )
     assert codes(df) == []
+
+
+def test_nested_loop_exemption_requires_one_row_build(spark):
+    """The exemption must check the build's substantive ROOT is a
+    keys-empty aggregate — 'some aggregate anywhere below' let
+    corpus-sized builds through (confirmed false negatives)."""
+    big = spark.range(100000)
+    one = spark.range(10).agg(F.sum("id").alias("s"))
+    assert codes(big.join(F.broadcast(one))) == []
+    deep = spark.range(5000).crossJoin(one)
+    assert "nested-loop" in codes(big.crossJoin(F.broadcast(deep)))
+    grouped = spark.range(5000).groupBy((F.col("id") % 7).alias("g")).count()
+    assert "nested-loop" in codes(big.crossJoin(F.broadcast(grouped)))
+
+
+def test_single_partition_exemption_requires_global_agg(spark):
+    """A grouped FINAL aggregate under an Exchange SinglePartition is
+    corpus-sized (one row per key) and must flag; only the keys-empty
+    combine is exempt."""
+    w = Window.orderBy("g")
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 5).alias("g"))
+        .count()
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assert codes(df) == ["single-partition"]
