@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
+def table_profile(
+    df: DataFrame, exact: bool = True, on_complex: str = "error"
+) -> DataFrame:
     """Per-column profile: ``(col_name, n_rows, n_nulls, n_distinct,
     min_str, max_str)``, one row per column of *df*.
 
@@ -41,14 +43,55 @@ def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
     ``exact=False`` switches to ``approx_count_distinct`` for the
     single-shuffle sketch plan).  min/max are native-type results cast
     to string for a uniform schema; NULLs are excluded (SQL aggregate
-    semantics) and all-NULL columns profile as NULL min/max."""
-    cols = df.columns
+    semantics) and all-NULL columns profile as NULL min/max.
+
+    Type discipline (the melt keys MUST be injective per column or the
+    "exact" distinct silently undercounts):
+
+    - binary columns are keyed and rendered via ``base64`` — a
+      straight ``cast('string')`` decodes bytes as UTF-8 with
+      replacement characters, so distinct byte values can collide;
+    - atomic types render injectively (float negative zero is
+      normalized first — see below);
+    - complex types (array/map/struct/variant) are not min/max
+      orderable in general and have no injective one-column rendering
+      we are willing to vouch for — ``on_complex='error'`` (default)
+      raises naming the offending columns, ``on_complex='skip'``
+      profiles the remaining columns only."""
+    atomic_prefixes = ("array<", "map<", "struct<", "variant", "interval")
+    complex_cols = [
+        c for c, dt in df.dtypes if dt.startswith(atomic_prefixes)
+    ]
+    if complex_cols:
+        if on_complex == "skip":
+            pass
+        elif on_complex == "error":
+            raise ValueError(
+                "table_profile: complex-typed columns are not profilable "
+                f"(no orderable min/max, no injective distinct key): "
+                f"{complex_cols}; pass on_complex='skip' to profile the "
+                "remaining columns"
+            )
+        else:
+            raise ValueError(f"on_complex must be 'error' or 'skip', got {on_complex!r}")
+    cols = [c for c in df.columns if c not in complex_cols]
+    if not cols:
+        raise ValueError("table_profile: no profilable (atomic-typed) columns")
+    dtypes = dict(df.dtypes)
+
+    def _render(c: str, agg):
+        # binary min/max render as base64 (same injective encoding as
+        # the distinct key); everything else casts natively
+        if dtypes[c] == "binary":
+            return F.base64(agg)
+        return agg.cast("string")
+
     stats_exprs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         stats_exprs += [
             F.sum(F.isnull(c).cast("long")).alias(f"__nulls_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
+            _render(c, F.min(c)).alias(f"__min_{c}"),
+            _render(c, F.max(c)).alias(f"__max_{c}"),
         ]
     one = df.agg(*stats_exprs)
     per_col = one.select(
@@ -73,8 +116,10 @@ def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
     # normalizes it) but renders as a distinct string — without this a
     # double column holding both would overcount "exact" distinct by 1
     def _distinct_key(c: str):
-        dt = dict(df.dtypes)[c]
+        dt = dtypes[c]
         col = F.col(c)
+        if dt == "binary":
+            return F.base64(col)  # injective byte rendering
         if dt in ("float", "double"):
             col = F.when(col == 0.0, F.lit(0.0).cast(dt)).otherwise(col)
         return col.cast("string")

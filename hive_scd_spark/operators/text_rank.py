@@ -107,14 +107,16 @@ def build_inverted_index(
       BLOCKED by ``doc_id div block_size`` — every output row is
       bounded by block_size entries regardless of term frequency, and
       a reader streams a hot term's blocks like any other range scan.
-      ``doc_freq`` stays the GLOBAL per-term count (computed as an
-      unbounded-frame window over the term partition — one shuffle
-      shared with the grouping, no rejoin) so scorers don't need a
-      second aggregate.
-    - **max_df**: terms above the cap are dropped BEFORE list
-      assembly (stopword screening at build time — the same semantic
-      parameter as substring dedup's, and what bounds worst-case
-      output volume).
+      ``doc_freq`` stays the GLOBAL per-term count, derived by summing
+      the per-block counts over the term partition AFTER the blocked
+      groupBy — the window buffers only ceil(df/block_size) block rows
+      per term, never the posting set itself (a window straight over
+      the (term, doc) pairs would materialize a stopword's whole
+      corpus-sized partition in one task before the grouping).
+    - **max_df**: terms above the cap are dropped after the blocked
+      assembly — each block row is already bounded by block_size, so a
+      hot term costs bounded-row work before being discarded, and the
+      cap still bounds the OUTPUT volume.
 
     Per-document duplicate terms are removed row-locally
     (``array_distinct`` before the explode — the decontamination
@@ -128,17 +130,15 @@ def build_inverted_index(
     pairs = df.select(
         F.col(id_col).alias("__id"), F.explode(words).alias("term")
     )
-    bucket = W.partitionBy("term")
-    pairs = pairs.select(
-        "term", "__id", F.count("*").over(bucket).alias("doc_freq")
+    blocked = pairs.groupBy(
+        "term", F.expr(f"__id div {int(block_size)}").alias("block")
+    ).agg(
+        F.count(F.lit(1)).alias("__block_df"),
+        F.sort_array(F.collect_list("__id")).alias("postings"),
+    )
+    out = blocked.withColumn(
+        "doc_freq", F.sum("__block_df").over(W.partitionBy("term"))
     )
     if max_df is not None:
-        pairs = pairs.filter(F.col("doc_freq") <= max_df)
-    return (
-        pairs.groupBy(
-            "term",
-            F.expr(f"__id div {int(block_size)}").alias("block"),
-            "doc_freq",
-        )
-        .agg(F.sort_array(F.collect_list("__id")).alias("postings"))
-    )
+        out = out.filter(F.col("doc_freq") <= max_df)
+    return out.select("term", "block", "doc_freq", "postings")

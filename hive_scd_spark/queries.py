@@ -218,6 +218,8 @@ _H2_SCRIPT = """\
 UPDATE orders SET o_orderpriority = CASEWHEN(o_orderpriority = '1-URGENT', '0-EXPEDITE', o_orderpriority), o_orderdate = DATEADD('DAY', 2, o_orderdate) WHERE o_orderstatus = 'O';
 UPDATE orders SET o_orderpriority = NVL(o_orderpriority, 'none') || '+h2' WHERE DATEDIFF('DAY', o_orderdate, TIMESTAMP '1997-01-01 00:00:00') > 0;
 UPDATE orders SET o_orderpriority = CONCAT(o_orderpriority, NULL, CASEWHEN(INSTR(o_orderpriority, 'U', 2) > 0, '*U', '')) WHERE REGEXP_LIKE(o_orderpriority, '^[123]-', 'i');
+UPDATE orders SET o_orderpriority = INSERT(o_orderpriority, CAST(o_orderkey % 4 AS INT), 2, 'Z#') WHERE o_orderkey % 5 = 0;
+UPDATE orders SET o_orderpriority = TO_CHAR(TRUNC(o_orderdate, 'MONTH'), 'YYYY-MM') || '~' || o_orderpriority WHERE o_orderkey % 7 = 0;
 DELETE FROM orders WHERE CASEWHEN(o_totalprice > 450000.0, TRUE, FALSE);
 """
 
@@ -228,9 +230,13 @@ def scd_h2_dialect(spark, sf_dir):
     H2, ``SQLUpdater.java:77``): CASEWHEN → if, DATEADD('DAY',…) →
     timestampadd, DATEDIFF('DAY',…) → timestampdiff, CONCAT with H2's
     NULL-skipping semantics, 3-arg INSTR → locate (arg swap), flagged
-    REGEXP_LIKE folded to Java embedded flags — plus H2-isms that are
-    already valid Spark (NVL, ``||``).  Pre-image semantics of the
-    two-column SET in statement 1 are part of the check."""
+    REGEXP_LIKE folded to Java embedded flags, string INSERT with the
+    H2 return-original boundary CASE (statement 4 drives start through
+    0..3 so the start<1 branch fires on real rows), TRUNC(x, 'MONTH')
+    → date_trunc, and TO_CHAR('YYYY-MM') → date_format with the Oracle
+    format model translated — plus H2-isms that are already valid
+    Spark (NVL, ``||``).  Pre-image semantics of the two-column SET in
+    statement 1 are part of the check."""
     out = apply_statements(t(spark, sf_dir, "orders"), _H2_SCRIPT, as_of=None)
     return out.select(
         "o_orderkey",
@@ -3106,9 +3112,34 @@ ORACLES: dict[str, str] = {
                                     THEN '*U' ELSE '' END, '')
                       ELSE o_orderpriority END AS o_orderpriority,
                  o_orderdate, o_totalprice
-          FROM s2)
+          FROM s2),
+        -- statement 4: H2 string INSERT boundary semantics — start
+        -- runs through 0..3, start<1 (and start>len+1, len<=0) must
+        -- return the ORIGINAL string, in-range splices like overlay
+        s4 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN
+                      CASE WHEN CAST(o_orderkey % 4 AS INT) < 1
+                                OR CAST(o_orderkey % 4 AS INT) > length(o_orderpriority) + 1
+                           THEN o_orderpriority
+                           ELSE substr(o_orderpriority, 1, CAST(o_orderkey % 4 AS INT) - 1)
+                                || 'Z#'
+                                || substr(o_orderpriority, CAST(o_orderkey % 4 AS INT) + 2) END
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_orderdate, o_totalprice
+          FROM s3),
+        -- statement 5: TRUNC(ts,'MONTH') → date_trunc, TO_CHAR Oracle
+        -- 'YYYY-MM' model → strftime '%Y-%m'
+        s5 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                           || '~' || o_orderpriority
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_orderdate, o_totalprice
+          FROM s4)
         SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS odate
-        FROM s3
+        FROM s5
         WHERE NOT (o_totalprice > 450000.0)
     """,
     "scd_partitioned_updates": """

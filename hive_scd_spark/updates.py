@@ -393,6 +393,61 @@ def _call_args(text: str, open_idx: int) -> tuple[list[str], int]:
     raise ScdScriptError(f"unbalanced parentheses in fragment: {text!r}")
 
 
+# H2/Oracle TRUNC datetime units → Spark date_trunc units (Oracle
+# format-model aliases included; numeric TRUNC is rejected — see
+# translate_h2's TRUNCATE note)
+_H2_TRUNC_UNITS = {
+    "year": "YEAR", "yyyy": "YEAR", "yy": "YEAR",
+    "quarter": "QUARTER", "q": "QUARTER",
+    "month": "MONTH", "mm": "MONTH",
+    "week": "WEEK",
+    "day": "DAY", "dd": "DAY",
+    "hour": "HOUR", "hh": "HOUR", "hh24": "HOUR",
+    "minute": "MINUTE", "mi": "MINUTE",
+    "second": "SECOND", "ss": "SECOND",
+}
+
+# Oracle/H2 datetime format elements → Java SimpleDateFormat-style
+# (Spark date_format) elements.  Longest-match-first: HH24 before HH,
+# YYYY before YY.  Only elements whose Spark rendering is exactly the
+# H2 rendering are mapped (zero-padded numerics); word elements (MON,
+# DAY), fill-mode FM, AM/PM, and fractional seconds are rejected — H2
+# locale/casing behavior differs and a silent mismatch is worse than
+# an error.
+_H2_TO_CHAR_ELEMS = [
+    ("YYYY", "yyyy"), ("YY", "yy"), ("HH24", "HH"), ("HH12", "hh"),
+    ("HH", "hh"), ("MM", "MM"), ("MI", "mm"), ("DD", "dd"), ("SS", "ss"),
+]
+_H2_TO_CHAR_SEPS = " -/:.,"
+
+
+def _h2_datefmt_to_java(fmt: str, fragment: str) -> str:
+    """Translate an Oracle/H2 TO_CHAR datetime format model to the Java
+    pattern Spark's ``date_format`` takes.  Unknown elements raise."""
+    out: list[str] = []
+    upper = fmt.upper()
+    i = 0
+    while i < len(fmt):
+        for h2_elem, java_elem in _H2_TO_CHAR_ELEMS:
+            if upper.startswith(h2_elem, i):
+                out.append(java_elem)
+                i += len(h2_elem)
+                break
+        else:
+            if fmt[i] in _H2_TO_CHAR_SEPS:
+                out.append(fmt[i])
+                i += 1
+            else:
+                raise ScdScriptError(
+                    f"unsupported H2 TO_CHAR format element at {fmt[i:]!r} "
+                    f"(supported: YYYY YY MM DD HH24 HH12 HH MI SS and "
+                    f"separators {_H2_TO_CHAR_SEPS!r}; word elements / FM / "
+                    f"AM-PM / numeric formats are rejected — their H2 "
+                    f"rendering is locale-dependent): {fragment!r}"
+                )
+    return "".join(out)
+
+
 # H2 REGEXP_LIKE flag chars → Java embedded-flag chars (both engines
 # compile java.util.regex underneath, so the embedded form is exact):
 # 'i' case-insensitive → (?i); 'n' dot-matches-newline → (?s) [Java
@@ -436,10 +491,23 @@ def translate_h2(fragment: str) -> str:
     - ``RANDOM_UUID()`` → ``uuid()``
     - ``INSERT(s, start, len, repl)`` (the H2 STRING function — DML
       INSERT never reaches a fragment) → ``overlay(s, repl, start,
-      len)``
+      len)`` wrapped in a CASE that returns the ORIGINAL string when
+      ``start < 1``, ``start > length(s) + 1``, or ``len <= 0`` —
+      H2/MySQL boundary semantics that Spark's overlay does not share
     - ``LOCATE`` / ``IFNULL`` / ``NVL`` / ``NVL2`` / ``DECODE`` /
       ``||`` need no rewrite — identical in both dialects (within the
       supported type universe) — and are covered by the fuzz corpus
+    - ``TO_CHAR(x, '<datetime format>')`` → ``date_format(x,
+      '<java format>')`` with the Oracle/H2 format model translated
+      element-by-element (YYYY/YY/MM/DD/HH24/HH12/HH/MI/SS +
+      separators); word elements (MON/DAY), FM, AM/PM, and NUMERIC
+      format models → :class:`ScdScriptError` (locale/padding
+      renderings differ between the engines — reject rather than
+      silently diverge); 1-arg TO_CHAR is likewise rejected
+    - ``TRUNC(x, '<unit>')`` (datetime, literal unit incl. Oracle
+      aliases YYYY/MM/DD/Q/HH24/MI/...) → ``date_trunc('<unit>', x)``;
+      1-arg or numeric TRUNC → :class:`ScdScriptError` (numeric
+      truncate has the same double-round-trip divergence as TRUNCATE)
     - ``CURTIME`` / ``CURRENT_TIME`` → :class:`ScdScriptError` (Spark
       has no TIME type — fail with a dialect-specific message)
     - ``TRUNCATE(n, d)`` (numeric) → :class:`ScdScriptError` — Spark
@@ -566,6 +634,44 @@ def translate_h2(fragment: str) -> str:
             out.append(f"(((dayofweek({a}) + 5) % 7) + 1)")
             i = after
             continue
+        if lw == "to_char" and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) != 2:
+                raise ScdScriptError(
+                    f"H2 TO_CHAR is supported only in 2-argument datetime "
+                    f"form TO_CHAR(x, '<format>') (1-arg TO_CHAR renders "
+                    f"type-dependently in H2 — cast explicitly instead): "
+                    f"{fragment!r}"
+                )
+            fmt_lit = re.fullmatch(r"'([^']*)'", args[1].strip())
+            if fmt_lit is None:
+                raise ScdScriptError(
+                    f"H2 TO_CHAR format must be a string literal "
+                    f"(got {args[1].strip()!r}): {fragment!r}"
+                )
+            java_fmt = _h2_datefmt_to_java(fmt_lit.group(1), fragment)
+            out.append(
+                f"date_format({translate_h2(args[0].strip())}, '{java_fmt}')"
+            )
+            i = after
+            continue
+        if lw == "trunc" and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) == 2:
+                unit_lit = re.fullmatch(r"'([A-Za-z0-9]+)'", args[1].strip())
+                if unit_lit and unit_lit.group(1).lower() in _H2_TRUNC_UNITS:
+                    unit = _H2_TRUNC_UNITS[unit_lit.group(1).lower()]
+                    a = translate_h2(args[0].strip())
+                    out.append(f"date_trunc('{unit}', {a})")
+                    i = after
+                    continue
+            raise ScdScriptError(
+                f"H2 TRUNC is supported only as datetime "
+                f"TRUNC(x, '<unit>') with a literal unit in "
+                f"{sorted(set(_H2_TRUNC_UNITS))}; numeric TRUNC has no "
+                f"exact Spark equivalent (same divergence as TRUNCATE — "
+                f"rewrite with floor/ceil explicitly): {fragment!r}"
+            )
         if lw == "insert" and is_call:
             args, after = _call_args(fragment, k)
             if len(args) != 4:
@@ -574,7 +680,23 @@ def translate_h2(fragment: str) -> str:
                     f"(s, start, len, repl): {fragment!r}"
                 )
             s, start, ln, repl = (translate_h2(x.strip()) for x in args)
-            out.append(f"overlay({s}, {repl}, {start}, {ln})")
+            # H2/MySQL boundary contract: the ORIGINAL string comes
+            # back when start < 1, start > length(s) + 1, or len <= 0;
+            # Spark's overlay still splices in those cases (e.g.
+            # overlay('abcdef', 'XY', 0, 3) vs H2's 'abcdef').  A bare
+            # overlay() rewrite therefore diverges silently — the CASE
+            # wrapper replicates the return-original semantics, and the
+            # ELSE branch (in-range) is exactly overlay.  NULL start /
+            # len fall through to overlay's null propagation, matching
+            # H2's null-in-null-out for these arguments.  Arguments are
+            # pure fragment expressions, so the repeated evaluation of
+            # start/len/s inside the CASE is collapsed by Catalyst
+            # (common subexpression elimination) — no semantic hazard.
+            out.append(
+                f"(CASE WHEN ({start}) < 1 OR ({start}) > length({s}) + 1 "
+                f"OR ({ln}) <= 0 THEN {s} "
+                f"ELSE overlay({s}, {repl}, {start}, {ln}) END)"
+            )
             i = after
             continue
         if lw in ("dateadd", "datediff") and is_call:

@@ -286,3 +286,81 @@ def test_shift_distance_must_be_literal_in_range():
 def test_curdate_with_arguments_rejected():
     with pytest.raises(ScdScriptError, match="CURDATE takes no arguments"):
         translate_h2("CURDATE('junk', col_x)")
+
+
+# --- r7: INSERT boundary semantics, TO_CHAR, TRUNC(date) --------------------
+
+
+def test_string_insert_boundary_returns_original(spark):
+    """H2/MySQL return the ORIGINAL string when start < 1,
+    start > length(s)+1, or len <= 0 — Spark overlay splices anyway
+    (overlay('abcdef','XY',0,3) = 'XYcdef'), so the shim's CASE wrapper
+    is load-bearing.  Expected values hand-derived from the documented
+    H2/MySQL boundary contract (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    cases = {
+        "INSERT('abcdef', 0, 3, 'XY')": "abcdef",      # start < 1
+        "INSERT('abcdef', -2, 3, 'XY')": "abcdef",     # start < 1
+        "INSERT('abcdef', 8, 3, 'XY')": "abcdef",      # start > len+1
+        "INSERT('abcdef', 2, 0, 'XY')": "abcdef",      # len <= 0
+        "INSERT('abcdef', 2, -1, 'XY')": "abcdef",     # len <= 0
+        "INSERT('abcdef', 7, 3, 'XY')": "abcdefXY",    # start = len+1: append
+        "INSERT('abcdef', 2, 3, 'XY')": "aXYef",       # in range
+        "INSERT('abcdef', 2, 99, 'XY')": "aXY",        # len past end: to end
+    }
+    exprs = [
+        F.expr(translate_h2(frag)).alias(f"c{i}")
+        for i, frag in enumerate(cases)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    got = {frag: row[f"c{i}"] for i, frag in enumerate(cases)}
+    assert got == cases
+
+
+def test_string_insert_null_propagates(spark):
+    from pyspark.sql import functions as F
+
+    frag = translate_h2("INSERT(CAST(NULL AS STRING), 2, 3, 'XY')")
+    assert spark.range(1).select(F.expr(frag).alias("r")).collect()[0]["r"] is None
+
+
+def test_to_char_datetime_format_translates(spark):
+    from pyspark.sql import functions as F
+
+    frag = translate_h2("TO_CHAR(TIMESTAMP '2024-03-15 13:07:09', 'YYYY-MM-DD HH24:MI:SS')")
+    got = spark.range(1).select(F.expr(frag).alias("r")).collect()[0]["r"]
+    assert got == "2024-03-15 13:07:09"
+    # 12-hour + 2-digit year, case-insensitive elements
+    frag2 = translate_h2("TO_CHAR(TIMESTAMP '2024-03-15 13:07:09', 'yy/mm/dd hh12:mi')")
+    got2 = spark.range(1).select(F.expr(frag2).alias("r")).collect()[0]["r"]
+    assert got2 == "24/03/15 01:07"
+
+
+def test_to_char_rejects_unmappable_forms():
+    with pytest.raises(ScdScriptError, match="unsupported H2 TO_CHAR format"):
+        translate_h2("TO_CHAR(d, 'DD-MON-YYYY')")  # word element
+    with pytest.raises(ScdScriptError, match="unsupported H2 TO_CHAR format"):
+        translate_h2("TO_CHAR(n, '9990.99')")  # numeric model
+    with pytest.raises(ScdScriptError, match="format must be a string literal"):
+        translate_h2("TO_CHAR(d, fmt_col)")
+    with pytest.raises(ScdScriptError, match="2-argument datetime form"):
+        translate_h2("TO_CHAR(n)")
+
+
+def test_trunc_datetime_translates(spark):
+    from pyspark.sql import functions as F
+
+    frag = translate_h2("TRUNC(TIMESTAMP '2024-03-15 13:07:09', 'MONTH')")
+    got = spark.range(1).select(F.expr(frag).cast("string").alias("r")).collect()[0]["r"]
+    assert got == "2024-03-01 00:00:00"
+    # Oracle alias units
+    frag2 = translate_h2("TRUNC(TIMESTAMP '2024-03-15 13:07:09', 'Q')")
+    got2 = spark.range(1).select(F.expr(frag2).cast("string").alias("r")).collect()[0]["r"]
+    assert got2 == "2024-01-01 00:00:00"
+
+
+def test_trunc_numeric_and_bare_rejected():
+    for bad in ("TRUNC(bal)", "TRUNC(bal, 2)", "TRUNC(d, unit_col)"):
+        with pytest.raises(ScdScriptError, match="TRUNC is supported only as datetime"):
+            translate_h2(bad)

@@ -48,3 +48,35 @@ def test_profile_negative_zero_counts_once(spark):
     df = spark.createDataFrame([(0.0,), (-0.0,), (1.5,)], "x double")
     p = _by_col(table_profile(df).collect())
     assert p["x"]["n_distinct"] == 2
+
+
+def test_profile_binary_distinct_is_byte_exact(spark):
+    """Distinct byte values that collide under UTF-8-with-replacement
+    string rendering must still count separately (ADVICE r6: the cast
+    path replaced invalid sequences, so 0x80 and 0x81 both rendered as
+    U+FFFD and 'exact' undercounted).  base64 keys are injective."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(bytearray(b"\x80"),), (bytearray(b"\x81"),), (bytearray(b"\x80"),)],
+        "b binary",
+    )
+    p = _by_col(table_profile(df).collect())
+    assert p["b"]["n_distinct"] == 2
+    # min/max render as base64 of the byte-order min/max
+    assert p["b"]["min_str"] == "gA=="  # b"\x80"
+    assert p["b"]["max_str"] == "gQ=="  # b"\x81"
+
+
+def test_profile_complex_columns_error_or_skip(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [1, 2])], "id bigint, arr array<int>")
+    with pytest.raises(ValueError, match="complex-typed columns.*arr"):
+        table_profile(df)
+    p = _by_col(table_profile(df, on_complex="skip").collect())
+    assert set(p) == {"id"}
+    with pytest.raises(ValueError, match="no profilable"):
+        table_profile(df.select("arr"), on_complex="skip")
+    with pytest.raises(ValueError, match="on_complex"):
+        table_profile(df, on_complex="bogus")
