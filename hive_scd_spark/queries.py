@@ -3293,9 +3293,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_snapshot_roundtrip": scd_snapshot_roundtrip,
     "scd_h2_dialect": scd_h2_dialect,
     # TPC-H-style analytics (join + agg + pushdown + top-k)
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
+    # r7 rotation (VERDICT r6 task 1): seven never-driver-verified
+    # entries take the slots of seven multiply-green veterans
+    # (q1_pricing_summary, q3_shipping_priority — green r3-r6, q5 + q8
+    # keep TPC-H in-window; asof_join_click_purchase — r3+r5+r6,
+    # range_join keeps the family; dedup_minhash_lsh +
+    # dedup_embedding_lsh — r3-r6, six dedup reps remain in-window;
+    # ann_lsh_topk — r3-r6, ivf_kmeans keeps ANN; text_bm25_topk —
+    # r4-r6, text_inverted_index takes the retrieval slot).  Every
+    # displaced veteran stays DuckDB-verified each round via
+    # scripts/check_contract.py
+    "q8_national_market_share": q8_national_market_share,
     "q5_local_supplier_revenue": q5_local_supplier_revenue,
+    "text_inverted_index": text_inverted_index,
+    "sketch_merge_distinct_users": sketch_merge_distinct_users,
+    "variant_props_stats": variant_props_stats,
+    "lateral_recent_orders": lateral_recent_orders,
+    "corpus_top_ngrams": corpus_top_ngrams,
+    "text_strip_html": text_strip_html,
     # r6 rotation (VERDICT r5 task 1): the four r5 operators that had
     # only local contract-log evidence take window slots from four
     # triple-green veterans (q6_revenue_forecast,
@@ -3326,7 +3341,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_remove_boilerplate": text_remove_boilerplate,
     "sample_token_budget_per_source": sample_token_budget_per_source,
     "skew_salted_join_orders": skew_salted_join_orders,
-    "asof_join_click_purchase": asof_join_click_purchase,
     "range_join_event_windows": range_join_event_windows,
     # r6 new gates (never driver-checked) take the slots of
     # setop_intersect_except / array_functions_showcase (green
@@ -3352,20 +3366,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_corpus_to_sequences": pipeline_corpus_to_sequences,
     # deduplication family
     "dedup_exact_substring": dedup_exact_substring,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
     # simhash rotated out (green r3+r4+r5; six dedup reps stay in
     # window) for the text→vector→ANN composition gate
     "text_hash_embed_ann": text_hash_embed_ann,
-    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_corpus_canonical": dedup_corpus_canonical,
     # text analysis
     "graph_pagerank_dups": graph_pagerank_dups,
     "table_profile_documents": table_profile_documents,
     "text_redact_pii": text_redact_pii,
-    "text_bm25_topk": text_bm25_topk,
     # similarity search
-    "ann_lsh_topk": ann_lsh_topk,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ivf_kmeans_topk": ivf_kmeans_topk,  # oracle replays the k-means training in SQL
     # layout / skew / multimodal
@@ -3409,12 +3419,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_doc_fingerprint": text_doc_fingerprint,
     "ivf_cosine_topk": ivf_cosine_topk_q,
     "text_chunk_sliding": text_chunk_sliding,
-    "corpus_top_ngrams": corpus_top_ngrams,
     "text_url_domain_filter": text_url_domain_filter,
     "sample_split_assign": sample_split_assign,
     "text_script_detect": text_script_detect,
     "corpus_source_report": corpus_source_report,
-    "text_strip_html": text_strip_html,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q7_nation_volume": q7_nation_volume,
@@ -3442,12 +3450,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_chunking": multimodal_chunking,
     "events_sessionize": events_sessionize,
     "join_full_outer_period_activity": join_full_outer_period_activity,
-    # r6 late additions (never displaced — next round's rotation pool)
-    "variant_props_stats": variant_props_stats,
-    "lateral_recent_orders": lateral_recent_orders,
-    "text_inverted_index": text_inverted_index,
-    "sketch_merge_distinct_users": sketch_merge_distinct_users,
-    "q8_national_market_share": q8_national_market_share,
+    # displaced in the r7 rotation (each green 3-4 driver rounds; their
+    # families keep in-window representatives) — still DuckDB-verified
+    # by scripts/check_contract.py every round
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "asof_join_click_purchase": asof_join_click_purchase,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
+    "ann_lsh_topk": ann_lsh_topk,
+    "text_bm25_topk": text_bm25_topk,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
