@@ -653,17 +653,18 @@ def bpe_tokenize(
     than the classic leftmost scan (``x x x x x x`` → ``xx x xx x``
     here vs ``xx xx xx`` canonically — caught by this module's fuzz
     review), so self-pairs are REJECTED loudly rather than silently
-    mistokenized; tables that need them (real 32k vocabs do) take the
-    documented Pandas-port path.  With that restriction, sequential
+    mistokenized; tables that need them (real 32k vocabs do) take
+    :func:`bpe_tokenize_batched`.  With that restriction, sequential
     rank-order application is equivalent to the classic priority loop
     for a well-formed table (see BPE_MERGES) — property-fuzzed against
     a Python reference in tests.  Cost: 2x|merges| string scans per
     row — linear, JVM-side, no shuffle.
 
     Output: ``(id, tokens array<string>, n_tokens)``.  Production-size
-    merge tables (32k) would make the expression chain unwieldy — the
-    documented path there is the same algorithm over a loop of
-    narrower column batches or a Pandas-UDF port; THIS operator's
+    merge tables are refused past ``BPE_EXPR_MAX_MERGES`` (the plan
+    compile goes pathological, not the row work) — the production path
+    is :func:`bpe_tokenize_batched`, semantically identical (pinned by
+    the shared fuzz reference) at any table size; THIS operator's
     value is tokenizer-exact budgeting with zero dependencies and an
     exact cross-engine contract.
 
@@ -673,6 +674,15 @@ def bpe_tokenize(
     plus linear row work (~43k docs/s on 32 threads).  The constant
     amortizes to zero at scale; the linear term is the price."""
     merges = BPE_MERGES if merges is None else merges
+    if len(merges) > BPE_EXPR_MAX_MERGES:
+        raise ValueError(
+            f"merge table has {len(merges)} entries — past "
+            f"BPE_EXPR_MAX_MERGES={BPE_EXPR_MAX_MERGES} the expression "
+            "chain's plan-compile cost is pathological (the driver spends "
+            "minutes in Catalyst before the first row); use "
+            "bpe_tokenize_batched, which has identical semantics and "
+            "O(tokens) cost at any table size"
+        )
     for a, b in merges:
         if " " in a or " " in b:
             raise ValueError(f"merge symbols cannot contain spaces: {(a, b)}")
@@ -719,3 +729,126 @@ def bpe_tokenize(
         toks.alias("tokens"),
         F.size(toks).alias("n_tokens"),
     )
+
+
+# Past this depth the expression-chain tokenizer is refused: the plan
+# compiles O(depth) Catalyst traversals (~3 s at ~120 replaces,
+# super-linear beyond) and a 32k table would effectively hang the
+# driver building one projection.  The batched path has no such bound.
+BPE_EXPR_MAX_MERGES = 256
+
+
+def _bpe_encode_word(
+    word: str,
+    merges: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], int],
+) -> list[str]:
+    """Canonical BPE over one word: repeatedly merge ALL occurrences of
+    the lowest-ranked adjacent pair with a leftmost scan (Sennrich et
+    al. 2016, the reference loop the expression path is fuzzed
+    against).  Handles self-pairs correctly — the leftmost scan pairs a
+    run ``x x x x`` as ``xx xx``, exactly the semantics the expression
+    path must reject."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        merged: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+def bpe_tokenize_batched(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+    cache_limit: int = 1 << 18,
+) -> DataFrame:
+    """Production BPE: the same canonical tokenizer as
+    :func:`bpe_tokenize` but as an Arrow-batched ``mapInPandas``
+    stage, for the tables the expression chain refuses — SELF-PAIR
+    merges (every real 32k vocab has runs like ``(e, e)``) and
+    arbitrary table sizes (the replace chain's plan-compile cost is
+    O(depth); this path's per-row cost is O(tokens), independent of
+    table depth once the ranks dict is built).
+
+    Semantics: the classic lowest-rank-pair-first loop with a leftmost
+    merge scan, per word, over the same cleaning (lowercase,
+    non-alphanumerics to word breaks, ``</w>`` end-of-word marker) —
+    fuzzed against the same Python reference as the expression path,
+    INCLUDING self-pairs and ≥1k-entry tables.  For tables both paths
+    accept, outputs are bit-identical (pinned in tests), so the
+    expression path's SQL oracle replays this one too.
+
+    Scale shape: one ``mapInPandas`` projection — no shuffle, no
+    driver action; the merge table ships once per task via closure
+    (a 32k table is ~1 MB — broadcast-sized, far under task-binary
+    limits).  A per-task word→tokens memo exploits Zipf reuse (corpus
+    token hit rates >95 %); it is CLEARED at *cache_limit* entries so
+    a pathological all-distinct-words corpus is bounded-memory, not
+    OOM.  Word boundaries are row-local, so partitioning is free to be
+    anything upstream chose.
+
+    Output schema matches :func:`bpe_tokenize` exactly:
+    ``(id, tokens array<string>, n_tokens long)``."""
+    import re as _re
+
+    merges = BPE_MERGES if merges is None else list(merges)
+    for a, b in merges:
+        if " " in a or " " in b:
+            raise ValueError(f"merge symbols cannot contain spaces: {(a, b)}")
+        # cross-word merges are structurally meaningless in the
+        # canonical per-word loop too — same loud contract as the
+        # expression path
+        if "</w>" in a or ("</w>" in b and not b.endswith("</w>")):
+            raise ValueError(
+                f"merge {(a, b)} crosses a word boundary: '</w>' may "
+                "only appear as the suffix of the second operand"
+            )
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"`{id_col}` {id_type}, tokens array<string>, n_tokens long"
+    clean = _re.compile(r"[^a-z0-9]+")
+
+    def _encode(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_col = []
+            for text in pdf[text_col]:
+                text = "" if text is None else str(text)
+                toks: list[str] = []
+                for word in clean.sub(" ", text.lower()).split():
+                    hit = cache.get(word)
+                    if hit is None:
+                        if len(cache) >= cache_limit:
+                            cache.clear()
+                        hit = _bpe_encode_word(word, merges, ranks)
+                        cache[word] = hit
+                    toks.extend(hit)
+                toks_col.append(toks)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks_col,
+                    "n_tokens": [len(t) for t in toks_col],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_encode, out_schema)

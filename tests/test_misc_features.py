@@ -110,3 +110,20 @@ def test_resolve_as_of_rejects_fractional_float():
     assert resolve_as_of(1700000000000.0) == 1700000000000  # exact float ok
     with _pytest.raises(TypeError, match="not an integer millisecond"):
         resolve_as_of(1700000000.5)  # epoch-seconds unit bug shape
+
+
+def test_release_shared_caches(spark):
+    """The session pair cache has an explicit release path (VERDICT r6
+    nit 2): release drops + unpersists this session's entries, the next
+    consumer rebuilds, and a second release is a no-op returning 0."""
+    from hive_scd_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.shared_minhash_pairs(spark, sf)
+    assert Q.shared_minhash_pairs(spark, sf) is a  # cache hit
+    assert Q.release_shared_caches(spark) == 1
+    assert a.storageLevel.useMemory is False  # unpersisted
+    b = Q.shared_minhash_pairs(spark, sf)
+    assert b is not a  # rebuilt
+    assert Q.release_shared_caches() == 1  # global form
+    assert Q.release_shared_caches(spark) == 0

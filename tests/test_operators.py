@@ -542,3 +542,169 @@ def test_bpe_rejects_cross_word_merges(spark):
     # the legitimate placement — second-operand suffix — still works
     out = bpe_tokenize(df, "doc_id", "text", merges=[("a", "</w>")]).collect()
     assert out[0].tokens == ["x", "</w>", "a</w>"]
+
+
+def _python_bpe_ref(text, merges):
+    """The canonical lowest-rank-pair-first loop (shared fuzz oracle
+    for BOTH tokenizer paths; handles self-pairs via leftmost scan)."""
+    import re
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    cleaned = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+    out = []
+    for word in cleaned.split():
+        syms = list(word) + ["</w>"]
+        while True:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merges[best]
+            merged, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out.extend(syms)
+    return out
+
+
+def test_bpe_batched_fuzz_with_self_pairs(spark):
+    """The production path handles exactly what the expression path
+    refuses: self-pair merges, fuzzed vs the canonical reference."""
+    import random
+
+    from hive_scd_spark.operators.text import bpe_tokenize_batched
+
+    rng = random.Random(20260814)
+    alphabet = "abcde"
+    for trial in range(4):
+        symbols = list(alphabet)
+        merges = []
+        for _ in range(rng.randint(4, 12)):
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            # self-pairs deliberately INCLUDED here
+            if (a, b) in merges or len(a + b) > 6:
+                continue
+            merges.append((a, b))
+            symbols.append(a + b)
+        if not any(a == b for a, b in merges):
+            merges.insert(0, ("a", "a"))
+        texts = [
+            (i, " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(0, 5))
+            ))
+            for i in range(10)
+        ] + [(10, None), (11, "")]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r.doc_id: (list(r.tokens), r.n_tokens)
+            for r in bpe_tokenize_batched(df, "doc_id", "text", merges=merges).collect()
+        }
+        for i, text in texts:
+            want = _python_bpe_ref(text, merges)
+            assert got[i] == (want, len(want)), (trial, merges, text)
+
+
+def test_bpe_batched_1k_merge_table(spark):
+    """VERDICT r6 task 2's bound: a >=1k-entry table (with self-pairs)
+    through the batched path matches the Python reference — the scale
+    of table the expression chain refuses outright."""
+    import random
+
+    from hive_scd_spark.operators.text import bpe_tokenize_batched
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    symbols = list(alphabet)
+    merges = []
+    seen = set()
+    while len(merges) < 1200:
+        a, b = rng.choice(symbols), rng.choice(symbols)
+        if (a, b) in seen or len(a + b) > 12:
+            continue
+        seen.add((a, b))
+        merges.append((a, b))
+        symbols.append(a + b)
+    texts = [
+        (i, " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for _ in range(rng.randint(1, 8))
+        ))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_tokenize_batched(df, "doc_id", "text", merges=merges).collect()
+    }
+    for i, text in texts:
+        assert got[i] == _python_bpe_ref(text, merges), (i, text)
+
+
+def test_bpe_paths_bit_identical_on_shared_tables(spark):
+    """For tables BOTH paths accept (no self-pairs), expression and
+    batched tokenizations are identical — which is what lets the
+    expression path's SQL oracle replay the batched gate."""
+    from hive_scd_spark.operators.text import bpe_tokenize, bpe_tokenize_batched
+
+    rows = [
+        (1, "The query scanner"),
+        (2, ""),
+        (3, None),
+        (4, "thethe"),
+        (5, "Data-Mapping, for query engines!  42 maps."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: list(r.tokens) for r in bpe_tokenize(df, "doc_id", "text").collect()}
+    b = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_tokenize_batched(df, "doc_id", "text").collect()
+    }
+    assert a == b
+
+
+def test_bpe_expression_path_refuses_oversized_tables(spark):
+    """Past BPE_EXPR_MAX_MERGES the expression path raises (not hangs);
+    the error names the batched alternative."""
+    import pytest
+
+    from hive_scd_spark.operators.text import BPE_EXPR_MAX_MERGES, bpe_tokenize
+
+    merges = [("a", f"b{i}") for i in range(BPE_EXPR_MAX_MERGES + 1)]
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bpe_tokenize_batched"):
+        bpe_tokenize(df, "doc_id", "text", merges=merges)
+
+
+def test_bpe_batched_rejects_cross_word_merges(spark):
+    import pytest
+
+    from hive_scd_spark.operators.text import bpe_tokenize_batched
+
+    df = spark.createDataFrame([(1, "x a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="word boundary"):
+        bpe_tokenize_batched(df, "doc_id", "text", merges=[("</w>", "a")])
+
+
+def test_bpe_batched_cache_limit_is_correct_under_eviction(spark):
+    """cache_limit=1 forces an eviction per word — results must not
+    change (the memo is a pure cache)."""
+    from hive_scd_spark.operators.text import bpe_tokenize_batched
+
+    rows = [(i, f"the quick th{i} the") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: list(r.tokens) for r in bpe_tokenize_batched(df, "doc_id", "text").collect()}
+    b = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_tokenize_batched(df, "doc_id", "text", cache_limit=1).collect()
+    }
+    assert a == b
