@@ -190,6 +190,7 @@ def write_zordered(
     by: list[str],
     bits: int = 10,
     mode: str = "overwrite",
+    n_files: int | None = None,
 ) -> None:
     """Z-order-clustered parquet write: range-partition + sort on the
     Morton key of *by*, so EVERY listed column gets narrow per-file
@@ -204,6 +205,13 @@ def write_zordered(
     Column ranges come from one metadata-sized min/max aggregate over
     the input (1 row, 2k values); callers with table statistics can
     avoid the pass by calling :func:`zorder_key` directly.
+
+    *n_files* pins the output file count (an EXPLICIT range-partition
+    width, which AQE respects — without it AQE coalesces a small
+    shuffle to one partition and the clustering degenerates to a single
+    full-span file).  Default None keeps the adaptive behavior: right
+    at scale, where input volume sets the width; pass it when the
+    file-count/span trade matters (compaction targets, layout tests).
 
     Degenerate columns degrade instead of crashing: an all-NULL or
     constant column carries zero skipping information, so it is
@@ -225,10 +233,60 @@ def write_zordered(
     if not ranges:
         df.write.mode(mode).parquet(path)
         return
-    out = (
-        df.withColumn("__z", zorder_key(list(ranges), ranges, bits))
-        .repartitionByRange("__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+    keyed = df.withColumn("__z", zorder_key(list(ranges), ranges, bits))
+    parted = (
+        keyed.repartitionByRange(n_files, "__z")
+        if n_files is not None
+        else keyed.repartitionByRange("__z")
     )
+    out = parted.sortWithinPartitions("__z").drop("__z")
     out.write.mode(mode).parquet(path)
+
+
+def file_spans(path: str, cols: list[str]) -> list[dict]:
+    """Per-file [min, max] spans for *cols*, read from parquet footers
+    (pyarrow; no data pages touched).  This is the measurement half of
+    the layout contract: a clustering write is WORKING iff selective
+    predicates intersect few files' spans — the same footer stats
+    Spark's reader uses for row-group skipping.  Driver-side by design
+    (footers are metadata; a 100 TB table's footers are MBs) — used by
+    tests and the layout gate, not by any data path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        spans = {}
+        for c in cols:
+            ci = names[c]
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans[c] = (lo, hi)
+        out.append({"file": name, **{c: spans[c] for c in cols}})
+    return out
+
+
+def files_touched(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(touched, total): how many parquet files under *path* a reader
+    must open for ``col BETWEEN lo AND hi``, by footer min/max
+    intersection — files with missing stats count as touched (a reader
+    cannot skip what it cannot bound)."""
+    spans = file_spans(path, [col])
+    total = len(spans)
+    touched = 0
+    for s in spans:
+        fmin, fmax = s[col]
+        if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
+            touched += 1
+    return touched, total

@@ -9,8 +9,15 @@ from hive_scd_spark.queries import ORACLES, QUERIES
 
 
 def test_every_query_has_an_oracle():
+    """Every gate carries a DuckDB oracle except the explicitly
+    justified rows-only set (file-layout evidence — no SQL replay)."""
+    from hive_scd_spark.queries import ROWS_ONLY_GATES
+
     missing = [q for q in QUERIES if q not in ORACLES]
-    assert missing == [], f"gates without DuckDB oracles: {missing}"
+    assert sorted(missing) == sorted(ROWS_ONLY_GATES), (
+        f"gates without DuckDB oracles beyond the justified rows-only "
+        f"set: {sorted(set(missing) ^ set(ROWS_ONLY_GATES))}"
+    )
 
 
 def test_registry_names_unique_and_window_full():
@@ -22,7 +29,9 @@ def test_registry_names_unique_and_window_full():
 
 def test_entry_module_mirrors_registry():
     assert list(entry.queries()) == list(QUERIES)
-    assert set(entry.oracle_sql()) >= set(QUERIES)
+    from hive_scd_spark.queries import ROWS_ONLY_GATES
+
+    assert set(entry.oracle_sql()) >= set(QUERIES) - ROWS_ONLY_GATES
 
 
 def test_window_keeps_reference_core_first():

@@ -170,3 +170,35 @@ def test_zorder_guards_and_degenerate_columns(spark, tmp_path):
     out2 = str(tmp_path / "e")
     write_zordered(empty, out2, by=["a", "b"])
     assert spark.read.parquet(out2).count() == 0
+
+
+def test_layout_zorder_skipping_gate_bounds(spark):
+    """The r7 layout contract gate: in-gate assertions already enforce
+    the ≤60 % bound and z < random; here we pin the shape and that the
+    random baseline is genuinely un-skippable (every file spans the
+    domain) so the comparison means something."""
+    from hive_scd_spark.queries import layout_zorder_skipping
+
+    rows = {r.dim: r for r in layout_zorder_skipping(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"o_custkey", "o_totalprice"}
+    for r in rows.values():
+        assert r.n_files_z == r.n_files_rand == 32
+        assert r.touched_z <= 0.6 * r.n_files_z
+        assert r.touched_z < r.touched_rand
+        # random layout: every file spans ~the full domain
+        assert r.touched_rand >= 0.9 * r.n_files_rand
+
+
+def test_write_zordered_n_files_pins_file_count(spark, tmp_path):
+    """Explicit n_files survives AQE (adaptive coalescing shrank a
+    small shuffle to ONE file, degenerating the clustering — the gate
+    caught it); default stays adaptive."""
+    import os
+
+    from hive_scd_spark.operators.layout import write_zordered
+
+    df = spark.range(2000).selectExpr("id as a", "(id * 37) % 2000 as b")
+    p = str(tmp_path / "z")
+    write_zordered(df, p, by=["a", "b"], n_files=8)
+    n = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert n == 8
