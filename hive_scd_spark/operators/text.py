@@ -517,6 +517,20 @@ SCRIPT_CLASSES: dict[str, str] = {
     "hangul": r"[\x{AC00}-\x{D7AF}]",
     "devanagari": r"[\x{0900}-\x{097F}]",
     "greek": r"[\x{0370}-\x{03FF}]",
+    # hiragana + katakana — the signal that separates Japanese from
+    # Chinese inside the shared CJK-ideograph block (appended last so
+    # existing argmax tie-break order is unchanged)
+    "kana": r"[\x{3040}-\x{30FF}]",
+}
+
+# Scripts that map 1:1 to a language at corpus-filter granularity (the
+# fused model's fast path; cjk/kana take the kana-ratio rule instead)
+SCRIPT_LANGS: dict[str, str] = {
+    "cyrillic": "ru",
+    "arabic": "ar",
+    "hangul": "ko",
+    "devanagari": "hi",
+    "greek": "el",
 }
 
 
@@ -852,3 +866,102 @@ def bpe_tokenize_batched(
             )
 
     return df.select(id_col, text_col).mapInPandas(_encode, out_schema)
+
+
+def lang_id_fused(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Script detection FUSED with the trigram language model (VERDICT
+    r6 task 8): one projection that first routes on Unicode script,
+    then applies the per-script rule —
+
+    - **latin** → the :func:`lang_id_ngram` trigram-profile argmax
+      (en/de/fr/es/it/pt/nl), with its overlap confidence;
+    - **cjk / kana** → ``ja`` when kana make up >5 % of
+      ideograph+kana letters (hiragana/katakana are the ja-vs-zh
+      separator; pure-ideograph text is ``zh``), else ``zh``;
+    - single-language scripts map directly (cyrillic→ru, arabic→ar,
+      hangul→ko, devanagari→hi, greek→el — corpus-filter granularity,
+      see SCRIPT_LANGS);
+    - no letters at all → ``und``.
+
+    Confidence is the trigram overlap ratio on the latin path and the
+    dominant-script fraction otherwise.  Everything stays one
+    shuffle-free codegen projection (regexp_count per script class +
+    the trigram intersects); the mixed-script ``und`` rate bound and
+    the zh/ja/ko/ru labels are pinned by multilingual fixtures in
+    tests."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    names = list(SCRIPT_CLASSES)
+    work = df.select(
+        F.col(id_col),
+        txt.alias("__t"),
+        *[
+            F.regexp_count(txt, F.lit(pat)).cast("long").alias(f"__sc_{n}")
+            for n, pat in SCRIPT_CLASSES.items()
+        ],
+    )
+    script_best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"__sc_{n}").alias("s"),
+                F.lit(-i).alias("o"),
+                F.lit(n).alias("l"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    script_total = sum(
+        (F.col(f"__sc_{n}") for n in names[1:]), F.col(f"__sc_{names[0]}")
+    )
+    # the latin trigram sub-model — identical construction to
+    # lang_id_ngram (distinct trigrams of the padded lowercased text,
+    # profile-overlap argmax with declaration-order tie-break)
+    padded = F.concat(F.lit(" "), F.lower(F.col("__t")), F.lit(" "))
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(1))),
+            lambda i: F.substring(padded, i, 3),
+        )
+    )
+    work = work.withColumn("__tri", tri)
+    langs = list(LANG_PROFILES)
+    for lang in langs:
+        work = work.withColumn(
+            f"__lp_{lang}",
+            F.size(F.array_intersect("__tri", F.lit(LANG_PROFILES[lang]))),
+        )
+    latin_best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"__lp_{lang}").alias("s"),
+                F.lit(-i).alias("o"),
+                F.lit(lang).alias("l"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    latin_pred = F.when(latin_best["s"] > 0, latin_best["l"]).otherwise(F.lit("und"))
+    latin_conf = F.when(
+        latin_best["s"] > 0,
+        F.round(latin_best["s"].cast("double") / F.size("__tri"), 6),
+    ).otherwise(F.lit(0.0))
+    kana, cjk = F.col("__sc_kana"), F.col("__sc_cjk")
+    ja_rule = F.when(
+        kana.cast("double") > 0.05 * (kana + cjk), F.lit("ja")
+    ).otherwise(F.lit("zh"))
+    pred = F.when(script_best["s"] == 0, F.lit("und")).when(
+        script_best["l"] == "latin", latin_pred
+    )
+    for script, lang in SCRIPT_LANGS.items():
+        pred = pred.when(script_best["l"] == script, F.lit(lang))
+    pred = pred.otherwise(ja_rule)  # cjk / kana
+    conf = F.when(script_best["s"] == 0, F.lit(0.0)).when(
+        script_best["l"] == "latin", latin_conf
+    ).otherwise(F.round(script_best["s"].cast("double") / script_total, 6))
+    return work.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.when(script_best["s"] > 0, script_best["l"])
+        .otherwise(F.lit("und"))
+        .alias("pred_script"),
+        conf.alias("confidence"),
+    )

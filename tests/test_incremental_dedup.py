@@ -196,3 +196,69 @@ def test_pagerank_directed_sink_leaks_documented_mass(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
     r = {x.node: x.rank_scaled for x in pagerank(edges, directed=True, iters=5).collect()}
     assert r[2] > r[1] > r[0]
+
+
+def test_streaming_state_equals_batch_rebuilt_state(spark, sf_dir, tmp_path):
+    """VERDICT r6 task 7: N micro-batches through minhash_ingest_sink
+    must leave PERSISTED STATE identical to a one-shot batch rebuild —
+    band table ≡ minhash_band_table(all docs), texts ≡ the corpus —
+    and a pair log identical to the full-corpus batch replay.  Run on
+    the real documents table (planted near-dups), three micro-batches
+    via maxFilesPerTrigger=1."""
+    from hive_scd_spark.streaming import minhash_ingest_sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for part in range(3):
+        docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sink = minhash_ingest_sink(
+        stream,
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.3,
+    )
+    q = sink.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    # (a) band-table state ≡ batch rebuild over the union corpus
+    state_bands = {
+        (r["__id"], r["__band"], r["__key"])
+        for r in spark.read.parquet(str(tmp_path / "state" / "bands")).collect()
+    }
+    rebuilt = {
+        (r["__id"], r["__band"], r["__key"])
+        for r in minhash_band_table(docs, "doc_id", "text", k=8).collect()
+    }
+    assert state_bands == rebuilt
+    # (b) text state ≡ the corpus
+    state_texts = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(str(tmp_path / "state" / "texts")).collect()
+    }
+    assert state_texts == {(r.doc_id, r.text) for r in docs.collect()}
+    # (c) pair log ≡ full-corpus batch replay (order-insensitive pairs)
+    def norm(s):
+        return {(min(a, b), max(a, b), round(j, 9)) for a, b, j in s}
+
+    got = norm(_pairs(spark.read.parquet(str(tmp_path / "pairs"))))
+    want = norm(
+        _pairs(minhash_near_dup_pairs(docs, "doc_id", "text", k=8, threshold=0.3))
+    )
+    assert got == want and got

@@ -708,3 +708,54 @@ def test_bpe_batched_cache_limit_is_correct_under_eviction(spark):
         for r in bpe_tokenize_batched(df, "doc_id", "text", cache_limit=1).collect()
     }
     assert a == b
+
+
+def test_lang_id_fused_mixed_script_corpus(spark):
+    """VERDICT r6 task 8: the fused script+trigram model labels a
+    mixed-script corpus with zh/ja/ko/ru (plus the Latin set and the
+    direct-mapped scripts) and its 'und' rate on real-language rows is
+    ZERO — 'und' remains only for letter-free text."""
+    from hive_scd_spark.operators.text import lang_id_fused
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and it is fine", "en"),
+        (2, "der schnelle braune fuchs springt über den faulen hund und das ist", "de"),
+        (3, "le renard brun rapide saute par dessus le chien paresseux et les gens", "fr"),
+        (4, "el rápido zorro marrón salta sobre el perro perezoso y la gente", "es"),
+        (5, "привет мир как дела сегодня у вас всё хорошо", "ru"),
+        (6, "你好世界早上好今天天气很好我们去公园散步", "zh"),
+        (7, "こんにちは世界おはようございます今日は天気がいいですね", "ja"),
+        (8, "안녕하세요 세계 좋은 아침입니다 오늘 날씨가 좋네요", "ko"),
+        (9, "مرحبا بالعالم صباح الخير اليوم الطقس جميل", "ar"),
+        (10, "नमस्ते दुनिया सुप्रभात आज मौसम अच्छा है", "hi"),
+        (11, "γεια σου κόσμε καλημέρα σήμερα ο καιρός είναι καλός", "el"),
+        (12, "12345 67890 ... !!!", "und"),
+        (13, None, "und"),
+        # Japanese quoting mostly ideographs but with kana particles —
+        # the kana-ratio rule must still say ja
+        (14, "東京は日本の首都です、とても大きい都市です", "ja"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in lang_id_fused(df, "doc_id", "text").collect()}
+    for i, _, want in rows:
+        assert got[i].pred_lang == want, (i, got[i].pred_lang, want)
+    # confidence populated on every real-language row
+    assert all(got[i].confidence > 0 for i, _, w in rows if w != "und")
+    und_rate = sum(1 for i, _, w in rows if w != "und" and got[i].pred_lang == "und") / 12
+    assert und_rate == 0.0
+
+
+def test_lang_id_fused_latin_path_matches_trigram_model(spark, sf_dir):
+    """On an all-Latin corpus (the synthetic documents table) the fused
+    model's predictions must equal lang_id_ngram's — fusion adds
+    routing, never changes the Latin sub-model."""
+    from hive_scd_spark.operators.text import lang_id_fused, lang_id_ngram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id: (r.pred_lang, r.confidence)
+         for r in lang_id_ngram(docs, "doc_id", "text").collect()}
+    b = {r.doc_id: (r.pred_lang, r.confidence)
+         for r in lang_id_fused(docs, "doc_id", "text").collect()}
+    assert a == b
