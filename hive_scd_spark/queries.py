@@ -1883,6 +1883,281 @@ def q8_national_market_share(spark, sf_dir):
     )
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier per part — the correlated
+    scalar-MIN subquery, adapted to the reduced schema (no partsupp
+    table; the part↔supplier cost relation derives from lineitem:
+    cost := the supplier's cheapest line for that part, in exact
+    cents).  Size-15 parts, suppliers in region EUROPE; the correlated
+    min is the classic aggregate-then-rejoin on the part key, the dims
+    broadcast, and the derived cost relation is built ONCE and reused
+    for both the candidate rows and the per-part min (self-join on the
+    aggregate, not a recompute)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")).alias(
+            "ps_cost_cents"
+        )
+    )
+    eur = (
+        cost.join(
+            F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    min_cost = eur.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_cost_cents").alias("min_cost_cents")
+    )
+    return (
+        eur.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_cost_cents") == F.col("min_cost_cents")),
+        )
+        .select(
+            F.col("s_acctbal"),
+            F.col("s_name"),
+            F.col("n_name"),
+            F.col("p_partkey"),
+            F.col("p_brand"),
+            F.col("ps_cost_cents"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by (nation, year) — the
+    6-way join with a two-term profit expression, adapted: supply cost
+    is 60 % of p_retailprice (no partsupp), both terms carried in
+    EXACT integer cents (revenue cents minus qty × cost-cents;
+    l_quantity is integer-valued) so the aggregate cannot drift
+    between engines.  'gear'-named parts play the %green% filter.
+    All dims broadcast; one shuffle for the (nation, year) aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    revenue = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    cost = F.col("l_quantity").cast("bigint") * F.floor(
+        F.col("p_retailprice") * 60 + 0.5
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(revenue - cost).alias("profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value with a HAVING threshold against
+    a GLOBAL scalar aggregate of the same relation — adapted to the
+    lineitem-derived value (sum of line cents for suppliers in
+    NATION_7).  The global total is a 1-row aggregate broadcast into
+    the HAVING comparison; the threshold 1000 × part_value > total is
+    exact-integer (no 0.001 × double drift).  One shuffle builds the
+    per-part aggregate; the nation-filtered base is computed once for
+    both sides via an explicit reused plan."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    base = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey"), cents.alias("__cents"))
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum("__cents").alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("__total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_cents"),
+        )
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+def q12_shipping_priority_classes(spark, sf_dir):
+    """TPC-H Q12 shape: per-category conditional priority counts —
+    adapted: the categorical is a DERIVED shipping-delay class (no
+    l_shipmode column): SLOW when the line shipped >60 days after the
+    order date, else FAST.  1996 ship-year filter pushes to the scan;
+    the two CASE-counts are one map-combinable aggregate over a single
+    orders join (orders side carries only (key, priority, date) after
+    pruning)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = t(spark, sf_dir, "orders")
+    cls = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, F.lit("SLOW")
+    ).otherwise(F.lit("FAST"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(cls.alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by quarterly revenue — the
+    revenue-view-referenced-twice pattern (once for the scalar MAX,
+    once for the equality selection), in exact cents so the MAX
+    boundary is engine-stable.  The revenue aggregate is one shuffle;
+    its 1-row max broadcasts back; supplier dim broadcasts for the
+    name join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents).alias("total_revenue_cents")
+    )
+    mx = revenue.agg(F.max("total_revenue_cents").alias("__mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_cents") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts by part attributes
+    with a NOT-IN exclusion subquery — adapted: the part↔supplier
+    relation derives from lineitem (no partsupp), and the excluded
+    suppliers are those with negative account balance (no s_comment).
+    The exclusion is a broadcast anti-join (the NOT IN list is tiny);
+    the count(distinct) groups by three low-cardinality attributes —
+    map-side partial aggregation takes out the duplicate (attrs,
+    suppkey) pairs before the shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size").isin(1, 9, 15, 25, 36, 49))
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers qualified through a nested aggregate
+    IN-subquery — adapted: a NATION_3 supplier qualifies when MORE THAN
+    HALF of all the 'red'-part quantity they ever shipped went out in
+    1997+ (availqty → the supplier's own historical total; the 2×
+    cross-multiplication keeps the comparison integer-exact).  The
+    inner aggregate groups the filtered fact once; both filters (part
+    name, nation) cut before any shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    red = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    per_supp = red.groupBy(F.col("l_suppkey").alias("q_suppkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        F.sum(
+            F.when(
+                F.col("l_shipdate") >= "1997-01-01",
+                F.col("l_quantity").cast("bigint"),
+            ).otherwise(0)
+        ).alias("recent_qty"),
+    )
+    return (
+        per_supp.filter(F.col("recent_qty") * 2 > F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("q_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", "total_qty", "recent_qty")
+        .orderBy("s_name")
+    )
+
+
+def q21_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — the double correlated EXISTS / NOT-EXISTS
+    self-join on the fact table, adapted: 'late' is shipping >90 days
+    after the order date (no commit/receipt columns).  Expressed as
+    one per-(order, supplier) aggregate — (any_late, n_suppliers on
+    the order via a window over the DISTINCT supplier rows) — then the
+    EXISTS pair becomes two predicates on the aggregate: another
+    supplier exists AND no OTHER supplier is late.  The fact shuffles
+    ONCE on the order key; both 'exists' conditions are window/group
+    derivations of that same layout, not extra joins of the raw fact."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = t(spark, sf_dir, "supplier")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    per = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("is_late"))
+    )
+    w = W.partitionBy("l_orderkey")
+    per = per.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supps"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    return (
+        per.filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def sketch_merge_distinct_users(spark, sf_dir):
     """HLL sketch PERSISTENCE-and-MERGE (the incremental-analytics
     primitive agg_approx_distinct_check's inline form doesn't cover):
@@ -3561,6 +3836,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_pred": q19_disjunctive_pred,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    # r7: the TPC-H suite completed — every remaining shape adapted to
+    # the reduced schema (no partsupp/shipmode/commitdate; see each
+    # docstring).  Never driver-verified yet: next rounds' rotation pool
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_shipping_priority_classes": q12_shipping_priority_classes,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_waiting_orders": q21_waiting_orders,
     # displaced in the r6 sixth rotation (green r3+r4+r5; quality and
     # conditional-agg families keep newer in-window representatives)
     "agg_filtered_event_stats": agg_filtered_event_stats,
@@ -4813,4 +5099,155 @@ ORACLES["q7_nation_volume"] = """
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       AND sn.n_name < cn.n_name
     GROUP BY 1, 2, 3
+"""
+
+
+# --- r7 TPC-H completion oracles (q2/q9/q11/q12/q15/q16/q20/q21 shapes) -----
+
+ORACLES["q2_min_cost_supplier"] = """
+    WITH cost AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS ps_cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ), eur AS (
+      SELECT c.*, s.s_acctbal, s.s_name, n.n_name
+      FROM cost c
+      JOIN supplier s ON c.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), mc AS (
+      SELECT ps_partkey AS mc_partkey, MIN(ps_cost_cents) AS min_cost_cents
+      FROM eur GROUP BY 1
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           e.ps_cost_cents
+    FROM eur e
+    JOIN part p ON e.ps_partkey = p.p_partkey AND p.p_size = 15
+    JOIN mc ON e.ps_partkey = mc.mc_partkey
+           AND e.ps_cost_cents = mc.min_cost_cents
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 20
+"""
+
+ORACLES["q9_product_profit"] = """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                    - CAST(l.l_quantity AS BIGINT)
+                      * CAST(floor(p.p_retailprice * 60 + 0.5) AS BIGINT)) AS BIGINT)
+             AS profit_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+"""
+
+ORACLES["q11_important_stock"] = """
+    WITH base AS (
+      SELECT l.l_partkey,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ), per_part AS (
+      SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS value_cents
+      FROM base GROUP BY 1
+    ), total AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM per_part)
+    SELECT l_partkey AS p_partkey, value_cents
+    FROM per_part, total
+    WHERE value_cents * 1000 > t
+    ORDER BY value_cents DESC, p_partkey
+"""
+
+ORACLES["q12_shipping_priority_classes"] = """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+                THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY ship_class
+"""
+
+ORACLES["q15_top_supplier"] = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM revenue r
+    JOIN supplier s ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+ORACLES["q16_supplier_part_counts"] = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 9, 15, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["q20_excess_shippers"] = """
+    WITH per_supp AS (
+      SELECT l.l_suppkey AS q_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+             CAST(SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                           THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS recent_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%red%'
+      GROUP BY 1
+    )
+    SELECT s.s_name, s.s_acctbal, ps.total_qty, ps.recent_qty
+    FROM per_supp ps
+    JOIN supplier s ON ps.q_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3' AND ps.recent_qty * 2 > ps.total_qty
+    ORDER BY s.s_name
+"""
+
+ORACLES["q21_waiting_orders"] = """
+    WITH per AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT l_orderkey, l_suppkey, is_late,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+             SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM per
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM win w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    WHERE w.is_late = 1 AND w.n_supps > 1 AND w.n_late = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
 """

@@ -103,6 +103,16 @@ SWEEP = [
     ("sample_token_budget_per_source", set()),
     ("shard_assignment", set()),
     ("ann_lsh_topk", set()),
+    # r7 TPC-H completion: the 1-row scalar builds (q11 total, q15 max)
+    # are the one-row-aggregate exemption; everything else must be clean
+    ("q2_min_cost_supplier", set()),
+    ("q9_product_profit", set()),
+    ("q11_important_stock", set()),
+    ("q12_shipping_priority_classes", set()),
+    ("q15_top_supplier", set()),
+    ("q16_supplier_part_counts", set()),
+    ("q20_excess_shippers", set()),
+    ("q21_waiting_orders", set()),
     ("knn_brute_force", {"nested-loop"}),
     ("ivf_cosine_topk", {"nested-loop"}),
     ("ivf_kmeans_topk", {"nested-loop"}),
