@@ -143,6 +143,48 @@ def main():
         return bm25_topk(d, "doc_id", "text",
                          ["model", "training", "data", "quality"], k=20)
 
+    # r7 (VERDICT r6 task 4): the iterative/capstone class, whose 100x
+    # slope was previously extrapolated from 10x.  All builder-inclusive
+    # (timed() wraps the thunk CALL, so build-time checkpoints/counts
+    # are inside the window — the bench.py ITERATIVE discipline).
+    from hive_scd_spark.operators.cluster import dup_clusters, pagerank
+    from hive_scd_spark.operators.decontam import ngram_contamination
+    from hive_scd_spark.operators.pack import pack_sequences
+    from hive_scd_spark.operators.similarity import hash_embed
+    from hive_scd_spark.operators.text import token_counts
+
+    def pagerank_gate(d):
+        pairs = substring_dup_pairs(d, "doc_id", "text", n=15, max_df=50)
+        return pagerank(pairs, "id_a", "id_b", iters=5)
+
+    def cluster_gate(d):
+        pairs = minhash_near_dup_pairs(d, "doc_id", "text", k=8, threshold=0.3)
+        return dup_clusters(pairs)
+
+    def decontam_gate(d):
+        # replica-0-only eval slice: bounded (<=200 docs) at ANY n —
+        # the operator's broadcast-eval contract
+        is_eval = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 97 * 200)
+        return ngram_contamination(
+            d.filter(~is_eval), d.filter(is_eval), "doc_id", "text", n=13
+        )
+
+    def pack_gate(d):
+        toks = token_counts(d, "doc_id", "text").select(
+            "doc_id", F.col("n_regex_tokens").alias("n_tokens")
+        )
+        return pack_sequences(toks, "doc_id", "n_tokens", 512)
+
+    def semantic_gate(d):
+        emb = hash_embed(d, "doc_id", "text", dim=32).select(
+            "doc_id", F.col("vec").cast("array<double>").alias("vec")
+        ).localCheckpoint(eager=False)
+        return embedding_near_dup_pairs(
+            emb, "doc_id", "vec",
+            threshold=0.95, use_lsh=True, n_planes="auto", n_bands=2,
+            dim=32, target_bucket=8, n_rows=d.count(),
+        )
+
     # embeddings 100x: reuse scale_10x's isometric sign-flip replicator
     # (maps are md5(replica:dim)-derived — distinct at ANY n)
     import importlib.util
@@ -179,6 +221,11 @@ def main():
         ("dedup_minhash_incremental", incremental_gate),
         ("dedup_exact", exact_gate),
         ("text_bm25_topk", bm25_gate),
+        ("graph_pagerank_dups", pagerank_gate),
+        ("dedup_cluster_assign", cluster_gate),
+        ("decontam_ngram_overlap", decontam_gate),
+        ("pack_sequences_ctx", pack_gate),
+        ("pipeline_semantic_dedup", semantic_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),
