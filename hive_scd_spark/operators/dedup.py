@@ -564,6 +564,110 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     return votes.select(F.col("__id").alias(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded Hamming-ball search —
+    the scale path that makes :func:`simhash` a dedup operator rather
+    than just a fingerprint.
+
+    Pigeonhole guarantee: split the *bits*-bit fingerprint into
+    *bands* contiguous slices; any pair within Hamming distance
+    ``max_hamming < bands`` has at least one band with ZERO differing
+    bits, i.e. an identical band value — so an equi-join on
+    ``(band_idx, band_val)`` finds every qualifying pair (100 %
+    recall), and only bucket-local pairs are ever scored.  The same
+    banding trick as MinHash LSH, but the guarantee is exact, not
+    probabilistic.
+
+    Plan shape: fingerprints (one explode + one groupBy shuffle, see
+    :func:`simhash`) → posexplode into ``bands`` rows/doc → ONE
+    shuffle on the band key for both the hot-bucket census (window
+    count) and the self-join (same partitioning, exchange reused) →
+    per-pair verify as pure bit math ``bit_count(a XOR b)`` — no
+    second lookup join, both fingerprints ride through the band join.
+    Candidate volume is O(sum over buckets of bucket²) bounded by
+    *max_bucket*, never O(n²) in the corpus.
+
+    ``max_bucket`` drops band buckets with more members than that —
+    the same semantic stance as ``substring_dup_pairs.max_df``: a
+    band value shared by hundreds of documents is a degenerate slice
+    (near-empty docs all fingerprint to ~0), and it is also what
+    bounds the join fan-out structurally.  Dropping a bucket can only
+    lose pairs whose EVERY identical band is hot, which at that
+    density are boilerplate-class, not duplicates.
+
+    Output ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming <= max_hamming``; a pair colliding in several bands
+    appears once.  Reference scope: dedup extensions are beyond the
+    reference core (SURVEY §7.6); banding per Charikar 2002 / the
+    LSH chapter of Mining of Massive Datasets.
+    """
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(pigeonhole recall guarantee); got bands={bands}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(df, id_col, text_col, bits=bits)
+    banded = fp.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash").alias("__fp"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__band", "__val"),
+    )
+    bucket_n = F.count("*").over(W.partitionBy("__band", "__val"))
+    # lazy checkpoint: the self-join references the band table from
+    # BOTH sides and ReuseExchange does not dedupe the two subplans
+    # under AQE (same pathology as minhash_near_dup_pairs; verified
+    # here too — the static plan shows the explode + 60-aggregate
+    # fingerprint pipeline twice).  eager=False keeps materialization
+    # inside the first action, so bench accounting stays honest
+    # (ITERATIVE rule); the second join side reads cached blocks.
+    banded = (
+        banded.withColumn("__n", bucket_n)
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
+        .localCheckpoint(eager=False)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def substring_dup_pairs(
     df: DataFrame,
     id_col: str,

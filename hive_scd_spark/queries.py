@@ -1126,6 +1126,17 @@ def dedup_simhash(spark, sf_dir):
     return simhash(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def dedup_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs via banded Hamming search: 60-bit
+    fingerprints in four 15-bit bands, exact pigeonhole recall for
+    Hamming <= 3, candidates bucket-local only (never all-pairs)."""
+    from hive_scd_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def table_profile_documents(spark, sf_dir):
     """Per-column profile of the documents table (Deequ-shape): rows,
     nulls, exact distinct, native-typed min/max as strings.  Two scans
@@ -3211,6 +3222,28 @@ EXT_ORACLES: dict[str, str] = {
         FROM votes JOIN n ON votes.doc_id = n.doc_id
         GROUP BY 1
     """,
+    "dedup_simhash_near": """
+        WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+                      FROM documents),
+        th AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM toks),
+        n AS (SELECT doc_id, count(*) AS nt FROM th GROUP BY 1),
+        votes AS (SELECT doc_id, b, SUM((h >> b) & 1) AS v
+                  FROM th, (SELECT unnest(range(60)) AS b) GROUP BY 1, 2),
+        fp AS (SELECT votes.doc_id,
+                      CAST(SUM(CASE WHEN v*2 > nt THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT) AS simhash
+               FROM votes JOIN n ON votes.doc_id = n.doc_id GROUP BY 1),
+        banded AS (SELECT doc_id, simhash, band,
+                          CAST((simhash >> (band * 15)) & 32767 AS BIGINT) AS val
+                   FROM fp, (SELECT unnest(range(4)) AS band)),
+        keep AS (SELECT * FROM (SELECT banded.*, count(*) OVER (PARTITION BY band, val) AS n_bucket
+                                FROM banded)
+                 WHERE n_bucket <= 200)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM keep a JOIN keep b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     "text_quality_stats": """
         WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
                       FROM documents),
@@ -3782,14 +3815,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (green r4+r5+r6; ANN stays represented by embedding_quantize_int8,
     # text_hash_embed_ann, pipeline_semantic_dedup)
     "layout_zorder_skipping": layout_zorder_skipping,
-    # layout / skew / multimodal
-    "shard_assignment": shard_assignment,
+    # r7: banded SimHash Hamming search (brand-new capability this
+    # round — pigeonhole-exact recall, bucket-local candidates) takes
+    # shard_assignment's slot (green r4+r5+r6 incl. the r5-regression
+    # re-verify; pack/shard layout family stays represented by
+    # pack_sequences_ctx)
+    "dedup_simhash_near": dedup_simhash_near,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "multimodal_dedup_exact": multimodal_dedup_exact,
     # --- beyond the driver window (slot >50) ----------------------------
     # Near-duplicates of gates above; every operator family keeps a
     # driver-window representative.  All of these stay value-checked
     # against their DuckDB oracles by scripts/check_contract.py.
+    "shard_assignment": shard_assignment,
     "agg_rollup_returnflag": agg_rollup_returnflag,
     "agg_cube_status_priority": agg_cube_status_priority,
     "agg_approx_distinct_check": agg_approx_distinct_check,

@@ -80,6 +80,56 @@ def test_simhash_similar_docs_close(docs):
     assert ham13 < ham14  # near dup closer than unrelated
 
 
+def test_simhash_near_dups_banded_recall(docs):
+    """Banded search must find every pair the exact pass finds: the
+    pigeonhole guarantee is exact recall for hamming <= max_hamming
+    when bands > max_hamming, so compare against a brute-force replay
+    over the collected fingerprints."""
+    from hive_scd_spark.operators.dedup import simhash, simhash_near_dups
+
+    fp = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    ids = sorted(fp)
+    expect = {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(docs, "doc_id", "text").collect()
+    }
+    assert got == expect
+    assert (1, 2, 0) in got  # identical docs collide at hamming 0
+
+
+def test_simhash_near_dups_max_bucket_drops_degenerate_slice(spark):
+    """A band value shared by more than max_bucket docs is dropped
+    before pair generation — identical docs in an oversized bucket
+    produce no edges through THAT band (here: every band is the same,
+    so no edges at all), while a small bucket keeps its pairs."""
+    from hive_scd_spark.operators.dedup import simhash_near_dups
+
+    rows = [(i, "same text everywhere") for i in range(1, 12)]
+    rows += [(100, "a genuinely different document body"), (101, "a genuinely different document body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dups(df, "doc_id", "text", max_bucket=10).collect()
+    }
+    assert out == {(100, 101)}
+
+
+def test_simhash_near_dups_rejects_bad_params(spark):
+    from hive_scd_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        simhash_near_dups(df, "doc_id", "text", bits=60, bands=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(df, "doc_id", "text", bands=4, max_hamming=4)
+
+
 def test_quality_stats_values(spark):
     from hive_scd_spark.operators.text import quality_stats
 

@@ -113,6 +113,8 @@ SWEEP = [
     ("q16_supplier_part_counts", set()),
     ("q20_excess_shippers", set()),
     ("q21_waiting_orders", set()),
+    # r7 banded SimHash Hamming search (bucket-local equi-join)
+    ("dedup_simhash_near", set()),
     ("knn_brute_force", {"nested-loop"}),
     ("ivf_cosine_topk", {"nested-loop"}),
     ("ivf_kmeans_topk", {"nested-loop"}),
