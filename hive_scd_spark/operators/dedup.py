@@ -527,6 +527,125 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
+    new_buckets: DataFrame | None = None,
+    threshold: float = 0.35,
+    n_planes: int = 6,
+    n_bands: int = 4,
+    dim: int | None = None,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental (daily-ingest) embedding near-dup detection: every
+    verified pair touching the NEW batch — new×corpus and new×new —
+    without re-bucketing or shuffling the standing corpus.  The
+    embedding-family mirror of :func:`minhash_incremental_pairs`.
+
+    The production loop: maintain
+    :func:`~hive_scd_spark.operators.similarity.lsh_band_buckets` of
+    the corpus as a persisted table; per ingest, pass it as
+    *corpus_buckets* (None computes it from *corpus_df* for a one-off
+    run), get the pairs, decide keep/drop, append the new batch's own
+    bucket rows to the state.  No plane matrix needs persisting: the
+    hyperplanes are md5-seeded pure expressions, so any session
+    recomputes bit-identical buckets for the same (n_planes, n_bands,
+    dim) — the state table is reusable across sessions by contract.
+
+    Scale contract (the decontam/minhash shape): the new batch is
+    bounded by ingest size, so its bucket table BROADCASTS
+    (``broadcast_new=True`` default) and the corpus bucket table — the
+    100 TB side — is probed in place, never shuffled.  Verification
+    joins vectors by id for CANDIDATE members only (two id-equi
+    probes, O(candidates) rows out); new×new pairs come from a
+    self-join of the tiny new bucket table.  Output ``(id_a, id_b,
+    cos)`` with id_a < id_b; ids must be unique across both inputs.
+    """
+    from hive_scd_spark.functions import vector_norm
+    from hive_scd_spark.operators.similarity import lsh_band_buckets
+
+    nb = (
+        new_buckets.select(F.col(id_col).alias("__id"), "band", "bucket")
+        if new_buckets is not None
+        else lsh_band_buckets(new_df, id_col, vec_col, n_planes, n_bands, dim)
+        .withColumnRenamed(id_col, "__id")
+    )
+    cb = (
+        # select BY NAME (same rationale as minhash_incremental_pairs):
+        # positional rebinds silently misbind column-reordered reads
+        corpus_buckets.select(F.col(id_col).alias("__id"), "band", "bucket")
+        if corpus_buckets is not None
+        else lsh_band_buckets(corpus_df, id_col, vec_col, n_planes, n_bands, dim)
+        .withColumnRenamed(id_col, "__id")
+    )
+    nbj = F.broadcast(nb) if broadcast_new else nb
+    cross = (
+        cb.alias("c")
+        .join(
+            nbj.alias("n"),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.bucket") == F.col("n.bucket"))
+            & (F.col("c.__id") != F.col("n.__id")),
+        )
+        .select(
+            F.least(F.col("c.__id"), F.col("n.__id")).alias("__ida"),
+            F.greatest(F.col("c.__id"), F.col("n.__id")).alias("__idb"),
+        )
+    )
+    within = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb"))
+    )
+    candidates = (
+        cross.union(within)
+        .dropDuplicates(["__ida", "__idb"])
+        # same lazy-checkpoint rationale as the other pair generators:
+        # the verify step references candidates once, but the bucket
+        # pipeline would otherwise run once per union branch side
+        .localCheckpoint(eager=False)
+    )
+    # vectors fetched by id for candidate members only — the union is
+    # scanned per side, but each probe is an id-equi join that AQE
+    # demotes to broadcast at candidate-list size
+    source = new_df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        vector_norm(F.col(vec_col)).alias("__n"),
+    ).unionByName(
+        corpus_df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            vector_norm(F.col(vec_col)).alias("__n"),
+        )
+    )
+    pairs = (
+        candidates.join(
+            source.alias("a"), F.col("__ida") == F.col("a.__id")
+        ).join(source.alias("b"), F.col("__idb") == F.col("b.__id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.__v"), F.col("b.__v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(F.try_divide(dot, F.col("a.__n") * F.col("b.__n")), 6).alias("cos")
+    return (
+        pairs.select(F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"), cos)
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """Per-document SimHash fingerprint over whitespace tokens.
 

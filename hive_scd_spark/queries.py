@@ -1216,6 +1216,32 @@ def dedup_embedding_lsh_auto(spark, sf_dir):
     )
 
 
+def dedup_embedding_lsh_incremental(spark, sf_dir):
+    """Incremental embedding ingest (the production daily loop for the
+    embedding family, mirroring dedup_minhash_incremental): the NEW
+    batch (vec_id % 5 == 3) probes the standing corpus's persisted
+    band-bucket state — broadcast batch, corpus never reshuffled — and
+    every verified pair touching the batch comes back.  The md5-seeded
+    hyperplanes make the bucket state session-portable, so the oracle
+    is the full-corpus LSH replay restricted to batch-touching pairs."""
+    import pyspark.sql.functions as F  # noqa: N812 (local, matches module style)
+
+    from hive_scd_spark.operators.dedup import embedding_incremental_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 5 == 3
+    return embedding_incremental_pairs(
+        emb.filter(is_new),
+        emb.filter(~is_new),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        n_planes=4,
+        n_bands=4,
+        dim=64,
+    )
+
+
 def text_token_count(spark, sf_dir):
     """Whitespace + BPE-ish-regex token counting."""
     from hive_scd_spark.operators.text import token_counts
@@ -3188,6 +3214,19 @@ EXT_ORACLES: dict[str, str] = {
         JOIN embeddings c ON c.vec_id = cd.id_b
         WHERE {_COS_SQL} >= 0.35
     """,
+    "dedup_embedding_lsh_incremental": f"""
+        WITH {_lsh_bucket_cte(4, 64, n_bands=4)},
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM buckets x JOIN buckets y
+                   ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.vec_id < y.vec_id)
+        SELECT cd.id_a, cd.id_b, {_COS_SQL} AS cos
+        FROM cand cd
+        JOIN embeddings q ON q.vec_id = cd.id_a
+        JOIN embeddings c ON c.vec_id = cd.id_b
+        WHERE {_COS_SQL} >= 0.35
+          AND (cd.id_a % 5 = 3 OR cd.id_b % 5 = 3)
+    """,
     "dedup_embedding_lsh_auto": f"""
         WITH {_lsh_bucket_cte_auto(64, 4, 32)},
         cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -3911,6 +3950,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_click_purchase": asof_join_click_purchase,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    # r7: embedding-family incremental ingest (rotation candidate r8)
+    "dedup_embedding_lsh_incremental": dedup_embedding_lsh_incremental,
     "ann_lsh_topk": ann_lsh_topk,
     "text_bm25_topk": text_bm25_topk,
     "dedup_corpus_canonical": dedup_corpus_canonical,

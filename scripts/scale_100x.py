@@ -118,6 +118,7 @@ def main():
         exact_dedup,
         minhash_incremental_pairs,
         minhash_near_dup_pairs,
+        simhash_near_dups,
         substring_dup_pairs,
     )
     from hive_scd_spark.operators.text_rank import bm25_topk
@@ -138,6 +139,12 @@ def main():
 
     def exact_gate(d):
         return exact_dedup(d, "doc_id", text_col="text")
+
+    def simhash_gate(d):
+        # rotation-translated replicas have distinct token hashes, so
+        # band buckets stay replica-local and the in-replica
+        # Hamming-ball structure is what scales
+        return simhash_near_dups(d, "doc_id", "text")
 
     def bm25_gate(d):
         return bm25_topk(d, "doc_id", "text",
@@ -220,6 +227,7 @@ def main():
         ("dedup_exact_substring", substring_gate),
         ("dedup_minhash_incremental", incremental_gate),
         ("dedup_exact", exact_gate),
+        ("dedup_simhash_near", simhash_gate),
         ("text_bm25_topk", bm25_gate),
         ("graph_pagerank_dups", pagerank_gate),
         ("dedup_cluster_assign", cluster_gate),

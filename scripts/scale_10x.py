@@ -252,6 +252,7 @@ def main():
 
     from hive_scd_spark.operators.dedup import (
         minhash_incremental_pairs,
+        simhash_near_dups,
         substring_dup_pairs,
     )
     from hive_scd_spark.operators.profile import table_profile
@@ -275,6 +276,12 @@ def main():
 
     def profile_gate(docs):
         return table_profile(docs)
+
+    def simhash_gate(docs):
+        # vowel translation gives each replica distinct token hashes, so
+        # fingerprints differ across replicas and band buckets stay
+        # replica-local — the in-replica Hamming-ball structure scales
+        return simhash_near_dups(docs, "doc_id", "text")
 
     from hive_scd_spark.operators.cluster import pagerank
     from hive_scd_spark.operators.text_rank import build_inverted_index
@@ -311,6 +318,8 @@ def main():
         # round-6 third wave: blocked index census, iterative graph rank
         ("text_inverted_index", inverted_gate, docs1, docs10),
         ("graph_pagerank_dups", pagerank_gate, docs1, docs10),
+        # round-7: banded SimHash Hamming search
+        ("dedup_simhash_near", simhash_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

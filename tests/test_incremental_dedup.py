@@ -262,3 +262,81 @@ def test_streaming_state_equals_batch_rebuilt_state(spark, sf_dir, tmp_path):
         _pairs(minhash_near_dup_pairs(docs, "doc_id", "text", k=8, threshold=0.3))
     )
     assert got == want and got
+
+
+# --- embedding-family incremental ingest (r7) -------------------------
+
+
+def _cpairs(df):
+    return {(r.id_a, r.id_b, r.cos) for r in df.collect()}
+
+
+def test_embedding_incremental_equals_restricted_full(spark, sf_dir):
+    """Incremental new×corpus ∪ new×new pairs ≡ the full-corpus LSH
+    pair set restricted to pairs touching the batch — the md5-seeded
+    planes guarantee both runs bucket identically."""
+    from hive_scd_spark.operators.dedup import (
+        embedding_incremental_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+
+    full = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.35, use_lsh=True, n_planes=4, n_bands=4, dim=64,
+    )
+    want = {p for p in _cpairs(full) if p[0] % 5 == 3 or p[1] % 5 == 3}
+    got = _cpairs(
+        embedding_incremental_pairs(
+            new, corpus, "vec_id", "embedding",
+            threshold=0.35, n_planes=4, n_bands=4, dim=64,
+        )
+    )
+    assert got == want
+    assert got  # non-vacuous: near-dup vectors straddle the split
+
+
+def test_embedding_incremental_with_persisted_buckets(spark, sf_dir, tmp_path):
+    """The persisted bucket-state path must agree with the recompute
+    path — the session-portability claim (no plane matrix to store)."""
+    from hive_scd_spark.operators.dedup import embedding_incremental_pairs
+    from hive_scd_spark.operators.similarity import lsh_band_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+
+    state = str(tmp_path / "buckets")
+    lsh_band_buckets(corpus, "vec_id", "embedding", 4, 4, 64).write.parquet(state)
+    persisted = spark.read.parquet(state)
+
+    recompute = _cpairs(
+        embedding_incremental_pairs(
+            new, corpus, "vec_id", "embedding",
+            threshold=0.35, n_planes=4, n_bands=4, dim=64,
+        )
+    )
+    from_state = _cpairs(
+        embedding_incremental_pairs(
+            new, corpus, "vec_id", "embedding",
+            corpus_buckets=persisted,
+            threshold=0.35, n_planes=4, n_bands=4, dim=64,
+        )
+    )
+    assert from_state == recompute
+
+
+def test_embedding_incremental_broadcast_contract_in_plan(spark, sf_dir):
+    from hive_scd_spark.operators.dedup import embedding_incremental_pairs
+    from hive_scd_spark.plans import physical_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+    corpus = emb.filter(F.col("vec_id") % 5 != 3)
+    df = embedding_incremental_pairs(
+        new, corpus, "vec_id", "embedding", n_planes=4, n_bands=4, dim=64
+    )
+    assert "BroadcastHashJoin" in physical_plan(df)

@@ -115,6 +115,8 @@ SWEEP = [
     ("q21_waiting_orders", set()),
     # r7 banded SimHash Hamming search (bucket-local equi-join)
     ("dedup_simhash_near", set()),
+    # r7 embedding-family incremental ingest (broadcast batch probe)
+    ("dedup_embedding_lsh_incremental", set()),
     ("knn_brute_force", {"nested-loop"}),
     ("ivf_cosine_topk", {"nested-loop"}),
     ("ivf_kmeans_topk", {"nested-loop"}),
