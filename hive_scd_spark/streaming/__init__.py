@@ -290,6 +290,100 @@ def minhash_ingest_sink(
     )
 
 
+def embedding_ingest_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_bands: int = 4,
+    dim: int | None = None,
+):
+    """Continuous-ingest embedding near-dup detection — the
+    embedding-family mirror of :func:`minhash_ingest_sink`: a
+    ``foreachBatch`` loop around
+    ``operators.dedup.embedding_incremental_pairs`` maintaining the
+    persisted band-bucket state.
+
+    Per micro-batch: (1) every verified cosine pair between the batch
+    and the standing corpus state (plus within-batch pairs) is
+    appended to *pairs_path*; (2) the batch's own bucket rows and
+    (id, vector) payloads are appended to the state.  The corpus state
+    is only ever PROBED and appended — never rewritten, never
+    shuffled; the md5-seeded hyperplanes mean the state needs no plane
+    matrix and survives session restarts by construction.  Same
+    at-least-once append contract as minhash_ingest_sink (downstream
+    dedupes on (id_a, id_b))."""
+    from hive_scd_spark.operators.dedup import embedding_incremental_pairs
+    from hive_scd_spark.operators.similarity import lsh_band_buckets
+
+    buckets_dir = f"{state_path}/buckets"
+    vectors_dir = f"{state_path}/vectors"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select(id_col, vec_col).localCheckpoint()
+        # state probe through Spark's reader with the strict-error
+        # contract of minhash_ingest_sink: only path-not-found means
+        # "no state yet" — anything else must raise, or the batch
+        # would silently dedup against nothing
+        from pyspark.errors import AnalysisException
+
+        try:
+            corpus_buckets = spark.read.parquet(buckets_dir)
+            corpus_vectors = spark.read.parquet(vectors_dir)
+            have_state = True
+        except AnalysisException as exc:
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+            have_state = False
+        # bucket the batch ONCE (checkpointed) for both pair detection
+        # and the state append
+        nb = lsh_band_buckets(
+            batch_df, id_col, vec_col, n_planes, n_bands, dim
+        ).localCheckpoint()
+        if have_state:
+            pairs = embedding_incremental_pairs(
+                batch_df,
+                corpus_vectors,
+                id_col,
+                vec_col,
+                corpus_buckets=corpus_buckets,
+                new_buckets=nb,
+                threshold=threshold,
+                n_planes=n_planes,
+                n_bands=n_bands,
+                dim=dim,
+            )
+        else:
+            empty = spark.createDataFrame([], batch_df.schema)
+            pairs = embedding_incremental_pairs(
+                batch_df,
+                empty,
+                id_col,
+                vec_col,
+                corpus_buckets=nb.limit(0),
+                new_buckets=nb,
+                threshold=threshold,
+                n_planes=n_planes,
+                n_bands=n_bands,
+                dim=dim,
+            )
+        pairs.write.mode("append").parquet(pairs_path)
+        nb.write.mode("append").parquet(buckets_dir)
+        batch_df.write.mode("append").parquet(vectors_dir)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest)
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -340,3 +340,63 @@ def test_embedding_incremental_broadcast_contract_in_plan(spark, sf_dir):
         new, corpus, "vec_id", "embedding", n_planes=4, n_bands=4, dim=64
     )
     assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_embedding_streaming_ingest_matches_batch(spark, tmp_path):
+    """Two micro-batches through embedding_ingest_sink must discover
+    exactly the pairs batch LSH finds on the union corpus — including
+    cross-batch pairs detected against the persisted bucket state."""
+    from hive_scd_spark.operators.dedup import embedding_near_dup_pairs
+    from hive_scd_spark.streaming import embedding_ingest_sink
+
+    base = [1.0, 0.2, -0.5, 0.8, 0.1, -0.3, 0.7, 0.4]
+    other = [-0.6, 0.9, 0.3, -0.1, 0.5, 0.2, -0.8, 0.1]
+
+    def near(v, eps):
+        return [x + eps * ((i % 3) - 1) for i, x in enumerate(v)]
+
+    rows1 = [(1, base), (2, near(base, 0.01)), (3, other)]
+    rows2 = [(4, near(base, 0.02)), (5, near(other, 0.01)),
+             (6, [0.0, 0.0, 1.0, 0.0, -1.0, 0.0, 0.0, 2.0])]
+    schema = "vec_id long, embedding array<double>"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    sink = embedding_ingest_sink(
+        stream,
+        state_path=str(tmp_path / "state"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.9,
+        n_planes=2,
+        n_bands=2,
+        dim=8,
+    )
+    q = sink.start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.id_a, r.id_b, r.cos)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    all_vecs = spark.createDataFrame(rows1 + rows2, schema)
+    want = _cpairs(
+        embedding_near_dup_pairs(
+            all_vecs, "vec_id", "embedding",
+            threshold=0.9, use_lsh=True, n_planes=2, n_bands=2, dim=8,
+        )
+    )
+    assert got == want
+    # the scenario must exercise cross-batch detection, not just replays
+    assert any(a <= 3 < b for a, b, _ in got)
