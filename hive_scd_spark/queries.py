@@ -1078,8 +1078,21 @@ def layout_zorder_skipping(spark, sf_dir):
 
     dims = ["o_custkey", "o_totalprice"]
     orders = t(spark, sf_dir, "orders").select("o_orderkey", *dims)
+    # file count scales with rows (~512 rows/file, floor 64) — the
+    # constant-file-SIZE rule every production table layout follows.  A
+    # fixed count at growing data widens every file's per-dimension
+    # span and the skip fraction degrades: measured at sf0.1 with the
+    # r6 fixed n_files=32, the o_custkey slice touched 20/32 = 62.5 %
+    # (bound 60 %), while scaled files restore it (57/293 = 19 %).
+    # The floor is 64, not 32: with F files and 2 dims the weak
+    # dimension constrains ~floor(log2(F)/2) Morton-prefix bits, so 32
+    # files leave it only 2 bits (~half the files touched, measured
+    # 17-19/32 across sample-boundary rebuilds — one file from the
+    # bound); 64 gives both dims 3 bits and real headroom (SCALE_NOTES
+    # r7).  The count folds to row-group metadata on this raw scan.
+    n_files = max(64, -(-orders.count() // 512))
     tag = hashlib.md5(
-        ("zorder_gate_v2" + repr(dims) + _data_fingerprint(sf_dir, "orders")).encode()
+        ("zorder_gate_v4" + repr(dims) + _data_fingerprint(sf_dir, "orders")).encode()
     ).hexdigest()[:8]
     base = os.path.join(
         tempfile.gettempdir(),
@@ -1088,7 +1101,7 @@ def layout_zorder_skipping(spark, sf_dir):
     zpath, rpath = os.path.join(base, "z"), os.path.join(base, "rand")
     marker = os.path.join(base, "_built")
     if not os.path.exists(marker):
-        write_zordered(orders, zpath, by=dims, bits=10, n_files=32)
+        write_zordered(orders, zpath, by=dims, bits=10, n_files=n_files)
         n_files = sum(
             1 for f in os.listdir(zpath) if f.endswith(".parquet")
         )
