@@ -85,6 +85,8 @@ HEADLINE = [
     # iterative graph ranking over the substring-dup edges (edge set
     # checkpointed once; 5 integer rounds)
     "graph_pagerank_dups",
+    # round-7 banded SimHash Hamming search (pigeonhole-exact recall)
+    "dedup_simhash_near",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -116,6 +118,8 @@ ITERATIVE = {
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "graph_pagerank_dups",
+    # r7: the band table is lazily checkpointed (self-join reuse)
+    "dedup_simhash_near",
 }
 
 

@@ -206,6 +206,17 @@ def main():
             threshold=0.35, use_lsh=True, n_planes="auto", n_bands=4, dim=64,
         )
 
+    def emb_incremental_gate(emb):
+        # bounded batch (replica-0 slice) probing a 10x corpus — the
+        # broadcast-batch contract mirrored from minhash_incremental
+        from hive_scd_spark.operators.dedup import embedding_incremental_pairs
+
+        is_new = (F.col("vec_id") % 5 == 3) & (F.col("vec_id") <= emb_base_max)
+        return embedding_incremental_pairs(
+            emb.filter(is_new), emb.filter(~is_new), "vec_id", "embedding",
+            threshold=0.35, n_planes=4, n_bands=4, dim=64,
+        )
+
     from hive_scd_spark.operators.decontam import ngram_contamination
     from hive_scd_spark.operators.pack import pack_sequences
 
@@ -296,6 +307,8 @@ def main():
             "id_a", "id_b", iters=5,
         )
 
+    emb_base_max = emb1.agg(F.max("vec_id")).first()[0]
+
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
@@ -318,8 +331,9 @@ def main():
         # round-6 third wave: blocked index census, iterative graph rank
         ("text_inverted_index", inverted_gate, docs1, docs10),
         ("graph_pagerank_dups", pagerank_gate, docs1, docs10),
-        # round-7: banded SimHash Hamming search
+        # round-7: banded SimHash Hamming search + embedding ingest
         ("dedup_simhash_near", simhash_gate, docs1, docs10),
+        ("dedup_embedding_lsh_incremental", emb_incremental_gate, emb1, emb10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

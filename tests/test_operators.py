@@ -809,3 +809,44 @@ def test_lang_id_fused_latin_path_matches_trigram_model(spark, sf_dir):
     b = {r.doc_id: (r.pred_lang, r.confidence)
          for r in lang_id_fused(docs, "doc_id", "text").collect()}
     assert a == b
+
+
+def test_simhash_near_dups_fuzz_vs_bruteforce(spark):
+    """Property over random corpora and (bands, max_hamming) configs:
+    banded output == brute-force Hamming pairs over the collected
+    fingerprints — the pigeonhole recall guarantee, not just on the
+    fixture but on arbitrary corpus shapes (including hamming-0
+    clusters and singleton buckets)."""
+    import random
+
+    from hive_scd_spark.operators.dedup import simhash, simhash_near_dups
+
+    rng = random.Random(20260814)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    for bands, max_h in ((4, 3), (6, 5), (5, 2)):
+        n_docs = rng.randint(8, 20)
+        rows = []
+        for i in range(n_docs):
+            base = [rng.choice(vocab) for _ in range(rng.randint(5, 15))]
+            rows.append((i, " ".join(base)))
+            if rng.random() < 0.4:  # plant a near-dup neighbor
+                mutated = list(base)
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+                rows.append((1000 + i, " ".join(mutated)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fp = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+        ids = sorted(fp)
+        want = {
+            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(fp[a] ^ fp[b]).count("1") <= max_h
+        }
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_dups(
+                df, "doc_id", "text", bands=bands, max_hamming=max_h
+            ).collect()
+        }
+        assert got == want, (bands, max_h)
