@@ -341,9 +341,20 @@ def main():
     # is flagged and rc 2 (rc 1 only when everything failed).
     import json
 
+    # same inter-experiment isolation as scale_100x (pinned lazy-
+    # checkpoint blocks from earlier experiments otherwise accumulate
+    # in the unified pool; at 10x it costs noise, at 100x it OOMs)
+    import gc
+
+    def isolate() -> None:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}
     for label, fn, d1, d10 in experiments:
+        isolate()
         try:
             fn(d1).write.format("noop").mode("overwrite").save()  # warm shape
             t1 = min(timed(f"{label} @1x", lambda: fn(d1)) for _ in range(2))
