@@ -160,3 +160,118 @@ def table_profile(
         "min_str",
         "max_str",
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram sketch: ``(*by, bucket, cnt)`` — the
+    mergeable-QUANTILE primitive, the percentile analog of the HLL
+    persist+merge path (``sketch_merge_distinct_users``).
+
+    The sketch is a fixed-size (≤ *n_buckets* rows per group) summary a
+    daily job persists; :func:`histogram_merge` combines any number of
+    them by summing counts — no rescan of the data they summarize —
+    and :func:`histogram_quantiles` answers any percentile from the
+    merged state with error ≤ one bucket width ((hi-lo)/n_buckets).
+    That is how a 100 TB pipeline answers "p99 this quarter" without
+    re-sorting a quarter of data: per-block sketches are tiny, the
+    merge cost is independent of corpus size, and the data is scanned
+    exactly once, at block-build time.
+
+    Bucket assignment is pure IEEE double arithmetic
+    (``clamp(floor((v-lo)/width), 0, n-1)``), reproducible bit-exactly
+    in any engine — the DuckDB oracle replays it, so the sketch itself
+    is value-checked, not just its estimates.  NULLs are excluded
+    (they carry no quantile information); out-of-range values clamp to
+    the edge buckets, so a stale [lo, hi) still counts every row.
+    One map-combined groupBy shuffle of ≤ n_buckets × |groups| rows.
+    """
+    width = (hi - lo) / n_buckets
+    if not width > 0:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    keys = list(by or [])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_merge(sketch: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Merge histogram sketches by summing per-bucket counts —
+    associative, commutative, rescan-free.  Pass *by* to keep grouping
+    dimensions; omit it to collapse everything into one sketch."""
+    keys = list(by or [])
+    return sketch.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    ps: list[float],
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram sketch: for each
+    p, walk the cumulative distribution to the first bucket holding
+    rank ceil(p·N) and interpolate linearly inside it.  Output
+    ``(*by, p, est)``; estimation error ≤ one bucket width by
+    construction (the true value lies inside the located bucket).
+
+    Plan: one window cumulative sum over the (tiny, ≤ n_buckets-row)
+    sketch per group, the p list exploded from a LITERAL array (a
+    projection, not a join), and a min-struct argmin — all on
+    sketch-sized data, the raw corpus is never touched.  The
+    ungrouped window runs single-partition by design: its input is
+    bounded at n_buckets rows BY CONSTRUCTION (the audit-linter
+    exemption is documented at the registry gate)."""
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / n_buckets
+    keys = list(by or [])
+    w = W.partitionBy(*keys).orderBy("bucket") if keys else W.orderBy("bucket")
+    cum = sketch.select(
+        *keys,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(
+            (W.partitionBy(*keys) if keys else W.partitionBy())
+            .orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("__total"),
+    )
+    hit = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    ).filter(F.col("__cum") >= F.ceil(F.col("p") * F.col("__total")))
+    # the FIRST qualifying bucket per (group, p): min-struct argmin
+    frac = (
+        F.ceil(F.col("p") * F.col("__total")) - (F.col("__cum") - F.col("cnt"))
+    ).cast("double") / F.col("cnt").cast("double")
+    est = F.lit(float(lo)) + (F.col("bucket").cast("double") + frac) * F.lit(width)
+    picked = (
+        hit.select(
+            *keys,
+            "p",
+            F.struct(F.col("bucket").alias("b"), est.alias("est")).alias("__be"),
+        )
+        .groupBy(*keys, "p")
+        .agg(F.min("__be").alias("__best"))
+    )
+    return picked.select(
+        *keys, "p", F.round(F.col("__best.est"), 6).alias("est")
+    )

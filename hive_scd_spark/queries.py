@@ -1132,6 +1132,57 @@ def layout_zorder_skipping(spark, sf_dir):
     )
 
 
+def sketch_quantile_totalprice(spark, sf_dir):
+    """Mergeable-quantile sketch (the percentile analog of the HLL
+    persist+merge gate): per-month equi-width histogram sketches of
+    o_totalprice built independently — the state a daily job persists
+    — merged WITHOUT rescanning, then p50/p90/p99 estimated from the
+    merged state with error ≤ one bucket width.
+
+    The oracle builds the global sketch directly: per-row bucket
+    assignment is grouping-independent and counts are integers, so
+    per-month-build-then-merge must equal the direct build EXACTLY —
+    the hash-value match IS the mergeability proof.  within_bound
+    additionally checks each estimate against the engine's exact
+    percentile with the documented slack (both engines interpolate
+    type-7; the bucket width dwarfs any FP drift)."""
+    from hive_scd_spark.operators.profile import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).first()
+    lo, hi, nb = float(stats["lo"]), float(stats["hi"]), 128
+    width = (hi - lo) / nb
+    ps = [0.5, 0.9, 0.99]
+    monthly = histogram_sketch(
+        orders.withColumn("mon", F.date_trunc("month", "o_orderdate")),
+        "o_totalprice",
+        lo,
+        hi,
+        nb,
+        by=["mon"],
+    )
+    merged = histogram_merge(monthly)  # collapse the month dimension
+    qs = histogram_quantiles(merged, ps, lo, hi, nb)
+    exact = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(p) for p in ps])).alias("ex")
+    ).select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in ps]).alias("p"), F.col("ex").alias("ex")
+            )
+        ).alias("z")
+    ).select(F.col("z.p").alias("p"), F.col("z.ex").alias("ex"))
+    return qs.join(exact, "p").select(
+        "p", "est", (F.abs(F.col("est") - F.col("ex")) <= F.lit(width)).alias("within_bound")
+    )
+
+
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash fingerprint per document."""
     from hive_scd_spark.operators.dedup import simhash
@@ -3274,6 +3325,42 @@ EXT_ORACLES: dict[str, str] = {
         FROM votes JOIN n ON votes.doc_id = n.doc_id
         GROUP BY 1
     """,
+    "sketch_quantile_totalprice": """
+        WITH stats AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                       FROM orders),
+        params AS (SELECT lo, hi, (hi - lo) / 128 AS width FROM stats),
+        -- direct global build: per-row bucketing is grouping-independent,
+        -- so Spark's per-month-build + merge must equal this EXACTLY
+        sk AS (SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - lo) / width), 0),
+                                 127) AS BIGINT) AS bucket,
+                      COUNT(*) AS cnt
+               FROM orders, params
+               WHERE o_totalprice IS NOT NULL
+               GROUP BY 1),
+        cum AS (SELECT bucket, cnt,
+                       SUM(cnt) OVER (ORDER BY bucket) AS cum,
+                       SUM(cnt) OVER () AS total
+                FROM sk),
+        ps AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p),
+        hit AS (SELECT p, bucket, cnt, cum, total
+                FROM cum, ps WHERE cum >= CEIL(p * total)),
+        first_hit AS (SELECT p, MIN(bucket) AS b FROM hit GROUP BY 1),
+        est AS (SELECT h.p,
+                       ROUND(lo + (h.bucket
+                                   + (CEIL(h.p * h.total) - (h.cum - h.cnt))
+                                     / CAST(h.cnt AS DOUBLE)) * width,
+                             6) AS est
+                FROM hit h JOIN first_hit f ON h.p = f.p AND h.bucket = f.b,
+                     params),
+        exact AS (SELECT 0.5::DOUBLE AS p, quantile_cont(o_totalprice, 0.5) AS ex FROM orders
+                  UNION ALL
+                  SELECT 0.9::DOUBLE, quantile_cont(o_totalprice, 0.9) FROM orders
+                  UNION ALL
+                  SELECT 0.99::DOUBLE, quantile_cont(o_totalprice, 0.99) FROM orders)
+        SELECT est.p, est.est,
+               ABS(est.est - exact.ex) <= (SELECT width FROM params) AS within_bound
+        FROM est JOIN exact ON est.p = exact.p
+    """,
     "dedup_simhash_near": """
         WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
                       FROM documents),
@@ -3965,6 +4052,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     # r7: embedding-family incremental ingest (rotation candidate r8)
     "dedup_embedding_lsh_incremental": dedup_embedding_lsh_incremental,
+    # r7: mergeable-quantile sketch (rotation candidate r8)
+    "sketch_quantile_totalprice": sketch_quantile_totalprice,
     "ann_lsh_topk": ann_lsh_topk,
     "text_bm25_topk": text_bm25_topk,
     "dedup_corpus_canonical": dedup_corpus_canonical,

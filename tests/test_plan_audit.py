@@ -117,6 +117,10 @@ SWEEP = [
     ("dedup_simhash_near", set()),
     # r7 embedding-family incremental ingest (broadcast batch probe)
     ("dedup_embedding_lsh_incremental", set()),
+    # r7 mergeable-quantile sketch: the ungrouped cumulative window runs
+    # over a ≤128-row sketch — bounded BY CONSTRUCTION (n_buckets), the
+    # same provably-small-but-not-1-row contract as the ANN builds
+    ("sketch_quantile_totalprice", {"single-partition"}),
     ("knn_brute_force", {"nested-loop"}),
     ("ivf_cosine_topk", {"nested-loop"}),
     ("ivf_kmeans_topk", {"nested-loop"}),

@@ -80,3 +80,63 @@ def test_profile_complex_columns_error_or_skip(spark):
         table_profile(df.select("arr"), on_complex="skip")
     with pytest.raises(ValueError, match="on_complex"):
         table_profile(df, on_complex="bogus")
+
+
+# --- mergeable histogram-quantile sketch (r7) -------------------------
+
+
+def test_histogram_merge_equals_direct_build(spark):
+    """Per-group build + merge must equal the direct global build
+    exactly — bucket assignment is grouping-independent and counts are
+    integers; this identity is what makes the sketch persistable."""
+    from hive_scd_spark.operators.profile import histogram_merge, histogram_sketch
+
+    df = spark.range(1000).selectExpr(
+        "cast(id % 7 as string) as g", "cast(id * 37 % 997 as double) as v"
+    )
+    direct = {
+        (r.bucket, r.cnt)
+        for r in histogram_sketch(df, "v", 0.0, 997.0, 32).collect()
+    }
+    merged = {
+        (r.bucket, r.cnt)
+        for r in histogram_merge(
+            histogram_sketch(df, "v", 0.0, 997.0, 32, by=["g"])
+        ).collect()
+    }
+    assert merged == direct
+    assert sum(c for _, c in direct) == 1000
+
+
+def test_histogram_quantiles_within_bucket_width(spark):
+    from hive_scd_spark.operators.profile import histogram_quantiles, histogram_sketch
+
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(0, 100) ** 2 for _ in range(2000)]  # skewed
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    lo, hi, nb = 0.0, 10000.0, 64
+    width = (hi - lo) / nb
+    sk = histogram_sketch(df, "v", lo, hi, nb)
+    got = {r.p: r.est for r in histogram_quantiles(sk, [0.5, 0.9, 0.99], lo, hi, nb).collect()}
+    svals = sorted(vals)
+    for p in (0.5, 0.9, 0.99):
+        exact = svals[int(p * (len(svals) - 1))]
+        assert abs(got[p] - exact) <= width + 1e-6, (p, got[p], exact)
+
+
+def test_histogram_sketch_clamps_out_of_range_and_rejects_bad_range(spark):
+    import pytest as _pytest
+
+    from hive_scd_spark.operators.profile import histogram_sketch
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (9.5,), (50.0,), (None,)], "v double"
+    )
+    rows = {r.bucket: r.cnt for r in histogram_sketch(df, "v", 0.0, 10.0, 10).collect()}
+    assert rows[0] == 2          # -5 clamps down, 0.5 lands
+    assert rows[9] == 2          # 9.5 lands, 50 clamps up
+    assert sum(rows.values()) == 4  # NULL excluded
+    with _pytest.raises(ValueError, match="hi > lo"):
+        histogram_sketch(df, "v", 10.0, 10.0, 10)
