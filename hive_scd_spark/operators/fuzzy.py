@@ -1,0 +1,200 @@
+"""Edit-distance (fuzzy) joins — segment-blocked Levenshtein matching.
+
+The entity-matching / typo-clustering primitive: find all string pairs
+within edit distance *d* without an all-pairs comparison.  Blocking is
+the PassJoin scheme (Li, Deng, Feng: "PassJoin: a partition-based
+method for similarity joins", PVLDB 2011, public algorithm):
+
+    Partition every string into d+1 contiguous segments.  If
+    ed(s, t) <= d, then by pigeonhole at least one segment of s is
+    UNTOUCHED by all d edits and therefore occurs VERBATIM as a
+    substring of t — and because i edits can shift an alignment by at
+    most d positions, it occurs within ±d of its home position.
+
+So an equi-join of (segment-index, source-length, segment-string)
+index keys against each string's windowed substrings finds every
+qualifying pair — exact recall, like the SimHash band pigeonhole but
+for edit distance — and `levenshtein() <= d` verifies bucket-local
+candidates only.  Reference scope: beyond the reference core
+(SURVEY §7.6 extension family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _seg_start(L, i, k):
+    """0-based start of segment *i* when a length-*L* string is evenly
+    partitioned into *k* segments (first L mod k segments one longer) —
+    pure column arithmetic, replayable in any SQL engine."""
+    base = (L / k).cast("long")  # floor division on non-negative longs
+    rem = L % k
+    return i * base + F.least(F.lit(i).cast("long"), rem)
+
+
+def _seg_len(L, i, k):
+    base = (L / k).cast("long")
+    rem = L % k
+    return base + F.when(F.lit(i) < rem, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def edit_distance_self_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs within Levenshtein distance *max_dist* — exact
+    (recall-complete) via PassJoin segment blocking, never all-pairs.
+
+    Output ``(id_a, id_b, str_a, str_b, dist)`` with ``id_a < id_b``
+    and ``dist <= max_dist``; a pair matching through several segments
+    appears once.  Strings shorter than ``max_dist + 1`` are excluded
+    (they cannot be partitioned into d+1 non-empty segments; at those
+    lengths "within d edits" is near-vacuous anyway) — a documented
+    contract, not a silent drop: the gate filters explicitly.
+
+    Plan shape: index side explodes d+1 segment keys per string;
+    probe side explodes (2d+1 source-lengths × d+1 segments × ≤2d+1
+    window positions) substrings per string — both linear in the
+    input with small constants (18 probe rows/string at d=1).  ONE
+    shuffle on the (segment-index, source-length, segment-string)
+    block key joins them; candidate volume is bounded by block
+    population (segment diversity), and the only per-candidate work is
+    one `levenshtein` call on two short strings.  Both sides carry
+    their strings through the join, so verification needs no lookup
+    join — the simhash_near_dups discipline.
+
+    At 100 TB the block key distribution is the thing to watch: a
+    corpus whose strings share a constant-prefix segment (serial IDs,
+    "Customer#…") degenerates that block to all-pairs.  That is a
+    DATA property, not a plan property — pick segments from the
+    variable part (or raise max_dist so segments split the constant
+    prefix) rather than capping the block, because a cap would break
+    the recall guarantee exactly for the pairs that differ in the
+    OTHER segment."""
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    k = d + 1
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.length(str_col).cast("long").alias("__L"),
+    ).filter(F.col("__L") >= k)
+
+    # index side: the d+1 segments of each string, keyed by
+    # (segment idx, full length, segment text, home position)
+    L = F.col("__L")
+    idx_parts = [
+        F.struct(
+            F.lit(i).cast("int").alias("i"),
+            _seg_start(L, i, k).cast("int").alias("pos"),
+            F.col("__s").substr(
+                (_seg_start(L, i, k) + 1).cast("int"), _seg_len(L, i, k).cast("int")
+            ).alias("seg"),
+        )
+        for i in range(k)
+    ]
+    index = base.select(
+        F.col("__id").alias("ia"),
+        F.col("__s").alias("sa"),
+        F.col("__L").alias("La"),
+        F.explode(F.array(*idx_parts)).alias("__p"),
+    ).select(
+        "ia",
+        "sa",
+        "La",
+        F.col("__p.i").alias("i"),
+        F.col("__p.pos").alias("pos"),
+        F.col("__p.seg").alias("seg"),
+    )
+
+    # probe side: for every SOURCE length L' within ±d of this string's
+    # length and every segment index, the substrings of this string at
+    # the segment's length, within ±d of the segment's home position.
+    # Two CHAINED explodes, not one: exploding the source-length delta
+    # first and computing (Ls, Ls div k, Ls mod k) as plain columns
+    # keeps each second-stage struct a few additions — the single
+    # fully-inlined (2d+1)(d+1)(2d+1)-struct array repeats the length
+    # arithmetic per field, overflows janino's method limit, and drops
+    # the whole projection to interpreted eval (the SCALE_NOTES r6
+    # interpreted-expression trap, measured 3-4x on corpus passes).
+    by_len = (
+        base.select(
+            F.col("__id").alias("ib"),
+            F.col("__s").alias("sb"),
+            F.col("__L").alias("Lb"),
+            F.explode(
+                F.array(*[F.lit(x).cast("long") for x in range(-d, d + 1)])
+            ).alias("__dl"),
+        )
+        .select(
+            "ib", "sb", "Lb", (F.col("Lb") + F.col("__dl")).alias("Ls")
+        )
+        .filter(F.col("Ls") >= k)  # source must be partitionable
+        .select(
+            "ib",
+            "sb",
+            "Lb",
+            "Ls",
+            (F.col("Ls") / k).cast("long").alias("__qb"),
+            (F.col("Ls") % k).alias("__qr"),
+        )
+    )
+    qb, qr = F.col("__qb"), F.col("__qr")
+    probe_parts = []
+    for i in range(k):
+        start = i * qb + F.least(F.lit(i).cast("long"), qr)
+        ln = qb + F.when(F.lit(i) < qr, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        for w in range(-d, d + 1):
+            p = start + w  # 0-based position in THIS string
+            probe_parts.append(
+                F.struct(
+                    F.lit(i).cast("int").alias("i"),
+                    p.cast("int").alias("p"),
+                    ln.cast("int").alias("ln"),
+                    F.col("sb").substr((p + 1).cast("int"), ln.cast("int")).alias("sub"),
+                )
+            )
+    probe = (
+        by_len.select(
+            "ib", "sb", "Lb", "Ls", F.explode(F.array(*probe_parts)).alias("__q")
+        )
+        .filter(
+            (F.col("__q.p") >= 0)
+            & (F.col("__q.p") + F.col("__q.ln") <= F.col("Lb"))
+            & (F.col("__q.ln") > 0)
+        )
+        .select(
+            "ib",
+            "sb",
+            F.col("__q.i").alias("i"),
+            F.col("Ls"),
+            F.col("__q.p").alias("pos_b"),
+            F.col("__q.sub").alias("sub"),
+        )
+        .dropDuplicates(["ib", "i", "Ls", "pos_b", "sub"])
+    )
+
+    cand = index.join(
+        probe,
+        (index["i"] == probe["i"])
+        & (index["La"] == probe["Ls"])
+        & (index["seg"] == probe["sub"])
+        & (index["ia"] != probe["ib"]),
+    )
+    dist = F.levenshtein(F.col("sa"), F.col("sb"))
+    return (
+        cand.select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.when(F.col("ia") < F.col("ib"), F.col("sa")).otherwise(F.col("sb")).alias("str_a"),
+            F.when(F.col("ia") < F.col("ib"), F.col("sb")).otherwise(F.col("sa")).alias("str_b"),
+            dist.cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= d)
+        .distinct()
+    )

@@ -1132,6 +1132,37 @@ def layout_zorder_skipping(spark, sf_dir):
     )
 
 
+def fuzzy_typo_pairs(spark, sf_dir):
+    """Edit-distance self-join (PassJoin segment blocking,
+    operators/fuzzy.py): all string pairs within Levenshtein distance
+    1, exact recall, never all-pairs.  The synthetic corpus has a
+    24-word vocabulary (zero organic typo pairs), so the gate plants
+    them deterministically — the boilerplate-gate precedent: every
+    doc contributes a 12-char md5-derived string, and every 7th doc
+    also contributes a one-character-substituted copy.  Expected
+    output: each typo pairs with its source at dist 1 (plus any
+    md5 coincidences — the oracle decides).
+
+    The oracle uses the same pigeonhole the operator's blocking rests
+    on: equal-length strings at distance <= 1 differ by one
+    SUBSTITUTION, so one half matches verbatim — a fast exact
+    prefilter replacing the quadratic scan."""
+    from hive_scd_spark.operators.fuzzy import edit_distance_self_join
+
+    docs = t(spark, sf_dir, "documents")
+    strs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12).alias("w"),
+    )
+    typos = strs.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(
+            F.substring("w", 1, 4), F.lit("z"), F.substring("w", 6, 7)
+        ).alias("w"),
+    )
+    return edit_distance_self_join(strs.unionByName(typos), "id", "w", max_dist=1)
+
+
 def sketch_quantile_totalprice(spark, sf_dir):
     """Mergeable-quantile sketch (the percentile analog of the HLL
     persist+merge gate): per-month equi-width histogram sketches of
@@ -3325,6 +3356,35 @@ EXT_ORACLES: dict[str, str] = {
         FROM votes JOIN n ON votes.doc_id = n.doc_id
         GROUP BY 1
     """,
+    "fuzzy_typo_pairs": """
+        WITH strs AS (
+          SELECT doc_id AS id,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS w
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 substr(w, 1, 4) || 'z' || substr(w, 6, 7)
+          FROM (SELECT doc_id,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS w
+                FROM documents WHERE doc_id % 7 = 0)),
+        -- equal-length strings at dist <= 1 differ by one SUBSTITUTION,
+        -- so one half matches verbatim (the operator's own pigeonhole):
+        -- exact prefilter, no quadratic scan
+        cand AS (
+          SELECT a.id AS ia, b.id AS ib
+          FROM strs a JOIN strs b
+            ON substr(a.w, 1, 6) = substr(b.w, 1, 6) AND a.id < b.id
+          UNION
+          SELECT a.id, b.id
+          FROM strs a JOIN strs b
+            ON substr(a.w, 7, 6) = substr(b.w, 7, 6) AND a.id < b.id)
+        SELECT c.ia AS id_a, c.ib AS id_b, a.w AS str_a, b.w AS str_b,
+               CAST(levenshtein(a.w, b.w) AS INT) AS dist
+        FROM cand c
+        JOIN strs a ON a.id = c.ia
+        JOIN strs b ON b.id = c.ib
+        WHERE levenshtein(a.w, b.w) <= 1
+    """,
     "sketch_quantile_totalprice": """
         WITH stats AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
                        FROM orders),
@@ -4054,6 +4114,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh_incremental": dedup_embedding_lsh_incremental,
     # r7: mergeable-quantile sketch (rotation candidate r8)
     "sketch_quantile_totalprice": sketch_quantile_totalprice,
+    # r7: PassJoin edit-distance self-join (rotation candidate r8)
+    "fuzzy_typo_pairs": fuzzy_typo_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "text_bm25_topk": text_bm25_topk,
     "dedup_corpus_canonical": dedup_corpus_canonical,

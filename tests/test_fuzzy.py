@@ -1,0 +1,75 @@
+"""PassJoin edit-distance self-join: recall-exactness against a
+Python Levenshtein brute force over random corpora, plus contract
+edges (short strings excluded, d=0 degenerates to exact match)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from hive_scd_spark.operators.fuzzy import edit_distance_self_join
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return dp[n]
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_fuzzy_join_fuzz_vs_bruteforce(spark, d):
+    """Blocked output == brute-force pairs at every distance <= d —
+    the PassJoin pigeonhole recall guarantee on random corpora with a
+    small alphabet (dense near-matches, varied lengths)."""
+    rng = random.Random(20260814 + d)
+    for _ in range(3):
+        words = list(
+            {
+                "".join(rng.choice("abcd") for _ in range(rng.randint(d + 1, 7)))
+                for _ in range(50)
+            }
+        )
+        rows = [(i, w) for i, w in enumerate(words)]
+        df = spark.createDataFrame(rows, "id long, w string")
+        want = {
+            (min(i, j), max(i, j), _lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if _lev(a, b) <= d
+        }
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_self_join(df, "id", "w", d).collect()
+        }
+        assert got == want
+
+
+def test_fuzzy_join_excludes_short_strings_and_carries_strings(spark):
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abcd"), (3, "abce"), (4, "a")], "id long, w string"
+    )
+    out = edit_distance_self_join(df, "id", "w", max_dist=2)
+    rows = {(r.id_a, r.id_b): (r.str_a, r.str_b, r.dist) for r in out.collect()}
+    # ids 1/4 are shorter than d+1=3 chars → excluded by contract
+    assert set(rows) == {(2, 3)}
+    assert rows[(2, 3)] == ("abcd", "abce", 1)
+
+
+def test_fuzzy_join_d0_is_exact_match(spark):
+    df = spark.createDataFrame(
+        [(1, "xyz"), (2, "xyz"), (3, "xyw")], "id long, w string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_self_join(df, "id", "w", max_dist=0).collect()
+    }
+    assert got == {(1, 2, 0)}
+    with pytest.raises(ValueError, match=">= 0"):
+        edit_distance_self_join(df, "id", "w", max_dist=-1)

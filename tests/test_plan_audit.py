@@ -117,6 +117,8 @@ SWEEP = [
     ("dedup_simhash_near", set()),
     # r7 embedding-family incremental ingest (broadcast batch probe)
     ("dedup_embedding_lsh_incremental", set()),
+    # r7 PassJoin edit-distance join (block-key equi-join + verify)
+    ("fuzzy_typo_pairs", set()),
     # r7 mergeable-quantile sketch: the ungrouped cumulative window runs
     # over a ≤128-row sketch — bounded BY CONSTRUCTION (n_buckets), the
     # same provably-small-but-not-1-row contract as the ANN builds
