@@ -87,6 +87,9 @@ HEADLINE = [
     "graph_pagerank_dups",
     # round-7 banded SimHash Hamming search (pigeonhole-exact recall)
     "dedup_simhash_near",
+    # round-7 PassJoin fuzzy join + mergeable-quantile sketch
+    "fuzzy_typo_pairs",
+    "sketch_quantile_totalprice",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -120,6 +123,8 @@ ITERATIVE = {
     "graph_pagerank_dups",
     # r7: the band table is lazily checkpointed (self-join reuse)
     "dedup_simhash_near",
+    # r7: the builder's min/max .first() (sketch range) is an action
+    "sketch_quantile_totalprice",
 }
 
 

@@ -294,6 +294,23 @@ def main():
         # replica-local — the in-replica Hamming-ball structure scales
         return simhash_near_dups(docs, "doc_id", "text")
 
+    def fuzzy_gate(docs):
+        # replicas carry distinct doc_ids → distinct md5 strings, so
+        # typo pairs stay replica-local (planted rate preserved)
+        from hive_scd_spark.operators.fuzzy import edit_distance_self_join
+
+        strs = docs.select(
+            F.col("doc_id").alias("id"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12).alias("w"),
+        )
+        typos = strs.filter(F.col("id") % 7 == 0).select(
+            (F.col("id") + 100000000).alias("id"),
+            F.concat(
+                F.substring("w", 1, 4), F.lit("z"), F.substring("w", 6, 7)
+            ).alias("w"),
+        )
+        return edit_distance_self_join(strs.unionByName(typos), "id", "w", 1)
+
     from hive_scd_spark.operators.cluster import pagerank
     from hive_scd_spark.operators.text_rank import build_inverted_index
 
@@ -334,6 +351,7 @@ def main():
         # round-7: banded SimHash Hamming search + embedding ingest
         ("dedup_simhash_near", simhash_gate, docs1, docs10),
         ("dedup_embedding_lsh_incremental", emb_incremental_gate, emb1, emb10),
+        ("fuzzy_typo_pairs", fuzzy_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in
