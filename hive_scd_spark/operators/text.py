@@ -965,3 +965,104 @@ def lang_id_fused(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .alias("pred_script"),
         conf.alias("confidence"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    token_pattern: str = "[a-z]+",
+) -> list[tuple[str, str]]:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units" —
+    the learn_bpe algorithm): greedily merge the most frequent
+    adjacent symbol pair *n_merges* times, and return the ordered
+    merge list that :func:`bpe_tokenize` / :func:`bpe_tokenize_batched`
+    consume.
+
+    The 100 TB shape: the corpus is scanned ONCE, for lowercased word
+    frequencies; every training round then runs over the DISTINCT-word
+    table weighted by frequency — vocabulary-sized, not corpus-sized —
+    the same placement argument as feature hashing's post-distinct
+    vocabulary (corpus instances >> distinct words).  Per round: one
+    vocab-sized pair-explode + map-combined groupBy, ONE driver-side
+    row collected (the argmax pair — bounded by construction, like the
+    k-means seeds), and a fold-left merge projection.  Lineage is
+    truncated with a lazy checkpoint every few rounds (the pagerank
+    discipline) so round n's plan does not replay rounds 0..n-1.
+
+    Determinism: pair counting weights EVERY adjacency (``zip(w,
+    w[1:])`` — a run ``aaa`` counts (a,a) twice), the winner is
+    (max count, then lexicographically smallest pair), and merging is
+    the leftmost non-overlapping scan — a fold-left replace is
+    EQUIVALENT to the canonical scan within one round because a
+    freshly merged symbol ``a+b`` can never equal the left element
+    ``a`` (b is non-empty), so it cannot cascade.  The whole loop is
+    pinned against a Python reference trainer in tests.
+
+    Stops early when no adjacent pair occurs at least twice (merging
+    singletons adds vocabulary entries no tokenizer would use).
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_pattern), 0)
+            ).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count("*").alias("__freq"))
+    )
+    syms = words.select(
+        "__freq",
+        F.concat(
+            F.filter(F.split("__w", ""), lambda x: x != ""),
+            F.array(F.lit("</w>")),
+        ).alias("__syms"),
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[str, str]] = []
+    cur = syms
+    for rnd in range(n_merges):
+        pairs = (
+            cur.select(
+                "__freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__syms") - 2),
+                        lambda i: F.struct(
+                            F.element_at("__syms", i + 1).alias("a"),
+                            F.element_at("__syms", i + 2).alias("b"),
+                        ),
+                    )
+                ).alias("__p"),
+            )
+            .filter(F.size(F.col("__syms")) >= 2)
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("__freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+        )
+        if not best or best[0]["cnt"] < 2:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        ab = a + b
+        cur = cur.select(
+            "__freq",
+            F.aggregate(
+                "__syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("__syms"),
+        )
+        if (rnd + 1) % 4 == 0:
+            cur = cur.localCheckpoint(eager=False)
+    return merges

@@ -1132,6 +1132,26 @@ def layout_zorder_skipping(spark, sf_dir):
     )
 
 
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary induction (operators/text.py
+    bpe_train — Sennrich learn_bpe): 12 greedy merge rounds over the
+    frequency-weighted DISTINCT-word table (corpus scanned once), the
+    learned merge list returned as ordered rows.
+
+    Rows-only gate by the driver contract's iterative-algorithm
+    category: k argmax rounds are not one SQL statement.  Correctness
+    is pinned merge-for-merge against a Python reference trainer on
+    random corpora, and end-to-end by feeding the learned table to the
+    production tokenizer (tests/test_operators.py)."""
+    from hive_scd_spark.operators.text import bpe_train
+
+    merges = bpe_train(t(spark, sf_dir, "documents"), "text", n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
 def fuzzy_typo_pairs(spark, sf_dir):
     """Edit-distance self-join (PassJoin segment blocking,
     operators/fuzzy.py): all string pairs within Levenshtein distance
@@ -3906,6 +3926,10 @@ ORACLES: dict[str, str] = {
 ROWS_ONLY_GATES: frozenset[str] = frozenset({
     # file-layout evidence (parquet footer spans) — no SQL replay exists
     "layout_zorder_skipping",
+    # iterative algorithm (k greedy argmax rounds) — the driver contract's
+    # explicit weaker-check category; the loop is pinned merge-for-merge
+    # against a Python reference trainer in tests/test_operators.py
+    "text_bpe_train",
 })
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4116,6 +4140,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_quantile_totalprice": sketch_quantile_totalprice,
     # r7: PassJoin edit-distance self-join (rotation candidate r8)
     "fuzzy_typo_pairs": fuzzy_typo_pairs,
+    # r7: distributed BPE vocabulary induction (rows-only: iterative)
+    "text_bpe_train": text_bpe_train,
     "ann_lsh_topk": ann_lsh_topk,
     "text_bm25_topk": text_bm25_topk,
     "dedup_corpus_canonical": dedup_corpus_canonical,
