@@ -40,6 +40,152 @@ def _seg_len(L, i, k):
     return base + F.when(F.lit(i) < rem, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
 
+def _base(df: DataFrame, id_col: str, str_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.length(str_col).cast("long").alias("__L"),
+    ).filter(F.col("__L") >= k)
+
+
+def _index_side(base: DataFrame, k: int) -> DataFrame:
+    """The d+1 segments of each string, keyed by (segment idx, full
+    length, segment text): columns (ia, sa, La, i, seg)."""
+    L = F.col("__L")
+    idx_parts = [
+        F.struct(
+            F.lit(i).cast("int").alias("i"),
+            F.col("__s")
+            .substr((_seg_start(L, i, k) + 1).cast("int"), _seg_len(L, i, k).cast("int"))
+            .alias("seg"),
+        )
+        for i in range(k)
+    ]
+    return base.select(
+        F.col("__id").alias("ia"),
+        F.col("__s").alias("sa"),
+        F.col("__L").alias("La"),
+        F.explode(F.array(*idx_parts)).alias("__p"),
+    ).select(
+        "ia", "sa", "La", F.col("__p.i").alias("i"), F.col("__p.seg").alias("seg")
+    )
+
+
+def _probe_side(base: DataFrame, k: int, d: int) -> DataFrame:
+    """For every SOURCE length L' within ±d of this string's length and
+    every segment index, the substrings of this string at the
+    segment's length, within ±d of the segment's home position:
+    columns (ib, sb, i, Ls, pos_b, sub).
+
+    Two CHAINED explodes, not one: exploding the source-length delta
+    first and computing (Ls, Ls div k, Ls mod k) as plain columns
+    keeps each second-stage struct a few additions — the single
+    fully-inlined (2d+1)(d+1)(2d+1)-struct array repeats the length
+    arithmetic per field, overflows janino's method limit, and drops
+    the whole projection to interpreted eval (the SCALE_NOTES r6
+    interpreted-expression trap, measured 3-4x on corpus passes)."""
+    by_len = (
+        base.select(
+            F.col("__id").alias("ib"),
+            F.col("__s").alias("sb"),
+            F.col("__L").alias("Lb"),
+            F.explode(
+                F.array(*[F.lit(x).cast("long") for x in range(-d, d + 1)])
+            ).alias("__dl"),
+        )
+        .select("ib", "sb", "Lb", (F.col("Lb") + F.col("__dl")).alias("Ls"))
+        .filter(F.col("Ls") >= k)  # source must be partitionable
+        .select(
+            "ib",
+            "sb",
+            "Lb",
+            "Ls",
+            (F.col("Ls") / k).cast("long").alias("__qb"),
+            (F.col("Ls") % k).alias("__qr"),
+        )
+    )
+    qb, qr = F.col("__qb"), F.col("__qr")
+    probe_parts = []
+    for i in range(k):
+        start = i * qb + F.least(F.lit(i).cast("long"), qr)
+        ln = qb + F.when(F.lit(i) < qr, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        for w in range(-d, d + 1):
+            p = start + w  # 0-based position in THIS string
+            probe_parts.append(
+                F.struct(
+                    F.lit(i).cast("int").alias("i"),
+                    p.cast("int").alias("p"),
+                    ln.cast("int").alias("ln"),
+                    F.col("sb").substr((p + 1).cast("int"), ln.cast("int")).alias("sub"),
+                )
+            )
+    return (
+        by_len.select(
+            "ib", "sb", "Lb", "Ls", F.explode(F.array(*probe_parts)).alias("__q")
+        )
+        .filter(
+            (F.col("__q.p") >= 0)
+            & (F.col("__q.p") + F.col("__q.ln") <= F.col("Lb"))
+            & (F.col("__q.ln") > 0)
+        )
+        .select(
+            "ib",
+            "sb",
+            F.col("__q.i").alias("i"),
+            F.col("Ls"),
+            F.col("__q.p").alias("pos_b"),
+            F.col("__q.sub").alias("sub"),
+        )
+        .dropDuplicates(["ib", "i", "Ls", "pos_b", "sub"])
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Two-table fuzzy join (record linkage): every (left, right) pair
+    within Levenshtein distance *max_dist* — exact recall via PassJoin
+    blocking (RIGHT side indexed by segments, LEFT side probed with
+    windowed substrings; the pigeonhole lemma needs only one
+    direction).  Output ``(left_id, right_id, left_str, right_str,
+    dist)``, one row per pair.  Strings shorter than max_dist+1 chars
+    are excluded on both sides (same contract as the self-join).
+
+    The canonical use: link a dirty column (typos) against a clean
+    master list — the master is usually the smaller side and sits on
+    the index; AQE broadcasts it when it is small enough."""
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    k = d + 1
+    index = _index_side(_base(right, right_id, right_str, k), k)
+    probe = _probe_side(_base(left, left_id, left_str, k), k, d)
+    cand = index.join(
+        probe,
+        (index["i"] == probe["i"])
+        & (index["La"] == probe["Ls"])
+        & (index["seg"] == probe["sub"]),
+    )
+    dist = F.levenshtein(F.col("sa"), F.col("sb"))
+    return (
+        cand.select(
+            F.col("ib").alias(left_id),
+            F.col("ia").alias(right_id),
+            F.col("sb").alias("left_str"),
+            F.col("sa").alias("right_str"),
+            dist.cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= d)
+        .distinct()
+    )
+
+
 def edit_distance_self_join(
     df: DataFrame,
     id_col: str,
@@ -79,106 +225,9 @@ def edit_distance_self_join(
     if d < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     k = d + 1
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(str_col).alias("__s"),
-        F.length(str_col).cast("long").alias("__L"),
-    ).filter(F.col("__L") >= k)
-
-    # index side: the d+1 segments of each string, keyed by
-    # (segment idx, full length, segment text, home position)
-    L = F.col("__L")
-    idx_parts = [
-        F.struct(
-            F.lit(i).cast("int").alias("i"),
-            _seg_start(L, i, k).cast("int").alias("pos"),
-            F.col("__s").substr(
-                (_seg_start(L, i, k) + 1).cast("int"), _seg_len(L, i, k).cast("int")
-            ).alias("seg"),
-        )
-        for i in range(k)
-    ]
-    index = base.select(
-        F.col("__id").alias("ia"),
-        F.col("__s").alias("sa"),
-        F.col("__L").alias("La"),
-        F.explode(F.array(*idx_parts)).alias("__p"),
-    ).select(
-        "ia",
-        "sa",
-        "La",
-        F.col("__p.i").alias("i"),
-        F.col("__p.pos").alias("pos"),
-        F.col("__p.seg").alias("seg"),
-    )
-
-    # probe side: for every SOURCE length L' within ±d of this string's
-    # length and every segment index, the substrings of this string at
-    # the segment's length, within ±d of the segment's home position.
-    # Two CHAINED explodes, not one: exploding the source-length delta
-    # first and computing (Ls, Ls div k, Ls mod k) as plain columns
-    # keeps each second-stage struct a few additions — the single
-    # fully-inlined (2d+1)(d+1)(2d+1)-struct array repeats the length
-    # arithmetic per field, overflows janino's method limit, and drops
-    # the whole projection to interpreted eval (the SCALE_NOTES r6
-    # interpreted-expression trap, measured 3-4x on corpus passes).
-    by_len = (
-        base.select(
-            F.col("__id").alias("ib"),
-            F.col("__s").alias("sb"),
-            F.col("__L").alias("Lb"),
-            F.explode(
-                F.array(*[F.lit(x).cast("long") for x in range(-d, d + 1)])
-            ).alias("__dl"),
-        )
-        .select(
-            "ib", "sb", "Lb", (F.col("Lb") + F.col("__dl")).alias("Ls")
-        )
-        .filter(F.col("Ls") >= k)  # source must be partitionable
-        .select(
-            "ib",
-            "sb",
-            "Lb",
-            "Ls",
-            (F.col("Ls") / k).cast("long").alias("__qb"),
-            (F.col("Ls") % k).alias("__qr"),
-        )
-    )
-    qb, qr = F.col("__qb"), F.col("__qr")
-    probe_parts = []
-    for i in range(k):
-        start = i * qb + F.least(F.lit(i).cast("long"), qr)
-        ln = qb + F.when(F.lit(i) < qr, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        for w in range(-d, d + 1):
-            p = start + w  # 0-based position in THIS string
-            probe_parts.append(
-                F.struct(
-                    F.lit(i).cast("int").alias("i"),
-                    p.cast("int").alias("p"),
-                    ln.cast("int").alias("ln"),
-                    F.col("sb").substr((p + 1).cast("int"), ln.cast("int")).alias("sub"),
-                )
-            )
-    probe = (
-        by_len.select(
-            "ib", "sb", "Lb", "Ls", F.explode(F.array(*probe_parts)).alias("__q")
-        )
-        .filter(
-            (F.col("__q.p") >= 0)
-            & (F.col("__q.p") + F.col("__q.ln") <= F.col("Lb"))
-            & (F.col("__q.ln") > 0)
-        )
-        .select(
-            "ib",
-            "sb",
-            F.col("__q.i").alias("i"),
-            F.col("Ls"),
-            F.col("__q.p").alias("pos_b"),
-            F.col("__q.sub").alias("sub"),
-        )
-        .dropDuplicates(["ib", "i", "Ls", "pos_b", "sub"])
-    )
-
+    base = _base(df, id_col, str_col, k)
+    index = _index_side(base, k)
+    probe = _probe_side(base, k, d)
     cand = index.join(
         probe,
         (index["i"] == probe["i"])

@@ -384,6 +384,43 @@ def embedding_ingest_sink(
     )
 
 
+def histogram_ingest_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+):
+    """Continuous quantile-sketch maintenance: per micro-batch, build
+    the batch's equi-width histogram sketch
+    (``operators.profile.histogram_sketch``) and APPEND it to
+    *state_path* — merge is a sum of counts, so the state never needs
+    rewriting and any reader answers percentiles from
+    ``histogram_merge`` + ``histogram_quantiles`` over the appended
+    rows.  The streaming mirror of the HLL/minhash persist-and-merge
+    loops: state is fixed-size per batch (≤ n_buckets rows), the
+    at-least-once replay caveat of the other sinks does NOT silently
+    corrupt here either — a replayed batch double-counts, which the
+    checkpoint prevents for exactly-once parquet epochs; cross-restart
+    the standard dedup is an epoch column, kept here so consumers can
+    drop replayed epochs."""
+    from hive_scd_spark.operators.profile import histogram_sketch
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        sk = histogram_sketch(batch_df, value_col, lo, hi, n_buckets)
+        sk.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            state_path
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest)
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -9,7 +9,10 @@ import random
 
 import pytest
 
-from hive_scd_spark.operators.fuzzy import edit_distance_self_join
+from hive_scd_spark.operators.fuzzy import (
+    edit_distance_join,
+    edit_distance_self_join,
+)
 
 
 def _lev(a: str, b: str) -> int:
@@ -73,3 +76,37 @@ def test_fuzzy_join_d0_is_exact_match(spark):
     assert got == {(1, 2, 0)}
     with pytest.raises(ValueError, match=">= 0"):
         edit_distance_self_join(df, "id", "w", max_dist=-1)
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_fuzzy_two_table_join_fuzz_vs_bruteforce(spark, d):
+    """edit_distance_join(left, right) == brute-force cross-product
+    Levenshtein at distance <= d on random corpora — the record-linkage
+    form (dirty column vs master list)."""
+    rng = random.Random(99 + d)
+    lwords = ["".join(rng.choice("abc") for _ in range(rng.randint(d + 1, 6))) for _ in range(30)]
+    rwords = ["".join(rng.choice("abc") for _ in range(rng.randint(d + 1, 6))) for _ in range(20)]
+    left = spark.createDataFrame(list(enumerate(lwords)), "lid long, lw string")
+    right = spark.createDataFrame(list(enumerate(rwords)), "rid long, rw string")
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in enumerate(lwords)
+        for j, b in enumerate(rwords)
+        if _lev(a, b) <= d
+    }
+    got = {
+        (r.lid, r.rid, r.dist)
+        for r in edit_distance_join(
+            left, right, "lid", "lw", "rid", "rw", d
+        ).collect()
+    }
+    assert got == want
+
+
+def test_fuzzy_two_table_join_carries_strings(spark):
+    left = spark.createDataFrame([(1, "spark")], "lid long, lw string")
+    right = spark.createDataFrame([(7, "spork"), (8, "hive")], "rid long, rw string")
+    (row,) = edit_distance_join(left, right, "lid", "lw", "rid", "rw", 1).collect()
+    assert (row.lid, row.rid, row.left_str, row.right_str, row.dist) == (
+        1, 7, "spark", "spork", 1,
+    )

@@ -140,3 +140,74 @@ def test_histogram_sketch_clamps_out_of_range_and_rejects_bad_range(spark):
     assert sum(rows.values()) == 4  # NULL excluded
     with _pytest.raises(ValueError, match="hi > lo"):
         histogram_sketch(df, "v", 10.0, 10.0, 10)
+
+
+def test_histogram_streaming_ingest_matches_batch(spark, tmp_path):
+    """N micro-batches through histogram_ingest_sink, merged, must
+    equal the one-shot batch sketch — the sum-merge identity driven
+    through the streaming engine's delivery machinery."""
+    from hive_scd_spark.operators.profile import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from hive_scd_spark.streaming import histogram_ingest_sink
+
+    rows1 = [(float(v),) for v in range(0, 500, 3)]
+    rows2 = [(float(v * v % 997),) for v in range(400)]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows1, "v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema("v double").parquet(str(src))
+    sink = histogram_ingest_sink(
+        stream,
+        state_path=str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"),
+        value_col="v",
+        lo=0.0,
+        hi=1000.0,
+        n_buckets=32,
+    )
+    q = sink.start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, "v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.read.parquet(str(tmp_path / "state")).drop("epoch")
+    merged = {
+        (r.bucket, r.cnt) for r in histogram_merge(state).collect()
+    }
+    direct = {
+        (r.bucket, r.cnt)
+        for r in histogram_sketch(
+            spark.createDataFrame(rows1 + rows2, "v double"), "v", 0.0, 1000.0, 32
+        ).collect()
+    }
+    assert merged == direct
+    # and the merged state answers quantiles identically
+    qs_stream = {
+        r.p: r.est
+        for r in histogram_quantiles(
+            histogram_merge(state), [0.5, 0.9], 0.0, 1000.0, 32
+        ).collect()
+    }
+    qs_batch = {
+        r.p: r.est
+        for r in histogram_quantiles(
+            histogram_sketch(
+                spark.createDataFrame(rows1 + rows2, "v double"), "v", 0.0, 1000.0, 32
+            ),
+            [0.5, 0.9],
+            0.0,
+            1000.0,
+            32,
+        ).collect()
+    }
+    assert qs_stream == qs_batch
