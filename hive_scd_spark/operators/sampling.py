@@ -127,3 +127,64 @@ def split_assign(
     for name, upper in reversed(bounds[:-1]):
         expr = F.when(bucket < upper, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def sample_weighted(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    max_weight: int = 1000,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep *n*
+    rows with inclusion preference proportional to integer
+    *weight_col* — the primitive behind temperature-weighted corpus
+    mixing (sample source s proportional to count_s^alpha) and
+    quality-weighted selection.
+
+    The trick that keeps it ENGINE-EXACT where the textbook A-ES
+    (priority u^(1/w), Efraimidis & Spirakis 2006) is not: a weight-w
+    item's priority is the MAX of w independent md5 subkey draws —
+    distributionally identical to u^(1/w) (the max of w iid uniforms)
+    for integer weights, but computed entirely in md5-hex string
+    comparisons.  No pow/log, no floating point, no cross-engine
+    last-ulp risk; any SQL engine replays it bit-for-bit, and
+    layout/partitioning cannot affect it.
+
+    Plan: explode w subkeys per row (bounded by *max_weight* — an
+    explicit error, not a silent cap: resolution beyond ~1000 is
+    noise), map-combined MAX per id, global top-n via orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, no full sort
+    shuffle).  Weights ≤ 0 drop the row (zero tickets), matching the
+    A-ES convention."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = F.col(weight_col).cast("long")
+    checked = F.when(w <= max_weight, w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sample_weighted: weight exceeds max_weight={max_weight}: "),
+                w.cast("string"),
+            )
+        )
+    )
+    # sequence(1, w) DESCENDS for w < 1 ([1, 0], [1, 0, -1], …) instead
+    # of being empty — route non-positive weights to an empty ticket
+    # array so explode drops the row
+    tickets = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.when(checked >= 1, F.sequence(F.lit(1).cast("long"), checked))
+            .otherwise(F.array().cast("array<long>"))
+        ).alias("__j"),
+    ).select(
+        "__id",
+        F.md5(F.concat_ws(":", F.col("__id").cast("string"), F.col("__j"))).alias(
+            "__t"
+        ),
+    )
+    best = tickets.groupBy("__id").agg(F.max("__t").alias("__priority"))
+    winners = best.orderBy(F.desc("__priority"), F.asc("__id")).limit(n)
+    return df.join(
+        winners.select(F.col("__id").alias(id_col), "__priority"), id_col
+    ).drop("__priority")

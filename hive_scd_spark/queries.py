@@ -1132,6 +1132,26 @@ def layout_zorder_skipping(spark, sf_dir):
     )
 
 
+def sample_weighted_docs(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py sample_weighted): 100 documents with
+    inclusion preference ∝ a length-derived integer weight — the
+    temperature-mixing primitive.  ENGINE-EXACT by construction: a
+    weight-w doc's priority is the MAX of w md5 subkey draws
+    (distributionally u^(1/w), the A-ES priority, but pure hex-string
+    comparisons — no pow/log/float anywhere), so the oracle replays
+    the selection bit-for-bit with generate_series + md5."""
+    from hive_scd_spark.operators.sampling import sample_weighted
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(
+            F.floor(F.col("n_chars") / F.lit(50)) + 1, F.lit(20)
+        ).cast("long").alias("wt"),
+    )
+    return sample_weighted(docs, "doc_id", "wt", n=100)
+
+
 def text_bpe_train(spark, sf_dir):
     """Distributed BPE vocabulary induction (operators/text.py
     bpe_train — Sennrich learn_bpe): 12 greedy merge rounds over the
@@ -3376,6 +3396,18 @@ EXT_ORACLES: dict[str, str] = {
         FROM votes JOIN n ON votes.doc_id = n.doc_id
         GROUP BY 1
     """,
+    "sample_weighted_docs": """
+        WITH w AS (SELECT doc_id,
+                          LEAST(CAST(FLOOR(n_chars / 50) AS BIGINT) + 1, 20) AS wt
+                   FROM documents),
+        tickets AS (SELECT doc_id,
+                           md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS t
+                    FROM w, LATERAL unnest(generate_series(1, wt)) AS u(j)
+                    WHERE wt >= 1),
+        best AS (SELECT doc_id, MAX(t) AS p FROM tickets GROUP BY 1),
+        top AS (SELECT doc_id FROM best ORDER BY p DESC, doc_id ASC LIMIT 100)
+        SELECT w.doc_id, w.wt FROM top JOIN w ON top.doc_id = w.doc_id
+    """,
     "fuzzy_typo_pairs": """
         WITH strs AS (
           SELECT doc_id AS id,
@@ -4142,6 +4174,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_typo_pairs": fuzzy_typo_pairs,
     # r7: distributed BPE vocabulary induction (rows-only: iterative)
     "text_bpe_train": text_bpe_train,
+    # r7: engine-exact weighted sampling (rotation candidate r8)
+    "sample_weighted_docs": sample_weighted_docs,
     "ann_lsh_topk": ann_lsh_topk,
     "text_bm25_topk": text_bm25_topk,
     "dedup_corpus_canonical": dedup_corpus_canonical,

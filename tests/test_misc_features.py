@@ -127,3 +127,51 @@ def test_release_shared_caches(spark):
     assert b is not a  # rebuilt
     assert Q.release_shared_caches() == 1  # global form
     assert Q.release_shared_caches(spark) == 0
+
+
+# --- deterministic weighted sampling (r7) -----------------------------
+
+
+def test_sample_weighted_matches_python_replay(spark):
+    """The whole selection is md5-exact: a Python replay of the
+    max-of-w-tickets priority must pick the identical winner set."""
+    import hashlib
+
+    from hive_scd_spark.operators.sampling import sample_weighted
+
+    rows = [(i, (i * 7) % 12 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, wt int")
+    got = sorted(r.id for r in sample_weighted(df, "id", "wt", 40).collect())
+
+    def priority(i, w):
+        return max(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(1, w + 1)
+        )
+
+    want = sorted(
+        i
+        for i, _ in sorted(
+            ((i, priority(i, w)) for i, w in rows),
+            key=lambda t: (t[1], -t[0]),
+            reverse=True,
+        )[:40]
+    )
+    assert got == want
+
+
+def test_sample_weighted_prefers_heavy_drops_zero_rejects_huge(spark):
+    import pytest as _pytest
+
+    from hive_scd_spark.operators.sampling import sample_weighted
+
+    rows = [(i, 9 if i < 1000 else 1) for i in range(2000)]
+    rows += [(9999, 0)]  # zero tickets → never sampled
+    df = spark.createDataFrame(rows, "id long, wt int")
+    picked = [r.id for r in sample_weighted(df, "id", "wt", 200).collect()]
+    assert len(picked) == 200 and 9999 not in picked
+    heavy = sum(1 for i in picked if i < 1000)
+    assert heavy > 150  # weight-9 items dominate (expected ~0.9)
+
+    bad = spark.createDataFrame([(1, 5000)], "id long, wt int")
+    with _pytest.raises(Exception, match="max_weight"):
+        sample_weighted(bad, "id", "wt", 1).collect()

@@ -119,6 +119,8 @@ SWEEP = [
     ("dedup_embedding_lsh_incremental", set()),
     # r7 PassJoin edit-distance join (block-key equi-join + verify)
     ("fuzzy_typo_pairs", set()),
+    # r7 weighted sampling (bounded explode + map-combined max + top-n)
+    ("sample_weighted_docs", set()),
     # r7 mergeable-quantile sketch: the ungrouped cumulative window runs
     # over a ≤128-row sketch — bounded BY CONSTRUCTION (n_buckets), the
     # same provably-small-but-not-1-row contract as the ANN builds
