@@ -163,22 +163,13 @@ def main() -> None:
             msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
             errors[name] = f"{type(exc).__name__}: {msg[:300]}"
 
-    # Isolate timed runs from each other's JVM debt: iterative queries
-    # leave localCheckpoint blocks behind, and their deferred cleanup
-    # (ContextCleaner after GC) otherwise lands in whichever query runs
-    # next — measured +0.4 s (+60%) on window_running when it follows
-    # the dedup/cluster queries, the exact "regression" flagged in
-    # VERDICT r3 (isolated median is 0.47 s vs 0.94 s in-bench).  The
-    # GC wall-time stays OUTSIDE the per-query timers.
-    import gc
+    # Isolate timed runs from each other's JVM debt (session.gc_isolate
+    # — measured +60% on window_running without it, VERDICT r3); the GC
+    # wall-time stays OUTSIDE the per-query timers.
+    from hive_scd_spark.session import gc_isolate
 
     def isolate() -> None:
-        gc.collect()  # drop py4j refs so the JVM RDDs become collectable
-        spark.sparkContext._jvm.System.gc()
-        # ContextCleaner drains its reference queue ASYNCHRONOUSLY after
-        # the GC discovers dead RDDs — give it a beat so block removal
-        # lands here, not inside the next query's timed window
-        time.sleep(0.5)
+        gc_isolate(spark)
 
     # Two timed reps, per-query MIN: this box shows ±20-80% swings on
     # identical code between back-to-back runs (co-tenant interference;

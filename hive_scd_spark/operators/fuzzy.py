@@ -163,6 +163,12 @@ def edit_distance_join(
     d = int(max_dist)
     if d < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if left_id == right_id or {left_id, right_id} & {"left_str", "right_str", "dist"}:
+        raise ValueError(
+            f"output column collision: left_id={left_id!r} / "
+            f"right_id={right_id!r} must be distinct names, neither "
+            "'left_str'/'right_str'/'dist' — alias one side before joining"
+        )
     k = d + 1
     index = _index_side(_base(right, right_id, right_str, k), k)
     probe = _probe_side(_base(left, left_id, left_str, k), k, d)
@@ -228,20 +234,24 @@ def edit_distance_self_join(
     base = _base(df, id_col, str_col, k)
     index = _index_side(base, k)
     probe = _probe_side(base, k, d)
+    # ia < ib, not ia != ib: the pigeonhole lemma is symmetric (either
+    # string of a qualifying pair can be the partitioned side), so one
+    # orientation — index on the smaller id — finds every pair, and
+    # candidate volume / levenshtein work is HALF of the both-ways form
     cand = index.join(
         probe,
         (index["i"] == probe["i"])
         & (index["La"] == probe["Ls"])
         & (index["seg"] == probe["sub"])
-        & (index["ia"] != probe["ib"]),
+        & (index["ia"] < probe["ib"]),
     )
     dist = F.levenshtein(F.col("sa"), F.col("sb"))
     return (
         cand.select(
-            F.least("ia", "ib").alias("id_a"),
-            F.greatest("ia", "ib").alias("id_b"),
-            F.when(F.col("ia") < F.col("ib"), F.col("sa")).otherwise(F.col("sb")).alias("str_a"),
-            F.when(F.col("ia") < F.col("ib"), F.col("sb")).otherwise(F.col("sa")).alias("str_b"),
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.col("sa").alias("str_a"),
+            F.col("sb").alias("str_b"),
             dist.cast("int").alias("dist"),
         )
         .filter(F.col("dist") <= d)

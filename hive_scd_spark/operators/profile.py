@@ -229,8 +229,16 @@ def histogram_quantiles(
     """Quantile estimates from a (merged) histogram sketch: for each
     p, walk the cumulative distribution to the first bucket holding
     rank ceil(p·N) and interpolate linearly inside it.  Output
-    ``(*by, p, est)``; estimation error ≤ one bucket width by
-    construction (the true value lies inside the located bucket).
+    ``(*by, p, est)``.
+
+    Error bound, stated precisely: the estimate is within one bucket
+    width of the rank-⌈p·N⌉ ORDER STATISTIC — that value provably lies
+    inside the located bucket.  Against INTERPOLATED percentiles
+    (Spark ``percentile`` / DuckDB ``quantile_cont``, which blend the
+    two order statistics around p·(N-1)) add the gap between those
+    neighbors: zero on dense data, arbitrarily large on gapped
+    bimodal data where p·N lands exactly on the cluster boundary —
+    a property of interpolation, not of the sketch.
 
     Plan: one window cumulative sum over the (tiny, ≤ n_buckets-row)
     sketch per group, the p list exploded from a LITERAL array (a

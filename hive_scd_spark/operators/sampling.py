@@ -155,11 +155,13 @@ def sample_weighted(
     explicit error, not a silent cap: resolution beyond ~1000 is
     noise), map-combined MAX per id, global top-n via orderBy+limit
     (TakeOrderedAndProject — per-partition heaps, no full sort
-    shuffle).  Weights ≤ 0 drop the row (zero tickets), matching the
-    A-ES convention."""
+    shuffle).  Weights ≤ 0 or NULL drop the row (zero tickets),
+    matching the A-ES convention — NULL must be coalesced BEFORE the
+    max_weight check or it would fall through the three-valued
+    comparison into the raise branch and abort the job."""
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    w = F.col(weight_col).cast("long")
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     checked = F.when(w <= max_weight, w).otherwise(
         F.raise_error(
             F.concat(

@@ -1023,8 +1023,14 @@ def bpe_train(
     merges: list[tuple[str, str]] = []
     cur = syms
     for rnd in range(n_merges):
+        # the >= 2 guard sits BELOW the explode structurally (filter
+        # first, then select): a 1-symbol row would make sequence(0,-1)
+        # descend and element_at(.., 0) throw — relying on the
+        # optimizer to push the filter under the Generate would be
+        # correctness-by-rewrite
         pairs = (
-            cur.select(
+            cur.filter(F.size("__syms") >= 2)
+            .select(
                 "__freq",
                 F.explode(
                     F.transform(
@@ -1036,7 +1042,6 @@ def bpe_train(
                     )
                 ).alias("__p"),
             )
-            .filter(F.size(F.col("__syms")) >= 2)
             .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
             .agg(F.sum("__freq").alias("cnt"))
         )

@@ -1172,6 +1172,27 @@ def text_bpe_train(spark, sf_dir):
     )
 
 
+def typo_corpus(docs, offset: int = 100_000_000):
+    """Planted-typo fixture shared by the fuzzy gate and
+    scripts/scale_10x.py: every doc contributes a 12-char md5-derived
+    string, every 7th doc also a one-character-substituted copy at
+    ``doc_id + offset``.  The offset must clear the table's id space —
+    at 10^8 it collides only beyond 100M docs per shard, and a
+    collision's failure mode (pair suppressed by the id-inequality
+    predicate) is documented here rather than discovered."""
+    strs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12).alias("w"),
+    )
+    typos = strs.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + offset).alias("id"),
+        F.concat(
+            F.substring("w", 1, 4), F.lit("z"), F.substring("w", 6, 7)
+        ).alias("w"),
+    )
+    return strs.unionByName(typos)
+
+
 def fuzzy_typo_pairs(spark, sf_dir):
     """Edit-distance self-join (PassJoin segment blocking,
     operators/fuzzy.py): all string pairs within Levenshtein distance
@@ -1189,18 +1210,9 @@ def fuzzy_typo_pairs(spark, sf_dir):
     prefilter replacing the quadratic scan."""
     from hive_scd_spark.operators.fuzzy import edit_distance_self_join
 
-    docs = t(spark, sf_dir, "documents")
-    strs = docs.select(
-        F.col("doc_id").alias("id"),
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12).alias("w"),
+    return edit_distance_self_join(
+        typo_corpus(t(spark, sf_dir, "documents")), "id", "w", max_dist=1
     )
-    typos = strs.filter(F.col("id") % 7 == 0).select(
-        (F.col("id") + 1000000).alias("id"),
-        F.concat(
-            F.substring("w", 1, 4), F.lit("z"), F.substring("w", 6, 7)
-        ).alias("w"),
-    )
-    return edit_distance_self_join(strs.unionByName(typos), "id", "w", max_dist=1)
 
 
 def sketch_quantile_totalprice(spark, sf_dir):
@@ -1208,15 +1220,21 @@ def sketch_quantile_totalprice(spark, sf_dir):
     persist+merge gate): per-month equi-width histogram sketches of
     o_totalprice built independently — the state a daily job persists
     — merged WITHOUT rescanning, then p50/p90/p99 estimated from the
-    merged state with error ≤ one bucket width.
+    merged state with error ≤ one bucket width vs the rank-⌈p·N⌉ order
+    statistic (the sketch's precise guarantee).
 
     The oracle builds the global sketch directly: per-row bucket
     assignment is grouping-independent and counts are integers, so
     per-month-build-then-merge must equal the direct build EXACTLY —
     the hash-value match IS the mergeability proof.  within_bound
-    additionally checks each estimate against the engine's exact
-    percentile with the documented slack (both engines interpolate
-    type-7; the bucket width dwarfs any FP drift)."""
+    additionally compares each estimate against the engine's
+    INTERPOLATED percentile; the bucket-width slack covers the
+    guaranteed error plus the interpolation gap on this dense column.
+    On gapped bimodal data that comparison could legitimately exceed
+    the bound (interpolation blends order statistics the sketch never
+    promises to hit — histogram_quantiles' docstring spells it out);
+    both engines would emit the same false, so the contract hash is
+    unaffected either way."""
     from hive_scd_spark.operators.profile import (
         histogram_merge,
         histogram_quantiles,
@@ -3414,7 +3432,7 @@ EXT_ORACLES: dict[str, str] = {
                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS w
           FROM documents
           UNION ALL
-          SELECT doc_id + 1000000,
+          SELECT doc_id + 100000000,
                  substr(w, 1, 4) || 'z' || substr(w, 6, 7)
           FROM (SELECT doc_id,
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS w

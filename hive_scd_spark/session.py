@@ -44,3 +44,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def gc_isolate(spark, settle_s: float = 0.5) -> None:
+    """Free pinned JVM state between measured runs — the shared
+    implementation behind bench.py and the scale scripts.
+
+    Two mechanisms, one routine: (1) ContextCleaner block removal is
+    ASYNCHRONOUS after a GC discovers dead RDDs, so without the settle
+    beat the cleanup wall-time lands inside the NEXT measured window
+    (bench r3: +60 % on the query after a checkpoint-heavy one); and
+    (2) lazy localCheckpoint blocks are lineage-truncating and hence
+    PINNED — not evictable — until their Python refs are collected,
+    so a sequence of heavy runs without this call exhausts the unified
+    pool outright (scale_100x r7: UNABLE_TO_ACQUIRE_MEMORY after ~10
+    experiments).  gc.collect() drops the py4j refs, the JVM GC frees
+    the RDDs, the sleep lets ContextCleaner drain."""
+    import gc
+    import time
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(settle_s)

@@ -398,14 +398,18 @@ def histogram_ingest_sink(
     (``operators.profile.histogram_sketch``) and APPEND it to
     *state_path* — merge is a sum of counts, so the state never needs
     rewriting and any reader answers percentiles from
-    ``histogram_merge`` + ``histogram_quantiles`` over the appended
-    rows.  The streaming mirror of the HLL/minhash persist-and-merge
-    loops: state is fixed-size per batch (≤ n_buckets rows), the
-    at-least-once replay caveat of the other sinks does NOT silently
-    corrupt here either — a replayed batch double-counts, which the
-    checkpoint prevents for exactly-once parquet epochs; cross-restart
-    the standard dedup is an epoch column, kept here so consumers can
-    drop replayed epochs."""
+    ``histogram_merge`` + ``histogram_quantiles`` over the state read
+    through :func:`read_histogram_state`.  The streaming mirror of the
+    HLL/minhash persist-and-merge loops: state is fixed-size per batch
+    (≤ n_buckets rows).
+
+    Replay caveat — sharper here than in the pair sinks: foreachBatch
+    is at-least-once, and where a replayed PAIR row is harmless after
+    (id_a, id_b) dedup, a replayed SKETCH row double-COUNTS.  Batch
+    content is deterministic per epoch, so the epoch column written
+    with every row makes the fix exact: dedup on (epoch, bucket)
+    before merging — which :func:`read_histogram_state` does; read the
+    state through it, not with a bare ``spark.read``."""
     from hive_scd_spark.operators.profile import histogram_sketch
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
@@ -418,6 +422,20 @@ def histogram_ingest_sink(
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(ingest)
+    )
+
+
+def read_histogram_state(spark, state_path: str) -> DataFrame:
+    """Read :func:`histogram_ingest_sink` state with replayed epochs
+    collapsed: a crash between the parquet append and the checkpoint
+    commit re-appends that epoch's (deterministic) sketch rows, so
+    exactly-once counts are restored by dropping duplicate
+    (epoch, bucket) rows before the merge.  Returns (bucket, cnt)
+    rows ready for ``histogram_merge``."""
+    return (
+        spark.read.parquet(state_path)
+        .dropDuplicates(["epoch", "bucket"])
+        .drop("epoch")
     )
 
 

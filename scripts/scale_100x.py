@@ -242,20 +242,16 @@ def main():
     experiments = [
         (lbl, fn, docs1, docs100) for lbl, fn in doc_experiments
     ] + [(lbl, fn, emb1, emb100) for lbl, fn in emb_experiments]
-    # Inter-experiment isolation (bench.py's isolate(), same rationale
-    # PLUS a failure mode bench never hits: lazy localCheckpoint blocks
-    # are PINNED (lineage-truncated, not evictable) until their Python
-    # refs are collected, and at n=100 a dozen heavy experiments'
-    # leftovers exhaust the 8 GB unified pool — measured r7:
-    # pipeline_semantic_dedup died UNABLE_TO_ACQUIRE_MEMORY at stage
-    # ~1559 after ~10 prior experiments, and runs clean after GC frees
-    # the predecessors' blocks (SCALE_NOTES r7).
-    import gc
+    # Inter-experiment isolation (session.gc_isolate — its docstring
+    # carries the full two-mechanism rationale): at n=100 a dozen heavy
+    # experiments' pinned checkpoint blocks exhaust the 8 GB unified
+    # pool — measured r7: pipeline_semantic_dedup died
+    # UNABLE_TO_ACQUIRE_MEMORY until GC freed the predecessors' blocks
+    # (SCALE_NOTES r7).
+    from hive_scd_spark.session import gc_isolate
 
     def isolate() -> None:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.5)
+        gc_isolate(spark)
 
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}

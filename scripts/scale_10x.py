@@ -296,20 +296,13 @@ def main():
 
     def fuzzy_gate(docs):
         # replicas carry distinct doc_ids → distinct md5 strings, so
-        # typo pairs stay replica-local (planted rate preserved)
+        # typo pairs stay replica-local (planted rate preserved); the
+        # fixture is the gate's own builder, so 10x measures the SAME
+        # workload the contract checks
         from hive_scd_spark.operators.fuzzy import edit_distance_self_join
+        from hive_scd_spark.queries import typo_corpus
 
-        strs = docs.select(
-            F.col("doc_id").alias("id"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12).alias("w"),
-        )
-        typos = strs.filter(F.col("id") % 7 == 0).select(
-            (F.col("id") + 100000000).alias("id"),
-            F.concat(
-                F.substring("w", 1, 4), F.lit("z"), F.substring("w", 6, 7)
-            ).alias("w"),
-        )
-        return edit_distance_self_join(strs.unionByName(typos), "id", "w", 1)
+        return edit_distance_self_join(typo_corpus(docs), "id", "w", 1)
 
     from hive_scd_spark.operators.cluster import pagerank
     from hive_scd_spark.operators.text_rank import build_inverted_index
@@ -359,15 +352,13 @@ def main():
     # is flagged and rc 2 (rc 1 only when everything failed).
     import json
 
-    # same inter-experiment isolation as scale_100x (pinned lazy-
+    # inter-experiment isolation (session.gc_isolate): pinned lazy-
     # checkpoint blocks from earlier experiments otherwise accumulate
-    # in the unified pool; at 10x it costs noise, at 100x it OOMs)
-    import gc
+    # in the unified pool; at 10x it costs noise, at 100x it OOMs
+    from hive_scd_spark.session import gc_isolate
 
     def isolate() -> None:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(0.5)
+        gc_isolate(spark)
 
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}

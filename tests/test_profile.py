@@ -151,7 +151,7 @@ def test_histogram_streaming_ingest_matches_batch(spark, tmp_path):
         histogram_quantiles,
         histogram_sketch,
     )
-    from hive_scd_spark.streaming import histogram_ingest_sink
+    from hive_scd_spark.streaming import histogram_ingest_sink, read_histogram_state
 
     rows1 = [(float(v),) for v in range(0, 500, 3)]
     rows2 = [(float(v * v % 997),) for v in range(400)]
@@ -180,7 +180,12 @@ def test_histogram_streaming_ingest_matches_batch(spark, tmp_path):
     finally:
         q.stop()
 
-    state = spark.read.parquet(str(tmp_path / "state")).drop("epoch")
+    # the replay-safe read path: (epoch, bucket) dedup before merge
+    state = read_histogram_state(spark, str(tmp_path / "state"))
+    # a simulated replay (duplicate epoch rows) must NOT double-count
+    raw = spark.read.parquet(str(tmp_path / "state"))
+    raw.limit(5).write.mode("append").parquet(str(tmp_path / "state"))
+    state = read_histogram_state(spark, str(tmp_path / "state"))
     merged = {
         (r.bucket, r.cnt) for r in histogram_merge(state).collect()
     }
