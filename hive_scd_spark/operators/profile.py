@@ -53,27 +53,27 @@ def table_profile(
       replacement characters, so distinct byte values can collide;
     - atomic types render injectively (float negative zero is
       normalized first — see below);
-    - complex types (array/map/struct/variant) are not min/max
-      orderable in general and have no injective one-column rendering
-      we are willing to vouch for — ``on_complex='error'`` (default)
-      raises naming the offending columns, ``on_complex='skip'``
-      profiles the remaining columns only."""
-    atomic_prefixes = ("array<", "map<", "struct<", "variant", "interval")
+    - complex types (array/map/struct/variant, plus intervals) are not
+      min/max orderable in general and have no injective one-column
+      rendering we are willing to vouch for — ``on_complex='error'``
+      (default) raises naming the offending columns,
+      ``on_complex='skip'`` profiles the remaining columns only."""
+    # validate the mode UNCONDITIONALLY: an invalid value on an
+    # all-atomic table must fail now, not the first time a complex
+    # column shows up in production
+    if on_complex not in ("error", "skip"):
+        raise ValueError(f"on_complex must be 'error' or 'skip', got {on_complex!r}")
+    complex_prefixes = ("array<", "map<", "struct<", "variant", "interval")
     complex_cols = [
-        c for c, dt in df.dtypes if dt.startswith(atomic_prefixes)
+        c for c, dt in df.dtypes if dt.startswith(complex_prefixes)
     ]
-    if complex_cols:
-        if on_complex == "skip":
-            pass
-        elif on_complex == "error":
-            raise ValueError(
-                "table_profile: complex-typed columns are not profilable "
-                f"(no orderable min/max, no injective distinct key): "
-                f"{complex_cols}; pass on_complex='skip' to profile the "
-                "remaining columns"
-            )
-        else:
-            raise ValueError(f"on_complex must be 'error' or 'skip', got {on_complex!r}")
+    if complex_cols and on_complex == "error":
+        raise ValueError(
+            "table_profile: complex-typed columns (incl. intervals) are "
+            f"not profilable (no orderable min/max, no injective "
+            f"distinct key): {complex_cols}; pass on_complex='skip' to "
+            "profile the remaining columns"
+        )
     cols = [c for c in df.columns if c not in complex_cols]
     if not cols:
         raise ValueError("table_profile: no profilable (atomic-typed) columns")

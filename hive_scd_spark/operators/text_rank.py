@@ -107,12 +107,16 @@ def build_inverted_index(
       BLOCKED by ``doc_id div block_size`` — every output row is
       bounded by block_size entries regardless of term frequency, and
       a reader streams a hot term's blocks like any other range scan.
-      ``doc_freq`` stays the GLOBAL per-term count, derived by summing
-      the per-block counts over the term partition AFTER the blocked
-      groupBy — the window buffers only ceil(df/block_size) block rows
-      per term, never the posting set itself (a window straight over
-      the (term, doc) pairs would materialize a stopword's whole
-      corpus-sized partition in one task before the grouping).
+      ``doc_freq`` stays the GLOBAL per-term count, derived from the
+      per-block counts by a column-pruned aggregate (term, __block_df
+      only — ceil(df/block_size) tiny rows per term) JOINED back to
+      the blocked rows.  Not a window over the blocked rows: a
+      WindowExec partition buffers its rows WHOLE, postings arrays
+      included, so a stopword's window task would hold the entire
+      posting set — the exact giant-task failure the blocking exists
+      to prevent (review r7).  The join-back re-shuffles the index
+      once on term, but a shuffle/hash-join task STREAMS its rows;
+      nothing corpus-sized is ever resident.
     - **max_df**: terms above the cap are dropped after the blocked
       assembly — each block row is already bounded by block_size, so a
       hot term costs bounded-row work before being discarded, and the
@@ -135,10 +139,16 @@ def build_inverted_index(
     ).agg(
         F.count(F.lit(1)).alias("__block_df"),
         F.sort_array(F.collect_list("__id")).alias("postings"),
+        # lazy checkpoint: the doc_freq aggregate AND the join-back both
+        # consume this frame, and column pruning makes their exchanges
+        # non-identical (one side drops postings) so ReuseExchange
+        # cannot dedupe them — without the checkpoint the corpus
+        # explode would run twice (the minhash_near_dup_pairs rule)
+    ).localCheckpoint(eager=False)
+    doc_freq = blocked.select("term", "__block_df").groupBy("term").agg(
+        F.sum("__block_df").alias("doc_freq")
     )
-    out = blocked.withColumn(
-        "doc_freq", F.sum("__block_df").over(W.partitionBy("term"))
-    )
+    out = blocked.join(doc_freq, "term")
     if max_df is not None:
         out = out.filter(F.col("doc_freq") <= max_df)
     return out.select("term", "block", "doc_freq", "postings")

@@ -315,14 +315,22 @@ def _unquote(ident: str) -> str:
 # error.  Almost every rewrite targets a form that is an analysis ERROR
 # in Spark today (CASEWHEN(...), DATEADD('DAY', ...), bare SYSDATE,
 # 3-arg INSTR, 3-arg REGEXP_LIKE), so valid Spark fragments can never
-# be altered.  Two documented exceptions where the H2 meaning WINS over
-# a form Spark would also accept (the fragment dialect is H2 — the
+# be altered.  Documented exceptions where the H2 meaning WINS over a
+# form Spark would also accept (the fragment dialect is H2 — the
 # reference hands these strings to the H2 engine, so H2 semantics are
 # the compatibility contract):
 #   - CONCAT(...): H2 treats NULL args as '' while Spark nulls the
 #     whole result — rewritten to concat(coalesce(x, ''), ...);
 #   - an unquoted column literally named `sysdate`, which must be
-#     double-quoted to escape the keyword rewrite (as in H2 itself).
+#     double-quoted to escape the keyword rewrite (as in H2 itself);
+#   - TRUNC(ts, 'MM'): also valid Spark (trunc → DATE) but H2/Oracle
+#     returns a datetime — rewritten to date_trunc (TIMESTAMP), so a
+#     caller relying on Spark's trunc-to-DATE rendering must not route
+#     through the shim;
+#   - TO_CHAR: Spark 3.4+ has a NUMERIC to_char which the shim rejects
+#     (ScdScriptError) because the H2 fragment dialect reads TO_CHAR
+#     as the Oracle datetime form — quote nothing through the shim if
+#     Spark's numeric to_char is what you mean.
 
 _H2_TIME_UNITS = frozenset(
     {
@@ -423,13 +431,27 @@ _H2_TO_CHAR_SEPS = " -/:.,"
 
 def _h2_datefmt_to_java(fmt: str, fragment: str) -> str:
     """Translate an Oracle/H2 TO_CHAR datetime format model to the Java
-    pattern Spark's ``date_format`` takes.  Unknown elements raise."""
+    pattern Spark's ``date_format`` takes.  Unknown elements raise.
+
+    ADJACENT elements must not fuse: H2 parses 'MMMM' as MM+MM
+    ('0303') but the concatenated Java pattern MMMM means the full
+    month name ('March'), and doubled runs like 'ssss' are not valid
+    Java patterns at all (SparkUpgradeException at EXECUTION, not
+    translate time) — so any element that would extend the previous
+    element's trailing letter run is rejected here, loudly."""
     out: list[str] = []
     upper = fmt.upper()
     i = 0
     while i < len(fmt):
         for h2_elem, java_elem in _H2_TO_CHAR_ELEMS:
             if upper.startswith(h2_elem, i):
+                if out and out[-1] and out[-1][-1] == java_elem[0]:
+                    raise ScdScriptError(
+                        f"adjacent H2 TO_CHAR elements {out[-1]!r} and "
+                        f"{java_elem!r} would fuse into one Java letter "
+                        f"run with a DIFFERENT meaning (H2 renders them "
+                        f"as two fields) — separate them: {fragment!r}"
+                    )
                 out.append(java_elem)
                 i += len(h2_elem)
                 break
@@ -680,21 +702,35 @@ def translate_h2(fragment: str) -> str:
                     f"(s, start, len, repl): {fragment!r}"
                 )
             s, start, ln, repl = (translate_h2(x.strip()) for x in args)
-            # H2/MySQL boundary contract: the ORIGINAL string comes
-            # back when start < 1, start > length(s) + 1, or len <= 0;
-            # Spark's overlay still splices in those cases (e.g.
-            # overlay('abcdef', 'XY', 0, 3) vs H2's 'abcdef').  A bare
-            # overlay() rewrite therefore diverges silently — the CASE
-            # wrapper replicates the return-original semantics, and the
-            # ELSE branch (in-range) is exactly overlay.  NULL start /
-            # len fall through to overlay's null propagation, matching
-            # H2's null-in-null-out for these arguments.  Arguments are
-            # pure fragment expressions, so the repeated evaluation of
-            # start/len/s inside the CASE is collapsed by Catalyst
-            # (common subexpression elimination) — no semantic hazard.
+            # The CASE wrapper evaluates arguments more than once —
+            # fine for pure expressions (Catalyst CSE), WRONG for
+            # non-deterministic ones (uuid()/rand() are NOT
+            # subexpression-eliminated, so the branch decision and the
+            # returned value would come from different draws — H2
+            # evaluates each argument exactly once).  Reject loudly.
+            nondet = ("uuid(", "rand(", "randn(", "random(", "shuffle(")
+            for arg_sql in (s, start, ln, repl):
+                low = arg_sql.lower()
+                if any(fn in low for fn in nondet):
+                    raise ScdScriptError(
+                        f"H2 INSERT with a non-deterministic argument "
+                        f"cannot be rewritten (the CASE wrapper would "
+                        f"re-evaluate it): {fragment!r}"
+                    )
+            # H2 StringFunction.insert contract, replicated in full:
+            # NULL original → the replacement comes back; NULL
+            # replacement → the original; the ORIGINAL also comes back
+            # for start < 1, start > length(s) + 1, len <= 0, or an
+            # EMPTY replacement (H2's len2 == 0 branch — a bare
+            # overlay would splice '' and DELETE len chars).  The ELSE
+            # branch (in-range) is exactly overlay.  Arguments are
+            # pure expressions (guarded above), so the repeated
+            # evaluation inside the CASE is collapsed by Catalyst.
             out.append(
-                f"(CASE WHEN ({start}) < 1 OR ({start}) > length({s}) + 1 "
-                f"OR ({ln}) <= 0 THEN {s} "
+                f"(CASE WHEN ({s}) IS NULL THEN {repl} "
+                f"WHEN ({repl}) IS NULL THEN {s} "
+                f"WHEN ({start}) < 1 OR ({start}) > length({s}) + 1 "
+                f"OR ({ln}) <= 0 OR length({repl}) = 0 THEN {s} "
                 f"ELSE overlay({s}, {repl}, {start}, {ln}) END)"
             )
             i = after

@@ -318,11 +318,47 @@ def test_string_insert_boundary_returns_original(spark):
     assert got == cases
 
 
-def test_string_insert_null_propagates(spark):
+def test_string_insert_h2_null_and_empty_semantics(spark):
+    """H2's StringFunction.insert is NOT null-propagating: a NULL
+    original returns the replacement, a NULL replacement returns the
+    original, and an EMPTY replacement returns the original (a bare
+    overlay would splice '' and delete len chars).  The r6 shim
+    propagated NULL — a silent divergence the review caught; these pin
+    the H2-exact behavior."""
     from pyspark.sql import functions as F
 
-    frag = translate_h2("INSERT(CAST(NULL AS STRING), 2, 3, 'XY')")
-    assert spark.range(1).select(F.expr(frag).alias("r")).collect()[0]["r"] is None
+    cases = {
+        "INSERT(CAST(NULL AS STRING), 2, 3, 'XY')": "XY",
+        "INSERT('abcdef', 2, 3, CAST(NULL AS STRING))": "abcdef",
+        "INSERT('abcdef', 2, 3, '')": "abcdef",
+    }
+    exprs = [
+        F.expr(translate_h2(frag)).alias(f"c{i}") for i, frag in enumerate(cases)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    assert {frag: row[f"c{i}"] for i, frag in enumerate(cases)} == cases
+
+
+def test_string_insert_rejects_nondeterministic_args():
+    import pytest as _pytest
+
+    from hive_scd_spark.updates import ScdScriptError
+
+    with _pytest.raises(ScdScriptError, match="non-deterministic"):
+        translate_h2("INSERT(RANDOM_UUID(), 1, 0, 'X')")
+
+
+def test_to_char_rejects_fused_adjacent_elements():
+    """'MMMM' is MM+MM in H2 ('0303') but a full month name as a Java
+    pattern; 'SSSS' is not even a valid Java pattern (execution-time
+    SparkUpgradeException).  Both must be rejected at translate time."""
+    import pytest as _pytest
+
+    from hive_scd_spark.updates import ScdScriptError
+
+    for fmt in ("MMMM", "SSSS", "YYYYYY", "DDDD"):
+        with _pytest.raises(ScdScriptError, match="fuse"):
+            translate_h2(f"TO_CHAR(TIMESTAMP '2024-03-15 13:07:09', '{fmt}')")
 
 
 def test_to_char_datetime_format_translates(spark):
