@@ -1152,6 +1152,26 @@ def sample_weighted_docs(spark, sf_dir):
     return sample_weighted(docs, "doc_id", "wt", n=100)
 
 
+def fuzzy_link_master(spark, sf_dir):
+    """Two-table fuzzy join (record linkage,
+    operators/fuzzy.py edit_distance_join): the typo side of
+    typo_corpus linked against the clean master side at Levenshtein
+    ≤ 1 — the master is indexed by segments, the dirty side probed.
+    Oracle = the same planted fixture with the equal-length half-match
+    pigeonhole as its exact prefilter (fuzzy_typo_pairs' trick,
+    restricted to cross-side pairs)."""
+    from hive_scd_spark.operators.fuzzy import edit_distance_join
+
+    corpus = typo_corpus(t(spark, sf_dir, "documents"))
+    typos = corpus.filter(F.col("id") >= 100_000_000).select(
+        F.col("id").alias("tid"), F.col("w").alias("tw")
+    )
+    master = corpus.filter(F.col("id") < 100_000_000).select(
+        F.col("id").alias("mid"), F.col("w").alias("mw")
+    )
+    return edit_distance_join(typos, master, "tid", "tw", "mid", "mw", max_dist=1)
+
+
 def text_bpe_train(spark, sf_dir):
     """Distributed BPE vocabulary induction (operators/text.py
     bpe_train — Sennrich learn_bpe): 12 greedy merge rounds over the
@@ -3414,6 +3434,32 @@ EXT_ORACLES: dict[str, str] = {
         FROM votes JOIN n ON votes.doc_id = n.doc_id
         GROUP BY 1
     """,
+    "fuzzy_link_master": """
+        WITH strs AS (
+          SELECT doc_id AS id,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS w
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 100000000,
+                 substr(w, 1, 4) || 'z' || substr(w, 6, 7)
+          FROM (SELECT doc_id,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS w
+                FROM documents WHERE doc_id % 7 = 0)),
+        typos AS (SELECT id AS tid, w AS tw FROM strs WHERE id >= 100000000),
+        master AS (SELECT id AS mid, w AS mw FROM strs WHERE id < 100000000),
+        cand AS (
+          SELECT t.tid, m.mid
+          FROM typos t JOIN master m ON substr(t.tw, 1, 6) = substr(m.mw, 1, 6)
+          UNION
+          SELECT t.tid, m.mid
+          FROM typos t JOIN master m ON substr(t.tw, 7, 6) = substr(m.mw, 7, 6))
+        SELECT c.tid, c.mid, t.tw AS left_str, m.mw AS right_str,
+               CAST(levenshtein(t.tw, m.mw) AS INT) AS dist
+        FROM cand c
+        JOIN typos t ON t.tid = c.tid
+        JOIN master m ON m.mid = c.mid
+        WHERE levenshtein(t.tw, m.mw) <= 1
+    """,
     "sample_weighted_docs": """
         WITH w AS (SELECT doc_id,
                           LEAST(CAST(FLOOR(n_chars / 50) AS BIGINT) + 1, 20) AS wt
@@ -4194,6 +4240,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_train": text_bpe_train,
     # r7: engine-exact weighted sampling (rotation candidate r8)
     "sample_weighted_docs": sample_weighted_docs,
+    # r7: two-table record linkage (rotation candidate r8)
+    "fuzzy_link_master": fuzzy_link_master,
     "ann_lsh_topk": ann_lsh_topk,
     "text_bm25_topk": text_bm25_topk,
     "dedup_corpus_canonical": dedup_corpus_canonical,

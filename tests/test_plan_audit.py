@@ -121,6 +121,8 @@ SWEEP = [
     ("fuzzy_typo_pairs", set()),
     # r7 weighted sampling (bounded explode + map-combined max + top-n)
     ("sample_weighted_docs", set()),
+    # r7 two-table record linkage (same block-key equi-join shape)
+    ("fuzzy_link_master", set()),
     # r7 mergeable-quantile sketch: the ungrouped cumulative window runs
     # over a ≤128-row sketch — bounded BY CONSTRUCTION (n_buckets), the
     # same provably-small-but-not-1-row contract as the ANN builds
