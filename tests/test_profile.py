@@ -216,3 +216,36 @@ def test_histogram_streaming_ingest_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert qs_stream == qs_batch
+
+
+def test_histogram_quantiles_bound_vs_order_statistic(spark):
+    """The PRECISE guarantee (review r7): the estimate is within one
+    bucket width of the rank-ceil(p*N) ORDER STATISTIC — including on
+    gapped bimodal data where the INTERPOLATED percentile sits far
+    from both clusters and the naive bound claim would fail."""
+    import math
+    import random
+
+    from hive_scd_spark.operators.profile import histogram_quantiles, histogram_sketch
+
+    rng = random.Random(3)
+    corpora = [
+        # the adversarial case: two tight clusters, p=0.5 on the boundary
+        [float(rng.randint(0, 50)) for _ in range(50)]
+        + [float(rng.randint(499950, 500000)) for _ in range(50)],
+        # a smooth case
+        [rng.uniform(0, 500000) for _ in range(777)],
+    ]
+    lo, hi, nb = 0.0, 500000.0, 64
+    width = (hi - lo) / nb
+    for vals in corpora:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        sk = histogram_sketch(df, "v", lo, hi, nb)
+        got = {
+            r.p: r.est
+            for r in histogram_quantiles(sk, [0.5, 0.9, 0.99], lo, hi, nb).collect()
+        }
+        svals = sorted(vals)
+        for p in (0.5, 0.9, 0.99):
+            order_stat = svals[math.ceil(p * len(svals)) - 1]
+            assert abs(got[p] - order_stat) <= width + 1e-6, (p, got[p], order_stat)
