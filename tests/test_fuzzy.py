@@ -110,3 +110,12 @@ def test_fuzzy_two_table_join_carries_strings(spark):
     assert (row.lid, row.rid, row.left_str, row.right_str, row.dist) == (
         1, 7, "spark", "spork", 1,
     )
+
+
+def test_fuzzy_two_table_join_rejects_colliding_column_names(spark):
+    left = spark.createDataFrame([(1, "abc")], "id long, name string")
+    right = spark.createDataFrame([(2, "abd")], "id long, name string")
+    with pytest.raises(ValueError, match="collision"):
+        edit_distance_join(left, right, "id", "name", "id", "name", 1)
+    with pytest.raises(ValueError, match="collision"):
+        edit_distance_join(left, right, "dist", "name", "id", "name", 1)

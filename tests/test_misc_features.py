@@ -140,7 +140,8 @@ def test_sample_weighted_matches_python_replay(spark):
     from hive_scd_spark.operators.sampling import sample_weighted
 
     rows = [(i, (i * 7) % 12 + 1) for i in range(300)]
-    df = spark.createDataFrame(rows, "id long, wt int")
+    # a NULL weight must behave as zero tickets (dropped), not crash
+    df = spark.createDataFrame(rows + [(999, None)], "id long, wt int")
     got = sorted(r.id for r in sample_weighted(df, "id", "wt", 40).collect())
 
     def priority(i, w):
