@@ -90,6 +90,9 @@ HEADLINE = [
     # round-7 PassJoin fuzzy join + mergeable-quantile sketch
     "fuzzy_typo_pairs",
     "sketch_quantile_totalprice",
+    # round-7 mergeable Bloom screen (builder collects the m/4-nibble
+    # bitmap, probe is one shuffle-free projection)
+    "decontam_bloom_screen",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -125,6 +128,8 @@ ITERATIVE = {
     "dedup_simhash_near",
     # r7: the builder's min/max .first() (sketch range) is an action
     "sketch_quantile_totalprice",
+    # r7: bloom_to_hex collects the nibble rows at build time
+    "decontam_bloom_screen",
 }
 
 

@@ -1472,6 +1472,38 @@ def decontam_ngram_overlap(spark, sf_dir):
     )
 
 
+def decontam_bloom_screen(spark, sf_dir):
+    """Constant-size decontamination screen (operators/bloom.py): a
+    mergeable Bloom sketch built from a bounded benchmark split
+    (doc_id % 7 == 0 AND doc_id < 700 — big enough that planted
+    near-dups of eval docs exist in the training side at every SF),
+    rendered to a 2^18-bit hex bitmap and probed in ONE shuffle-free
+    projection over the rest of the corpus — the screen a pipeline
+    carries when the union of eval suites has outgrown an exact
+    broadcast.  Output: (doc_id, n_grams, n_hit) for every corpus doc
+    with at least one fully-set 13-gram — the exact hits PLUS the
+    deterministic, engine-exact false positives (the oracle replays the
+    same md5 bit positions, so both engines flag identical docs).
+
+    Builder runs actions (bloom_to_hex collects <= m/4 nibble rows) —
+    bench accounting: ITERATIVE."""
+    from hive_scd_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+        bloom_to_hex,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 700)
+    m_bits, k = 1 << 18, 4
+    sk = bloom_build(docs.filter(is_eval), "text", n=13, m_bits=m_bits, k=k)
+    hx = bloom_to_hex(sk, m_bits=m_bits)
+    out = bloom_probe(
+        docs.filter(~is_eval), "doc_id", "text", hx, n=13, m_bits=m_bits, k=k
+    )
+    return out.filter(F.col("n_hit") > 0)
+
+
 def text_clean_normalize(spark, sf_dir):
     """Pre-training text hygiene (operators/text.py:clean_text): URLs
     and emails stripped, whitespace collapsed — over a corpus where
@@ -4246,6 +4278,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": text_bm25_topk,
     "dedup_corpus_canonical": dedup_corpus_canonical,
     "ivf_kmeans_topk": ivf_kmeans_topk,  # oracle replays the k-means training in SQL
+    # r7: mergeable Bloom decontamination screen (rotation candidate r8)
+    "decontam_bloom_screen": decontam_bloom_screen,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -4441,6 +4475,51 @@ ORACLES["decontam_ngram_overlap"] = """
     FROM (SELECT * FROM g WHERE NOT (doc_id % 97 = 0 AND doc_id < 19400)) t
     JOIN (SELECT * FROM g WHERE doc_id % 97 = 0 AND doc_id < 19400) e USING (h)
     GROUP BY 1, 2
+"""
+
+# Bloom screen replay: the bitmap is just the distinct SET of md5 bit
+# positions the benchmark grams touch, so DuckDB needs no nibble
+# mechanics — membership of all k probe positions in that set IS the
+# "all k bits set" test.  Gram CTE shape identical to
+# decontam_ngram_overlap above (n=13: range end len-11, slice w[i:i+12]).
+ORACLES["decontam_bloom_screen"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), g0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, CAST(len(w) AS BIGINT) - 11), i ->
+               array_to_string(w[i:i+12], ' '))) AS g
+      FROM w WHERE len(w) >= 13
+    ), g AS (SELECT DISTINCT doc_id, g FROM g0),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5(CAST(r.j AS VARCHAR) || ':' || e.g), 1, 15))::BIGINT
+               % 262144 AS p
+      FROM (SELECT DISTINCT g FROM g
+            WHERE doc_id % 7 = 0 AND doc_id < 700) e
+      CROSS JOIN range(1, 5) r(j)
+    ),
+    train AS (SELECT doc_id, g FROM g
+              WHERE NOT (doc_id % 7 = 0 AND doc_id < 700)),
+    hitg AS (
+      SELECT t.doc_id, t.g
+      FROM train t
+      CROSS JOIN range(1, 5) r(j)
+      JOIN bits b
+        ON ('0x' || substring(md5(CAST(r.j AS VARCHAR) || ':' || t.g), 1, 15))::BIGINT
+             % 262144 = b.p
+      GROUP BY t.doc_id, t.g
+      HAVING count(*) = 4
+    ),
+    nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+           FROM hitg GROUP BY doc_id),
+    ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM train GROUP BY doc_id)
+    SELECT nh.doc_id, ng.n_grams, nh.n_hit
+    FROM nh JOIN ng USING (doc_id)
 """
 
 ORACLES["table_profile_documents"] = """
