@@ -527,6 +527,30 @@ def embedding_near_dup_pairs(
     )
 
 
+def _computed_new_buckets(
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_bands: int,
+    dim: int | None,
+) -> DataFrame:
+    """The internally-computed new-batch bucket frame, lazily
+    checkpointed: :func:`embedding_incremental_pairs` references it
+    three times (the cross probe plus both sides of the within
+    self-join), and without a cut the whole hyperplane pipeline would
+    re-evaluate per reference (ADVICE r8 #3).  Caller-supplied
+    ``new_buckets`` is their persisted state table — already
+    materialized, not re-cut."""
+    from hive_scd_spark.operators.similarity import lsh_band_buckets
+
+    return (
+        lsh_band_buckets(new_df, id_col, vec_col, n_planes, n_bands, dim)
+        .withColumnRenamed(id_col, "__id")
+        .localCheckpoint(eager=False)
+    )
+
+
 def embedding_incremental_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -570,8 +594,9 @@ def embedding_incremental_pairs(
     nb = (
         new_buckets.select(F.col(id_col).alias("__id"), "band", "bucket")
         if new_buckets is not None
-        else lsh_band_buckets(new_df, id_col, vec_col, n_planes, n_bands, dim)
-        .withColumnRenamed(id_col, "__id")
+        else _computed_new_buckets(
+            new_df, id_col, vec_col, n_planes, n_bands, dim
+        )
     )
     cb = (
         # select BY NAME (same rationale as minhash_incremental_pairs):

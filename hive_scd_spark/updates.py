@@ -708,10 +708,14 @@ def translate_h2(fragment: str) -> str:
             # subexpression-eliminated, so the branch decision and the
             # returned value would come from different draws — H2
             # evaluates each argument exactly once).  Reject loudly.
-            nondet = ("uuid(", "rand(", "randn(", "random(", "shuffle(")
+            # Function-HEAD match (word boundary before the name), not
+            # raw substring: 'operand(x)' must not trip the rand() net.
+            nondet = re.compile(
+                r"(?<![0-9a-z_$])(?:uuid|randn?|random|shuffle)\s*\(",
+                re.IGNORECASE,
+            )
             for arg_sql in (s, start, ln, repl):
-                low = arg_sql.lower()
-                if any(fn in low for fn in nondet):
+                if nondet.search(arg_sql):
                     raise ScdScriptError(
                         f"H2 INSERT with a non-deterministic argument "
                         f"cannot be rewritten (the CASE wrapper would "

@@ -151,5 +151,70 @@ def test_error_paths(spark, bench_df):
         bloom_probe(bench_df, "doc_id", "text", "ff", m_bits=M_BITS)
     # a sketch built at one m_bits rendered at another -> loud
     sk = bloom_build(bench_df, "text", n=N, m_bits=M_BITS, k=K)
-    with pytest.raises(ValueError, match="nibble index out of range"):
+    with pytest.raises(ValueError, match="conflicts with the sketch"):
         bloom_to_hex(sk, m_bits=16)
+
+
+def test_params_travel_with_sketch_and_bitmap(spark, bench_df, corpus_df):
+    """ADVICE r8 #1: (n, m_bits, k) are carried BY the sketch/bitmap —
+    a probe needs no re-supplied parameters, and mismatched explicit
+    ones fail loudly instead of silently voiding no-false-negatives."""
+    sk = bloom_build(bench_df, "text", n=N, m_bits=M_BITS, k=K)
+    assert sk.params == (N, M_BITS, K)
+    bm = bloom_to_hex(sk)  # no m_bits argument needed anymore
+    assert (bm.n, bm.m_bits, bm.k) == (N, M_BITS, K)
+    assert bm == _py_bitmap([t for _, t in BENCH])  # still a str
+    # parameterless probe == fully-parameterized probe
+    a = bloom_probe(corpus_df, "doc_id", "text", bm)
+    b = bloom_probe(corpus_df, "doc_id", "text", bm, n=N, m_bits=M_BITS, k=K)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # conflicting explicit parameters -> loud
+    for bad in (dict(n=N + 1), dict(m_bits=M_BITS * 2), dict(k=K + 1)):
+        with pytest.raises(ValueError, match="conflicts with the bitmap"):
+            bloom_probe(corpus_df, "doc_id", "text", bm, **bad)
+    # merging sketches with different shapes -> loud
+    other = bloom_build(bench_df, "text", n=N, m_bits=M_BITS, k=K + 1)
+    with pytest.raises(ValueError, match="mismatched sketch parameters"):
+        bloom_merge(sk, other)
+
+
+def test_bitmap_rides_broadcast_not_plan_literal(spark, bench_df, corpus_df):
+    """ADVICE r8 #5 / VERDICT r8 task 7: the packed bitmap must NOT be
+    embedded in the plan as an F.lit array (multi-MB plan payload once
+    m grows) — it ships as a broadcast one-row dimension."""
+    from hive_scd_spark.plans import physical_plan
+
+    bm = bloom_to_hex(bloom_build(bench_df, "text", n=N, m_bits=M_BITS, k=K))
+    out = bloom_probe(corpus_df, "doc_id", "text", bm)
+    plan = physical_plan(out)
+    assert "BroadcastExchange" in plan or "Broadcast" in plan
+    # a literal array of m/64 bigints would render as [v1, v2, ...]
+    # with m_bits/64 = 64 entries; the plan must stay bitmap-free.
+    words = [0] * (M_BITS // 64)
+    for i, ch in enumerate(bm):
+        words[(4 * i) // 64] |= int(ch, 16) << ((4 * i) % 64)
+    nonzero = next(w for w in words if w)
+    signed = nonzero - (1 << 64) if nonzero >= (1 << 63) else nonzero
+    assert str(signed) not in plan
+
+
+def test_large_m_parity_vs_literal_semantics(spark, bench_df, corpus_df):
+    """Broadcast path parity at a larger m (2^20): same counts as the
+    Python reference — the representation change is invisible."""
+    m = 1 << 20
+    bm = bloom_to_hex(bloom_build(bench_df, "text", n=N, m_bits=m, k=K))
+    rows = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in bloom_probe(corpus_df, "doc_id", "text", bm).collect()
+    }
+    bitmap = _py_bitmap([t for _, t in BENCH], m_bits=m)
+    for doc_id, text in CORPUS:
+        grams = _py_grams(text)
+        expect = sum(
+            all(
+                int(bitmap[p // 4], 16) & (1 << (p % 4))
+                for p in _py_positions(g, m_bits=m)
+            )
+            for g in grams
+        )
+        assert rows[doc_id] == (len(grams), expect)

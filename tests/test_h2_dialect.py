@@ -346,6 +346,27 @@ def test_string_insert_rejects_nondeterministic_args():
 
     with _pytest.raises(ScdScriptError, match="non-deterministic"):
         translate_h2("INSERT(RANDOM_UUID(), 1, 0, 'X')")
+    for frag in (
+        "INSERT(RAND(), 1, 0, 'X')",
+        "INSERT('a', 1, 0, uuid())",
+        "INSERT('a', CAST(rand() * 3 AS INT), 0, 'X')",
+    ):
+        with _pytest.raises(ScdScriptError, match="non-deterministic"):
+            translate_h2(frag)
+
+
+def test_string_insert_guard_is_function_head_not_substring():
+    """ADVICE r8 #2: identifiers that merely CONTAIN a banned name —
+    operand(x), veranda(x), my_uuid_col — must not trip the guard; only
+    a real function head (word boundary + '(') is non-deterministic."""
+    for frag in (
+        "INSERT(operand(x), 1, 0, 'X')",      # ...rand( inside a word
+        "INSERT('a', 1, 0, veranda(x))",       # ...randa( is not rand(
+        "INSERT(my_uuid_col, 1, 0, 'X')",      # uuid as identifier, no call
+        "INSERT(errands, 1, 0, 'X')",          # bare column name
+    ):
+        out = translate_h2(frag)
+        assert out.startswith("(CASE")
 
 
 def test_to_char_rejects_fused_adjacent_elements():

@@ -342,6 +342,22 @@ def test_embedding_incremental_broadcast_contract_in_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in physical_plan(df)
 
 
+def test_embedding_incremental_new_buckets_are_cut_once(spark, sf_dir):
+    """ADVICE r8 #3: the internally-computed new-batch bucket frame is
+    lazily checkpointed, so the three downstream references (cross
+    probe + both within-join sides) share ONE evaluation of the
+    hyperplane pipeline instead of re-running it per reference."""
+    from hive_scd_spark.operators.dedup import _computed_new_buckets
+    from hive_scd_spark.plans import physical_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+    nb = _computed_new_buckets(new, "vec_id", "embedding", 4, 4, 64)
+    plan = physical_plan(nb)
+    # the frame is an RDD cut, not live hyperplane lineage
+    assert "ExistingRDD" in plan and "md5" not in plan
+
+
 def test_embedding_streaming_ingest_matches_batch(spark, tmp_path):
     """Two micro-batches through embedding_ingest_sink must discover
     exactly the pairs batch LSH finds on the union corpus — including
