@@ -4079,8 +4079,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customer_history": scd2_customer_history,
     "scd_customer_orders_revenue": scd_customer_orders_revenue,
     "scd_sql_over_view": scd_sql_over_view,
-    "scd_snapshot_roundtrip": scd_snapshot_roundtrip,
     "scd_h2_dialect": scd_h2_dialect,
+    # r9 rotation (VERDICT r8 tasks 1+4): twelve never-driver-verified
+    # entries take the slots of eleven multiply-green veterans plus the
+    # rows-only layout gate.  In: the six r7 operators with only
+    # self-reported contract evidence (fuzzy_typo_pairs,
+    # fuzzy_link_master, sketch_quantile_totalprice,
+    # decontam_bloom_screen, sample_weighted_docs,
+    # dedup_embedding_lsh_incremental) and six TPC-H shapes never
+    # driver-checked (q21, q2, q9, q20, q15, q22 — hardest-first per
+    # the task-4 list).  Out: scd_snapshot_roundtrip,
+    # text_clean_normalize, text_strip_html, corpus_top_ngrams,
+    # sample_top_n_per_group, multimodal_frame_sample (each driver-green
+    # >= 2 rounds), multimodal_audio_features, text_unigram_logprob,
+    # sample_token_budget_per_source, skew_salted_join_orders,
+    # text_remove_boilerplate (green r6+r7+r8), and
+    # layout_zorder_skipping (rows-only by design — it can never
+    # hash-green, so its slot goes to a hash-checkable gate; its
+    # in-gate assertions keep running via check_contract.py).  Family
+    # coverage after the swap: cleaning keeps text_redact_pii, quality
+    # keeps text_repetition_stats, sampling gains sample_weighted_docs,
+    # multimodal keeps multimodal_dedup_exact, joins keep
+    # range_join_event_windows + both fuzzy joins.
+    "fuzzy_typo_pairs": fuzzy_typo_pairs,
+    "fuzzy_link_master": fuzzy_link_master,
+    "sketch_quantile_totalprice": sketch_quantile_totalprice,
+    "decontam_bloom_screen": decontam_bloom_screen,
+    "sample_weighted_docs": sample_weighted_docs,
+    "dedup_embedding_lsh_incremental": dedup_embedding_lsh_incremental,
+    "q21_waiting_orders": q21_waiting_orders,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q15_top_supplier": q15_top_supplier,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     # TPC-H-style analytics (join + agg + pushdown + top-k)
     # r7 rotation (VERDICT r6 task 1): seven never-driver-verified
     # entries take the slots of seven multiply-green veterans
@@ -4098,47 +4130,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_merge_distinct_users": sketch_merge_distinct_users,
     "variant_props_stats": variant_props_stats,
     "lateral_recent_orders": lateral_recent_orders,
-    "corpus_top_ngrams": corpus_top_ngrams,
-    "text_strip_html": text_strip_html,
-    # r6 rotation (VERDICT r5 task 1): the four r5 operators that had
-    # only local contract-log evidence take window slots from four
-    # triple-green veterans (q6_revenue_forecast,
-    # agg_percentiles_per_segment, pivot_nation_by_segment,
-    # json_props_stats — green r3+r4+r5, now contract-checked >50)
-    "text_clean_normalize": text_clean_normalize,
-    # r6 fourth rotation: the Spark-4 recursive-CTE gate (brand-new
-    # capability this round) takes the slot of agg_grouping_sets
-    # (green r3+r4+r5; rollup/cube keep the family contract-checked)
     "sql_recursive_calendar": sql_recursive_calendar,
-    "sample_top_n_per_group": sample_top_n_per_group,
-    # r6 second rotation: five brand-new operators (repetition screen,
-    # unigram LM score, token-budget mixing, PII redaction, int8
-    # quantization) take the slots of five multiply-green veterans
-    # (agg_distinct_parts_per_supplier, window_topk_parts_per_brand,
-    # join_semi_customers_with_big_order, text_doc_fingerprint,
-    # ivf_cosine_topk — each green r3+r4+r5); the displaced stay
-    # DuckDB-verified via scripts/check_contract.py
     "text_repetition_stats": text_repetition_stats,
     "text_bpe_tokenize": text_bpe_tokenize,
     # window functions
-    "text_unigram_logprob": text_unigram_logprob,
     "window_range_frame_spend": window_range_frame_spend,
     "agg_median_listagg": agg_median_listagg,
-    # join surface (anti-join rotated out: green r3+r4+r5; the corpus
-    # boilerplate census takes its slot — full_outer/asof/range keep
-    # the join family represented)
-    "text_remove_boilerplate": text_remove_boilerplate,
-    "sample_token_budget_per_source": sample_token_budget_per_source,
-    "skew_salted_join_orders": skew_salted_join_orders,
+    # join surface
     "range_join_event_windows": range_join_event_windows,
-    # r6 new gates (never driver-checked) take the slots of
-    # setop_intersect_except / array_functions_showcase (green
-    # r3+r4+r5); the remaining two r5 rotation targets fill the
-    # pivot/json slots
     "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
-    "multimodal_audio_features": multimodal_audio_features,
     "text_lang_id_ngram": text_lang_id_ngram,
-    "multimodal_frame_sample": multimodal_frame_sample,
     # r5 additions: training-pipeline packing + decontamination — never
     # driver-checked before, so they take window slots from the
     # multiply-verified unpivot/correlated-subquery entries (r3+r4 green)
@@ -4169,11 +4170,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_redact_pii": text_redact_pii,
     # similarity search
     "embedding_quantize_int8": embedding_quantize_int8,
-    # r7: the layout-writer contract gate (rows-only — file-layout
-    # evidence, in-gate bound assertions) takes ivf_kmeans_topk's slot
-    # (green r4+r5+r6; ANN stays represented by embedding_quantize_int8,
-    # text_hash_embed_ann, pipeline_semantic_dedup)
-    "layout_zorder_skipping": layout_zorder_skipping,
     # r7: banded SimHash Hamming search (brand-new capability this
     # round — pigeonhole-exact recall, bucket-local candidates) takes
     # shard_assignment's slot (green r4+r5+r6 incl. the r5-regression
@@ -4232,18 +4228,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_pred": q19_disjunctive_pred,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     # r7: the TPC-H suite completed — every remaining shape adapted to
     # the reduced schema (no partsupp/shipmode/commitdate; see each
-    # docstring).  Never driver-verified yet: next rounds' rotation pool
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q9_product_profit": q9_product_profit,
+    # docstring).  q21/q2/q9/q20/q15/q22 promoted to the window in r9;
+    # these two are the r10 rotation pool
     "q11_important_stock": q11_important_stock,
     "q12_shipping_priority_classes": q12_shipping_priority_classes,
-    "q15_top_supplier": q15_top_supplier,
     "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q20_excess_shippers": q20_excess_shippers,
-    "q21_waiting_orders": q21_waiting_orders,
     # displaced in the r6 sixth rotation (green r3+r4+r5; quality and
     # conditional-agg families keep newer in-window representatives)
     "agg_filtered_event_stats": agg_filtered_event_stats,
@@ -4270,24 +4261,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_click_purchase": asof_join_click_purchase,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_embedding_lsh": dedup_embedding_lsh,
-    # r7: embedding-family incremental ingest (rotation candidate r8)
-    "dedup_embedding_lsh_incremental": dedup_embedding_lsh_incremental,
-    # r7: mergeable-quantile sketch (rotation candidate r8)
-    "sketch_quantile_totalprice": sketch_quantile_totalprice,
-    # r7: PassJoin edit-distance self-join (rotation candidate r8)
-    "fuzzy_typo_pairs": fuzzy_typo_pairs,
     # r7: distributed BPE vocabulary induction (rows-only: iterative)
     "text_bpe_train": text_bpe_train,
-    # r7: engine-exact weighted sampling (rotation candidate r8)
-    "sample_weighted_docs": sample_weighted_docs,
-    # r7: two-table record linkage (rotation candidate r8)
-    "fuzzy_link_master": fuzzy_link_master,
     "ann_lsh_topk": ann_lsh_topk,
     "text_bm25_topk": text_bm25_topk,
     "dedup_corpus_canonical": dedup_corpus_canonical,
     "ivf_kmeans_topk": ivf_kmeans_topk,  # oracle replays the k-means training in SQL
-    # r7: mergeable Bloom decontamination screen (rotation candidate r8)
-    "decontam_bloom_screen": decontam_bloom_screen,
+    # displaced in the r9 rotation (each driver-green 2-3 rounds; their
+    # families keep in-window representatives — see the window comment)
+    # — still DuckDB-verified by scripts/check_contract.py every round
+    "scd_snapshot_roundtrip": scd_snapshot_roundtrip,
+    "text_clean_normalize": text_clean_normalize,
+    "text_strip_html": text_strip_html,
+    "corpus_top_ngrams": corpus_top_ngrams,
+    "sample_top_n_per_group": sample_top_n_per_group,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_features": multimodal_audio_features,
+    "text_unigram_logprob": text_unigram_logprob,
+    "sample_token_budget_per_source": sample_token_budget_per_source,
+    "skew_salted_join_orders": skew_salted_join_orders,
+    "text_remove_boilerplate": text_remove_boilerplate,
+    # rows-only layout gate, swapped out of the window in r9 (it can
+    # never hash-green; its in-gate skip-fraction assertions still run
+    # here via check_contract.py's rows-only path)
+    "layout_zorder_skipping": layout_zorder_skipping,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
