@@ -21,8 +21,113 @@ candidates only.  Reference scope: beyond the reference core
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+class FuzzyBlockSkewError(ValueError):
+    """A PassJoin block key's candidate volume exceeds ``max_block`` —
+    the corpus has a hot block (typically a shared constant-prefix
+    segment: serial IDs, "Customer#…") that would degenerate the
+    bucket-local verify toward all-pairs.  The message carries the
+    offending (segment-index, length, segment-text) keys and their
+    candidate counts so the fix is actionable; see
+    :func:`edit_distance_self_join` for the remediation options."""
+
+
+def _hot_blocks(index: DataFrame, probe: DataFrame, max_block: int) -> DataFrame:
+    """Per block key, the candidate-pair volume the join WOULD produce
+    (index-side population × probe-side population — the exact number
+    of levenshtein calls for that key), filtered to keys above
+    ``max_block``.  Pure aggregation over the two (already lazy) sides;
+    the caller limits + collects a bounded handful of rows."""
+    ic = index.groupBy("i", "La", "seg").agg(F.count("*").alias("__ni"))
+    pc = probe.groupBy("i", "Ls", "sub").agg(F.count("*").alias("__np"))
+    return (
+        ic.join(
+            pc,
+            (ic["i"] == pc["i"]) & (ic["La"] == pc["Ls"]) & (ic["seg"] == pc["sub"]),
+        )
+        .select(
+            ic["i"],
+            ic["La"],
+            ic["seg"],
+            (F.col("__ni") * F.col("__np")).alias("n_candidates"),
+        )
+        .filter(F.col("n_candidates") > max_block)
+    )
+
+
+def _census_or_raise(
+    index: DataFrame,
+    probe: DataFrame,
+    max_block: int,
+    on_hot: str,
+    what: str,
+):
+    """Run the pre-join hot-block census.  ``on_hot='error'`` raises
+    :class:`FuzzyBlockSkewError` listing the worst offenders;
+    ``on_hot='sample'`` returns a REPLACEMENT index side where each hot
+    block's index rows are deterministically thinned (md5-rank, so the
+    result is engine-replayable) until the product bound holds — an
+    explicit, opt-in recall trade documented at the call site, never a
+    silent cap.  Driver collect bounded at 5 rows."""
+    if on_hot not in ("error", "sample"):
+        raise ValueError(f"on_hot must be 'error' or 'sample', got {on_hot!r}")
+    hot = _hot_blocks(index, probe, max_block)
+    if on_hot == "error":
+        worst = hot.orderBy(F.desc("n_candidates")).limit(5).collect()
+        if worst:
+            keys = ", ".join(
+                f"(i={r['i']}, len={r['La']}, seg={r['seg']!r}: "
+                f"{r['n_candidates']} candidates)"
+                for r in worst
+            )
+            raise FuzzyBlockSkewError(
+                f"{what}: {'at least 5' if len(worst) == 5 else len(worst)} "
+                f"PassJoin block(s) exceed max_block={max_block} candidate "
+                f"pairs — worst: {keys}.  A hot block means many strings "
+                f"share a segment verbatim (constant prefixes / serial "
+                f"IDs); the bucket-local verify degenerates toward "
+                f"all-pairs there.  Fix the DATA, not the cap: join on "
+                f"the variable part of the string, raise max_dist so "
+                f"segments split the constant prefix, or opt into "
+                f"on_hot='sample' (deterministic per-block thinning, "
+                f"documented recall loss on hot blocks only)."
+            )
+        return index
+    # on_hot == "sample": thin each hot block's INDEX rows to
+    # floor(max_block / probe-count) by deterministic md5 rank.  Only
+    # hot blocks lose rows; every other block keeps exact recall.
+    hk = hot.select(
+        F.col("i").alias("__hi"),
+        F.col("La").alias("__hL"),
+        F.col("seg").alias("__hseg"),
+        F.col("n_candidates").alias("__hc"),
+    )
+    joined = index.join(
+        hk,
+        (index["i"] == hk["__hi"])
+        & (index["La"] == hk["__hL"])
+        & (index["seg"] == hk["__hseg"]),
+        "left",
+    )
+    w = Window.partitionBy("i", "La", "seg").orderBy(F.md5(F.concat_ws(":", "ia", "seg")))
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "__keep",
+            F.greatest(
+                F.lit(1).cast("long"),
+                (F.lit(max_block) * F.count("*").over(wall) / F.col("__hc")).cast(
+                    "long"
+                ),
+            ),
+        )
+        .filter(F.col("__hc").isNull() | (F.col("__rk") <= F.col("__keep")))
+        .select("ia", "sa", "La", "i", "seg")
+    )
 
 
 def _seg_start(L, i, k):
@@ -148,6 +253,8 @@ def edit_distance_join(
     right_id: str,
     right_str: str,
     max_dist: int = 1,
+    max_block: int | None = None,
+    on_hot: str = "error",
 ) -> DataFrame:
     """Two-table fuzzy join (record linkage): every (left, right) pair
     within Levenshtein distance *max_dist* — exact recall via PassJoin
@@ -159,7 +266,18 @@ def edit_distance_join(
 
     The canonical use: link a dirty column (typos) against a clean
     master list — the master is usually the smaller side and sits on
-    the index; AQE broadcasts it when it is small enough."""
+    the index; AQE broadcasts it when it is small enough.
+
+    ``max_block`` (opt-in) runs a pre-join hot-block census: per block
+    key, the exact candidate count the join would produce (index
+    population × probe population); any key above the bound raises
+    :class:`FuzzyBlockSkewError` naming the offending segment values
+    (``on_hot='error'``), or — explicit opt-in — deterministically
+    thins the hot blocks' index rows to restore the bound
+    (``on_hot='sample'``; recall loss confined to hot blocks, never a
+    silent cap).  The census is one counting pass over the two lazy
+    sides; leave it ``None`` on corpora already known to be
+    prefix-diverse."""
     d = int(max_dist)
     if d < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -172,6 +290,10 @@ def edit_distance_join(
     k = d + 1
     index = _index_side(_base(right, right_id, right_str, k), k)
     probe = _probe_side(_base(left, left_id, left_str, k), k, d)
+    if max_block is not None:
+        index = _census_or_raise(
+            index, probe, int(max_block), on_hot, "edit_distance_join"
+        )
     cand = index.join(
         probe,
         (index["i"] == probe["i"])
@@ -197,6 +319,8 @@ def edit_distance_self_join(
     id_col: str,
     str_col: str,
     max_dist: int = 1,
+    max_block: int | None = None,
+    on_hot: str = "error",
 ) -> DataFrame:
     """All pairs within Levenshtein distance *max_dist* — exact
     (recall-complete) via PassJoin segment blocking, never all-pairs.
@@ -222,11 +346,18 @@ def edit_distance_self_join(
     At 100 TB the block key distribution is the thing to watch: a
     corpus whose strings share a constant-prefix segment (serial IDs,
     "Customer#…") degenerates that block to all-pairs.  That is a
-    DATA property, not a plan property — pick segments from the
-    variable part (or raise max_dist so segments split the constant
-    prefix) rather than capping the block, because a cap would break
-    the recall guarantee exactly for the pairs that differ in the
-    OTHER segment."""
+    DATA property, not a plan property, and the ``max_block`` census
+    (opt-in) makes it LOUD instead of slow: per block key it computes
+    the exact candidate count the join would produce and raises
+    :class:`FuzzyBlockSkewError` naming the offending segment values
+    when any key exceeds the bound (``on_hot='error'``).  The right
+    fix is picking segments from the variable part or raising
+    max_dist so segments split the constant prefix — a silent cap
+    would break the recall guarantee exactly for the pairs that
+    differ in the OTHER segment — but ``on_hot='sample'`` offers an
+    explicit escape (deterministic md5-rank thinning of hot blocks'
+    index rows; recall loss confined to hot blocks and opted into, by
+    name, at the call site)."""
     d = int(max_dist)
     if d < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -234,6 +365,10 @@ def edit_distance_self_join(
     base = _base(df, id_col, str_col, k)
     index = _index_side(base, k)
     probe = _probe_side(base, k, d)
+    if max_block is not None:
+        index = _census_or_raise(
+            index, probe, int(max_block), on_hot, "edit_distance_self_join"
+        )
     # ia < ib, not ia != ib: the pigeonhole lemma is symmetric (either
     # string of a qualifying pair can be the partitioned side), so one
     # orientation — index on the smaller id — finds every pair, and
