@@ -220,6 +220,8 @@ UPDATE orders SET o_orderpriority = NVL(o_orderpriority, 'none') || '+h2' WHERE 
 UPDATE orders SET o_orderpriority = CONCAT(o_orderpriority, NULL, CASEWHEN(INSTR(o_orderpriority, 'U', 2) > 0, '*U', '')) WHERE REGEXP_LIKE(o_orderpriority, '^[123]-', 'i');
 UPDATE orders SET o_orderpriority = INSERT(o_orderpriority, CAST(o_orderkey % 4 AS INT), 2, 'Z#') WHERE o_orderkey % 5 = 0;
 UPDATE orders SET o_orderpriority = TO_CHAR(TRUNC(o_orderdate, 'MONTH'), 'YYYY-MM') || '~' || o_orderpriority WHERE o_orderkey % 7 = 0;
+UPDATE orders SET o_orderpriority = REGEXP_REPLACE(o_orderpriority, 'urgent', 'URGT', 'i') WHERE o_orderkey % 3 = 1;
+UPDATE orders SET o_orderpriority = FORMATDATETIME(o_orderdate, 'yyyy/MM/dd') || '>' || o_orderpriority WHERE o_orderkey % 11 = 0;
 DELETE FROM orders WHERE CASEWHEN(o_totalprice > 450000.0, TRUE, FALSE);
 """
 
@@ -233,10 +235,13 @@ def scd_h2_dialect(spark, sf_dir):
     REGEXP_LIKE folded to Java embedded flags, string INSERT with the
     H2 return-original boundary CASE (statement 4 drives start through
     0..3 so the start<1 branch fires on real rows), TRUNC(x, 'MONTH')
-    → date_trunc, and TO_CHAR('YYYY-MM') → date_format with the Oracle
-    format model translated — plus H2-isms that are already valid
-    Spark (NVL, ``||``).  Pre-image semantics of the two-column SET in
-    statement 1 are part of the check."""
+    → date_trunc, TO_CHAR('YYYY-MM') → date_format with the Oracle
+    format model translated, flagged 4-arg REGEXP_REPLACE folded to an
+    embedded-flag 3-arg form (Spark's own 4-arg reads a start
+    POSITION there), and FORMATDATETIME → date_format on the
+    SimpleDateFormat/DateTimeFormatter-agreeing subset — plus H2-isms
+    that are already valid Spark (NVL, ``||``).  Pre-image semantics
+    of the two-column SET in statement 1 are part of the check."""
     out = apply_statements(t(spark, sf_dir, "orders"), _H2_SCRIPT, as_of=None)
     return out.select(
         "o_orderkey",
@@ -3911,9 +3916,27 @@ ORACLES: dict[str, str] = {
                            || '~' || o_orderpriority
                       ELSE o_orderpriority END AS o_orderpriority,
                  o_orderdate, o_totalprice
-          FROM s4)
+          FROM s4),
+        -- statement 6: flagged REGEXP_REPLACE — the 'i' flag folds to
+        -- an embedded (?i); DuckDB needs its own 'g' to match Java
+        -- replaceAll's replace-every-occurrence default
+        s6 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 1
+                      THEN regexp_replace(o_orderpriority, '(?i)urgent', 'URGT', 'g')
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_orderdate, o_totalprice
+          FROM s5),
+        -- statement 7: FORMATDATETIME 'yyyy/MM/dd' → strftime
+        s7 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 11 = 0
+                      THEN strftime(o_orderdate, '%Y/%m/%d') || '>' || o_orderpriority
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 o_orderdate, o_totalprice
+          FROM s6)
         SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS odate
-        FROM s5
+        FROM s7
         WHERE NOT (o_totalprice > 450000.0)
     """,
     "scd_partitioned_updates": """

@@ -470,12 +470,80 @@ def _h2_datefmt_to_java(fmt: str, fragment: str) -> str:
     return "".join(out)
 
 
-# H2 REGEXP_LIKE flag chars → Java embedded-flag chars (both engines
-# compile java.util.regex underneath, so the embedded form is exact):
-# 'i' case-insensitive → (?i); 'n' dot-matches-newline → (?s) [Java
-# DOTALL]; 'm' multiline → (?m); 'c' case-sensitive is the default →
-# no embedded flag.  Anything else is rejected loudly.
+# H2 REGEXP_LIKE / REGEXP_REPLACE flag chars → Java embedded-flag
+# chars (both engines compile java.util.regex underneath, so the
+# embedded form is exact): 'i' case-insensitive → (?i); 'n'
+# dot-matches-newline → (?s) [Java DOTALL]; 'm' multiline → (?m); 'c'
+# case-sensitive is the default → no embedded flag.  Anything else is
+# rejected loudly.
 _H2_REGEX_FLAG_MAP = {"i": "i", "n": "s", "m": "m", "c": ""}
+
+
+def _fold_regex_flags(flag_arg: str, func: str, fragment: str) -> str:
+    """Validate a literal H2 regex-flags argument and return the Java
+    embedded-flag prefix (possibly '') — shared by REGEXP_LIKE and
+    REGEXP_REPLACE.  Non-literal or unknown flags raise."""
+    flag_lit = re.fullmatch(r"'([A-Za-z]*)'", flag_arg.strip())
+    if flag_lit is None:
+        raise ScdScriptError(
+            f"H2 {func} flags must be a string literal "
+            f"(got {flag_arg.strip()!r}): {fragment!r}"
+        )
+    emb = []
+    for c in flag_lit.group(1).lower():
+        if c not in _H2_REGEX_FLAG_MAP:
+            raise ScdScriptError(
+                f"unsupported H2 {func} flag {c!r} "
+                f"(supported: i, c, n, m): {fragment!r}"
+            )
+        if _H2_REGEX_FLAG_MAP[c]:
+            emb.append(_H2_REGEX_FLAG_MAP[c])
+    return f"(?{''.join(emb)})" if emb else ""
+
+
+# FORMATDATETIME pattern letters whose SimpleDateFormat (H2) and
+# DateTimeFormatter (Spark) renderings coincide, with the run lengths
+# where that holds.  Word elements (MMM/EEE), zone/era letters, and
+# quoted literals are rejected — their renderings are locale- or
+# API-divergent and a silent mismatch is worse than an error.
+_H2_FMTDT_RUNS = {
+    "y": (1, 2, 4), "M": (1, 2), "d": (1, 2),
+    "H": (1, 2), "h": (1, 2), "m": (1, 2), "s": (1, 2),
+}
+
+
+def _check_formatdatetime_fmt(fmt: str, fragment: str) -> str:
+    """H2's FORMATDATETIME hands its format string to
+    java.text.SimpleDateFormat, and Spark's date_format to
+    DateTimeFormatter — same pattern language on the numeric subset,
+    divergent elsewhere.  Validate that every token is in the agreeing
+    subset and return the pattern unchanged."""
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch.isalpha():
+            j = i
+            while j < n and fmt[j] == ch:
+                j += 1
+            if ch not in _H2_FMTDT_RUNS or (j - i) not in _H2_FMTDT_RUNS[ch]:
+                raise ScdScriptError(
+                    f"unsupported FORMATDATETIME pattern element "
+                    f"{fmt[i:j]!r} (supported: "
+                    f"{'/'.join(sorted(_H2_FMTDT_RUNS))} runs where "
+                    f"SimpleDateFormat and Spark's DateTimeFormatter "
+                    f"agree, plus separators {_H2_TO_CHAR_SEPS!r}): "
+                    f"{fragment!r}"
+                )
+            i = j
+        elif ch in _H2_TO_CHAR_SEPS:
+            i += 1
+        else:
+            raise ScdScriptError(
+                f"unsupported FORMATDATETIME pattern character {ch!r} "
+                f"(quoted literals and non-separator punctuation render "
+                f"differently between the engines): {fragment!r}"
+            )
+    return fmt
 
 
 def translate_h2(fragment: str) -> str:
@@ -500,6 +568,20 @@ def translate_h2(fragment: str) -> str:
       (``(?i)`` etc. — both engines run java.util.regex, so this is
       exact); non-literal or unknown flags → :class:`ScdScriptError`.
       2-arg REGEXP_LIKE is untouched (already valid Spark)
+    - ``REGEXP_REPLACE(s, p, r, 'flags')`` (4-arg) → 3-arg
+      ``regexp_replace`` with the flags folded into the pattern the
+      same way — Spark's OWN 4-arg form reads an integer start
+      position there, so passing the H2 call through would silently
+      change meaning; non-literal or unknown flags →
+      :class:`ScdScriptError`.  3-arg REGEXP_REPLACE is untouched
+      (both engines run java.util.regex replaceAll, $-backreferences
+      included)
+    - ``FORMATDATETIME(x, '<fmt>')`` → ``date_format(x, '<fmt>')``
+      after validating every pattern element is in the subset where
+      H2's SimpleDateFormat and Spark's DateTimeFormatter agree
+      (numeric y/M/d/H/h/m/s runs + separators); word elements,
+      quoted literals, zone letters, and the locale / time-zone
+      overloads → :class:`ScdScriptError`
     - ``BITAND/BITOR/BITXOR(a, b)`` → ``(a & b)`` / ``|`` / ``^``
       (H2 spells these as functions; Spark's ``bit_and`` etc. are
       AGGREGATES, so a name-for-name mapping would silently change
@@ -773,32 +855,61 @@ def translate_h2(fragment: str) -> str:
         if lw == "regexp_like" and is_call:
             args, after = _call_args(fragment, k)
             if len(args) == 3:
-                flag_lit = re.fullmatch(r"'([A-Za-z]*)'", args[2].strip())
-                if flag_lit is None:
-                    raise ScdScriptError(
-                        f"H2 REGEXP_LIKE flags must be a string literal "
-                        f"(got {args[2].strip()!r}): {fragment!r}"
-                    )
-                emb = []
-                for c in flag_lit.group(1).lower():
-                    if c not in _H2_REGEX_FLAG_MAP:
-                        raise ScdScriptError(
-                            f"unsupported H2 REGEXP_LIKE flag {c!r} "
-                            f"(supported: i, c, n, m): {fragment!r}"
-                        )
-                    if _H2_REGEX_FLAG_MAP[c]:
-                        emb.append(_H2_REGEX_FLAG_MAP[c])
+                prefix = _fold_regex_flags(args[2], "REGEXP_LIKE", fragment)
                 s = translate_h2(args[0].strip())
                 p = translate_h2(args[1].strip())
-                if emb:
-                    out.append(
-                        f"regexp_like({s}, concat('(?{''.join(emb)})', {p}))"
-                    )
+                if prefix:
+                    out.append(f"regexp_like({s}, concat('{prefix}', {p}))")
                 else:
                     out.append(f"regexp_like({s}, {p})")
                 i = after
                 continue
             # 2-arg REGEXP_LIKE is already valid Spark — untouched
+        if lw == "regexp_replace" and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) == 4:
+                # In the H2 dialect the 4th argument is a FLAGS string;
+                # Spark's own 4-arg regexp_replace reads an integer
+                # start POSITION there — passing the call through would
+                # silently change meaning, so the flagged form is
+                # folded into the pattern (both engines run
+                # java.util.regex; Matcher.replaceAll semantics incl.
+                # $-backreferences already agree on the 3-arg form).
+                prefix = _fold_regex_flags(args[3], "REGEXP_REPLACE", fragment)
+                s = translate_h2(args[0].strip())
+                p = translate_h2(args[1].strip())
+                r = translate_h2(args[2].strip())
+                if prefix:
+                    out.append(
+                        f"regexp_replace({s}, concat('{prefix}', {p}), {r})"
+                    )
+                else:
+                    out.append(f"regexp_replace({s}, {p}, {r})")
+                i = after
+                continue
+            # 3-arg REGEXP_REPLACE: identical java.util.regex
+            # replaceAll semantics in both engines — untouched
+        if lw == "formatdatetime" and is_call:
+            args, after = _call_args(fragment, k)
+            if len(args) != 2:
+                raise ScdScriptError(
+                    f"H2 FORMATDATETIME is supported only in 2-argument "
+                    f"form FORMATDATETIME(x, '<format>') (the locale / "
+                    f"time-zone overloads have no Spark equivalent): "
+                    f"{fragment!r}"
+                )
+            fmt_lit = re.fullmatch(r"'([^']*)'", args[1].strip())
+            if fmt_lit is None:
+                raise ScdScriptError(
+                    f"H2 FORMATDATETIME format must be a string literal "
+                    f"(got {args[1].strip()!r}): {fragment!r}"
+                )
+            fmt = _check_formatdatetime_fmt(fmt_lit.group(1), fragment)
+            out.append(
+                f"date_format({translate_h2(args[0].strip())}, '{fmt}')"
+            )
+            i = after
+            continue
         out.append(word)
         i = j
     return "".join(out)

@@ -421,3 +421,57 @@ def test_trunc_numeric_and_bare_rejected():
     for bad in ("TRUNC(bal)", "TRUNC(bal, 2)", "TRUNC(d, unit_col)"):
         with pytest.raises(ScdScriptError, match="TRUNC is supported only as datetime"):
             translate_h2(bad)
+
+
+def test_regexp_replace_flagged_form_folds_flags():
+    """VERDICT r8 task 10: 4-arg H2 REGEXP_REPLACE carries FLAGS where
+    Spark's own 4-arg form reads a start position — the shim folds the
+    flags into the pattern; non-literal or unknown flags fail loudly;
+    the 3-arg form passes through untouched."""
+    out = translate_h2("REGEXP_REPLACE(x, 'urgent', 'U', 'i')")
+    assert out == "regexp_replace(x, concat('(?i)', 'urgent'), 'U')"
+    out = translate_h2("REGEXP_REPLACE(x, p, r, 'c')")
+    assert out == "regexp_replace(x, p, r)"
+    out = translate_h2("REGEXP_REPLACE(x, p, r, 'in')")
+    assert out == "regexp_replace(x, concat('(?is)', p), r)"
+    assert translate_h2("REGEXP_REPLACE(x, p, r)") == "REGEXP_REPLACE(x, p, r)"
+    with pytest.raises(ScdScriptError, match="flags must be a string literal"):
+        translate_h2("REGEXP_REPLACE(x, p, r, 2)")
+    with pytest.raises(ScdScriptError, match="unsupported H2 REGEXP_REPLACE flag"):
+        translate_h2("REGEXP_REPLACE(x, p, r, 'g')")
+
+
+def test_formatdatetime_maps_agreeing_subset_only():
+    out = translate_h2("FORMATDATETIME(ts, 'yyyy/MM/dd')")
+    assert out == "date_format(ts, 'yyyy/MM/dd')"
+    out = translate_h2("FORMATDATETIME(ts, 'dd.MM.yy HH:mm:ss')")
+    assert out == "date_format(ts, 'dd.MM.yy HH:mm:ss')"
+    # word elements / zone letters / quoted literals / overloads: loud
+    for bad in (
+        "FORMATDATETIME(ts, 'MMM yyyy')",      # month NAME: locale form
+        "FORMATDATETIME(ts, 'yyyy-MM-dd''T''HH')",  # quoted literal
+        "FORMATDATETIME(ts, 'EEE')",
+        "FORMATDATETIME(ts, 'yyyyyy')",        # run length divergence
+    ):
+        with pytest.raises(ScdScriptError, match="FORMATDATETIME"):
+            translate_h2(bad)
+    with pytest.raises(ScdScriptError, match="2-argument"):
+        translate_h2("FORMATDATETIME(ts, 'yyyy', 'de')")
+    with pytest.raises(ScdScriptError, match="string literal"):
+        translate_h2("FORMATDATETIME(ts, fmt_col)")
+
+
+def test_formatdatetime_and_flagged_replace_run_in_spark(spark):
+    """The two new rewrites execute end-to-end and render exactly as
+    H2 would on the agreeing subset."""
+    from hive_scd_spark.updates import translate_h2 as tr
+
+    df = spark.createDataFrame(
+        [("1-URGENT", "1996-03-05 10:20:30")], "p string, ts string"
+    ).selectExpr("p", "CAST(ts AS TIMESTAMP) AS ts")
+    row = df.selectExpr(
+        tr("REGEXP_REPLACE(p, 'urgent', 'URGT', 'i')") + " AS rr",
+        tr("FORMATDATETIME(ts, 'yyyy/MM/dd HH:mm')") + " AS fd",
+    ).first()
+    assert row.rr == "1-URGT"
+    assert row.fd == "1996/03/05 10:20"
