@@ -475,3 +475,115 @@ def stream_interval_join(
         )
     )
     return lt.join(rt, cond)
+
+
+def statement_log_sink(
+    stmt_stream: DataFrame,
+    base_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    seq_col: str = "seq",
+    sql_col: str = "sql",
+    compat: str = "quoted",
+):
+    """SCD with the DML STATEMENTS arriving as a stream (SURVEY §7.6
+    second form; the reference's ``.updates`` file is the batch
+    rendering of exactly this log, ``SQLUpdater.java:96-108``).
+
+    Each micro-batch of ``(seq, sql)`` rows — ``sql`` holding one DML
+    statement, optionally prefixed by its ``-- time=`` directive — is:
+
+    1. appended DURABLY to ``<path>/_statement_log/epoch=<id>`` with
+       overwrite-on-retry, so a replayed batch lands idempotently (the
+       foreachBatch at-least-once contract becomes exactly-once for
+       the log);
+    2. folded into a full recompile: the ENTIRE accumulated log, in
+       ``seq`` order, goes through the same ``apply_statements``
+       compiler as a batch ``.updates`` script, and the resulting
+       current snapshot (``as_of=None`` — the as-of default) is
+       atomically rewritten at ``<path>/snapshot``.
+
+    Recompile-per-batch is the right cost model: a statement log is
+    human-scale (the reference's worked example is 5 statements), the
+    compiled chain is a projection stack costing ~a select, and the
+    recompile is what keeps EVENT-TIME as-of exact — a statement whose
+    ``-- time=`` predates an earlier batch's frontier still lands in
+    its correct position in the chain, because the chain is rebuilt
+    from the full ordered log, never incrementally appended.  Late
+    statements therefore need no watermark: ordering comes from
+    ``seq``, selection from the time directives.
+
+    :func:`read_statement_log_scd` reads the table at ANY as-of from
+    the durable log — the parity contract (pinned in tests): statements
+    split across N micro-batches ≡ batch ``apply_statements`` over the
+    whole script, at every as-of.
+    """
+    log_dir = f"{path}/_statement_log"
+    snap_dir = f"{path}/snapshot"
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        new = batch_df.select(seq_col, sql_col)
+        # per-epoch overwrite: replays rewrite the same directory
+        new.coalesce(1).write.mode("overwrite").parquet(
+            f"{log_dir}/epoch={epoch_id}"
+        )
+        snapshot = read_statement_log_scd(
+            batch_df.sparkSession,
+            base_df,
+            path,
+            as_of=None,
+            seq_col=seq_col,
+            sql_col=sql_col,
+            compat=compat,
+        )
+        # localCheckpoint cuts the snapshot's lineage from the parquet
+        # files about to be overwritten — overwrite-what-you-read
+        snapshot.localCheckpoint().write.mode("overwrite").parquet(snap_dir)
+
+    return (
+        stmt_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest)
+    )
+
+
+def read_statement_log_scd(
+    spark,
+    base_df: DataFrame,
+    path: str,
+    as_of=None,
+    seq_col: str = "seq",
+    sql_col: str = "sql",
+    compat: str = "quoted",
+) -> DataFrame:
+    """Read the SCD table at *as_of* from a statement log maintained by
+    :func:`statement_log_sink`: the accumulated statements are
+    reassembled in ``seq`` order into one script and compiled by the
+    SAME ``apply_statements`` path as a batch ``.updates`` file — one
+    compiler, two delivery mechanisms.
+
+    The driver collect is bounded by the statement log (human-scale by
+    nature — it is the same text a batch deployment would keep in one
+    ``.updates`` file).  No log yet → the base table unchanged (the
+    reference's missing-updates-file behavior, SQLUpdater.java:96)."""
+    from pyspark.errors import AnalysisException
+
+    log_dir = f"{path}/_statement_log"
+    try:
+        rows = (
+            spark.read.parquet(log_dir)
+            .select(seq_col, sql_col)
+            .orderBy(seq_col)
+            .collect()
+        )
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        rows = []
+    if not rows:
+        return base_df
+    script = "\n".join(
+        r[sql_col].rstrip().rstrip(";") + ";" for r in rows
+    )
+    return apply_statements(base_df, script, as_of=as_of, compat=compat)
