@@ -222,6 +222,99 @@ def main():
             id_col="vec_id", vec_col="embedding", k=5, n_planes=8, dim=64,
         )
 
+    # r9 (VERDICT r8 task 8): the r7 operator family at 100x.
+    def fuzzy_gate(d):
+        # typo_corpus derives strings from md5(doc_id) — distinct across
+        # replicas, so typo pairs stay replica-local (planted-rate
+        # preserved), same design as scale_10x's fuzzy experiment
+        from hive_scd_spark.operators.fuzzy import edit_distance_self_join
+        from hive_scd_spark.queries import typo_corpus
+
+        return edit_distance_self_join(typo_corpus(d), "id", "w", 1)
+
+    def bloom_gate(d):
+        # eval side bounded at the replica-0 slice (the operator's
+        # constant-size-sketch contract); the probe side grows 100x and
+        # must stay one shuffle-free scan.  Builder actions (the m/4
+        # nibble collect) sit inside the timed thunk.
+        from hive_scd_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+            bloom_to_hex,
+        )
+
+        is_eval = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 700)
+        bm = bloom_to_hex(
+            bloom_build(d.filter(is_eval), "text", n=13, m_bits=1 << 18, k=4)
+        )
+        return bloom_probe(d.filter(~is_eval), "doc_id", "text", bm).filter(
+            F.col("n_hit") > 0
+        )
+
+    def bpe_batched_gate(d):
+        # Arrow mapInPandas tokenization — embarrassingly parallel, the
+        # per-row Python cost is the thing that must stay flat
+        from hive_scd_spark.operators.text import bpe_tokenize_batched
+
+        return bpe_tokenize_batched(d, "doc_id", "text").select(
+            "doc_id", "n_tokens"
+        )
+
+    # orders 100x for the mergeable-quantile sketch: plain id-shifted
+    # replication (totalprice/date untouched — the sketch's count
+    # aggregation is what scales, and identical value distributions per
+    # replica keep the bucket layout comparable across scales)
+    orders100_path = f"/tmp/scale100x_orders_{n}"
+    if not os.path.exists(os.path.join(orders100_path, "_SUCCESS")):
+        o1 = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        oshift = o1.agg(F.max("o_orderkey")).first()[0] + 1
+        reps = spark.range(n).select(F.col("id").alias("__rep"))
+        (
+            o1.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("o_orderkey") + F.col("__rep") * oshift).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderdate",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(orders100_path)
+        )
+    orders1 = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    orders100 = spark.read.parquet(orders100_path)
+    print(f"orders 1x={orders1.count()} {n}x={orders100.count()}", flush=True)
+
+    def sketch_gate(o):
+        # per-month build -> merge -> quantiles (the persist+merge scale
+        # path; the gate's exact-percentile cross-check is a correctness
+        # concern, not the sketch's scaling claim).  The min/max action
+        # sits inside the timed thunk (builder-inclusive discipline).
+        from hive_scd_spark.operators.profile import (
+            histogram_merge,
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        stats = o.agg(
+            F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+        ).first()
+        lo, hi, nb = float(stats["lo"]), float(stats["hi"]), 128
+        monthly = histogram_sketch(
+            o.withColumn("mon", F.date_trunc("month", "o_orderdate")),
+            "o_totalprice",
+            lo,
+            hi,
+            nb,
+            by=["mon"],
+        )
+        return histogram_quantiles(
+            histogram_merge(monthly), [0.5, 0.9, 0.99], lo, hi, nb
+        )
+
     doc_experiments = [
         ("dedup_minhash_lsh", minhash_gate),
         ("dedup_exact_substring", substring_gate),
@@ -234,14 +327,19 @@ def main():
         ("decontam_ngram_overlap", decontam_gate),
         ("pack_sequences_ctx", pack_gate),
         ("pipeline_semantic_dedup", semantic_gate),
+        ("fuzzy_typo_pairs", fuzzy_gate),
+        ("decontam_bloom_screen", bloom_gate),
+        ("text_bpe_batched", bpe_batched_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),
         ("ann_lsh_topk", ann_gate),
     ]
-    experiments = [
-        (lbl, fn, docs1, docs100) for lbl, fn in doc_experiments
-    ] + [(lbl, fn, emb1, emb100) for lbl, fn in emb_experiments]
+    experiments = (
+        [(lbl, fn, docs1, docs100) for lbl, fn in doc_experiments]
+        + [(lbl, fn, emb1, emb100) for lbl, fn in emb_experiments]
+        + [("sketch_quantile_totalprice", sketch_gate, orders1, orders100)]
+    )
     # Inter-experiment isolation (session.gc_isolate — its docstring
     # carries the full two-mechanism rationale): at n=100 a dozen heavy
     # experiments' pinned checkpoint blocks exhaust the 8 GB unified
