@@ -4102,6 +4102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customer_history": scd2_customer_history,
     "scd_customer_orders_revenue": scd_customer_orders_revenue,
     "scd_sql_over_view": scd_sql_over_view,
+    "scd_snapshot_roundtrip": scd_snapshot_roundtrip,
     "scd_h2_dialect": scd_h2_dialect,
     # r9 rotation (VERDICT r8 tasks 1+4): twelve never-driver-verified
     # entries take the slots of eleven multiply-green veterans plus the
@@ -4111,15 +4112,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # decontam_bloom_screen, sample_weighted_docs,
     # dedup_embedding_lsh_incremental) and six TPC-H shapes never
     # driver-checked (q21, q2, q9, q20, q15, q22 — hardest-first per
-    # the task-4 list).  Out: scd_snapshot_roundtrip,
-    # text_clean_normalize, text_strip_html, corpus_top_ngrams,
-    # sample_top_n_per_group, multimodal_frame_sample (each driver-green
-    # >= 2 rounds), multimodal_audio_features, text_unigram_logprob,
+    # the task-4 list).  Out: text_clean_normalize, text_strip_html,
+    # corpus_top_ngrams, sample_top_n_per_group,
+    # multimodal_frame_sample (each driver-green >= 2 rounds),
+    # multimodal_audio_features, text_unigram_logprob,
     # sample_token_budget_per_source, skew_salted_join_orders,
-    # text_remove_boilerplate (green r6+r7+r8), and
-    # layout_zorder_skipping (rows-only by design — it can never
-    # hash-green, so its slot goes to a hash-checkable gate; its
-    # in-gate assertions keep running via check_contract.py).  Family
+    # text_remove_boilerplate, embedding_quantize_int8 (green
+    # r6+r7+r8), and layout_zorder_skipping (rows-only by design — it
+    # can never hash-green, so its slot goes to a hash-checkable gate;
+    # its in-gate assertions keep running via check_contract.py).  The
+    # ten SCD core gates do NOT rotate (reference surface —
+    # test_registry.py pins this invariant).  Family
     # coverage after the swap: cleaning keeps text_redact_pii, quality
     # keeps text_repetition_stats, sampling gains sample_weighted_docs,
     # multimodal keeps multimodal_dedup_exact, joins keep
@@ -4191,8 +4194,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_dups": graph_pagerank_dups,
     "table_profile_documents": table_profile_documents,
     "text_redact_pii": text_redact_pii,
-    # similarity search
-    "embedding_quantize_int8": embedding_quantize_int8,
     # r7: banded SimHash Hamming search (brand-new capability this
     # round — pigeonhole-exact recall, bucket-local candidates) takes
     # shard_assignment's slot (green r4+r5+r6 incl. the r5-regression
@@ -4293,7 +4294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced in the r9 rotation (each driver-green 2-3 rounds; their
     # families keep in-window representatives — see the window comment)
     # — still DuckDB-verified by scripts/check_contract.py every round
-    "scd_snapshot_roundtrip": scd_snapshot_roundtrip,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "text_clean_normalize": text_clean_normalize,
     "text_strip_html": text_strip_html,
     "corpus_top_ngrams": corpus_top_ngrams,
