@@ -280,6 +280,12 @@ def bloom_probe(
 
     # One-row broadcast dimension instead of F.lit(words): keeps the
     # bitmap OUT of the serialized plan (constant plan size at any m).
+    # The join is a BroadcastNestedLoopJoin whose build side is ONE row
+    # BY CONSTRUCTION (IdentityBroadcastMode, no hash overhead) — a
+    # documented plans.audit exemption, same bounded-build class as the
+    # knn/ivf query-side broadcasts.  (An equi-join on a constant key
+    # does not help: Catalyst constant-folds the condition and degrades
+    # to the same BNLJ.)
     spark = df.sparkSession
     bm_df = spark.createDataFrame([(words,)], "__bm: array<bigint>")
 

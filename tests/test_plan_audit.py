@@ -130,6 +130,11 @@ SWEEP = [
     ("knn_brute_force", {"nested-loop"}),
     ("ivf_cosine_topk", {"nested-loop"}),
     ("ivf_kmeans_topk", {"nested-loop"}),
+    # r9: the broadcast bitmap dimension is ONE row by construction
+    # (IdentityBroadcastMode — the bitmap moved out of the plan literal
+    # into a broadcast; an equi-join on a constant key constant-folds
+    # back to the same BNLJ, so the exemption is the honest shape)
+    ("decontam_bloom_screen", {"nested-loop"}),
 ]
 
 
