@@ -190,3 +190,59 @@ def sample_weighted(
     return df.join(
         winners.select(F.col("__id").alias(id_col), "__priority"), id_col
     ).drop("__priority")
+
+
+def split_by_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    splits: tuple[tuple[str, int], ...] = (("train", 800), ("val", 100), ("test", 100)),
+    salt: str = "split",
+    strategy: str = "propagate",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a
+    near-duplicate cluster receives the SAME split, so an eval document
+    can never have a near-copy in training.  A plain per-document hash
+    split (:func:`split_assign`) is blind to duplication — with a 10 %
+    eval fraction, a duplicate pair straddles the train/eval boundary
+    with probability ~0.18, and at web scale "some eval docs have a
+    training near-copy" becomes "most".
+
+    The split key is the duplicate component's canonical id
+    (:func:`~hive_scd_spark.operators.cluster.dup_clusters` min-id
+    label over *pairs*); documents in no pair key on themselves, so
+    their assignment is IDENTICAL to ``split_assign(docs, id_col,
+    splits, salt)`` — introducing dedup-aware splitting perturbs only
+    the documents it must.  Assignment is then the same per-mille
+    integer-hash rule as :func:`split_assign`, applied to the key: a
+    pure function of (salt, cluster identity), independent of partition
+    layout, RNG state, and of WHICH member of the cluster you ask.
+
+    Output: *docs* + ``split_key`` (the cluster canonical id) +
+    ``split``.
+
+    Scale: the component labeling is the dominant cost (see
+    dup_clusters — pair-graph-sized, not corpus-sized); grafting labels
+    onto the corpus is one shuffle join on the id (clusters frame ≈
+    paired docs only, usually far smaller than the corpus), and the
+    assignment itself stays a shuffle-free projection.
+    """
+    from hive_scd_spark.operators.cluster import dup_clusters
+
+    clusters = dup_clusters(pairs, pair_a, pair_b, strategy=strategy)
+    labeled = docs.join(
+        clusters.select(
+            F.col("node").alias("__sbc_node"), F.col("cluster").alias("__sbc_cluster")
+        ),
+        on=F.col(id_col).cast("long") == F.col("__sbc_node"),
+        how="left",
+    ).drop("__sbc_node")
+    keyed = labeled.select(
+        *docs.columns,
+        F.coalesce(F.col("__sbc_cluster"), F.col(id_col).cast("long")).alias(
+            "split_key"
+        ),
+    )
+    return split_assign(keyed, "split_key", splits, salt)

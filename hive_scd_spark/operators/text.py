@@ -505,6 +505,93 @@ def url_domain_stats(
     )
 
 
+# Tracking query parameters (anchored key match): campaign tags and
+# click identifiers carry no content identity, so URL-level dedup must
+# strip them or every ad-campaign variant of a page survives as a
+# "distinct" document.  Keys only — a legitimate param VALUE containing
+# 'utm_' is untouched.
+TRACKING_PARAM_REGEX = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+# One parse regex, four groups: scheme, authority, path, '?query'.
+# No lookahead (RE2-compatible), greedy runs are unambiguous because
+# the classes are disjoint ('[^/?]*' stops at the path, '[^?]*' at the
+# query).
+_URL_PARTS_REGEX = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?]*)([^?]*)(.*)$"
+
+
+def canonicalize_url(col):
+    """Canonical form of a URL column — the equivalence key for
+    URL-exact dedup (the first, cheapest dedup pass of a web-crawl
+    pipeline: no text is read).  Normalizations, each a real duplicate
+    source in crawl data:
+
+    - scheme and host lowercased (``HTTPS://EXAMPLE.COM`` ≡ the lower
+      form); leading ``www.`` stripped (same rule as
+      :func:`url_domain_stats`)
+    - default port dropped (``:443`` for https, ``:80`` for http)
+    - fragment dropped (client-side only, never reaches the server)
+    - trailing slashes dropped from the path (``/docs/`` ≡ ``/docs``)
+    - tracking params removed (:data:`TRACKING_PARAM_REGEX`), remaining
+      query params SORTED (param order is almost never semantic; the
+      rare order-sensitive endpoint is the miss this trades for
+      collapsing the common reordered-param duplicates); empty query →
+      no ``?``
+
+    Deliberately NOT merged: http vs https (different resources by
+    spec), userinfo, percent-encoding case.  A value with no
+    ``scheme://`` prefix is returned trimmed but otherwise untouched —
+    not-a-URL is not this function's failure to report.
+
+    Pure row-local expression — no shuffle, no UDF; the param
+    filter/sort lambdas run interpreted (one short array per row, the
+    remove_boilerplate_lines precedent).
+    """
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_PARTS_REGEX, 1))
+    auth = F.lower(F.regexp_extract(u, _URL_PARTS_REGEX, 2))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = (
+        F.when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_replace(F.regexp_extract(u, _URL_PARTS_REGEX, 3), r"/+$", "")
+    qs = F.substring(F.regexp_extract(u, _URL_PARTS_REGEX, 4), 2, 1 << 30)
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+        )
+    )
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    rebuilt = F.concat(scheme, F.lit("://"), auth, path, query)
+    return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def url_canonical_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Exact dedup on the canonical URL (:func:`canonicalize_url`):
+    every input row labeled with its equivalence key, the keeper (min
+    *id_col* in the group — deterministic, layout-independent), and an
+    ``is_dup`` flag.  ``WHERE is_dup = 0`` is the deduped corpus.
+
+    Scale: one shuffle on the canonical key (groupBy with map-side
+    combine — never a per-key window, which would buffer each key's
+    rows whole) + one equi-join grafting the keeper back.  Key skew is
+    bounded by how many times one URL was crawled; a hot key degrades
+    only its own reduce task.
+    """
+    keyed = df.withColumn("url_canon", canonicalize_url(url_col))
+    keepers = keyed.groupBy("url_canon").agg(
+        F.min(F.col(id_col)).alias("keeper")
+    )
+    return keyed.join(keepers, "url_canon").withColumn(
+        "is_dup", (F.col(id_col) != F.col("keeper")).cast("int")
+    )
+
+
 # Unicode script ranges (public Unicode block boundaries).  \x{...}
 # class syntax is shared by Java regex (Spark) and RE2 (DuckDB), so the
 # same literal works in both engines.  Declaration order is the

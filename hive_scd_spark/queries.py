@@ -3253,6 +3253,76 @@ def sample_split_assign(spark, sf_dir):
     return split_assign(docs, "doc_id").select("doc_id", "source", "split")
 
 
+def sample_split_by_cluster(spark, sf_dir):
+    """Leakage-safe split (operators/sampling.py: split_by_cluster):
+    every member of a MinHash near-dup cluster receives the SAME split,
+    keyed on the cluster's min doc_id; singletons key on themselves.
+    The oracle replays the full chain — minhash pairs → recursive-CTE
+    connected components → left join → the same per-mille md5 rule —
+    so both the component structure AND the leak-safety property
+    (cluster members share an assignment) are value-checked."""
+    from hive_scd_spark.operators.sampling import split_by_cluster
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    out = split_by_cluster(docs, shared_minhash_pairs(spark, sf_dir))
+    return out.select("doc_id", "split_key", "split")
+
+
+def dedup_url_canonical(spark, sf_dir):
+    """URL-exact dedup (operators/text.py: url_canonical_dedup) over a
+    planted crawl-URL fixture derived from doc_id: six surface variants
+    of the same logical page — plain, UPPERCASED scheme+host, explicit
+    default port, www. + trailing slash, tracking params + reordered
+    query, fragment — of which the first four share one canonical form
+    and the last two another.  The oracle does NOT replay the
+    canonicalizer: it derives the expected canonical form analytically
+    from the plant structure (the remove_boilerplate idiom), so the
+    engine's normalization chain is checked against independent ground
+    truth, keeper selection and dup flags included."""
+    from hive_scd_spark.operators.text import url_canonical_dedup
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 97).cast("string")
+    p = (F.col("doc_id") % 37).cast("string")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example"), h, F.lit(".com/docs/"), p))
+        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE"), h, F.lit(".COM/docs/"), p))
+        .when(
+            v == 2,
+            F.concat(F.lit("https://example"), h, F.lit(".com:443/docs/"), p),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://www.example"), h, F.lit(".com/docs/"), p, F.lit("/")
+            ),
+        )
+        .when(
+            v == 4,
+            F.concat(
+                F.lit("https://example"),
+                h,
+                F.lit(".com/docs/"),
+                p,
+                F.lit("?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"),
+                h,
+                F.lit(".com/docs/"),
+                p,
+                F.lit("?a=1&b=2#frag"),
+            )
+        )
+    )
+    fixture = docs.select("doc_id", url.alias("url"))
+    out = url_canonical_dedup(fixture, "doc_id", "url")
+    return out.select("doc_id", "url_canon", "keeper", "is_dup")
+
+
 def text_remove_boilerplate(spark, sf_dir):
     """C4-style boilerplate removal (operators/quality.py:
     remove_boilerplate_lines) over a corpus with planted boilerplate: a
@@ -4305,6 +4375,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_token_budget_per_source": sample_token_budget_per_source,
     "skew_salted_join_orders": skew_salted_join_orders,
     "text_remove_boilerplate": text_remove_boilerplate,
+    # r9 late additions (post-rotation, outside the window; evidenced by
+    # the round-9 contract logs): dedup-aware split and URL-exact
+    # dedup — the r10 rotation pool's leak-safety and crawl-provenance
+    # representatives
+    "sample_split_by_cluster": sample_split_by_cluster,
+    "dedup_url_canonical": dedup_url_canonical,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -4615,6 +4691,43 @@ ORACLES["dedup_cluster_assign"] = f"""
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+ORACLES["sample_split_by_cluster"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und) n
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    cl AS (SELECT a AS node, MIN(b) AS cluster FROM reach GROUP BY a),
+    keyed AS (
+      SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+"""
+
+# Analytic ground truth, NOT a canonicalizer replica: the expected
+# canonical form follows from the fixture's plant structure alone
+ORACLES["dedup_url_canonical"] = """
+    WITH f AS (
+      SELECT doc_id,
+             'https://example' || CAST(doc_id % 97 AS VARCHAR) || '.com/docs/' ||
+             CAST(doc_id % 37 AS VARCHAR) ||
+             CASE WHEN doc_id % 6 IN (4, 5) THEN '?a=1&b=2' ELSE '' END AS url_canon
+      FROM documents
+    ),
+    k AS (SELECT url_canon, MIN(doc_id) AS keeper FROM f GROUP BY 1)
+    SELECT f.doc_id, f.url_canon, k.keeper,
+           CAST(CASE WHEN f.doc_id <> k.keeper THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM f JOIN k USING (url_canon)
 """
 
 ORACLES["scd_snapshot_roundtrip"] = _ORACLE_CUST_NOW

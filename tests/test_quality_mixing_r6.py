@@ -635,3 +635,107 @@ def test_boilerplate_line_sep_is_literal(spark):
     }
     assert out[1].text == "keep" and out[1].n_lines_removed == 1
     assert out[2].text == "other"
+
+
+# -- split_by_cluster --------------------------------------------------------
+
+
+def test_split_by_cluster_members_share_split(spark):
+    from hive_scd_spark.operators.sampling import split_by_cluster
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # two multi-doc components, incl. a transitive chain 10-11-12-13
+    # that no single pair states outright, plus a 2-cycle duplicate pair
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (50, 51), (51, 50)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r.doc_id: (r.split_key, r.split)
+        for r in split_by_cluster(docs, pairs).collect()
+    }
+    assert len(out) == 200
+    # the leak-safety property: every component member shares key+split
+    assert out[10] == out[11] == out[12] == out[13]
+    assert out[10][0] == 10  # canonical id = min of the component
+    assert out[50] == out[51] and out[50][0] == 50
+
+
+def test_split_by_cluster_singletons_match_split_assign(spark):
+    from hive_scd_spark.operators.sampling import split_assign, split_by_cluster
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    pairs = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    clustered = {
+        r.doc_id: r.split for r in split_by_cluster(docs, pairs).collect()
+    }
+    plain = {r.doc_id: r.split for r in split_assign(docs, "doc_id").collect()}
+    # introducing cluster-awareness perturbs ONLY paired documents:
+    # every singleton keys on itself → identical assignment
+    for i in range(300):
+        if i not in (7, 8):
+            assert clustered[i] == plain[i], i
+    assert clustered[7] == clustered[8] == plain[7]  # both inherit min-id 7
+
+
+def test_split_by_cluster_layout_independent(spark):
+    from hive_scd_spark.operators.sampling import split_by_cluster
+
+    docs = spark.createDataFrame([(i,) for i in range(120)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    a = {r.doc_id: r.split for r in split_by_cluster(docs, pairs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in split_by_cluster(
+            docs.repartition(7), pairs.repartition(3)
+        ).collect()
+    }
+    assert a == b
+
+
+# -- canonicalize_url / url_canonical_dedup ----------------------------------
+
+
+def test_canonicalize_url_normalizations(spark):
+    from hive_scd_spark.operators.text import canonicalize_url
+
+    cases = {
+        # scheme+host case, default port, www., trailing slash
+        "HTTPS://WWW.Example.COM:443/Docs/5/": "https://example.com/Docs/5",
+        "http://a.com:80/": "http://a.com",
+        # NON-default port survives
+        "http://a.com:8080/x": "http://a.com:8080/x",
+        # tracking params stripped, remainder sorted, fragment dropped
+        "https://a.com/x?utm_source=feed&b=2&a=1#frag": "https://a.com/x?a=1&b=2",
+        # query emptied by tracking removal -> no '?'
+        "https://a.com/x?utm_source=1&ref=rss": "https://a.com/x",
+        # valueless param kept; a VALUE containing utm_ is not a key hit
+        "https://a.com/x?flag&q=utm_test": "https://a.com/x?flag&q=utm_test",
+        # not a URL: trimmed passthrough, never mangled
+        "  not a url  ": "not a url",
+        # path case is SIGNIFICANT and preserved
+        "https://a.com/CaseSensitive": "https://a.com/CaseSensitive",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r.u: r.c for r in df.select("u", canonicalize_url("u").alias("c")).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_url_canonical_dedup_keeper_and_flags(spark):
+    from hive_scd_spark.operators.text import url_canonical_dedup
+
+    rows = [
+        (1, "https://a.com/x"),
+        (2, "HTTPS://A.COM/x/"),          # same page, shouting crawl
+        (3, "https://a.com/x?utm_source=t"),
+        (4, "https://a.com/y"),            # distinct page
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in url_canonical_dedup(df, "doc_id", "url").collect()}
+    assert [out[i].keeper for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i].is_dup for i in (1, 2, 3, 4)] == [0, 1, 1, 0]
+    assert out[4].keeper == 4
+    assert out[2].url_canon == "https://a.com/x"
