@@ -3323,6 +3323,51 @@ def dedup_url_canonical(spark, sf_dir):
     return out.select("doc_id", "url_canon", "keeper", "is_dup")
 
 
+def select_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting (operators/selection.py:
+    dsir_importance_weights, Xie et al. 2023): src0+src1 documents
+    play the target corpus, the other 18 sources the raw pool; every
+    raw document scores its hashed-unigram+bigram log likelihood ratio
+    against add-one-smoothed bucket models (B=512).  The oracle
+    replays the full chain — shared tokenizer, bigram construction,
+    md5 bucket hashing, both smoothed models, the per-doc ln-ratio
+    sum — so the feature space AND the model arithmetic are
+    value-checked (round-6 float contract, the unigram_logprob
+    precedent)."""
+    from hive_scd_spark.operators.selection import dsir_importance_weights
+
+    docs = t(spark, sf_dir, "documents")
+    is_tgt = F.col("source").isin("src0", "src1")
+    out = dsir_importance_weights(
+        docs.filter(~is_tgt), docs.filter(is_tgt), "doc_id", "text",
+        n_buckets=512,
+    )
+    return out.select("doc_id", "n_feats", "dsir_logw")
+
+
+def select_dsir_gumbel_topk(spark, sf_dir):
+    """Gumbel-top-k importance resampling (operators/selection.py:
+    dsir_gumbel_topk): 60 documents sampled without replacement
+    proportional to softmax(dsir_logw), via md5-derived Gumbel noise —
+    the selection step of the DSIR pipeline, a pure function of
+    (salt, doc_id).  The oracle replays weights + noise + the
+    (key desc, id) top-k, so the sampler's distributional mechanism is
+    value-checked end to end."""
+    from hive_scd_spark.operators.selection import (
+        dsir_gumbel_topk,
+        dsir_importance_weights,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    is_tgt = F.col("source").isin("src0", "src1")
+    w = dsir_importance_weights(
+        docs.filter(~is_tgt), docs.filter(is_tgt), "doc_id", "text",
+        n_buckets=512,
+    )
+    out = dsir_gumbel_topk(w, "doc_id", k=60)
+    return out.select("doc_id", "dsir_logw", "gumbel_key")
+
+
 def text_remove_boilerplate(spark, sf_dir):
     """C4-style boilerplate removal (operators/quality.py:
     remove_boilerplate_lines) over a corpus with planted boilerplate: a
@@ -4381,6 +4426,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # representatives
     "sample_split_by_cluster": sample_split_by_cluster,
     "dedup_url_canonical": dedup_url_canonical,
+    # r9 late additions, part 2: DSIR targeted data selection — the
+    # published importance-resampling selector (weights + Gumbel-top-k
+    # sampler), the r10 rotation pool's data-selection representative
+    "select_dsir_weights": select_dsir_weights,
+    "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -4728,6 +4778,72 @@ ORACLES["dedup_url_canonical"] = """
     SELECT f.doc_id, f.url_canon, k.keeper,
            CAST(CASE WHEN f.doc_id <> k.keeper THEN 1 ELSE 0 END AS INT) AS is_dup
     FROM f JOIN k USING (url_canon)
+"""
+
+# Shared DSIR weight computation (both select_dsir_* oracles): the
+# full published chain — tokenize, unigrams+bigrams, md5 bucket hash,
+# add-one-smoothed target/raw bucket models, per-doc ln-ratio sum.
+_DSIR_WEIGHTS_CTE = """
+    tgt AS (SELECT doc_id, text FROM documents WHERE source IN ('src0','src1')),
+    raw AS (SELECT doc_id, text FROM documents WHERE source NOT IN ('src0','src1')),
+    rtoks AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 t -> t <> '') AS toks FROM raw),
+    ttoks AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 t -> t <> '') AS toks FROM tgt),
+    rgrams AS (
+      SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                                   i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END) AS gram
+      FROM rtoks),
+    tgrams AS (
+      SELECT doc_id, unnest(toks || CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                                   i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END) AS gram
+      FROM ttoks),
+    rfeat AS (SELECT doc_id,
+                     ('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 512
+                       AS bucket FROM rgrams),
+    tfeat AS (SELECT doc_id,
+                     ('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 512
+                       AS bucket FROM tgrams),
+    qm AS (SELECT bucket, CAST(count(*) AS BIGINT) AS qc FROM rfeat GROUP BY 1),
+    pm AS (SELECT bucket, CAST(count(*) AS BIGINT) AS pc FROM tfeat GROUP BY 1),
+    tot AS (SELECT (SELECT COALESCE(CAST(SUM(qc) AS BIGINT), 0) FROM qm) AS qt,
+                   (SELECT COALESCE(CAST(SUM(pc) AS BIGINT), 0) FROM pm) AS pt),
+    db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS dc
+           FROM rfeat GROUP BY 1, 2),
+    sc AS (
+      SELECT db.doc_id, CAST(SUM(dc) AS BIGINT) AS n_feats,
+             ROUND(SUM(dc * (ln((COALESCE(pc, 0) + 1)::DOUBLE / (pt + 512))
+                           - ln((COALESCE(qc, 0) + 1)::DOUBLE / (qt + 512)))),
+                   6) AS dsir_logw
+      FROM db LEFT JOIN pm USING (bucket) LEFT JOIN qm USING (bucket)
+      CROSS JOIN tot
+      GROUP BY 1),
+    weights AS (
+      SELECT r.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
+             COALESCE(sc.dsir_logw, 0.0) AS dsir_logw
+      FROM raw r LEFT JOIN sc ON r.doc_id = sc.doc_id)
+"""
+
+ORACLES["select_dsir_weights"] = f"""
+    WITH {_DSIR_WEIGHTS_CTE}
+    SELECT doc_id, n_feats, dsir_logw FROM weights
+"""
+
+ORACLES["select_dsir_gumbel_topk"] = f"""
+    WITH {_DSIR_WEIGHTS_CTE}
+    SELECT doc_id, dsir_logw,
+           ROUND(dsir_logw - ln(-ln(
+             ((('0x' || substr(md5('dsir-g:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 0.5) / 4294967296.0))), 6) AS gumbel_key
+    FROM weights
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT 60
 """
 
 ORACLES["scd_snapshot_roundtrip"] = _ORACLE_CUST_NOW
