@@ -3323,6 +3323,77 @@ def dedup_url_canonical(spark, sf_dir):
     return out.select("doc_id", "url_canon", "keeper", "is_dup")
 
 
+def source_warc_scan(spark, sf_dir):
+    """WARC crawl-archive scan (sources/warc.py: read_warc — the
+    pipeline's actual first mile; CommonCrawl ships ~100 TB crawls as
+    WARC).  Fixture: every document wrapped in an HTTP-200 WARC
+    response record — three uncompressed files read as 8 KiB
+    byte-range splits (exercising the chain-validated split
+    realignment on every boundary) plus one per-record-gzip member
+    file (the CommonCrawl layout, one task per file).  The oracle does
+    NOT replay the parser: every output column (id from the record id,
+    status, BYTE length of the HTTP body, the target URI) derives
+    analytically from the documents table, so framing, split
+    exactly-once-ness, HTTP envelope split, and utf-8 payload length
+    are all checked against independent ground truth.  Fixture is
+    written once per (data fingerprint, sf) under /tmp; collect() is
+    fixture-scale and lives inside the build branch (the ADVICE r8 #4
+    rule)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from hive_scd_spark.sources.warc import read_warc, write_warc_records
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(
+        ("warc_gate_v1" + _data_fingerprint(sf_dir, "documents")).encode()
+    ).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"warc_scan_{os.path.basename(sf_dir)}_{tag}"
+    )
+    marker = os.path.join(base, "_built")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+
+        def rec(r):
+            return {
+                "record_id": f"<urn:doc:{r.doc_id}>",
+                "warc_type": "response",
+                "target_uri": (
+                    f"https://example{r.doc_id % 97}.com/docs/{r.doc_id % 37}"
+                ),
+                "warc_date": "2024-01-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                + (r.text or "").encode("utf-8"),
+            }
+
+        for i in range(3):
+            with open(os.path.join(base, f"part{i}.warc"), "wb") as f:
+                f.write(
+                    write_warc_records(rec(r) for r in rows if r.doc_id % 4 == i)
+                )
+        with open(os.path.join(base, "part3.warc.gz"), "wb") as f:
+            f.write(
+                write_warc_records(
+                    (rec(r) for r in rows if r.doc_id % 4 == 3), compress=True
+                )
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    out = read_warc(spark, base, split_bytes=8192)
+    return out.select(
+        F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("http_status"),
+        F.length("payload").cast("long").alias("payload_bytes"),
+        "target_uri",
+    )
+
+
 def select_dsir_weights(spark, sf_dir):
     """DSIR importance weighting (operators/selection.py:
     dsir_importance_weights, Xie et al. 2023): src0+src1 documents
@@ -4431,6 +4502,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sampler), the r10 rotation pool's data-selection representative
     "select_dsir_weights": select_dsir_weights,
     "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
+    # r9 late additions, part 3: the crawl first mile — WARC source
+    "source_warc_scan": source_warc_scan,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -4828,6 +4901,18 @@ _DSIR_WEIGHTS_CTE = """
       SELECT r.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
              COALESCE(sc.dsir_logw, 0.0) AS dsir_logw
       FROM raw r LEFT JOIN sc ON r.doc_id = sc.doc_id)
+"""
+
+# Analytic ground truth for the WARC scan: every column derives from
+# the documents table, never from re-running the parser
+ORACLES["source_warc_scan"] = """
+    SELECT doc_id,
+           CAST(200 AS INT) AS http_status,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+             AS payload_bytes,
+           'https://example' || CAST(doc_id % 97 AS VARCHAR) || '.com/docs/'
+             || CAST(doc_id % 37 AS VARCHAR) AS target_uri
+    FROM documents
 """
 
 ORACLES["select_dsir_weights"] = f"""

@@ -1,0 +1,373 @@
+"""WARC crawl-archive source (pure-Python, distributed, splittable).
+
+WARC (ISO 28500, the public Web ARChive spec) is the input format of
+web-scale text pipelines — CommonCrawl publishes ~100 TB crawls as WARC
+— so an engine that starts at "documents in parquet" is missing the
+pipeline's actual first mile.  This module reads WARC the way
+:mod:`hive_scd_spark.sources.avro` reads Avro without the native jar:
+
+- **uncompressed** ``.warc`` files larger than *split_bytes* are decoded
+  as BYTE-RANGE splits — each task positional-reads only its range and
+  owns the records whose header starts inside it.  WARC has no sync
+  marker, so split realignment scans for a ``WARC/1.x`` version line
+  and **chain-validates** the candidate: headers must parse, the
+  declared ``Content-Length`` must land the cursor on the ``\\r\\n\\r\\n``
+  record terminator, and the byte after it must begin EOF or another
+  well-formed record header.  A payload that embeds fake WARC bytes
+  (an HTML page QUOTING a WARC file) fails the chain and the scan moves
+  on — see ``tests/test_warc_r9.py`` for the adversarial case.
+- **per-record-gzip** ``.warc.gz`` files (the CommonCrawl convention:
+  one gzip member per record) decode one task per FILE: gzip members
+  cannot be located mid-stream without trusting magic-byte guesses, so
+  the honest parallelism unit is the file — exactly how production
+  CommonCrawl jobs shard (the crawl ships ~64k files; file-granular is
+  cluster-wide parallel already).
+
+Record payloads stay opaque ``binary`` (the multimodal-column
+convention); for ``response`` records the HTTP envelope is additionally
+parsed (status, Content-Type, body) so the common "give me the page
+bytes" path needs no downstream HTTP parsing.  All decode work runs
+executor-side in Arrow-batched ``mapInPandas``; the driver touches
+file LISTINGS only (names + sizes — the avro round-3 lesson: no
+per-file driver reads during planning).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from hive_scd_spark.fs import fs_for
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_COLS = [f.name for f in WARC_SCHEMA.fields]
+
+_VERSIONS = (b"WARC/1.0\r\n", b"WARC/1.1\r\n")
+# how far past a split end a terminal record may reasonably run; a
+# single ensure() step, grown geometrically while a record overflows
+_CHUNK = 1 << 20
+
+
+# -- record-level parse (shared by every path) --------------------------------
+
+
+def _parse_headers(data: bytes, pos: int):
+    """Parse a WARC header block starting at *pos* (which must point at
+    a version line).  Returns (headers dict lower-cased, body_start) or
+    None if *data* does not hold a well-formed header block there."""
+    if not data.startswith(_VERSIONS, pos):
+        return None
+    cur = data.index(b"\r\n", pos) + 2
+    headers: dict[str, str] = {}
+    for _ in range(256):  # header-count bound: reject pathological blocks
+        end = data.find(b"\r\n", cur)
+        if end < 0:
+            return None
+        line = data[cur:end]
+        cur = end + 2
+        if line == b"":
+            if "content-length" not in headers:
+                return None
+            return headers, cur
+        colon = line.find(b":")
+        if colon <= 0:
+            return None
+        try:
+            key = line[:colon].decode("ascii").strip().lower()
+            headers[key] = line[colon + 1 :].decode("utf-8", "replace").strip()
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _parse_record(data: bytes, pos: int):
+    """One full record at *pos*: returns (record dict, next_pos) or
+    None.  next_pos points past the ``\\r\\n\\r\\n`` terminator."""
+    parsed = _parse_headers(data, pos)
+    if parsed is None:
+        return None
+    headers, body_start = parsed
+    try:
+        length = int(headers["content-length"])
+    except ValueError:
+        return None
+    if length < 0 or body_start + length + 4 > len(data):
+        return None
+    if data[body_start + length : body_start + length + 4] != b"\r\n\r\n":
+        return None
+    block = data[body_start : body_start + length]
+    rec = {
+        "record_id": headers.get("warc-record-id"),
+        "warc_type": headers.get("warc-type"),
+        "target_uri": headers.get("warc-target-uri"),
+        "warc_date": headers.get("warc-date"),
+        "content_type": headers.get("content-type"),
+        "content_length": length,
+        "http_status": None,
+        "http_content_type": None,
+        "payload": block,
+    }
+    if rec["warc_type"] == "response" and block.startswith(b"HTTP/"):
+        head_end = block.find(b"\r\n\r\n")
+        if head_end >= 0:
+            head = block[:head_end].decode("latin-1").split("\r\n")
+            parts = head[0].split(None, 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                rec["http_status"] = int(parts[1])
+            for line in head[1:]:
+                k, _, v = line.partition(":")
+                if k.strip().lower() == "content-type":
+                    rec["http_content_type"] = v.strip()
+                    break
+            rec["payload"] = block[head_end + 4 :]
+    return rec, body_start + length + 4
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Decode a whole uncompressed WARC byte string (fixture/test and
+    gzip-member path).  Strict: malformed framing raises."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        r = _parse_record(data, pos)
+        if r is None:
+            raise ValueError(f"Malformed WARC record at offset {pos}")
+        rec, pos = r
+        out.append(rec)
+    return out
+
+
+def _parse_gzip_file(data: bytes) -> list[dict]:
+    """Decode a ``.warc.gz`` byte string: GzipFile transparently
+    concatenates members, so per-record-gzip (the CommonCrawl layout)
+    and whole-file-gzip both reduce to one sequential decode."""
+    with gzip.GzipFile(fileobj=io.BytesIO(data)) as f:
+        return parse_warc_bytes(f.read())
+
+
+# -- split realignment ---------------------------------------------------------
+
+
+class _Window:
+    """A growable positional-read window over one file: bytes
+    [base, base+len(buf)) are in memory; ``ensure`` extends the right
+    edge.  *base* sits 4 bytes BEFORE the split start (when start > 0)
+    so a record header at exactly ``start`` can still be validated
+    against its preceding ``\\r\\n\\r\\n`` terminator."""
+
+    def __init__(self, f, start: int, end: int, size: int):
+        self.f = f
+        self.size = size
+        self.base = max(0, start - 4)
+        self.buf = f.read_at(min(end + _CHUNK, size) - self.base, self.base)
+
+    def ensure(self, upto: int) -> bool:
+        """Grow the window to file offset *upto* (clamped to EOF);
+        True if new bytes arrived."""
+        have = self.base + len(self.buf)
+        if upto <= have or have >= self.size:
+            return False
+        n = min(max(upto - have, _CHUNK), self.size - have)
+        self.buf += self.f.read_at(n, have)
+        return True
+
+    def parse_record_at(self, off: int):
+        """_parse_record at file offset *off*, growing the window while
+        the record overflows it.  None = malformed (never short)."""
+        while True:
+            got = _parse_record(self.buf, off - self.base)
+            if got is not None:
+                rec, nxt_rel = got
+                return rec, self.base + nxt_rel
+            if not self.ensure(self.base + len(self.buf) + _CHUNK):
+                return None
+
+    def next_record_at(self, from_off: int):
+        """First CHAIN-VALID record header at file offset ≥ *from_off*:
+        the candidate must start the file or follow a record
+        terminator, parse fully (Content-Length landing on the
+        ``\\r\\n\\r\\n``), and the byte after must begin EOF or another
+        version line.  A payload embedding fake WARC bytes fails the
+        chain and the scan moves on.  Returns a file offset or None."""
+        search = from_off - self.base
+        while True:
+            idx = self.buf.find(b"WARC/1.", search)
+            if idx < 0:
+                # a version string may straddle the window's right edge:
+                # resume just before the PRE-growth edge (capture the
+                # length first — the post-growth length would skip the
+                # straddling region entirely)
+                old_len = len(self.buf)
+                if self.ensure(self.base + old_len + _CHUNK):
+                    search = max(search, old_len - 16)
+                    continue
+                return None
+            if idx + 10 > len(self.buf):
+                self.ensure(self.base + idx + 64)
+            aligned = self.buf.startswith(_VERSIONS, idx) and (
+                self.base + idx == 0
+                or (idx >= 4 and self.buf[idx - 4 : idx] == b"\r\n\r\n")
+            )
+            if aligned:
+                got = self.parse_record_at(self.base + idx)
+                if got is not None:
+                    _, nxt = got
+                    self.ensure(nxt + 16)
+                    if nxt >= self.size or self.buf.startswith(
+                        _VERSIONS, nxt - self.base
+                    ):
+                        return self.base + idx
+            search = idx + 1
+
+
+def _decode_split_partition(out_cols: list[str]):
+    """Executor-side decoder: each input row is one byte-range split
+    (path, start, end, file_size, codec).  Positional reads only; the
+    window grows in ``_CHUNK`` steps while the terminal record
+    overflows the range — no whole-file materialization on the split
+    path."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow.fs as pafs
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if "://" in r.path or r.path.startswith("file:"):
+                    fs, fpath = pafs.FileSystem.from_uri(r.path)
+                else:
+                    fs, fpath = pafs.LocalFileSystem(), r.path
+                size = int(r.file_size)
+                rows: list[dict] = []
+                with fs.open_input_file(fpath) as f:
+                    if r.codec == "gzip":
+                        rows = _parse_gzip_file(f.read_at(size, 0))
+                    else:
+                        start, end = int(r.start), int(r.end)
+                        win = _Window(f, start, end, size)
+                        pos = win.next_record_at(start)
+                        while pos is not None and pos < end:
+                            got = win.parse_record_at(pos)
+                            if got is None:
+                                raise ValueError(
+                                    f"Malformed WARC record at {fpath}:{pos}"
+                                )
+                            rec, nxt = got
+                            rows.append(rec)
+                            if nxt >= size:
+                                break
+                            win.ensure(nxt + 16)
+                            if win.buf.startswith(_VERSIONS, nxt - win.base):
+                                pos = nxt
+                            else:
+                                # corrupt tail: realign loudly-or-skip is
+                                # a policy choice — we realign (the next
+                                # split would otherwise double-read) but
+                                # only to a chain-valid header
+                                pos = win.next_record_at(nxt)
+                yield pd.DataFrame(
+                    [[row.get(c) for c in out_cols] for row in rows],
+                    columns=out_cols,
+                    dtype=object,
+                )
+
+    return fn
+
+
+_SPLIT_SCHEMA = "path string, start long, end long, file_size long, codec string"
+
+
+def read_warc(spark: SparkSession, path, split_bytes: int | None = None) -> DataFrame:
+    """Read WARC file(s)/dir(s) at *path* into a DataFrame of
+    :data:`WARC_SCHEMA` rows.  ``.gz`` files decode one task per file
+    (per-record-gzip members, the CommonCrawl convention); uncompressed
+    files split into byte ranges of ≤ *split_bytes* (default
+    ``spark.sql.files.maxPartitionBytes``) with chain-validated
+    realignment — see the module docstring."""
+    if split_bytes is None:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        split_bytes = int(digits) if digits else 128 << 20
+    if split_bytes < 1:
+        raise ValueError(f"split_bytes must be positive, got {split_bytes}")
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    files: list[tuple[object, str]] = []
+    for p in paths:
+        fs = fs_for(spark, p)
+        if fs.is_file(p):
+            files.append((fs, p))
+        else:
+            for dirpath, _dirs, names in fs.walk(p):
+                for name in sorted(names):
+                    if not name.startswith((".", "_")):
+                        files.append((fs, fs.join(dirpath, name)))
+    if not files:
+        raise FileNotFoundError(f"No WARC files under {paths!r}")
+    splits = []
+    for fs, fpath in files:
+        size = fs.file_size(fpath)
+        if fpath.endswith(".gz"):
+            splits.append((fpath, 0, size, size, "gzip"))
+            continue
+        n_splits = max(1, -(-size // split_bytes))
+        for i in range(n_splits):
+            splits.append(
+                (
+                    fpath,
+                    i * split_bytes,
+                    min((i + 1) * split_bytes, size),
+                    size,
+                    "none",
+                )
+            )
+    plan = spark.createDataFrame(splits, _SPLIT_SCHEMA).repartition(len(splits))
+    return plan.mapInPandas(_decode_split_partition(_COLS), schema=WARC_SCHEMA)
+
+
+# -- writer (fixtures, tests, egress) -----------------------------------------
+
+
+def write_warc_records(records, compress: bool = False) -> bytes:
+    """Serialize *records* (dicts: record_id, warc_type, target_uri,
+    warc_date, content_type, payload bytes — payload is the RAW block,
+    HTTP envelope included if the caller wants one) to WARC bytes.
+    ``compress=True`` emits one gzip member per record (the CommonCrawl
+    layout this module's ``.gz`` path reads)."""
+    out = io.BytesIO()
+    for rec in records:
+        body = rec.get("payload") or b""
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        head = io.BytesIO()
+        head.write(b"WARC/1.0\r\n")
+        for key, field in (
+            ("WARC-Type", "warc_type"),
+            ("WARC-Record-ID", "record_id"),
+            ("WARC-Date", "warc_date"),
+            ("WARC-Target-URI", "target_uri"),
+            ("Content-Type", "content_type"),
+        ):
+            v = rec.get(field)
+            if v is not None:
+                head.write(f"{key}: {v}\r\n".encode())
+        head.write(f"Content-Length: {len(body)}\r\n\r\n".encode())
+        blob = head.getvalue() + body + b"\r\n\r\n"
+        out.write(gzip.compress(blob) if compress else blob)
+    return out.getvalue()
