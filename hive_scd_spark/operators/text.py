@@ -592,6 +592,71 @@ def url_canonical_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     )
 
 
+def url_optout_filter(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    rules: DataFrame,
+    domain_col: str = "domain",
+    prefix_col: str = "path_prefix",
+) -> DataFrame:
+    """Robots/opt-out URL screen — the compliance filter a crawl corpus
+    passes before training: a (domain, path_prefix) rules table
+    (robots ``Disallow`` lines, publisher opt-out registries, DMCA
+    lists) marks every document whose URL it covers.  A row is
+    ``disallowed`` when its canonical URL's hostname (www- and
+    port-stripped) equals a rule's domain AND its path starts with the
+    rule's prefix (empty prefix = the whole domain).
+
+    Output: *df* + ``url_canon``, ``domain``, ``disallowed`` (int).
+    Every input row survives (the package convention) — ``WHERE
+    disallowed = 0`` is the compliant corpus.
+
+    Scale: the naive shape (join on domain, one output row per
+    MATCHING RULE, then re-aggregate) duplicates hot domains by their
+    rule count; instead the rules AGGREGATE to one row per domain
+    first (``collect_list`` of prefixes — bounded: robots files are
+    small, a pathological domain caps at its own rule count, never the
+    corpus), then ONE left equi-join on the domain and a row-local
+    ``F.exists`` prefix test.  No nested loop, no crossJoin; AQE
+    broadcasts the per-domain rules frame at real-world sizes.  Rule
+    domains are normalized the same way the URL hosts are (the
+    url_domain_stats lesson: un-normalized 'WWW.Spam.Example' entries
+    silently never match).
+    """
+    canon = canonicalize_url(url_col)
+    host = F.regexp_replace(
+        F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/?]*)", 1),
+        r":\d+$",
+        "",
+    )
+    path = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    keyed = df.select(
+        *df.columns,
+        canon.alias("url_canon"),
+        host.alias("domain"),
+        path.alias("__path"),
+    )
+    per_domain = (
+        rules.select(
+            F.regexp_replace(F.lower(F.col(domain_col)), r"^www\.", "").alias(
+                "domain"
+            ),
+            F.coalesce(F.col(prefix_col), F.lit("")).alias("__pfx"),
+        )
+        .groupBy("domain")
+        .agg(F.collect_list("__pfx").alias("__pfxs"))
+    )
+    hit = F.exists(F.col("__pfxs"), lambda p: F.col("__path").startswith(p))
+    return (
+        keyed.join(per_domain, "domain", "left")
+        .withColumn(
+            "disallowed", F.coalesce(hit, F.lit(False)).cast("int")
+        )
+        .drop("__path", "__pfxs")
+    )
+
+
 # Unicode script ranges (public Unicode block boundaries).  \x{...}
 # class syntax is shared by Java regex (Spark) and RE2 (DuckDB), so the
 # same literal works in both engines.  Declaration order is the

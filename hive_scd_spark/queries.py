@@ -3323,6 +3323,51 @@ def dedup_url_canonical(spark, sf_dir):
     return out.select("doc_id", "url_canon", "keeper", "is_dup")
 
 
+def text_url_optout_screen(spark, sf_dir):
+    """Robots/opt-out URL screen (operators/text.py: url_optout_filter)
+    over a planted crawl-URL fixture (three surface variants per page —
+    plain, shouting www., tracking-tagged — all canonicalizing to one
+    form): a deliberately UN-normalized rules table ('EXAMPLE7.com'
+    whole-domain; 'example13.com' under /docs/1) marks covered docs.
+    The oracle derives host, path, and coverage analytically from the
+    plant structure — rule-domain normalization, the empty-prefix
+    whole-domain rule, and the prefix semantics ('/docs/1' covers
+    /docs/1 and /docs/10..19, never /docs/21) are all value-checked
+    against independent ground truth."""
+    from hive_scd_spark.operators.text import url_optout_filter
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 97).cast("string")
+    p = (F.col("doc_id") % 37).cast("string")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(
+            v == 0,
+            F.concat(F.lit("https://example"), h, F.lit(".com/docs/"), p),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTPS://WWW.EXAMPLE"), h, F.lit(".COM/docs/"), p),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"),
+                h,
+                F.lit(".com/docs/"),
+                p,
+                F.lit("?utm_source=feed"),
+            )
+        )
+    )
+    fixture = docs.select("doc_id", url.alias("url"))
+    rules = spark.createDataFrame(
+        [("EXAMPLE7.com", ""), ("example13.com", "/docs/1")],
+        "domain string, path_prefix string",
+    )
+    out = url_optout_filter(fixture, "doc_id", "url", rules)
+    return out.select("doc_id", "domain", "disallowed")
+
+
 def source_warc_scan(spark, sf_dir):
     """WARC crawl-archive scan (sources/warc.py: read_warc — the
     pipeline's actual first mile; CommonCrawl ships ~100 TB crawls as
@@ -4503,7 +4548,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_dsir_weights": select_dsir_weights,
     "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
     # r9 late additions, part 3: the crawl first mile — WARC source
+    # and the robots/opt-out compliance screen
     "source_warc_scan": source_warc_scan,
+    "text_url_optout_screen": text_url_optout_screen,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -4901,6 +4948,19 @@ _DSIR_WEIGHTS_CTE = """
       SELECT r.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
              COALESCE(sc.dsir_logw, 0.0) AS dsir_logw
       FROM raw r LEFT JOIN sc ON r.doc_id = sc.doc_id)
+"""
+
+# Analytic ground truth from the plant structure: host, path, and rule
+# coverage derive from doc_id arithmetic, never from the canonicalizer
+ORACLES["text_url_optout_screen"] = """
+    SELECT doc_id,
+           'example' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS domain,
+           CAST(CASE WHEN doc_id % 97 = 7 THEN 1
+                     WHEN doc_id % 97 = 13
+                          AND starts_with('/docs/' || CAST(doc_id % 37 AS VARCHAR),
+                                          '/docs/1') THEN 1
+                     ELSE 0 END AS INT) AS disallowed
+    FROM documents
 """
 
 # Analytic ground truth for the WARC scan: every column derives from

@@ -315,6 +315,18 @@ def main():
             histogram_merge(monthly), [0.5, 0.9, 0.99], lo, hi, nb
         )
 
+    def dsir_gate(d):
+        # target = a bounded replica-0 slice (DSIR's target is a small
+        # eval-like corpus by construction); the RAW POOL is what grows.
+        # Model fits stay n_buckets-bounded shuffles at any n.
+        from hive_scd_spark.operators.selection import dsir_importance_weights
+
+        is_tgt = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") <= base_max_id)
+        return dsir_importance_weights(
+            d.filter(~is_tgt), d.filter(is_tgt), "doc_id", "text",
+            n_buckets=4096,
+        )
+
     doc_experiments = [
         ("dedup_minhash_lsh", minhash_gate),
         ("dedup_exact_substring", substring_gate),
@@ -330,6 +342,7 @@ def main():
         ("fuzzy_typo_pairs", fuzzy_gate),
         ("decontam_bloom_screen", bloom_gate),
         ("text_bpe_batched", bpe_batched_gate),
+        ("select_dsir_weights", dsir_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),

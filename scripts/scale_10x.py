@@ -318,6 +318,19 @@ def main():
         )
 
     emb_base_max = emb1.agg(F.max("vec_id")).first()[0]
+    doc_base_max = docs1.agg(F.max("doc_id")).first()[0]
+
+    def dsir_gate(docs):
+        # target = a bounded base-corpus slice (DSIR's target is a small
+        # eval-like corpus by construction); the RAW POOL is what grows.
+        # Model fits stay n_buckets-bounded shuffles at any n.
+        from hive_scd_spark.operators.selection import dsir_importance_weights
+
+        is_tgt = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") <= doc_base_max)
+        return dsir_importance_weights(
+            docs.filter(~is_tgt), docs.filter(is_tgt), "doc_id", "text",
+            n_buckets=4096,
+        )
 
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
@@ -345,6 +358,8 @@ def main():
         ("dedup_simhash_near", simhash_gate, docs1, docs10),
         ("dedup_embedding_lsh_incremental", emb_incremental_gate, emb1, emb10),
         ("fuzzy_typo_pairs", fuzzy_gate, docs1, docs10),
+        # round-9: DSIR targeted selection (bounded target, growing pool)
+        ("select_dsir_weights", dsir_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

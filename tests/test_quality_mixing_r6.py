@@ -739,3 +739,46 @@ def test_url_canonical_dedup_keeper_and_flags(spark):
     assert [out[i].is_dup for i in (1, 2, 3, 4)] == [0, 1, 1, 0]
     assert out[4].keeper == 4
     assert out[2].url_canon == "https://a.com/x"
+
+
+# -- url_optout_filter --------------------------------------------------------
+
+
+def test_url_optout_filter_semantics(spark):
+    from hive_scd_spark.operators.text import url_optout_filter
+
+    rows = [
+        (1, "https://a.com/private/x"),     # covered: prefix rule
+        (2, "https://a.com/public/x"),      # same domain, other path
+        (3, "HTTPS://WWW.B.COM/anything"),  # covered: whole-domain rule,
+                                            # via www+case normalization
+        (4, "https://c.com/private/x"),     # unlisted domain
+        (5, "https://a.com/private"),       # exact-prefix boundary hit
+        (6, "https://a.com/priv"),          # shorter than the prefix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("A.com", "/private"), ("www.b.com", None)],  # NULL prefix = ''
+        "domain string, path_prefix string",
+    )
+    out = {r.doc_id: r for r in url_optout_filter(df, "doc_id", "url", rules).collect()}
+    assert len(out) == 6  # every row survives
+    assert [out[i].disallowed for i in (1, 2, 3, 4, 5, 6)] == [1, 0, 1, 0, 1, 0]
+    assert out[3].domain == "b.com"
+
+
+def test_url_optout_filter_multi_rule_domain_no_row_duplication(spark):
+    from hive_scd_spark.operators.text import url_optout_filter
+
+    df = spark.createDataFrame(
+        [(i, f"https://hot.com/p{i}") for i in range(20)],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("hot.com", f"/p{i}") for i in range(5)],
+        "domain string, path_prefix string",
+    )
+    out = url_optout_filter(df, "doc_id", "url", rules).collect()
+    # rules pre-aggregate per domain: 5 rules never fan a row out 5x
+    assert len(out) == 20
+    assert sum(r.disallowed for r in out) == 5 + 10  # /p0../p4 + /p10../p19 via /p1
