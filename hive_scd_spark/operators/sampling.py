@@ -246,3 +246,50 @@ def split_by_cluster(
         ),
     )
     return split_assign(keyed, "split_key", splits, salt)
+
+
+def quality_floor_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    keep_permille: int,
+) -> DataFrame:
+    """Per-group quality floor — the standard curation step "keep the
+    top fraction of each source by quality score" (per-source floors,
+    not a global one: a global threshold lets one high-scoring source
+    crowd out every other, destroying the mixture).  Selection is
+    RANK-based, not threshold-based: rank within the group by
+    (score desc, id asc — deterministic tiebreak), keep
+    ``rank <= ceil(n_group · keep_permille / 1000)``.  Rank semantics
+    sidestep the float-boundary fragility of "score >= quantile(q)"
+    (two engines interpolating a quantile differently flip boundary
+    rows; a rank cutoff over identical values cannot disagree), the
+    keep fraction is a PER-MILLE integer (the split_assign convention —
+    the ceil is pure int arithmetic, no 0.6-is-not-representable
+    surprises), and every group keeps at least one document.
+
+    Output: the kept rows (all input columns), plus ``q_rank`` (the
+    1-based rank) and ``n_group``.
+
+    Scale: one shuffle by group + per-group sort (the cap_per_group
+    cost model — bounded by the largest group's sort; AQE handles
+    moderate skew).  The group count rides the same window, no second
+    shuffle.
+    """
+    if not (0 < keep_permille <= 1000):
+        raise ValueError(
+            f"keep_permille must be in (0, 1000], got {keep_permille}"
+        )
+    w = W.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    wc = W.partitionBy(group_col)
+    out = df.withColumn("q_rank", F.row_number().over(w)).withColumn(
+        "n_group", F.count("*").over(wc)
+    )
+    # ceil(n*kp/1000) over positive ints = (n*kp + 999) div 1000
+    return out.filter(
+        F.col("q_rank")
+        <= (F.col("n_group") * keep_permille + 999).cast("long") / F.lit(1000)
+    )

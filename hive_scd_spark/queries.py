@@ -3323,6 +3323,30 @@ def dedup_url_canonical(spark, sf_dir):
     return out.select("doc_id", "url_canon", "keeper", "is_dup")
 
 
+def select_quality_floor(spark, sf_dir):
+    """Per-source quality floor (operators/sampling.py:
+    quality_floor_per_group chained on quality.unigram_logprob): score
+    every document with the corpus-derived unigram LM, then keep the
+    top 60 % of EACH source by (avg_logprob desc, doc_id) rank — the
+    curation step that enforces a quality bar without letting one
+    high-scoring source crowd out the mixture.  Rank-based selection
+    (ceil via per-mille int arithmetic) is engine-exact where a
+    quantile threshold would be float-boundary fragile; the oracle
+    replays the full chain: vocab cut, ln scoring, per-source
+    row_number and count, the same ceil."""
+    from hive_scd_spark.operators.quality import unigram_logprob
+    from hive_scd_spark.operators.sampling import quality_floor_per_group
+
+    docs = t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "doc_id", "text", vocab_size=30).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    out = quality_floor_per_group(
+        scored, "source", "doc_id", "avg_logprob", keep_permille=600
+    )
+    return out.select("doc_id", "source", "avg_logprob", "q_rank", "n_group")
+
+
 def text_url_optout_screen(spark, sf_dir):
     """Robots/opt-out URL screen (operators/text.py: url_optout_filter)
     over a planted crawl-URL fixture (three surface variants per page —
@@ -4551,6 +4575,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and the robots/opt-out compliance screen
     "source_warc_scan": source_warc_scan,
     "text_url_optout_screen": text_url_optout_screen,
+    # r9 late additions, part 4: per-source quality floor (rank-based
+    # curation bar — LM scoring chained into selection)
+    "select_quality_floor": select_quality_floor,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -4948,6 +4975,34 @@ _DSIR_WEIGHTS_CTE = """
       SELECT r.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
              COALESCE(sc.dsir_logw, 0.0) AS dsir_logw
       FROM raw r LEFT JOIN sc ON r.doc_id = sc.doc_id)
+"""
+
+ORACLES["select_quality_floor"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ), tok2 AS (SELECT * FROM toks WHERE t <> ''),
+    counts AS (SELECT t, count(*) AS c FROM tok2 GROUP BY 1),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM counts),
+    vocab AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 30),
+    scored AS (
+      SELECT k.doc_id, CAST(COALESCE(v.c, 1) AS DOUBLE) AS cc
+      FROM tok2 k LEFT JOIN vocab v USING (t)
+    ),
+    lm AS (
+      SELECT doc_id,
+             ROUND(AVG(ln(cc / (SELECT tot FROM total))), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, lm.avg_logprob,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                    ORDER BY lm.avg_logprob DESC, d.doc_id) AS INT) AS q_rank,
+             CAST(COUNT(*) OVER (PARTITION BY d.source) AS BIGINT) AS n_group
+      FROM documents d JOIN lm USING (doc_id)
+    )
+    SELECT doc_id, source, avg_logprob, q_rank, n_group
+    FROM ranked WHERE q_rank <= (n_group * 600 + 999) // 1000
 """
 
 # Analytic ground truth from the plant structure: host, path, and rule

@@ -782,3 +782,44 @@ def test_url_optout_filter_multi_rule_domain_no_row_duplication(spark):
     # rules pre-aggregate per domain: 5 rules never fan a row out 5x
     assert len(out) == 20
     assert sum(r.disallowed for r in out) == 5 + 10  # /p0../p4 + /p10../p19 via /p1
+
+
+# -- quality_floor_per_group --------------------------------------------------
+
+
+def test_quality_floor_rank_semantics(spark):
+    from hive_scd_spark.operators.sampling import quality_floor_per_group
+
+    rows = [
+        # group a: 5 docs, scores 5..1 -> keep ceil(5*600/1000)=3
+        *[(i, "a", float(5 - i)) for i in range(5)],
+        # group b: 1 doc -> ceil(0.6)=1, every group keeps >= 1
+        (10, "b", -7.0),
+        # group c: ties broken by id (both score 1.0; keep ceil(1.2)=2)
+        (20, "c", 1.0),
+        (21, "c", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    out = quality_floor_per_group(df, "grp", "doc_id", "score", 600)
+    got = {(r.grp, r.doc_id): (r.q_rank, r.n_group) for r in out.collect()}
+    assert sorted(k[1] for k in got if k[0] == "a") == [0, 1, 2]
+    assert got[("a", 0)] == (1, 5)
+    assert got[("b", 10)] == (1, 1)
+    assert sorted(k[1] for k in got if k[0] == "c") == [20, 21]
+    assert got[("c", 20)][0] == 1  # id tiebreak: lower id ranks first
+
+
+def test_quality_floor_keep_all_and_validation(spark):
+    import pytest as _pytest
+
+    from hive_scd_spark.operators.sampling import quality_floor_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(7)],
+        "doc_id long, grp string, score double",
+    )
+    assert quality_floor_per_group(df, "grp", "doc_id", "score", 1000).count() == 7
+    with _pytest.raises(ValueError, match="keep_permille"):
+        quality_floor_per_group(df, "grp", "doc_id", "score", 0)
+    with _pytest.raises(ValueError, match="keep_permille"):
+        quality_floor_per_group(df, "grp", "doc_id", "score", 1001)
