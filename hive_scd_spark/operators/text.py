@@ -546,8 +546,11 @@ def canonicalize_url(col):
     filter/sort lambdas run interpreted (one short array per row, the
     remove_boilerplate_lines precedent).
     """
-    u = F.trim(F.col(col) if isinstance(col, str) else col)
-    u = F.regexp_replace(u, r"#.*", "")
+    # keep the trimmed ORIGINAL for the not-a-URL passthrough branch:
+    # the fragment strip below must not mangle plain text containing
+    # '#' (the docstring's "trimmed but otherwise untouched" contract)
+    orig = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(orig, r"#.*", "")
     scheme = F.lower(F.regexp_extract(u, _URL_PARTS_REGEX, 1))
     auth = F.lower(F.regexp_extract(u, _URL_PARTS_REGEX, 2))
     auth = F.regexp_replace(auth, r"^www\.", "")
@@ -568,7 +571,7 @@ def canonicalize_url(col):
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
     rebuilt = F.concat(scheme, F.lit("://"), auth, path, query)
-    return F.when(scheme == "", u).otherwise(rebuilt)
+    return F.when(scheme == "", orig).otherwise(rebuilt)
 
 
 def url_canonical_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
