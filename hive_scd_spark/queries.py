@@ -3392,27 +3392,21 @@ def text_url_optout_screen(spark, sf_dir):
     return out.select("doc_id", "domain", "disallowed")
 
 
-def source_warc_scan(spark, sf_dir):
-    """WARC crawl-archive scan (sources/warc.py: read_warc — the
-    pipeline's actual first mile; CommonCrawl ships ~100 TB crawls as
-    WARC).  Fixture: every document wrapped in an HTTP-200 WARC
-    response record — three uncompressed files read as 8 KiB
-    byte-range splits (exercising the chain-validated split
-    realignment on every boundary) plus one per-record-gzip member
-    file (the CommonCrawl layout, one task per file).  The oracle does
-    NOT replay the parser: every output column (id from the record id,
-    status, BYTE length of the HTTP body, the target URI) derives
-    analytically from the documents table, so framing, split
-    exactly-once-ness, HTTP envelope split, and utf-8 payload length
-    are all checked against independent ground truth.  Fixture is
-    written once per (data fingerprint, sf) under /tmp; collect() is
-    fixture-scale and lives inside the build branch (the ADVICE r8 #4
-    rule)."""
+def _warc_fixture(spark, sf_dir) -> str:
+    """Shared WARC fixture for the crawl-source gates: every document
+    wrapped in an HTTP-200 WARC response record — three uncompressed
+    files (read back as 8 KiB byte-range splits, exercising the
+    chain-validated realignment on every boundary) plus one
+    per-record-gzip member file (the CommonCrawl layout).  The target
+    URI and record id derive from doc_id arithmetic so oracles can
+    reconstruct them analytically.  Written once per (data
+    fingerprint, sf) under /tmp; collect() is fixture-scale and lives
+    inside the build branch (the ADVICE r8 #4 rule)."""
     import hashlib
     import os
     import tempfile
 
-    from hive_scd_spark.sources.warc import read_warc, write_warc_records
+    from hive_scd_spark.sources.warc import write_warc_records
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     tag = hashlib.md5(
@@ -3452,7 +3446,22 @@ def source_warc_scan(spark, sf_dir):
             )
         with open(marker, "w") as f:
             f.write("ok")
-    out = read_warc(spark, base, split_bytes=8192)
+    return base
+
+
+def source_warc_scan(spark, sf_dir):
+    """WARC crawl-archive scan (sources/warc.py: read_warc — the
+    pipeline's actual first mile; CommonCrawl ships ~100 TB crawls as
+    WARC) over the shared fixture (see _warc_fixture: 3 split-read
+    plain files + 1 per-record-gzip file).  The oracle does NOT replay
+    the parser: every output column (id from the record id, status,
+    BYTE length of the HTTP body, the target URI) derives analytically
+    from the documents table, so framing, split exactly-once-ness,
+    HTTP envelope split, and utf-8 payload length are all checked
+    against independent ground truth."""
+    from hive_scd_spark.sources.warc import read_warc
+
+    out = read_warc(spark, _warc_fixture(spark, sf_dir), split_bytes=8192)
     return out.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
         .cast("long")
@@ -3461,6 +3470,59 @@ def source_warc_scan(spark, sf_dir):
         F.length("payload").cast("long").alias("payload_bytes"),
         "target_uri",
     )
+
+
+def pipeline_crawl_to_corpus(spark, sf_dir):
+    """CAPSTONE: the crawl first mile in ONE lazy plan — WARC scan
+    (chain-validated byte-range splits + per-record-gzip members, the
+    shared _warc_fixture) → HTTP body to text → URL-exact dedup on the
+    canonical target URI (min-id keeper; the fixture's id arithmetic
+    makes distinct documents genuinely collide on URL) → robots/
+    opt-out screen (whole-domain + path-prefix rules) → token counts +
+    deterministic train/val/test split for the survivors.  Four
+    operator families, one plan, no intermediate materialization.  The
+    oracle replays the whole chain ANALYTICALLY from the documents
+    table (canonical form, keeper choice, rule coverage, token count,
+    split hash) — none of the engine code is replayed."""
+    from hive_scd_spark.functions import ws_tokens
+    from hive_scd_spark.operators.sampling import split_assign
+    from hive_scd_spark.operators.text import (
+        url_canonical_dedup,
+        url_optout_filter,
+    )
+    from hive_scd_spark.sources.warc import read_warc
+
+    warc = read_warc(spark, _warc_fixture(spark, sf_dir), split_bytes=8192)
+    parsed = warc.select(
+        F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("text"),
+        F.col("target_uri").alias("url"),
+    )
+    kept = (
+        url_canonical_dedup(parsed, "doc_id", "url")
+        .filter(F.col("is_dup") == 0)
+        .select("doc_id", "text", "url")  # drop url_canon: the optout
+        # screen re-derives it (name would collide otherwise)
+    )
+    rules = spark.createDataFrame(
+        [("EXAMPLE7.com", ""), ("example13.com", "/docs/1")],
+        "domain string, path_prefix string",
+    )
+    screened = url_optout_filter(kept, "doc_id", "url", rules).filter(
+        F.col("disallowed") == 0
+    )
+    toks = F.filter(
+        ws_tokens(F.coalesce(F.col("text"), F.lit(""))), lambda x: x != ""
+    )
+    out = split_assign(
+        screened.select(
+            "doc_id", "url_canon", F.size(toks).cast("long").alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    return out.select("doc_id", "url_canon", "n_tokens", "split")
 
 
 def select_dsir_weights(spark, sf_dir):
@@ -4578,6 +4640,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 late additions, part 4: per-source quality floor (rank-based
     # curation bar — LM scoring chained into selection)
     "select_quality_floor": select_quality_floor,
+    # r9 late additions, part 5: crawl-first-mile CAPSTONE (WARC →
+    # URL dedup → opt-out screen → tokens + split, one lazy plan)
+    "pipeline_crawl_to_corpus": pipeline_crawl_to_corpus,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -5028,6 +5093,37 @@ ORACLES["source_warc_scan"] = """
            'https://example' || CAST(doc_id % 97 AS VARCHAR) || '.com/docs/'
              || CAST(doc_id % 37 AS VARCHAR) AS target_uri
     FROM documents
+"""
+
+# Analytic whole-chain replay: canonical form, keeper, rule coverage,
+# token count, and split hash all derive from the documents table —
+# none of the engine code (parser, canonicalizer, screen) is replayed
+ORACLES["pipeline_crawl_to_corpus"] = """
+    WITH f AS (
+      SELECT doc_id, text,
+             'https://example' || CAST(doc_id % 97 AS VARCHAR) || '.com/docs/'
+               || CAST(doc_id % 37 AS VARCHAR) AS url_canon
+      FROM documents
+    ),
+    k AS (SELECT url_canon, MIN(doc_id) AS keeper FROM f GROUP BY 1),
+    kept AS (
+      SELECT f.doc_id, f.text, f.url_canon
+      FROM f JOIN k USING (url_canon) WHERE f.doc_id = k.keeper
+    ),
+    scr AS (
+      SELECT * FROM kept
+      WHERE NOT (doc_id % 97 = 7
+                 OR (doc_id % 97 = 13
+                     AND starts_with('/docs/' || CAST(doc_id % 37 AS VARCHAR),
+                                     '/docs/1')))
+    )
+    SELECT doc_id, url_canon,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM scr
 """
 
 ORACLES["select_dsir_weights"] = f"""
