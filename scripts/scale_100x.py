@@ -380,6 +380,11 @@ def main():
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
             errors[label] = f"{type(exc).__name__}: {msg[:300]}"
+        # crash-tolerant evidence: a JVM death mid-suite (the r9 re-run
+        # OOM'd at pipeline_semantic_dedup and the partial ratios died
+        # with the process) must not erase measured experiments
+        with open(f"/tmp/scale{n}x_checkpoint.json", "w") as ckpt:
+            json.dump({"results": results, "errors": errors}, ckpt)
     out = {
         "metric": f"scale{n}x_ratios",
         "unit": "sec",

@@ -391,6 +391,10 @@ def main():
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
             errors[label] = f"{type(exc).__name__}: {msg[:300]}"
+        # crash-tolerant evidence: a JVM death mid-suite (the r9 100x
+        # OOM lesson) must not erase the experiments already measured
+        with open("/tmp/scale10x_checkpoint.json", "w") as ckpt:
+            json.dump({"results": results, "errors": errors}, ckpt)
     out = {
         "metric": "scale10x_ratios",
         "unit": "sec",
