@@ -348,3 +348,54 @@ def remove_boilerplate_lines(
         )
     )
     return rebuilt.select(F.col(id_col), "text", "n_lines_kept", "n_lines_removed")
+
+
+def dedupe_lines_in_doc(
+    df: DataFrame, id_col: str, text_col: str, line_sep: str = "\n"
+) -> DataFrame:
+    """INTRA-document repeated-line removal — the complement of
+    :func:`remove_boilerplate_lines` (which strips lines repeated
+    ACROSS documents): within one document, every line keeps only its
+    FIRST occurrence.  The production motivation is scraped chat logs,
+    navigation menus repeated per section, and templated listings,
+    where one page repeats its own furniture dozens of times and
+    repetition_stats flags the whole document instead of salvaging it.
+
+    Duplicate detection is on the normalized line (lower+trim — the
+    remove_boilerplate_lines convention) but the KEPT line is verbatim;
+    whitespace-only lines are never treated as duplicates of each
+    other (blank separators survive).  Output: (id, text,
+    n_lines_kept, n_lines_removed) with text reassembled in original
+    order — the same contract as remove_boilerplate_lines, so the two
+    compose in either order.
+
+    Scale: a pure row-local projection — no shuffle, no UDF; the
+    first-occurrence test is ``array_position(norms, norms[i]) == i``
+    (1-based in both Spark and DuckDB, so the oracle replays it
+    verbatim).  Per-row cost is O(L²) in the document's LINE count —
+    lines are dozens-to-hundreds, not tokens, and the quadratic term is
+    a memcmp scan, far below the regex work already row-local in this
+    module; a pathological million-line document belongs to
+    remove_boilerplate_lines' corpus census instead.
+    """
+    # literal separator (regex-escaped), the module convention pinned
+    # by test_boilerplate_line_sep_is_literal
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(line_sep))
+    work = df.select(*df.columns, lines.alias("__lines"))
+    norms = F.transform(F.col("__lines"), lambda x: F.lower(F.trim(x)))
+    work = work.select(*df.columns, "__lines", norms.alias("__norms"))
+    idx = F.sequence(F.lit(1), F.size(F.col("__lines")))
+    keep_i = F.filter(
+        idx,
+        lambda i: (F.trim(F.element_at(F.col("__lines"), i)) == "")
+        | (F.array_position(F.col("__norms"), F.element_at(F.col("__norms"), i)) == i),
+    )
+    kept = F.transform(keep_i, lambda i: F.element_at(F.col("__lines"), i))
+    return work.select(
+        F.col(id_col),
+        F.array_join(kept, line_sep).alias(text_col),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(F.col("__lines")) - F.size(kept))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )

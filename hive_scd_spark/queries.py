@@ -3323,6 +3323,32 @@ def dedup_url_canonical(spark, sf_dir):
     return out.select("doc_id", "url_canon", "keeper", "is_dup")
 
 
+def text_dedupe_lines_in_doc(spark, sf_dir):
+    """Intra-document repeated-line removal (operators/quality.py:
+    dedupe_lines_in_doc) over a planted fixture: each document carries
+    a nav header repeated verbatim AND as a case/whitespace variant, a
+    repeated per-doc item line, a blank separator, and unique body
+    lines — first occurrences kept verbatim, blanks never deduped.
+    The oracle replays the first-occurrence rule with DuckDB's
+    1-based list_position over the same normalized lines."""
+    from hive_scd_spark.operators.quality import dedupe_lines_in_doc
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    i5 = (F.col("doc_id") % 5).cast("string")
+    text = F.concat(
+        F.lit("Nav Home\nitem "),
+        i5,
+        F.lit("\nNav Home\n\nbody of doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("\n  NAV HOME \nitem "),
+        i5,
+        F.lit("\ntail"),
+    )
+    fixture = docs.select("doc_id", text.alias("text"))
+    out = dedupe_lines_in_doc(fixture, "doc_id", "text")
+    return out.select("doc_id", "text", "n_lines_kept", "n_lines_removed")
+
+
 def select_quality_floor(spark, sf_dir):
     """Per-source quality floor (operators/sampling.py:
     quality_floor_per_group chained on quality.unigram_logprob): score
@@ -4643,6 +4669,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 late additions, part 5: crawl-first-mile CAPSTONE (WARC →
     # URL dedup → opt-out screen → tokens + split, one lazy plan)
     "pipeline_crawl_to_corpus": pipeline_crawl_to_corpus,
+    # r9 late additions, part 6: intra-doc repeated-line removal
+    "text_dedupe_lines_in_doc": text_dedupe_lines_in_doc,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -5093,6 +5121,36 @@ ORACLES["source_warc_scan"] = """
            'https://example' || CAST(doc_id % 97 AS VARCHAR) || '.com/docs/'
              || CAST(doc_id % 37 AS VARCHAR) AS target_uri
     FROM documents
+"""
+
+ORACLES["text_dedupe_lines_in_doc"] = """
+    WITH f AS (
+      SELECT doc_id,
+             'Nav Home' || chr(10) || 'item ' || CAST(doc_id % 5 AS VARCHAR)
+               || chr(10) || 'Nav Home' || chr(10) || chr(10)
+               || 'body of doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || '  NAV HOME ' || chr(10) || 'item '
+               || CAST(doc_id % 5 AS VARCHAR) || chr(10) || 'tail' AS text
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls,
+             list_transform(string_split(text, chr(10)),
+                            x -> lower(trim(x))) AS ns
+      FROM f
+    ),
+    k AS (
+      SELECT doc_id, ls,
+             list_filter(range(1, CAST(len(ls) AS BIGINT) + 1),
+                         i -> trim(ls[i]) = ''
+                              OR list_position(ns, ns[i]) = i) AS keep_i
+      FROM s
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(keep_i, i -> ls[i]), chr(10)) AS text,
+           CAST(len(keep_i) AS BIGINT) AS n_lines_kept,
+           CAST(len(ls) - len(keep_i) AS BIGINT) AS n_lines_removed
+    FROM k
 """
 
 # Analytic whole-chain replay: canonical form, keeper, rule coverage,

@@ -823,3 +823,47 @@ def test_quality_floor_keep_all_and_validation(spark):
         quality_floor_per_group(df, "grp", "doc_id", "score", 0)
     with _pytest.raises(ValueError, match="keep_permille"):
         quality_floor_per_group(df, "grp", "doc_id", "score", 1001)
+
+
+# -- dedupe_lines_in_doc ------------------------------------------------------
+
+
+def test_dedupe_lines_in_doc_semantics(spark):
+    from hive_scd_spark.operators.quality import dedupe_lines_in_doc
+
+    df = spark.createDataFrame(
+        [
+            # 'Menu' repeats verbatim and as a normalized variant; the
+            # blank separator lines both survive; first form kept verbatim
+            (1, "Menu\nitem a\nMenu\n\nbody text\n  MENU \n\ntail"),
+            (2, "no repeats\nhere"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedupe_lines_in_doc(df, "doc_id", "text").collect()}
+    assert out[1].text == "Menu\nitem a\n\nbody text\n\ntail"
+    assert (out[1].n_lines_kept, out[1].n_lines_removed) == (6, 2)
+    assert out[2].text == "no repeats\nhere"
+    assert out[2].n_lines_removed == 0
+    assert out[3].text == "" and out[3].n_lines_kept == 1  # [''] split semantics
+    assert out[4].text == ""  # NULL rides through as empty
+
+
+def test_dedupe_lines_in_doc_composes_with_boilerplate(spark):
+    from hive_scd_spark.operators.quality import (
+        dedupe_lines_in_doc,
+        remove_boilerplate_lines,
+    )
+
+    # same contract -> the two compose: intra-doc dedup first, then the
+    # cross-doc census strips the shared footer
+    rows = [(i, f"unique {i}\nfooter\nfooter") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    step1 = dedupe_lines_in_doc(df, "doc_id", "text")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(step1, "doc_id", "text", min_docs=3).collect()
+    }
+    assert all(out[i].text == f"unique {i}" for i in range(4))
