@@ -3323,6 +3323,90 @@ def dedup_url_canonical(spark, sf_dir):
     return out.select("doc_id", "url_canon", "keeper", "is_dup")
 
 
+def sample_embedding_diverse(spark, sf_dir):
+    """Diversity (cluster-balanced) sampling: LSH buckets as cheap
+    semantic clusters (similarity.py: lsh_bucketize, 8 md5-derived
+    hyperplanes), then a deterministic md5-rank cap of 8 vectors per
+    bucket (sampling.py: cap_per_group) — the standard "one dense
+    region must not dominate the sample" selection for embedding-space
+    coverage.  The oracle replays hyperplanes, bucket assignment, and
+    the md5 rank, so the diversity mechanism itself is value-checked.
+    Scale: one projection for buckets + one group-shuffle for the cap;
+    bucket count grows 2^planes, so per-bucket sorts stay small."""
+    from hive_scd_spark.operators.sampling import cap_per_group
+    from hive_scd_spark.operators.similarity import lsh_bucketize
+
+    emb = t(spark, sf_dir, "embeddings")
+    buckets = lsh_bucketize(emb, "vec_id", "embedding", n_planes=8)
+    out = cap_per_group(buckets, "bucket", "vec_id", n=8, rank_col="rk")
+    return out.select("vec_id", "bucket", "rk")
+
+
+def report_domain_census(spark, sf_dir):
+    """Per-domain crawl curation report — the aggregate a curation team
+    reads before allow/block decisions: over the planted URL fixture
+    (three surface variants per page, all canonicalizing to one form),
+    each canonical domain reports document count, unique-page count
+    (distinct canonical URLs), the duplicate fraction, total tokens,
+    and how many documents the opt-out rules disallow.  Composes
+    canonicalize_url + url_optout_filter + the shared tokenizer in one
+    plan; the oracle derives every aggregate from doc_id arithmetic.
+    Scale: row-local URL work, one token projection, one domain-keyed
+    combiner-collapsed groupBy."""
+    from hive_scd_spark.functions import ws_tokens
+    from hive_scd_spark.operators.text import url_optout_filter
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    h = (F.col("doc_id") % 97).cast("string")
+    p = (F.col("doc_id") % 37).cast("string")
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(
+            v == 0,
+            F.concat(F.lit("https://example"), h, F.lit(".com/docs/"), p),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTPS://WWW.EXAMPLE"), h, F.lit(".COM/docs/"), p),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"),
+                h,
+                F.lit(".com/docs/"),
+                p,
+                F.lit("?utm_source=feed"),
+            )
+        )
+    )
+    fixture = docs.select("doc_id", "text", url.alias("url"))
+    rules = spark.createDataFrame(
+        [("EXAMPLE7.com", ""), ("example13.com", "/docs/1")],
+        "domain string, path_prefix string",
+    )
+    screened = url_optout_filter(fixture, "doc_id", "url", rules)
+    toks = F.filter(
+        ws_tokens(F.coalesce(F.col("text"), F.lit(""))), lambda x: x != ""
+    )
+    per_doc = screened.select(
+        "domain",
+        "url_canon",
+        F.size(toks).cast("long").alias("__nt"),
+        F.col("disallowed"),
+    )
+    return per_doc.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("url_canon").cast("long").alias("n_pages"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("url_canon").cast("double") / F.count("*"),
+            6,
+        ).alias("dup_frac"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.sum("disallowed").cast("long").alias("n_disallowed"),
+    )
+
+
 def text_dedupe_lines_in_doc(spark, sf_dir):
     """Intra-document repeated-line removal (operators/quality.py:
     dedupe_lines_in_doc) over a planted fixture: each document carries
@@ -4675,6 +4759,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_crawl_to_corpus": pipeline_crawl_to_corpus,
     # r9 late additions, part 6: intra-doc repeated-line removal
     "text_dedupe_lines_in_doc": text_dedupe_lines_in_doc,
+    # r9 late additions, part 7: embedding-diversity sampling and the
+    # per-domain crawl curation report
+    "sample_embedding_diverse": sample_embedding_diverse,
+    "report_domain_census": report_domain_census,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -5125,6 +5213,42 @@ ORACLES["source_warc_scan"] = """
            'https://example' || CAST(doc_id % 97 AS VARCHAR) || '.com/docs/'
              || CAST(doc_id % 37 AS VARCHAR) AS target_uri
     FROM documents
+"""
+
+ORACLES["sample_embedding_diverse"] = f"""
+    WITH {_LSH_BUCKET_CTE},
+    r AS (
+      SELECT vec_id, CAST(bucket AS BIGINT) AS bucket,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS rk
+      FROM buckets
+    )
+    SELECT vec_id, bucket, rk FROM r WHERE rk <= 8
+"""
+
+ORACLES["report_domain_census"] = """
+    WITH f AS (
+      SELECT doc_id,
+             'example' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS domain,
+             'https://example' || CAST(doc_id % 97 AS VARCHAR) || '.com/docs/'
+               || CAST(doc_id % 37 AS VARCHAR) AS url_canon,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS nt,
+             CASE WHEN doc_id % 97 = 7 THEN 1
+                  WHEN doc_id % 97 = 13
+                       AND starts_with('/docs/' || CAST(doc_id % 37 AS VARCHAR),
+                                       '/docs/1') THEN 1
+                  ELSE 0 END AS dis
+      FROM documents
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_pages,
+           ROUND(1.0 - COUNT(DISTINCT url_canon) * 1.0 / COUNT(*), 6) AS dup_frac,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(dis) AS BIGINT) AS n_disallowed
+    FROM f GROUP BY domain
 """
 
 ORACLES["text_dedupe_lines_in_doc"] = """
