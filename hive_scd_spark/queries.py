@@ -4683,8 +4683,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the reduced schema (no partsupp/shipmode/commitdate; see each
     # docstring).  q21/q2/q9/q20/q15/q22 promoted to the window in r9.
     # r10 rotation pool = the remaining never-driver-verified TPC-H
-    # shapes below plus the ten r9 late additions at the dict tail
-    # (sample_split_by_cluster .. text_dedupe_lines_in_doc — all
+    # shapes below plus the twelve r9 late additions at the dict tail
+    # (sample_split_by_cluster .. report_domain_census — all
     # contract-green at both scales in logs/contract_sf*_round9.log,
     # none driver-verified yet)
     "q11_important_stock": q11_important_stock,

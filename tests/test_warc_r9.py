@@ -165,3 +165,41 @@ def test_gzip_decode_matches_uncompressed(spark, tmp_path):
         (r.record_id, bytes(r.payload)) for r in read_warc(spark, gz).collect()
     )
     assert a == b
+
+
+def test_read_warc_split_fuzz_exactly_once(spark, tmp_path):
+    """Seeded fuzz over corpus shapes x split sizes: whatever byte the
+    split boundary lands on (mid-header, mid-payload, mid-terminator,
+    mid-version-line), every record decodes exactly once."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(6):
+        n = rng.randint(1, 40)
+        recs = []
+        for i in range(n):
+            kind = rng.randrange(3)
+            if kind == 0:
+                payload = bytes(rng.randrange(256) for _ in range(rng.randint(0, 120)))
+            elif kind == 1:
+                payload = b"\r\n\r\nWARC/1.0\r\n" * rng.randint(1, 4)
+            else:
+                payload = (f"text {i} " * rng.randint(1, 30)).encode()
+            recs.append(
+                {
+                    "record_id": f"<urn:f{trial}:{i}>",
+                    "warc_type": "resource",
+                    "content_type": "application/octet-stream",
+                    "payload": payload,
+                }
+            )
+        data = write_warc_records(recs)
+        p = _write(tmp_path, f"fuzz{trial}.warc", data)
+        split_bytes = rng.choice([1 + rng.randrange(max(1, len(data))), 97, 256])
+        got = read_warc(spark, p, split_bytes=split_bytes).collect()
+        ids = sorted(r.record_id for r in got)
+        want = sorted(f"<urn:f{trial}:{i}>" for i in range(n))
+        assert ids == want, (trial, split_bytes, len(data))
+        by_id = {r.record_id: bytes(r.payload) for r in got}
+        for i, rec in enumerate(recs):
+            assert by_id[f"<urn:f{trial}:{i}>"] == rec["payload"], (trial, i)
