@@ -3331,8 +3331,12 @@ def sample_embedding_diverse(spark, sf_dir):
     region must not dominate the sample" selection for embedding-space
     coverage.  The oracle replays hyperplanes, bucket assignment, and
     the md5 rank, so the diversity mechanism itself is value-checked.
-    Scale: one projection for buckets + one group-shuffle for the cap;
-    bucket count grows 2^planes, so per-bucket sorts stay small."""
+    Scale: one projection for buckets + one group-shuffle for the cap.
+    The gate pins n_planes=8 (2^8 buckets — right for the fixture
+    corpus and the static oracle); a production caller sizes planes
+    with the corpus (dedup.auto_n_planes: ceil(log2(n/target_bucket)),
+    the r6 fixed-parameter lesson) so per-bucket sort stays bounded at
+    any n."""
     from hive_scd_spark.operators.sampling import cap_per_group
     from hive_scd_spark.operators.similarity import lsh_bucketize
 
