@@ -203,3 +203,38 @@ def test_read_warc_split_fuzz_exactly_once(spark, tmp_path):
         by_id = {r.record_id: bytes(r.payload) for r in got}
         for i, rec in enumerate(recs):
             assert by_id[f"<urn:f{trial}:{i}>"] == rec["payload"], (trial, i)
+
+
+def test_read_warc_payload_larger_than_window_chunk(spark, tmp_path):
+    """A payload far larger than the reader's 1 MiB window step: splits
+    landing INSIDE the big payload must grow the window repeatedly to
+    find the next record (exercising the ensure() path and the
+    pre-growth resume offset), and the terminal-record overflow path
+    must reassemble the full payload byte-for-byte."""
+    big = bytes(range(256)) * (10 * 1024)  # 2.5 MiB, binary, no fake headers
+    recs = (
+        _mk_records(2)
+        + [
+            {
+                "record_id": "<urn:test:big>",
+                "warc_type": "resource",
+                "content_type": "application/octet-stream",
+                "payload": big,
+            }
+        ]
+        + [
+            {
+                "record_id": f"<urn:test:after{i}>",
+                "warc_type": "resource",
+                "payload": f"after {i}".encode(),
+            }
+            for i in range(3)
+        ]
+    )
+    p = _write(tmp_path, "big.warc", write_warc_records(recs))
+    got = read_warc(spark, p, split_bytes=64 * 1024).collect()
+    ids = sorted(r.record_id for r in got)
+    assert len(ids) == 6 and ids.count("<urn:test:big>") == 1
+    by_id = {r.record_id: bytes(r.payload) for r in got}
+    assert by_id["<urn:test:big>"] == big
+    assert by_id["<urn:test:after2>"] == b"after 2"
