@@ -399,3 +399,112 @@ def dedupe_lines_in_doc(
         .cast("long")
         .alias("n_lines_removed"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram upgrade of :func:`unigram_logprob` — the stronger CCNet
+    quality signal: word-salad text has ordinary unigrams but
+    improbable TRANSITIONS, and only a conditional model sees that.
+    *train* is the trusted corpus the model is fit on (CCNet trains on
+    Wikipedia-grade text and scores the crawl); default = score the
+    corpus under its own model.  Model, engine-exact by construction:
+
+    1. top-*vocab_size* train tokens (count desc, token asc) become the
+       vocabulary; everything else maps to one ``<unk>`` class (so the
+       model state is vocabulary-bounded regardless of corpus size);
+    2. one train pass counts clipped bigrams c(w1, w2) and clipped
+       contexts c(w1) — combiner-collapsed shuffles bounded by distinct
+       clipped keys (<= (V+1)^2 and V+1);
+    3. per scored document: ``avg over i>=2 of ln((c(w_{i-1}, w_i) + 1)
+       / (c(w_{i-1}) + V + 1))`` — add-one over the clipped event
+       space, so transitions (or contexts) unseen in training carry the
+       analytic floor and DuckDB can replay every term.
+
+    Output: (id, n_bigrams, n_unseen, avg_bigram_logprob) — higher =
+    more ordinary transitions; ``n_unseen`` counts transitions absent
+    from the train model (always 0 when self-scoring); documents with
+    < 2 tokens score (0, 0, NULL) and every input row survives.
+
+    Scale: the model is CLIPPED-vocabulary-bounded (the point of the
+    unk class); the per-doc pass is posexplode → vocab broadcast-join →
+    consecutive-position self-join (equi-join on (id, pos) — never a
+    whole-document window) → model join (AQE broadcasts a small model,
+    degrades to shuffle when a corpus genuinely fills (V+1)^2) → one
+    per-doc aggregate.  No Python anywhere.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+
+    def toks_of(frame):
+        return frame.select(
+            F.col(id_col),
+            F.filter(
+                F.coalesce(_ws_tokens(text_col), F.array().cast("array<string>")),
+                lambda t: t != "",
+            ).alias("__toks"),
+        )
+
+    train_toks = toks_of(df if train is None else train)
+    vocab = (
+        train_toks.select(F.explode("__toks").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .select("__tok", F.lit(1).alias("__inv"))
+    )
+
+    def pairs_of(toks_frame):
+        pos = toks_frame.select(
+            id_col, F.posexplode("__toks").alias("__i", "__tok")
+        )
+        clipped = pos.join(F.broadcast(vocab), "__tok", "left").select(
+            id_col,
+            "__i",
+            F.when(F.col("__inv").isNotNull(), F.col("__tok"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__w"),
+        )
+        lhs = clipped.select(
+            F.col(id_col), F.col("__i").alias("__il"), F.col("__w").alias("__w1")
+        )
+        rhs = clipped.select(
+            F.col(id_col),
+            (F.col("__i") - 1).alias("__il"),
+            F.col("__w").alias("__w2"),
+        )
+        return lhs.join(rhs, [id_col, "__il"])
+
+    train_pairs = pairs_of(train_toks)
+    bi = train_pairs.groupBy("__w1", "__w2").agg(F.count("*").alias("__bc"))
+    ctx = train_pairs.groupBy("__w1").agg(F.count("*").alias("__cc"))
+    scored = (
+        (train_pairs if train is None else pairs_of(toks_of(df)))
+        .join(bi, ["__w1", "__w2"], "left")
+        .join(F.broadcast(ctx), "__w1", "left")
+    )
+    denom = (F.coalesce(F.col("__cc"), F.lit(0)) + vocab_size + 1).cast("double")
+    lnp = F.log((F.coalesce(F.col("__bc"), F.lit(0)) + 1).cast("double") / denom)
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("__bc").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        F.round(F.avg(lnp), 6).alias("avg_bigram_logprob"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+            "avg_bigram_logprob",
+        )
+    )

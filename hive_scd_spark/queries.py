@@ -3323,6 +3323,27 @@ def dedup_url_canonical(spark, sf_dir):
     return out.select("doc_id", "url_canon", "keeper", "is_dup")
 
 
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram LM scoring with a separately-trained model
+    (operators/quality.py: bigram_logprob — the CCNet shape: train on
+    trusted text, score the crawl): src0+src1 are the trusted corpus,
+    the other 18 sources are scored against its clipped-vocab (V=30)
+    add-one bigram model.  The conditional model is what a unigram
+    score cannot be: word-salad with ordinary unigrams scores low, and
+    ``n_unseen`` counts transitions absent from training.  The oracle
+    replays vocab cut, unk clipping, train bigram/context counts, and
+    every ln term."""
+    from hive_scd_spark.operators.quality import bigram_logprob
+
+    docs = t(spark, sf_dir, "documents")
+    is_tr = F.col("source").isin("src0", "src1")
+    out = bigram_logprob(
+        docs.filter(~is_tr), "doc_id", "text", vocab_size=30,
+        train=docs.filter(is_tr),
+    )
+    return out.select("doc_id", "n_bigrams", "n_unseen", "avg_bigram_logprob")
+
+
 def sample_embedding_diverse(spark, sf_dir):
     """Diversity (cluster-balanced) sampling: LSH buckets as cheap
     semantic clusters (similarity.py: lsh_bucketize, 8 md5-derived
@@ -4767,6 +4788,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per-domain crawl curation report
     "sample_embedding_diverse": sample_embedding_diverse,
     "report_domain_census": report_domain_census,
+    # r9 late additions, part 8: trained-model bigram LM scoring
+    "text_bigram_logprob": text_bigram_logprob,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -5217,6 +5240,49 @@ ORACLES["source_warc_scan"] = """
            'https://example' || CAST(doc_id % 97 AS VARCHAR) || '.com/docs/'
              || CAST(doc_id % 37 AS VARCHAR) AS target_uri
     FROM documents
+"""
+
+ORACLES["text_bigram_logprob"] = """
+    WITH tr AS (SELECT text FROM documents WHERE source IN ('src0','src1')),
+    sc0 AS (SELECT doc_id, text FROM documents
+            WHERE source NOT IN ('src0','src1')),
+    trt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t <> '') AS ts FROM tr),
+    vocab AS (SELECT t FROM (SELECT unnest(ts) AS t FROM trt)
+              GROUP BY t ORDER BY count(*) DESC, t LIMIT 30),
+    vl AS (SELECT LIST(t) AS vs FROM vocab),
+    trc AS (SELECT list_transform(ts,
+               x -> CASE WHEN list_contains(vl.vs, x)
+                         THEN x ELSE '<unk>' END) AS ws FROM trt, vl),
+    trp AS (SELECT unnest(list_transform(range(1, CAST(len(ws) AS BIGINT)),
+                                         i -> [ws[i], ws[i+1]])) AS pr
+            FROM trc WHERE len(ws) >= 2),
+    trp2 AS (SELECT pr[1] AS w1, pr[2] AS w2 FROM trp),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc FROM trp2 GROUP BY 1, 2),
+    cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cc FROM trp2 GROUP BY 1),
+    sct AS (SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t <> '') AS ts FROM sc0),
+    scc AS (SELECT doc_id, list_transform(ts,
+               x -> CASE WHEN list_contains(vl.vs, x)
+                         THEN x ELSE '<unk>' END) AS ws FROM sct, vl),
+    scp AS (SELECT doc_id,
+                   unnest(list_transform(range(1, CAST(len(ws) AS BIGINT)),
+                                         i -> [ws[i], ws[i+1]])) AS pr
+            FROM scc WHERE len(ws) >= 2),
+    p2 AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM scp),
+    s AS (SELECT p2.doc_id,
+                 CASE WHEN bc.bc IS NULL THEN 1 ELSE 0 END AS unseen,
+                 ln((COALESCE(bc.bc, 0) + 1)::DOUBLE
+                    / (COALESCE(cc.cc, 0) + 31)) AS lp
+          FROM p2 LEFT JOIN bc USING (w1, w2) LEFT JOIN cc USING (w1)),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+                   ROUND(AVG(lp), 6) AS avg_bigram_logprob
+            FROM s GROUP BY 1)
+    SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+           COALESCE(agg.n_unseen, 0) AS n_unseen, agg.avg_bigram_logprob
+    FROM sc0 d LEFT JOIN agg USING (doc_id)
 """
 
 ORACLES["sample_embedding_diverse"] = f"""

@@ -867,3 +867,79 @@ def test_dedupe_lines_in_doc_composes_with_boilerplate(spark):
         for r in remove_boilerplate_lines(step1, "doc_id", "text", min_docs=3).collect()
     }
     assert all(out[i].text == f"unique {i}" for i in range(4))
+
+
+# -- bigram_logprob -----------------------------------------------------------
+
+
+def test_bigram_logprob_hand_computed(spark):
+    from hive_scd_spark.operators.quality import bigram_logprob
+
+    # corpus tokens: d1 = a b a b, d2 = a c; vocab_size=2 keeps a(3),
+    # b(2); c -> <unk>.  Train bigrams: (a,b)x2, (b,a), (a,<unk>);
+    # contexts: a=3, b=1; denominators c(w1)+V+1 = c(w1)+3
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_logprob(df, "doc_id", "text", vocab_size=2).collect()
+    }
+    assert out[1].n_bigrams == 3 and out[1].n_unseen == 0
+    # (a,b): ln(3/6); (b,a): ln(2/4); (a,b): ln(3/6) -> all ln(.5)
+    assert out[1].avg_bigram_logprob == round(math.log(0.5), 6)
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_bigram_logprob == round(math.log(2 / 6), 6)
+    assert (out[3].n_bigrams, out[3].avg_bigram_logprob) == (0, None)
+    assert (out[4].n_bigrams, out[4].avg_bigram_logprob) == (0, None)
+
+
+def test_bigram_logprob_separate_train_corpus(spark):
+    from hive_scd_spark.operators.quality import bigram_logprob
+
+    # trained on ordinary transitions; scored corpus has one ordinary
+    # doc and one word-salad doc with the SAME unigrams reversed into
+    # transitions never seen in training
+    train = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_logprob(
+            score, "doc_id", "text", vocab_size=10, train=train
+        ).collect()
+    }
+    assert out[1].n_unseen == 0
+    assert out[2].n_unseen > 0
+    # the conditional model separates them; a unigram model could not
+    assert out[1].avg_bigram_logprob > out[2].avg_bigram_logprob
+
+
+def test_bigram_logprob_layout_independent_and_validation(spark):
+    import pytest as _pytest
+
+    from hive_scd_spark.operators.quality import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {
+        r.doc_id: (r.n_bigrams, r.avg_bigram_logprob)
+        for r in bigram_logprob(df, "doc_id", "text", vocab_size=4).collect()
+    }
+    b = {
+        r.doc_id: (r.n_bigrams, r.avg_bigram_logprob)
+        for r in bigram_logprob(
+            df.repartition(7), "doc_id", "text", vocab_size=4
+        ).collect()
+    }
+    assert a == b
+    with _pytest.raises(ValueError, match="vocab_size"):
+        bigram_logprob(df, "doc_id", "text", vocab_size=0)
