@@ -17,11 +17,17 @@ pipeline's actual first mile.  This module reads WARC the way
   (an HTML page QUOTING a WARC file) fails the chain and the scan moves
   on — see ``tests/test_warc_r9.py`` for the adversarial case.
 - **per-record-gzip** ``.warc.gz`` files (the CommonCrawl convention:
-  one gzip member per record) decode one task per FILE: gzip members
-  cannot be located mid-stream without trusting magic-byte guesses, so
-  the honest parallelism unit is the file — exactly how production
-  CommonCrawl jobs shard (the crawl ships ~64k files; file-granular is
-  cluster-wide parallel already).
+  one gzip member per record) larger than *split_bytes* are ALSO
+  byte-range split: each task scans its range for the gzip deflate
+  magic and **chain-validates** the candidate member — it must
+  decompress cleanly, its bytes must parse as complete WARC records,
+  and successive members must do the same (``_CHAIN_DEPTH`` deep, EOF
+  short-circuits).  A false magic hit inside compressed data dies in
+  zlib within a few bytes; an embedded fake member fails the WARC or
+  chain check.  A WHOLE-FILE-gzip archive degrades gracefully to
+  file-granular: its single member starts at offset 0, so the first
+  split owns every record and interior splits find no chain-valid
+  member and emit nothing — exactly the honest fallback.
 
 Record payloads stay opaque ``binary`` (the multimodal-column
 convention); for ``response`` records the HTTP envelope is additionally
@@ -36,6 +42,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +70,36 @@ _VERSIONS = (b"WARC/1.0\r\n", b"WARC/1.1\r\n")
 # how far past a split end a terminal record may reasonably run; a
 # single ensure() step, grown geometrically while a record overflows
 _CHUNK = 1 << 20
+# realignment accepts a candidate only after this many records parse
+# and chain from it (or EOF arrives first).  Residual limit (ADVICE
+# r9): an embedded record whose own terminator IS the outer record's
+# terminator chains seamlessly into the real stream, so NO finite
+# depth rejects it — depth-k closes the quoted-WARC-with-trailing-
+# content class (k or fewer complete embedded records followed by
+# anything) but terminator-aliased embeds remain; a sync-marker-free
+# format cannot distinguish them from real records by local scan.
+# Loss bound: a REALIGNING split (interior start or corrupt tail) may
+# drop up to _CHAIN_DEPTH true records abutting a corrupt gap (their
+# chains end in the garbage) — under-emission near corruption is
+# preferred to adversarial double-emission; file offset 0 is trusted
+# and never subject to this.
+_CHAIN_DEPTH = 3
+# gzip member header: magic + the only CM the spec defines (deflate)
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+_SIZE_SUFFIX = {"": 0, "k": 10, "m": 20, "g": 30, "t": 40, "p": 50}
+
+
+def _byte_string_as_bytes(raw: str) -> int:
+    """Parse a Spark size conf value — plain bytes (``134217728``) or
+    JVM byte-string (``128m``, ``1g``, ``64kb``; case-insensitive,
+    optional trailing ``b``) — the same grammar as the JVM's
+    ``JavaUtils.byteStringAsBytes``.  Naive digit extraction would read
+    ``'128m'`` as 128 BYTES and plan millions of splits (ADVICE r9)."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", raw.lower())
+    if not m:
+        raise ValueError(f"cannot parse byte-size conf value {raw!r}")
+    return int(m.group(1)) << _SIZE_SUFFIX[m.group(2)]
 
 
 # -- record-level parse (shared by every path) --------------------------------
@@ -202,10 +239,13 @@ class _Window:
     def next_record_at(self, from_off: int):
         """First CHAIN-VALID record header at file offset ≥ *from_off*:
         the candidate must start the file or follow a record
-        terminator, parse fully (Content-Length landing on the
-        ``\\r\\n\\r\\n``), and the byte after must begin EOF or another
-        version line.  A payload embedding fake WARC bytes fails the
-        chain and the scan moves on.  Returns a file offset or None."""
+        terminator, and ``_CHAIN_DEPTH`` successive records must
+        parse-and-chain from it (each Content-Length landing on its
+        ``\\r\\n\\r\\n``, each terminator followed by EOF or another
+        version line).  A payload embedding fake WARC bytes — even one
+        quoting a couple of complete records back-to-back — fails the
+        chain and the scan moves on (_CHAIN_DEPTH documents the
+        residual limit).  Returns a file offset or None."""
         search = from_off - self.base
         while True:
             idx = self.buf.find(b"WARC/1.", search)
@@ -225,16 +265,105 @@ class _Window:
                 self.base + idx == 0
                 or (idx >= 4 and self.buf[idx - 4 : idx] == b"\r\n\r\n")
             )
-            if aligned:
-                got = self.parse_record_at(self.base + idx)
-                if got is not None:
-                    _, nxt = got
-                    self.ensure(nxt + 16)
-                    if nxt >= self.size or self.buf.startswith(
-                        _VERSIONS, nxt - self.base
-                    ):
-                        return self.base + idx
+            if aligned and self._chain_valid(self.base + idx):
+                return self.base + idx
             search = idx + 1
+
+    def _chain_valid(self, off: int) -> bool:
+        """True when ``_CHAIN_DEPTH`` records parse-and-chain starting
+        at file offset *off* (EOF short-circuits the walk; the window
+        grows at most that many records past the split end)."""
+        probe = off
+        for _ in range(_CHAIN_DEPTH):
+            got = self.parse_record_at(probe)
+            if got is None:
+                return False
+            _, probe = got
+            self.ensure(probe + 16)
+            if probe >= self.size:
+                return True
+            if not self.buf.startswith(_VERSIONS, probe - self.base):
+                return False
+        return True
+
+
+# -- gzip member realignment (the .warc.gz split path) ------------------------
+
+
+def _gz_member_at(win: _Window, off: int):
+    """Decompress the gzip member starting at file offset *off*,
+    growing the window while the member overflows it.  Returns
+    (decompressed bytes, next_member_off) or None when zlib rejects the
+    stream or EOF arrives mid-member — a false ``\\x1f\\x8b\\x08`` hit
+    inside compressed data dies here within a few bytes."""
+    import zlib
+
+    d = zlib.decompressobj(31)
+    out = []
+    cur = off
+    while True:
+        win.ensure(cur + _CHUNK)
+        chunk = win.buf[cur - win.base : cur - win.base + _CHUNK]
+        if not chunk:
+            return None
+        try:
+            out.append(d.decompress(chunk))
+        except zlib.error:
+            return None
+        if d.eof:
+            consumed = len(chunk) - len(d.unused_data)
+            return b"".join(out), cur + consumed
+        cur += len(chunk)
+
+
+def _gz_records_at(win: _Window, off: int):
+    """The gzip member at *off* decoded to WARC records: returns
+    (records list, next_member_off) or None when the member is not a
+    clean gzip stream or its bytes are not complete WARC records — the
+    validation idiom of the uncompressed path (warc.py realignment),
+    applied at member granularity."""
+    got = _gz_member_at(win, off)
+    if got is None:
+        return None
+    data, nxt = got
+    try:
+        return parse_warc_bytes(data), nxt
+    except ValueError:
+        return None
+
+
+def _next_gz_member_at(win: _Window, from_off: int):
+    """First CHAIN-VALID gzip member start at file offset ≥ *from_off*:
+    the candidate must begin with the gzip deflate magic, decompress
+    cleanly to complete WARC records, and ``_CHAIN_DEPTH`` successive
+    members must do the same (EOF short-circuits).  Same residual limit
+    as the uncompressed chain: a payload embedding that many complete
+    members, terminator-aligned, can still fool the scan."""
+    search = from_off - win.base
+    while True:
+        idx = win.buf.find(_GZ_MAGIC, search)
+        if idx < 0:
+            old_len = len(win.buf)
+            if win.ensure(win.base + old_len + _CHUNK):
+                search = max(search, old_len - 2)
+                continue
+            return None
+        probe, ok = win.base + idx, True
+        for _ in range(_CHAIN_DEPTH):
+            got = _gz_records_at(win, probe)
+            if got is None:
+                ok = False
+                break
+            _, probe = got
+            win.ensure(probe + 3)
+            if probe >= win.size:
+                break
+            if not win.buf.startswith(_GZ_MAGIC, probe - win.base):
+                ok = False
+                break
+        if ok:
+            return win.base + idx
+        search = idx + 1
 
 
 def _decode_split_partition(out_cols: list[str]):
@@ -259,10 +388,39 @@ def _decode_split_partition(out_cols: list[str]):
                 with fs.open_input_file(fpath) as f:
                     if r.codec == "gzip":
                         rows = _parse_gzip_file(f.read_at(size, 0))
+                    elif r.codec == "gzip-split":
+                        start, end = int(r.start), int(r.end)
+                        win = _Window(f, start, end, size)
+                        # file offset 0 is a trusted member start (the
+                        # sequential reader raises if it is not) — only
+                        # interior splits need realignment evidence,
+                        # else a corrupt gap within _CHAIN_DEPTH of the
+                        # file start would reject true leading members
+                        pos = 0 if start == 0 else _next_gz_member_at(win, start)
+                        while pos is not None and pos < end:
+                            got = _gz_records_at(win, pos)
+                            if got is None:
+                                raise ValueError(
+                                    f"Malformed gzip WARC member at {fpath}:{pos}"
+                                )
+                            recs, nxt = got
+                            rows.extend(recs)
+                            if nxt >= size:
+                                break
+                            win.ensure(nxt + 3)
+                            if win.buf.startswith(_GZ_MAGIC, nxt - win.base):
+                                pos = nxt
+                            else:
+                                # corrupt tail: realign to the next
+                                # chain-valid member (the uncompressed
+                                # path's policy, member-granular)
+                                pos = _next_gz_member_at(win, nxt)
                     else:
                         start, end = int(r.start), int(r.end)
                         win = _Window(f, start, end, size)
-                        pos = win.next_record_at(start)
+                        # offset 0 is trusted (strict parse below); the
+                        # chain scan is for interior starts only
+                        pos = 0 if start == 0 else win.next_record_at(start)
                         while pos is not None and pos < end:
                             got = win.parse_record_at(pos)
                             if got is None:
@@ -296,15 +454,14 @@ _SPLIT_SCHEMA = "path string, start long, end long, file_size long, codec string
 
 def read_warc(spark: SparkSession, path, split_bytes: int | None = None) -> DataFrame:
     """Read WARC file(s)/dir(s) at *path* into a DataFrame of
-    :data:`WARC_SCHEMA` rows.  ``.gz`` files decode one task per file
-    (per-record-gzip members, the CommonCrawl convention); uncompressed
-    files split into byte ranges of ≤ *split_bytes* (default
-    ``spark.sql.files.maxPartitionBytes``) with chain-validated
-    realignment — see the module docstring."""
+    :data:`WARC_SCHEMA` rows.  Files larger than *split_bytes* (default
+    ``spark.sql.files.maxPartitionBytes``) split into byte ranges with
+    chain-validated realignment — record-granular for uncompressed
+    ``.warc``, gzip-member-granular for ``.warc.gz`` (whole-file-gzip
+    archives degrade to one task, see the module docstring)."""
     if split_bytes is None:
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        digits = "".join(ch for ch in raw if ch.isdigit())
-        split_bytes = int(digits) if digits else 128 << 20
+        split_bytes = _byte_string_as_bytes(raw)
     if split_bytes < 1:
         raise ValueError(f"split_bytes must be positive, got {split_bytes}")
     paths = list(path) if isinstance(path, (list, tuple)) else [path]
@@ -323,9 +480,10 @@ def read_warc(spark: SparkSession, path, split_bytes: int | None = None) -> Data
     splits = []
     for fs, fpath in files:
         size = fs.file_size(fpath)
-        if fpath.endswith(".gz"):
+        if fpath.endswith(".gz") and size <= split_bytes:
             splits.append((fpath, 0, size, size, "gzip"))
             continue
+        codec = "gzip-split" if fpath.endswith(".gz") else "none"
         n_splits = max(1, -(-size // split_bytes))
         for i in range(n_splits):
             splits.append(
@@ -334,7 +492,7 @@ def read_warc(spark: SparkSession, path, split_bytes: int | None = None) -> Data
                     i * split_bytes,
                     min((i + 1) * split_bytes, size),
                     size,
-                    "none",
+                    codec,
                 )
             )
     plan = spark.createDataFrame(splits, _SPLIT_SCHEMA).repartition(len(splits))
