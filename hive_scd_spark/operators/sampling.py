@@ -231,19 +231,41 @@ def split_by_cluster(
     """
     from hive_scd_spark.operators.cluster import dup_clusters
 
+    # the cluster graph keys on LONG ids; a non-integral id (e.g. a
+    # string doc key) would cast to NULL, every such doc would share
+    # the one NULL key and fall into a single split — silently voiding
+    # the leak-safety guarantee (ADVICE r9).  Fail loudly instead:
+    # NULL-on-cast with a non-NULL input raises at execution time
+    # (row-level expression — no driver action, scale-free).  try_cast
+    # keeps the message consistent whether ANSI mode is on (plain cast
+    # would throw its own CAST_INVALID_INPUT first) or off (plain cast
+    # would return the silent NULL this guard exists to catch).
+    idc = F.col(id_col)
+    id_long = F.when(idc.isNull(), F.lit(None).cast("long")).otherwise(
+        F.coalesce(
+            idc.try_cast("long"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"split_by_cluster: {id_col} must be integral "
+                        "(castable to long), got "
+                    ),
+                    idc.cast("string"),
+                )
+            ).cast("long"),
+        )
+    )
     clusters = dup_clusters(pairs, pair_a, pair_b, strategy=strategy)
     labeled = docs.join(
         clusters.select(
             F.col("node").alias("__sbc_node"), F.col("cluster").alias("__sbc_cluster")
         ),
-        on=F.col(id_col).cast("long") == F.col("__sbc_node"),
+        on=id_long == F.col("__sbc_node"),
         how="left",
     ).drop("__sbc_node")
     keyed = labeled.select(
         *docs.columns,
-        F.coalesce(F.col("__sbc_cluster"), F.col(id_col).cast("long")).alias(
-            "split_key"
-        ),
+        F.coalesce(F.col("__sbc_cluster"), id_long).alias("split_key"),
     )
     return split_assign(keyed, "split_key", splits, salt)
 

@@ -587,11 +587,25 @@ def url_canonical_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     only its own reduce task.
     """
     keyed = df.withColumn("url_canon", canonicalize_url(url_col))
-    keepers = keyed.groupBy("url_canon").agg(
+    # NULL urls canonicalize to NULL; an inner join on that key would
+    # silently drop the rows (ADVICE r9).  A NULL url is a duplicate of
+    # nothing, so each such row groups under a private sentinel key
+    # (NUL-prefixed — no canonical URL starts with NUL) and survives as
+    # its own keeper with url_canon still NULL in the output.
+    keyed = keyed.withColumn(
+        "__ucd_key",
+        F.coalesce(
+            F.col("url_canon"),
+            F.concat(F.lit("\x00null-url:"), F.col(id_col).cast("string")),
+        ),
+    )
+    keepers = keyed.groupBy("__ucd_key").agg(
         F.min(F.col(id_col)).alias("keeper")
     )
-    return keyed.join(keepers, "url_canon").withColumn(
-        "is_dup", (F.col(id_col) != F.col("keeper")).cast("int")
+    return (
+        keyed.join(keepers, "__ucd_key")
+        .drop("__ucd_key")
+        .withColumn("is_dup", (F.col(id_col) != F.col("keeper")).cast("int"))
     )
 
 
