@@ -3535,8 +3535,10 @@ def _warc_fixture(spark, sf_dir) -> str:
     per-record-gzip member file (the CommonCrawl layout).  The target
     URI and record id derive from doc_id arithmetic so oracles can
     reconstruct them analytically.  Written once per (data
-    fingerprint, sf) under /tmp; collect() is fixture-scale and lives
-    inside the build branch (the ADVICE r8 #4 rule)."""
+    fingerprint, sf) under /tmp; the build branch STREAMS rows through
+    ``toLocalIterator`` (VERDICT r9 task 4 — never a full-table
+    collect), so fixture construction holds one partition of documents
+    in driver memory at a time whatever the sf."""
     import hashlib
     import os
     import tempfile
@@ -3545,7 +3547,7 @@ def _warc_fixture(spark, sf_dir) -> str:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     tag = hashlib.md5(
-        ("warc_gate_v1" + _data_fingerprint(sf_dir, "documents")).encode()
+        ("warc_gate_v2" + _data_fingerprint(sf_dir, "documents")).encode()
     ).hexdigest()[:8]
     base = os.path.join(
         tempfile.gettempdir(), f"warc_scan_{os.path.basename(sf_dir)}_{tag}"
@@ -3553,7 +3555,6 @@ def _warc_fixture(spark, sf_dir) -> str:
     marker = os.path.join(base, "_built")
     if not os.path.exists(marker):
         os.makedirs(base, exist_ok=True)
-        rows = sorted(docs.collect(), key=lambda r: r.doc_id)
 
         def rec(r):
             return {
@@ -3568,17 +3569,22 @@ def _warc_fixture(spark, sf_dir) -> str:
                 + (r.text or "").encode("utf-8"),
             }
 
-        for i in range(3):
-            with open(os.path.join(base, f"part{i}.warc"), "wb") as f:
-                f.write(
-                    write_warc_records(rec(r) for r in rows if r.doc_id % 4 == i)
+        # stream in doc_id order (a sorted frame's partitions are
+        # range-ordered, so toLocalIterator yields global order) and
+        # append record-by-record; per-record gzip members concatenate
+        # to exactly the one-shot bytes
+        handles = [
+            open(os.path.join(base, f"part{i}.warc"), "wb") for i in range(3)
+        ] + [open(os.path.join(base, "part3.warc.gz"), "wb")]
+        try:
+            for r in docs.orderBy("doc_id").toLocalIterator():
+                lane = r.doc_id % 4
+                handles[lane].write(
+                    write_warc_records([rec(r)], compress=lane == 3)
                 )
-        with open(os.path.join(base, "part3.warc.gz"), "wb") as f:
-            f.write(
-                write_warc_records(
-                    (rec(r) for r in rows if r.doc_id % 4 == 3), compress=True
-                )
-            )
+        finally:
+            for h in handles:
+                h.close()
         with open(marker, "w") as f:
             f.write("ok")
     return base
