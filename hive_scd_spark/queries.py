@@ -4609,7 +4609,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced veteran stays DuckDB-verified each round via
     # scripts/check_contract.py
     "q8_national_market_share": q8_national_market_share,
-    "q5_local_supplier_revenue": q5_local_supplier_revenue,
     "text_inverted_index": text_inverted_index,
     "sketch_merge_distinct_users": sketch_merge_distinct_users,
     "variant_props_stats": variant_props_stats,
@@ -4617,53 +4616,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_recursive_calendar": sql_recursive_calendar,
     "text_repetition_stats": text_repetition_stats,
     "text_bpe_tokenize": text_bpe_tokenize,
-    # window functions
-    "window_range_frame_spend": window_range_frame_spend,
-    "agg_median_listagg": agg_median_listagg,
-    # join surface
+    # join surface (range_join is the only asof/range rep in-window)
     "range_join_event_windows": range_join_event_windows,
-    "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
     "text_lang_id_ngram": text_lang_id_ngram,
-    # r5 additions: training-pipeline packing + decontamination — never
-    # driver-checked before, so they take window slots from the
-    # multiply-verified unpivot/correlated-subquery entries (r3+r4 green)
-    "pack_sequences_ctx": pack_sequences_ctx,
-    "decontam_ngram_overlap": decontam_ngram_overlap,
     # r6 fourth rotation: the semantic-dedup capstone (hash_embed →
     # auto-sized hyperplane LSH, both approximations replayed in SQL)
     # takes the slot events_window_counts held (green r5; the windowed
     # streaming family stays covered by events_sessionize in-window and
     # the contract log out of window)
     "pipeline_semantic_dedup": pipeline_semantic_dedup,
-    # r5 capstone: four operators composed in one plan — brand-new code
-    # takes the window slot from feature_histogram (green r3+r4+contract)
-    "pipeline_corpus_to_sequences": pipeline_corpus_to_sequences,
-    # deduplication family
-    "dedup_exact_substring": dedup_exact_substring,
     # simhash rotated out (green r3+r4+r5; six dedup reps stay in
     # window) for the text→vector→ANN composition gate
     "text_hash_embed_ann": text_hash_embed_ann,
-    "dedup_cluster_assign": dedup_cluster_assign,
     # r7: the production (Arrow-batched) BPE gate is brand-new — it
     # takes the slot of dedup_corpus_canonical (green r4+r5+r6; five
     # dedup representatives stay in-window)
     "text_bpe_batched": text_bpe_batched,
-    # text analysis
-    "graph_pagerank_dups": graph_pagerank_dups,
     "table_profile_documents": table_profile_documents,
     "text_redact_pii": text_redact_pii,
-    # r7: banded SimHash Hamming search (brand-new capability this
-    # round — pigeonhole-exact recall, bucket-local candidates) takes
-    # shard_assignment's slot (green r4+r5+r6 incl. the r5-regression
-    # re-verify; pack/shard layout family stays represented by
-    # pack_sequences_ctx)
-    "dedup_simhash_near": dedup_simhash_near,
-    "dedup_minhash_incremental": dedup_minhash_incremental,
+    # multimodal keeps its only window representative
     "multimodal_dedup_exact": multimodal_dedup_exact,
+    # r10 rotation (VERDICT r9 tasks 1+7): twelve never-driver-verified
+    # entries take the slots of twelve multiply-green veterans.  In:
+    # the full r9 crawl-first-mile family (source_warc_scan,
+    # pipeline_crawl_to_corpus, dedup_url_canonical,
+    # select_dsir_weights, select_dsir_gumbel_topk,
+    # text_url_optout_screen, select_quality_floor,
+    # sample_split_by_cluster) and four TPC-H shapes never
+    # driver-checked (q19, q16, q11, q12 — the task-1 list).  Out (all
+    # hash-green >= 3 rounds, most recently r9; every one stays
+    # DuckDB-verified per round via scripts/check_contract.py):
+    # q5_local_supplier_revenue (x9 — q8 + 10 TPC-H shapes stay),
+    # dedup_cluster_assign (x6), decontam_ngram_overlap (x5 —
+    # decontam_bloom_screen keeps the family), pack_sequences_ctx (x5)
+    # + pipeline_corpus_to_sequences (x5 — pipelines stay represented
+    # by pipeline_semantic_dedup and the new crawl capstone, which
+    # also exercises packing's quality-filter stage),
+    # agg_median_listagg (x4 — ordered-set aggs rejoin later; the new
+    # select_quality_floor covers window functions),
+    # dedup_embedding_lsh_auto (x4 — the incremental variant stays),
+    # dedup_exact_substring (x4), dedup_minhash_incremental (x4),
+    # dedup_simhash_near (x3 — dedup keeps 4 window reps: embedding-LSH
+    # incremental, semantic capstone, url-canonical, minhash pairs
+    # inside sample_split_by_cluster), graph_pagerank_dups (x4 — graph
+    # stays via dup_clusters inside sample_split_by_cluster),
+    # window_range_frame_spend (x4).  text_bpe_train is rows-only and
+    # deliberately NOT rotated in (the layout_zorder_skipping lesson:
+    # it can never hash-green; rotation_report.py now excludes
+    # rows-only gates from the IN pool mechanically).
+    "source_warc_scan": source_warc_scan,
+    "pipeline_crawl_to_corpus": pipeline_crawl_to_corpus,
+    "dedup_url_canonical": dedup_url_canonical,
+    "select_dsir_weights": select_dsir_weights,
+    "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
+    "text_url_optout_screen": text_url_optout_screen,
+    "select_quality_floor": select_quality_floor,
+    "sample_split_by_cluster": sample_split_by_cluster,
+    "q19_disjunctive_pred": q19_disjunctive_pred,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q11_important_stock": q11_important_stock,
+    "q12_shipping_priority_classes": q12_shipping_priority_classes,
     # --- beyond the driver window (slot >50) ----------------------------
     # Near-duplicates of gates above; every operator family keeps a
     # driver-window representative.  All of these stay value-checked
     # against their DuckDB oracles by scripts/check_contract.py.
+    # r10 displaced veterans (see the r10 rotation comment above):
+    "q5_local_supplier_revenue": q5_local_supplier_revenue,
+    "window_range_frame_spend": window_range_frame_spend,
+    "agg_median_listagg": agg_median_listagg,
+    "dedup_embedding_lsh_auto": dedup_embedding_lsh_auto,
+    "pack_sequences_ctx": pack_sequences_ctx,
+    "decontam_ngram_overlap": decontam_ngram_overlap,
+    "pipeline_corpus_to_sequences": pipeline_corpus_to_sequences,
+    "dedup_exact_substring": dedup_exact_substring,
+    "dedup_cluster_assign": dedup_cluster_assign,
+    "graph_pagerank_dups": graph_pagerank_dups,
+    "dedup_simhash_near": dedup_simhash_near,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "shard_assignment": shard_assignment,
     "agg_rollup_returnflag": agg_rollup_returnflag,
     "agg_cube_status_priority": agg_cube_status_priority,
@@ -4709,18 +4738,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
-    "q19_disjunctive_pred": q19_disjunctive_pred,
     # r7: the TPC-H suite completed — every remaining shape adapted to
     # the reduced schema (no partsupp/shipmode/commitdate; see each
-    # docstring).  q21/q2/q9/q20/q15/q22 promoted to the window in r9.
-    # r10 rotation pool = the remaining never-driver-verified TPC-H
-    # shapes below plus the twelve r9 late additions at the dict tail
-    # (sample_split_by_cluster .. report_domain_census — all
-    # contract-green at both scales in logs/contract_sf*_round9.log,
-    # none driver-verified yet)
-    "q11_important_stock": q11_important_stock,
-    "q12_shipping_priority_classes": q12_shipping_priority_classes,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
+    # docstring).  q21/q2/q9/q20/q15/q22 promoted to the window in r9;
+    # q19/q16/q11/q12 in r10.  Remaining never-driver-verified TPC-H
+    # (q4/q7/q10/q13/q14/q17/q18) rotate in r11 per VERDICT r9 task 7.
     # displaced in the r6 sixth rotation (green r3+r4+r5; quality and
     # conditional-agg families keep newer in-window representatives)
     "agg_filtered_event_stats": agg_filtered_event_stats,
@@ -4767,28 +4789,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_token_budget_per_source": sample_token_budget_per_source,
     "skew_salted_join_orders": skew_salted_join_orders,
     "text_remove_boilerplate": text_remove_boilerplate,
-    # r9 late additions (post-rotation, outside the window; evidenced by
-    # the round-9 contract logs): dedup-aware split and URL-exact
-    # dedup — the r10 rotation pool's leak-safety and crawl-provenance
-    # representatives
-    "sample_split_by_cluster": sample_split_by_cluster,
-    "dedup_url_canonical": dedup_url_canonical,
-    # r9 late additions, part 2: DSIR targeted data selection — the
-    # published importance-resampling selector (weights + Gumbel-top-k
-    # sampler), the r10 rotation pool's data-selection representative
-    "select_dsir_weights": select_dsir_weights,
-    "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
-    # r9 late additions, part 3: the crawl first mile — WARC source
-    # and the robots/opt-out compliance screen
-    "source_warc_scan": source_warc_scan,
-    "text_url_optout_screen": text_url_optout_screen,
-    # r9 late additions, part 4: per-source quality floor (rank-based
-    # curation bar — LM scoring chained into selection)
-    "select_quality_floor": select_quality_floor,
-    # r9 late additions, part 5: crawl-first-mile CAPSTONE (WARC →
-    # URL dedup → opt-out screen → tokens + split, one lazy plan)
-    "pipeline_crawl_to_corpus": pipeline_crawl_to_corpus,
-    # r9 late additions, part 6: intra-doc repeated-line removal
+    # r9 late additions not yet driver-verified (rotate in r11 with the
+    # remaining TPC-H shapes): intra-doc repeated-line removal
     "text_dedupe_lines_in_doc": text_dedupe_lines_in_doc,
     # r9 late additions, part 7: embedding-diversity sampling and the
     # per-domain crawl curation report

@@ -555,6 +555,7 @@ def read_statement_log_scd(
     seq_col: str = "seq",
     sql_col: str = "sql",
     compat: str = "quoted",
+    max_statements: int = 100_000,
 ) -> DataFrame:
     """Read the SCD table at *as_of* from a statement log maintained by
     :func:`statement_log_sink`: the accumulated statements are
@@ -564,16 +565,25 @@ def read_statement_log_scd(
 
     The driver collect is bounded by the statement log (human-scale by
     nature — it is the same text a batch deployment would keep in one
-    ``.updates`` file).  No log yet → the base table unchanged (the
+    ``.updates`` file), and *max_statements* makes the bound LOUD (the
+    package's census idiom): a log past the cap raises with the count
+    and the remedy (compact/snapshot the table, or raise the cap
+    consciously) instead of silently materializing an unbounded script
+    on the driver.  No log yet → the base table unchanged (the
     reference's missing-updates-file behavior, SQLUpdater.java:96)."""
     from pyspark.errors import AnalysisException
 
+    if max_statements < 1:
+        raise ValueError(f"max_statements must be positive, got {max_statements}")
     log_dir = f"{path}/_statement_log"
     try:
+        # limit(cap+1) bounds the collect itself; the +1 row is the
+        # loud-overflow sentinel, never compiled
         rows = (
             spark.read.parquet(log_dir)
             .select(seq_col, sql_col)
             .orderBy(seq_col)
+            .limit(max_statements + 1)
             .collect()
         )
     except AnalysisException as exc:
@@ -581,6 +591,14 @@ def read_statement_log_scd(
         if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
             raise
         rows = []
+    if len(rows) > max_statements:
+        raise ValueError(
+            f"read_statement_log_scd: statement log at {log_dir} exceeds "
+            f"max_statements={max_statements}.  A log this large is no "
+            f"longer a human-scale update script — snapshot/compact the "
+            f"table to fold history into the base, or raise "
+            f"max_statements explicitly if the log really is that long."
+        )
     if not rows:
         return base_df
     script = "\n".join(

@@ -60,15 +60,26 @@ def main() -> None:
         if len(greens) >= 2:
             multi_green.append((q, len(greens), max(greens)))
 
+    # rows-only gates can NEVER hash-green (no DuckDB oracle — the
+    # driver records a weaker rows-only check), so a window slot is
+    # wasted on them: they are excluded from the IN pool and listed
+    # separately (the layout_zorder_skipping r7/r8 lesson, re-learned
+    # for text_bpe_train in VERDICT r9).
+    eligible = [q for q in never if q not in rows_only]
+    excluded = [q for q in never if q in rows_only]
+
     print(f"registry: {len(registry)} entries; window = first {WINDOW}")
-    print(f"\nrotation-IN pool ({len(never)} never driver-verified):")
-    for q in never:
-        tags = []
-        if q in in_window:
-            tags.append("ALREADY IN WINDOW (verifies this round)")
-        if q in rows_only:
-            tags.append("rows-only")
-        print(f"  {q}{'  [' + ', '.join(tags) + ']' if tags else ''}")
+    print(f"\nrotation-IN pool ({len(eligible)} never driver-verified, hash-checkable):")
+    for q in eligible:
+        tag = "  [ALREADY IN WINDOW (verifies this round)]" if q in in_window else ""
+        print(f"  {q}{tag}")
+    if excluded:
+        print(
+            f"\nexcluded from IN pool ({len(excluded)} rows-only — cannot "
+            f"hash-green; evidenced by check_contract.py instead):"
+        )
+        for q in excluded:
+            print(f"  {q}")
     print(
         f"\nrotation-OUT candidates ({len(multi_green)} in-window, hash-green in >= 2 rounds):"
     )

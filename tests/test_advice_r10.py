@@ -58,3 +58,46 @@ def test_split_by_cluster_integral_string_ids_match_long_ids(spark):
     b = {int(r.doc_id): r.split for r in split_by_cluster(as_str, pairs).collect()}
     assert a == b
     assert a[1] == a[2]  # paired docs still share a split
+
+
+def test_ngram_jaccard_hot_shingle_census(spark):
+    """max_df opts into the hot-shingle census: a boilerplate shingle
+    shared by every doc raises ShingleSkewError naming it; without the
+    cap the operator still runs (opt-in, driver-action-free default)."""
+    from hive_scd_spark.operators.dedup import (
+        ShingleSkewError,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "SHAREDBOILERPLATE "
+    rows = [(i, boiler + f"unique body {i} " * 3) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ShingleSkewError, match="max_df=5"):
+        ngram_jaccard_pairs(df, "doc_id", "text", k=8, max_df=5).collect()
+    # same data without the cap: runs (quadratic but tiny here)
+    ngram_jaccard_pairs(df, "doc_id", "text", k=8).collect()
+
+
+def test_ngram_jaccard_census_passes_clean_corpus(spark):
+    """A corpus whose shingle dfs sit under the bound is unaffected by
+    the census, and the df>=2 prefilter keeps output exact (planted
+    near-dup found with the same jaccard value)."""
+    from hive_scd_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", k=8).collect()
+    }
+    censused = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", k=8, max_df=10).collect()
+    }
+    assert base == censused
+    assert (1, 2) in base and base[(1, 2)] > 0.3
+    assert not any(3 in p for p in base)

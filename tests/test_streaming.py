@@ -177,3 +177,37 @@ def test_statement_log_stream_equals_batch_at_every_asof(spark, tmp_path):
     # no log yet -> base unchanged (reference missing-.updates behavior)
     virgin = read_statement_log_scd(spark, base, str(tmp_path / "nolog"))
     assert sorted(map(tuple, virgin.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_statement_log_cap_raises_actionably(spark, tmp_path):
+    """VERDICT r9 task 6: the statement-log driver collect is bounded
+    by max_statements — an over-limit log raises with the count remedy
+    (snapshot/compact or a conscious cap raise) instead of silently
+    materializing an unbounded script on the driver."""
+    import pytest
+
+    from hive_scd_spark.streaming import read_statement_log_scd
+
+    base = spark.createDataFrame([(1, "a")], "id int, name string")
+    log_dir = tmp_path / "capped" / "_statement_log"
+    log_dir.mkdir(parents=True)
+    stmts = [
+        (i, f"-- time=2014-01-01\nUPDATE dim SET name = '{i}' WHERE id = 1;")
+        for i in range(7)
+    ]
+    spark.createDataFrame(stmts, "seq long, sql string").write.mode(
+        "append"
+    ).parquet(str(log_dir))
+    with pytest.raises(ValueError, match="max_statements=5"):
+        read_statement_log_scd(
+            spark, base, str(tmp_path / "capped"), max_statements=5
+        )
+    # at the exact cap it compiles fine
+    out = read_statement_log_scd(
+        spark, base, str(tmp_path / "capped"), max_statements=7
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "6")]
+    with pytest.raises(ValueError, match="positive"):
+        read_statement_log_scd(
+            spark, base, str(tmp_path / "capped"), max_statements=0
+        )
