@@ -3543,8 +3543,6 @@ def _warc_fixture(spark, sf_dir) -> str:
     import os
     import tempfile
 
-    from hive_scd_spark.sources.warc import write_warc_records
-
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     tag = hashlib.md5(
         ("warc_gate_v2" + _data_fingerprint(sf_dir, "documents")).encode()
@@ -3552,42 +3550,54 @@ def _warc_fixture(spark, sf_dir) -> str:
     base = os.path.join(
         tempfile.gettempdir(), f"warc_scan_{os.path.basename(sf_dir)}_{tag}"
     )
-    marker = os.path.join(base, "_built")
-    if not os.path.exists(marker):
-        os.makedirs(base, exist_ok=True)
-
-        def rec(r):
-            return {
-                "record_id": f"<urn:doc:{r.doc_id}>",
-                "warc_type": "response",
-                "target_uri": (
-                    f"https://example{r.doc_id % 97}.com/docs/{r.doc_id % 37}"
-                ),
-                "warc_date": "2024-01-01T00:00:00Z",
-                "content_type": "application/http; msgtype=response",
-                "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
-                + (r.text or "").encode("utf-8"),
-            }
-
-        # stream in doc_id order (a sorted frame's partitions are
-        # range-ordered, so toLocalIterator yields global order) and
-        # append record-by-record; per-record gzip members concatenate
-        # to exactly the one-shot bytes
-        handles = [
-            open(os.path.join(base, f"part{i}.warc"), "wb") for i in range(3)
-        ] + [open(os.path.join(base, "part3.warc.gz"), "wb")]
-        try:
-            for r in docs.orderBy("doc_id").toLocalIterator():
-                lane = r.doc_id % 4
-                handles[lane].write(
-                    write_warc_records([rec(r)], compress=lane == 3)
-                )
-        finally:
-            for h in handles:
-                h.close()
-        with open(marker, "w") as f:
-            f.write("ok")
+    write_warc_fixture(docs, base)
     return base
+
+
+def write_warc_fixture(docs, base: str) -> None:
+    """Write the _warc_fixture layout (3 plain lanes + 1 per-record-
+    gzip lane, doc_id % 4 routing) for any (doc_id, text) frame —
+    shared with the scale scripts.  Idempotent via a marker file."""
+    import os
+
+    from hive_scd_spark.sources.warc import write_warc_records
+
+    marker = os.path.join(base, "_built")
+    if os.path.exists(marker):
+        return
+    os.makedirs(base, exist_ok=True)
+
+    def rec(r):
+        return {
+            "record_id": f"<urn:doc:{r.doc_id}>",
+            "warc_type": "response",
+            "target_uri": (
+                f"https://example{r.doc_id % 97}.com/docs/{r.doc_id % 37}"
+            ),
+            "warc_date": "2024-01-01T00:00:00Z",
+            "content_type": "application/http; msgtype=response",
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            + (r.text or "").encode("utf-8"),
+        }
+
+    # stream in doc_id order (a sorted frame's partitions are
+    # range-ordered, so toLocalIterator yields global order) and
+    # append record-by-record; per-record gzip members concatenate
+    # to exactly the one-shot bytes
+    handles = [
+        open(os.path.join(base, f"part{i}.warc"), "wb") for i in range(3)
+    ] + [open(os.path.join(base, "part3.warc.gz"), "wb")]
+    try:
+        for r in docs.orderBy("doc_id").toLocalIterator():
+            lane = r.doc_id % 4
+            handles[lane].write(
+                write_warc_records([rec(r)], compress=lane == 3)
+            )
+    finally:
+        for h in handles:
+            h.close()
+    with open(marker, "w") as f:
+        f.write("ok")
 
 
 def source_warc_scan(spark, sf_dir):
@@ -3600,9 +3610,15 @@ def source_warc_scan(spark, sf_dir):
     from the documents table, so framing, split exactly-once-ness,
     HTTP envelope split, and utf-8 payload length are all checked
     against independent ground truth."""
+    return _warc_scan_over(spark, _warc_fixture(spark, sf_dir))
+
+
+def _warc_scan_over(spark, warc_dir: str):
+    """The source_warc_scan plan over any _warc_fixture-layout
+    directory (shared with scripts/scale_10x.py / scale_100x.py)."""
     from hive_scd_spark.sources.warc import read_warc
 
-    out = read_warc(spark, _warc_fixture(spark, sf_dir), split_bytes=8192)
+    out = read_warc(spark, warc_dir, split_bytes=8192)
     return out.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
         .cast("long")
@@ -3625,6 +3641,12 @@ def pipeline_crawl_to_corpus(spark, sf_dir):
     oracle replays the whole chain ANALYTICALLY from the documents
     table (canonical form, keeper choice, rule coverage, token count,
     split hash) — none of the engine code is replayed."""
+    return _crawl_to_corpus_over(spark, _warc_fixture(spark, sf_dir))
+
+
+def _crawl_to_corpus_over(spark, warc_dir: str):
+    """The pipeline_crawl_to_corpus plan over any _warc_fixture-layout
+    directory (shared with scripts/scale_10x.py / scale_100x.py)."""
     from hive_scd_spark.functions import ws_tokens
     from hive_scd_spark.operators.sampling import split_assign
     from hive_scd_spark.operators.text import (
@@ -3633,7 +3655,7 @@ def pipeline_crawl_to_corpus(spark, sf_dir):
     )
     from hive_scd_spark.sources.warc import read_warc
 
-    warc = read_warc(spark, _warc_fixture(spark, sf_dir), split_bytes=8192)
+    warc = read_warc(spark, warc_dir, split_bytes=8192)
     parsed = warc.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
         .cast("long")

@@ -332,6 +332,42 @@ def main():
             n_buckets=4096,
         )
 
+    # round-10 crawl family (VERDICT r9 task 3): WARC fixtures are
+    # written ONCE per scale outside the timed thunks (streamed
+    # toLocalIterator build, marker-idempotent); timing measures the
+    # byte-range-split scan + downstream plan, not fixture IO
+    from hive_scd_spark.queries import (
+        _crawl_to_corpus_over,
+        _warc_scan_over,
+        write_warc_fixture,
+    )
+
+    def warc_fixture_for(docs):
+        # marker-idempotent: the first (warm-shape) call builds, the
+        # timed calls re-use; 1x vs 10x resolved by frame identity
+        tag = "10x" if docs is docs10 else "1x"
+        base = f"/tmp/scale_warc_{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+        write_warc_fixture(docs.select("doc_id", "text"), base)
+        return base
+
+    def warc_scan_gate(docs):
+        return _warc_scan_over(spark, warc_fixture_for(docs))
+
+    def crawl_gate(docs):
+        return _crawl_to_corpus_over(spark, warc_fixture_for(docs))
+
+    def bigram_gate(docs):
+        # trained corpus = src0+src1 (grows with the pool, as the gate
+        # defines it); vocab held at 30 — the model is top-V whatever
+        # the corpus, so fits stay V²-bounded broadcasts
+        from hive_scd_spark.operators.quality import bigram_logprob
+
+        is_tr = F.col("source").isin("src0", "src1")
+        return bigram_logprob(
+            docs.filter(~is_tr), "doc_id", "text", vocab_size=30,
+            train=docs.filter(is_tr),
+        )
+
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
@@ -360,6 +396,10 @@ def main():
         ("fuzzy_typo_pairs", fuzzy_gate, docs1, docs10),
         # round-9: DSIR targeted selection (bounded target, growing pool)
         ("select_dsir_weights", dsir_gate, docs1, docs10),
+        # round-10: the crawl first mile at scale (VERDICT r9 task 3)
+        ("source_warc_scan", warc_scan_gate, docs1, docs10),
+        ("pipeline_crawl_to_corpus", crawl_gate, docs1, docs10),
+        ("text_bigram_logprob", bigram_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in
