@@ -93,6 +93,16 @@ HEADLINE = [
     # round-7 mergeable Bloom screen (builder collects the m/4-nibble
     # bitmap, probe is one shuffle-free projection)
     "decontam_bloom_screen",
+    # round-10: the crawl first mile (rotated into the driver window
+    # this round).  All plan-pure builders: the shared WARC fixture is
+    # test scaffolding built once during the untimed warm-up pass
+    # (marker-idempotent), so timed reps measure the byte-range-split
+    # scan / crawl plan / model fit, not fixture IO.
+    "source_warc_scan",
+    "pipeline_crawl_to_corpus",
+    "dedup_url_canonical",
+    "select_dsir_weights",
+    "text_bigram_logprob",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
