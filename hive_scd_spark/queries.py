@@ -3613,12 +3613,16 @@ def source_warc_scan(spark, sf_dir):
     return _warc_scan_over(spark, _warc_fixture(spark, sf_dir))
 
 
-def _warc_scan_over(spark, warc_dir: str):
+def _warc_scan_over(spark, warc_dir: str, split_bytes: int = 8192):
     """The source_warc_scan plan over any _warc_fixture-layout
-    directory (shared with scripts/scale_10x.py / scale_100x.py)."""
+    directory (shared with scripts/scale_10x.py / scale_100x.py).
+    The 8 KiB default exercises realignment on every boundary of the
+    tiny gate fixtures; the scale scripts pass a production-like size
+    (task count still grows linearly with data, but payload — not
+    per-task scheduling — is what each task spends its time on)."""
     from hive_scd_spark.sources.warc import read_warc
 
-    out = read_warc(spark, warc_dir, split_bytes=8192)
+    out = read_warc(spark, warc_dir, split_bytes=split_bytes)
     return out.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
         .cast("long")
@@ -3644,9 +3648,10 @@ def pipeline_crawl_to_corpus(spark, sf_dir):
     return _crawl_to_corpus_over(spark, _warc_fixture(spark, sf_dir))
 
 
-def _crawl_to_corpus_over(spark, warc_dir: str):
+def _crawl_to_corpus_over(spark, warc_dir: str, split_bytes: int = 8192):
     """The pipeline_crawl_to_corpus plan over any _warc_fixture-layout
-    directory (shared with scripts/scale_10x.py / scale_100x.py)."""
+    directory (shared with scripts/scale_10x.py / scale_100x.py; see
+    _warc_scan_over for the split-size convention)."""
     from hive_scd_spark.functions import ws_tokens
     from hive_scd_spark.operators.sampling import split_assign
     from hive_scd_spark.operators.text import (
@@ -3655,7 +3660,7 @@ def _crawl_to_corpus_over(spark, warc_dir: str):
     )
     from hive_scd_spark.sources.warc import read_warc
 
-    warc = read_warc(spark, warc_dir, split_bytes=8192)
+    warc = read_warc(spark, warc_dir, split_bytes=split_bytes)
     parsed = warc.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
         .cast("long")

@@ -345,10 +345,10 @@ def main():
         return base
 
     def warc_scan_gate(d):
-        return _warc_scan_over(spark, warc_fixture_for(d))
+        return _warc_scan_over(spark, warc_fixture_for(d), split_bytes=1 << 20)
 
     def crawl_gate(d):
-        return _crawl_to_corpus_over(spark, warc_fixture_for(d))
+        return _crawl_to_corpus_over(spark, warc_fixture_for(d), split_bytes=1 << 20)
 
     def bigram_gate(d):
         # trained corpus = src0+src1 (grows with the pool, as the gate

@@ -351,10 +351,10 @@ def main():
         return base
 
     def warc_scan_gate(docs):
-        return _warc_scan_over(spark, warc_fixture_for(docs))
+        return _warc_scan_over(spark, warc_fixture_for(docs), split_bytes=1 << 20)
 
     def crawl_gate(docs):
-        return _crawl_to_corpus_over(spark, warc_fixture_for(docs))
+        return _crawl_to_corpus_over(spark, warc_fixture_for(docs), split_bytes=1 << 20)
 
     def bigram_gate(docs):
         # trained corpus = src0+src1 (grows with the pool, as the gate
