@@ -933,3 +933,84 @@ def substring_dup_pairs(
         .groupBy(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CROSS-document exact paragraph dedup — the CCNet first pass
+    (arXiv:1911.00359 §3.1 dedups the crawl at paragraph granularity
+    before anything else; Lee et al. arXiv:2107.06499 measure why):
+    a paragraph appearing in many documents (syndicated promo blocks,
+    license boilerplate, quoted headers) keeps its GLOBALLY FIRST
+    occurrence — smallest ``(id, paragraph_index)`` lexicographically —
+    and every other occurrence corpus-wide is removed from its
+    document.
+
+    Duplicate detection is on the normalized paragraph (lower+trim,
+    the remove_boilerplate_lines convention) via an md5 digest key;
+    kept paragraphs are verbatim and keep their original order.
+    Whitespace-only paragraphs are never deduped (blank separators
+    survive), and every input document survives — a fully-deduped
+    document comes back with empty text and ``n_paras_kept = 0``.
+    Output: (id, text, n_paras_kept, n_paras_removed).
+
+    Scale: paragraph explode is shuffle-free; the winner table is ONE
+    md5-digest shuffle with a map-side-combined ``min(struct(id,
+    idx))`` (a paragraph shared by a million documents still reduces
+    to one row — no skew, same argument as exact_dedup); the graft
+    back is an equi-join on the digest (hot keys fan out only to their
+    own occurrence count, row-local test); reassembly is one shuffle
+    by document id.  Nothing quadratic, nothing driver-side.
+    """
+    import re as _re
+
+    paras = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+    base = df.select(
+        F.col(id_col).alias("__pid"), F.size(paras).alias("__n_paras")
+    )
+    work = df.select(
+        F.col(id_col).alias("__pid"),
+        F.posexplode(paras).alias("__idx", "__para"),
+    ).withColumn("__blank", F.trim(F.col("__para")) == "")
+    keyed = work.withColumn("__key", F.md5(F.lower(F.trim(F.col("__para")))))
+    winners = (
+        keyed.filter(~F.col("__blank"))
+        .groupBy("__key")
+        .agg(F.min(F.struct(F.col("__pid"), F.col("__idx"))).alias("__w"))
+    )
+    kept = (
+        keyed.join(winners, "__key", "left")
+        .filter(
+            F.col("__blank")
+            | (
+                (F.col("__pid") == F.col("__w.__pid"))
+                & (F.col("__idx") == F.col("__w.__idx"))
+            )
+        )
+        .groupBy("__pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__idx"), F.col("__para")))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("__text"),
+            F.count("*").alias("__n_kept"),
+        )
+    )
+    out = base.join(kept, "__pid", "left")
+    return out.select(
+        F.col("__pid").alias(id_col),
+        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_paras_kept"),
+        (F.col("__n_paras") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_paras_removed"),
+    )

@@ -1383,3 +1383,66 @@ def bpe_train(
         _stats["rounds"] = len(batch_sizes)
         _stats["batch_sizes"] = batch_sizes
     return merges
+
+
+def clean_c4_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\n",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al., arXiv:1910.10683 §2.2 —
+    the public heuristics behind the C4 corpus), line level first,
+    then page level:
+
+    - a LINE is kept iff it ends in a terminal punctuation mark
+      (``.``/``!``/``?``/closing ``"``), has at least *min_words*
+      whitespace words, and does not contain the word ``javascript``
+      (case-insensitive) — the cookie/JS-warning line filter;
+    - a PAGE is kept iff it retains at least *min_kept_lines* lines
+      and its ORIGINAL text contains neither ``lorem ipsum`` nor a
+      ``{`` (the code/placeholder page filters).
+
+    Every input row survives with a ``kept`` flag (the package's
+    every-row-survives convention — ``WHERE kept = 1`` is the C4-clean
+    corpus); ``text`` is the kept lines re-joined in original order
+    (empty when the page is dropped or no line passes).  Output:
+    (id, text, n_lines_kept, n_lines_removed, kept).
+
+    Scale: a pure row-local projection — no shuffle, no UDF, whole
+    plan inside codegen; per-row cost is linear in the document.  The
+    quality.py rule bundles (Gopher) and this one compose freely —
+    they see different failure modes (statistical vs. structural).
+    """
+    import re as _re
+
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(line_sep))
+    lower = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    page_ok = (~lower.contains("lorem ipsum")) & (~lower.contains("{"))
+
+    def line_ok(x):
+        t = F.trim(x)
+        terminal = (
+            t.endswith(".") | t.endswith("!") | t.endswith("?") | t.endswith('"')
+        )
+        n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        return (
+            terminal
+            & (n_words >= min_words)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept_lines = F.filter(lines, line_ok)
+    n_kept = F.size(kept_lines)
+    kept = (page_ok & (n_kept >= min_kept_lines)).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.when(kept == 1, F.array_join(kept_lines, line_sep))
+        .otherwise(F.lit(""))
+        .alias(text_col),
+        n_kept.cast("long").alias("n_lines_kept"),
+        (F.size(lines) - n_kept).cast("long").alias("n_lines_removed"),
+        kept.alias("kept"),
+    )

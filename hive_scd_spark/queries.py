@@ -4576,6 +4576,77 @@ ROWS_ONLY_GATES: frozenset[str] = frozenset({
     "text_bpe_train",
 })
 
+
+def dedup_corpus_paragraphs(spark, sf_dir):
+    """Cross-document exact paragraph dedup (operators/dedup.py:
+    dedup_paragraphs — the CCNet first pass, arXiv:1911.00359 §3.1)
+    over a planted fixture: every document carries a promo paragraph
+    shared by its doc_id % 7 class (plus a CASE-variant copy of it), a
+    unique body paragraph, and a blank separator.  The globally first
+    occurrence (min doc_id of the class, paragraph 0) keeps the promo;
+    every other copy corpus-wide is removed; blanks and bodies
+    survive.  The oracle derives winners and reassembled text
+    ANALYTICALLY from the plant (MIN(doc_id) per class — none of the
+    engine's split/normalize/winner code is replayed)."""
+    from hive_scd_spark.operators.dedup import dedup_paragraphs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    d = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Promo Block "), k,
+        F.lit("\n\nbody "), d,
+        F.lit("\n\n  \n\npromo block "), k,  # blank para + normalized dup
+    )
+    fixture = docs.select("doc_id", text.alias("text"))
+    out = dedup_paragraphs(fixture, "doc_id", "text")
+    return out.select("doc_id", "text", "n_paras_kept", "n_paras_removed")
+
+
+def text_clean_c4(spark, sf_dir):
+    """The C4 cleaning rules (operators/text.py: clean_c4_lines,
+    arXiv:1910.10683 §2.2) over a planted fixture: three proper
+    sentences per document plus a short line, a no-terminal-punct
+    line, and a javascript warning; every 11th document additionally
+    carries a 'lorem ipsum' line (passes the LINE rules, kills the
+    PAGE) and every 13th a brace line (fails the line rule and kills
+    the page).  The oracle replays none of the engine — expected
+    kept/removed counts, the kept flag, and the reassembled text all
+    derive from the plant arithmetic."""
+    from hive_scd_spark.operators.text import clean_c4_lines
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("This is proper sentence number "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("."),
+        F.lit("\nHere is another proper sentence number "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("."),
+        F.lit("\nFinally a third proper sentence about document "),
+        d,
+        F.lit("."),
+        F.lit("\ntoo short."),
+        F.lit("\nno terminal punctuation here at all"),
+        F.lit("\nPlease enable javascript to view this page."),
+    )
+    text = F.concat(
+        base,
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum dolor sit amet.")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("\ncode { sample }")
+        ).otherwise(F.lit("")),
+    )
+    fixture = docs.select("doc_id", text.alias("text"))
+    out = clean_c4_lines(fixture, "doc_id", "text")
+    return out.select(
+        "doc_id", "text", "n_lines_kept", "n_lines_removed", "kept"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50) ---------------------------------------
     # SCD core (the reference surface)
@@ -4819,6 +4890,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 late additions not yet driver-verified (rotate in r11 with the
     # remaining TPC-H shapes): intra-doc repeated-line removal
     "text_dedupe_lines_in_doc": text_dedupe_lines_in_doc,
+    # r10 late additions (outside the window; r11 rotation pool): the
+    # CCNet cross-document paragraph dedup and the C4 line/page rules
+    "dedup_corpus_paragraphs": dedup_corpus_paragraphs,
+    "text_clean_c4": text_clean_c4,
     # r9 late additions, part 7: embedding-diversity sampling and the
     # per-domain crawl curation report
     "sample_embedding_diverse": sample_embedding_diverse,
@@ -5354,6 +5429,49 @@ ORACLES["report_domain_census"] = """
            CAST(SUM(nt) AS BIGINT) AS n_tokens,
            CAST(SUM(dis) AS BIGINT) AS n_disallowed
     FROM f GROUP BY domain
+"""
+
+# Analytic plant replay: winners per promo class are MIN(doc_id) —
+# none of the engine's split/normalize/min-struct code is replayed
+ORACLES["dedup_corpus_paragraphs"] = """
+    WITH w AS (
+      SELECT doc_id % 7 AS k, MIN(doc_id) AS win FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id = w.win
+                THEN 'Promo Block ' || CAST(d.doc_id % 7 AS VARCHAR)
+                     || chr(10) || chr(10) || 'body '
+                     || CAST(d.doc_id AS VARCHAR)
+                     || chr(10) || chr(10) || '  '
+                ELSE 'body ' || CAST(d.doc_id AS VARCHAR)
+                     || chr(10) || chr(10) || '  ' END AS text,
+           CAST(CASE WHEN d.doc_id = w.win THEN 3 ELSE 2 END AS BIGINT)
+             AS n_paras_kept,
+           CAST(CASE WHEN d.doc_id = w.win THEN 1 ELSE 2 END AS BIGINT)
+             AS n_paras_removed
+    FROM documents d JOIN w ON d.doc_id % 7 = w.k
+"""
+
+# Analytic plant replay: kept flag and counts follow from the plant
+# arithmetic alone (lorem line passes the LINE rules but kills the
+# page; the brace line fails the line rule AND kills the page)
+ORACLES["text_clean_c4"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
+                THEN 'This is proper sentence number '
+                     || CAST(doc_id % 5 AS VARCHAR) || '.' || chr(10)
+                     || 'Here is another proper sentence number '
+                     || CAST(doc_id % 3 AS VARCHAR) || '.' || chr(10)
+                     || 'Finally a third proper sentence about document '
+                     || CAST(doc_id AS VARCHAR) || '.'
+                ELSE '' END AS text,
+           CAST(3 + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_lines_kept,
+           CAST(3 + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_lines_removed,
+           CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
+                     THEN 1 ELSE 0 END AS INT) AS kept
+    FROM documents
 """
 
 ORACLES["text_dedupe_lines_in_doc"] = """

@@ -1,0 +1,122 @@
+"""Round-10 corpus-cleaning operators: cross-document paragraph dedup
+(the CCNet first pass) and the C4 line/page rules."""
+
+
+def test_dedup_paragraphs_keeps_global_first_occurrence(spark):
+    from hive_scd_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "shared promo\n\nunique one"),
+        (2, "unique two\n\nshared promo"),  # later doc loses the promo
+        (3, "SHARED PROMO  \n\nunique three"),  # normalized dup loses too
+        (4, "only unique four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    assert out[1].text == "shared promo\n\nunique one"
+    assert out[1].n_paras_kept == 2 and out[1].n_paras_removed == 0
+    assert out[2].text == "unique two"
+    assert out[2].n_paras_removed == 1
+    assert out[3].text == "unique three"  # kept verbatim, dup dropped
+    assert out[4].text == "only unique four"
+
+
+def test_dedup_paragraphs_first_occurrence_within_doc_order(spark):
+    """The winner is the lexicographically smallest (id, paragraph
+    index): a paragraph repeated WITHIN doc 1 keeps only its first
+    slot, and doc 2's copy is removed."""
+    from hive_scd_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "dup para\n\nmiddle\n\ndup para"),
+        (2, "dup para\n\ntail two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    assert out[1].text == "dup para\n\nmiddle"
+    assert out[1].n_paras_removed == 1
+    assert out[2].text == "tail two"
+
+
+def test_dedup_paragraphs_blanks_and_empty_docs_survive(spark):
+    from hive_scd_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "a\n\n  \n\na"),  # blank middle para survives; second 'a' dies
+        (2, None),
+        (3, "a"),  # fully deduped: doc 1 owns 'a'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    assert out[1].text == "a\n\n  "
+    assert sorted(out) == [1, 2, 3]  # every doc survives
+    assert out[2].text == "" and out[2].n_paras_kept == 1  # [''] is blank, kept
+    assert out[3].text == "" and out[3].n_paras_kept == 0
+    assert out[3].n_paras_removed == 1
+
+
+def test_dedup_paragraphs_layout_independent(spark):
+    from hive_scd_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(i, f"common header\n\nbody {i % 3}") for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup_paragraphs(df, "doc_id", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup_paragraphs(df.repartition(7, "doc_id"), "doc_id", "text").collect(),
+        )
+    )
+    assert a == b
+    by_id = {t[0]: t for t in a}
+    assert by_id[1][1] == "common header\n\nbody 1"
+    assert by_id[4][1] == ""  # header owned by 1, 'body 0' owned by 3... and 4 is body 1 — owned by 1
+    assert by_id[2][1] == "body 2"
+
+
+def test_clean_c4_lines_rules(spark):
+    from hive_scd_spark.operators.text import clean_c4_lines
+
+    good = [f"This is proper sentence number {i} indeed." for i in range(3)]
+    doc_ok = "\n".join(
+        good
+        + [
+            "too short.",  # < 5 words
+            "no terminal punctuation here at all",  # no punct
+            "Please enable JavaScript to view this page.",  # js filter
+        ]
+    )
+    rows = [
+        (1, doc_ok),
+        (2, "\n".join(good[:2])),  # only 2 kept lines -> page dropped
+        (3, doc_ok + "\nlorem ipsum dolor sit amet."),  # page filter
+        (4, doc_ok.replace("number 0", "number { zero }")),  # '{' filter
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in clean_c4_lines(df, "doc_id", "text").collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]  # every row survives
+    assert out[1].kept == 1
+    assert out[1].text == "\n".join(good)
+    assert out[1].n_lines_kept == 3 and out[1].n_lines_removed == 3
+    assert out[2].kept == 0 and out[2].text == ""
+    assert out[2].n_lines_kept == 2  # line stats still reported
+    assert out[3].kept == 0
+    assert out[4].kept == 0
+    assert out[5].kept == 0 and out[5].text == ""
+
+
+def test_clean_c4_lines_quote_terminal_and_thresholds(spark):
+    from hive_scd_spark.operators.text import clean_c4_lines
+
+    rows = [(1, 'He said "this is a fine quoted line."\nAnother proper line is here now.')]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_c4_lines(
+        df, "doc_id", "text", min_words=5, min_kept_lines=2
+    ).collect()[0]
+    assert out.kept == 1 and out.n_lines_kept == 2
+    # raising the page bar drops it
+    out = clean_c4_lines(
+        df, "doc_id", "text", min_kept_lines=3
+    ).collect()[0]
+    assert out.kept == 0
