@@ -1446,3 +1446,76 @@ def clean_c4_lines(
         (F.size(lines) - n_kept).cast("long").alias("n_lines_removed"),
         kept.alias("kept"),
     )
+
+
+def parse_robots(
+    df: DataFrame,
+    domain_col: str,
+    payload_col: str,
+    agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt documents into the ``(domain, path_prefix)``
+    rules table :func:`url_optout_filter` consumes — closing the crawl
+    compliance chain: raw robots bytes (e.g. WARC ``robots.txt``
+    responses) → rules → screen, no hand-maintained tables.
+
+    Implements the Disallow subset of RFC 9309 group semantics:
+
+    - ``#`` comments strip to end of line; field names are
+      case-insensitive; values trim.
+    - Consecutive ``User-agent`` lines form ONE group head (their
+      rules apply to every named agent); a ``User-agent`` line after
+      a non-User-agent line starts a NEW group.
+    - A group applies when it names *agent* (case-insensitive) or
+      ``*``.  ``Disallow`` lines in applying groups emit rules; an
+      EMPTY ``Disallow:`` value means allow-all and emits nothing.
+    - ``Allow``/``Crawl-delay``/``Sitemap`` and unknown fields are
+      ignored (this operator builds the DISALLOW screen only) but do
+      not end the group — rules after them still attach.
+
+    Output: one row per (domain, path_prefix), distinct.  Scale: the
+    state machine is ONE row-local ``F.aggregate`` pass over each
+    file's lines (struct accumulator — no shuffle, no UDF); the final
+    distinct is one shuffle bounded by the rule count, never the
+    corpus.
+    """
+    text = F.coalesce(F.col(payload_col).cast("string"), F.lit(""))
+    lines = F.transform(
+        F.split(text, "\n"),
+        lambda x: F.trim(F.regexp_replace(F.rtrim(x), r"#.*$", "")),
+    )
+    field = lambda x: F.lower(F.trim(F.regexp_extract(x, r"^([^:]+):", 1)))  # noqa: E731
+    value = lambda x: F.trim(F.regexp_extract(x, r"^[^:]+:(.*)$", 1))  # noqa: E731
+    me = F.lit(agent.lower())
+
+    init = F.struct(
+        F.lit(False).alias("in_ua"),
+        F.lit(False).alias("applies"),
+        F.array().cast("array<string>").alias("acc"),
+    )
+
+    def step(s, x):
+        is_ua = field(x) == "user-agent"
+        is_dis = field(x) == "disallow"
+        ua_match = (F.lower(value(x)) == me) | (value(x) == "*")
+        applies = (
+            F.when(is_ua & s["in_ua"], s["applies"] | ua_match)
+            .when(is_ua, ua_match)
+            .otherwise(s["applies"])
+        )
+        acc = F.when(
+            is_dis & s["applies"] & (value(x) != ""),
+            F.array_union(s["acc"], F.array(value(x))),
+        ).otherwise(s["acc"])
+        return F.struct(
+            is_ua.alias("in_ua"), applies.alias("applies"), acc.alias("acc")
+        )
+
+    rules = F.aggregate(lines, init, step, lambda s: s["acc"])
+    return (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(rules).alias("path_prefix"),
+        )
+        .distinct()
+    )

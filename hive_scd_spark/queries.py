@@ -4647,6 +4647,44 @@ def text_clean_c4(spark, sf_dir):
     )
 
 
+def text_robots_parse_screen(spark, sf_dir):
+    """Crawl compliance from RAW robots bytes (operators/text.py:
+    parse_robots → url_optout_filter): one planted robots.txt per
+    crawl domain — a decoy group for another agent, a merged
+    ``*``+named group disallowing ``/docs/<k%5>`` and ``/cart``, an
+    empty (allow-all) Disallow, comments, and case-mixed field names —
+    parsed into the rules table that then screens the planted URL
+    corpus.  No hand-maintained rules: the table the screen consumes
+    comes out of the parser.  The oracle replays NEITHER the parser
+    nor the screen — the disallowed flag follows analytically from the
+    plant (single-digit prefix arithmetic)."""
+    from hive_scd_spark.operators.text import parse_robots, url_optout_filter
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 97).cast("string")
+    robots = docs.select((F.col("doc_id") % 97).alias("k")).distinct().select(
+        F.concat(F.lit("example"), F.col("k").cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.concat(
+            F.lit("# policy\nUser-agent: fancybot\nDisallow: /secret\n\n"),
+            F.lit("User-agent: *\nUSER-AGENT: otherbot\nDisallow: /docs/"),
+            (F.col("k") % 5).cast("string"),
+            F.lit("  # rule\nDisallow:\nAllow: /public\nDisallow: /cart\n"),
+        ).alias("payload"),
+    )
+    rules = parse_robots(robots, "domain", "payload")
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://example"), k, F.lit(".com/docs/"),
+            (F.col("doc_id") % 37).cast("string"),
+        ).alias("url"),
+    )
+    out = url_optout_filter(fixture, "doc_id", "url", rules)
+    return out.select("doc_id", "domain", "disallowed")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50) ---------------------------------------
     # SCD core (the reference surface)
@@ -4891,9 +4929,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # remaining TPC-H shapes): intra-doc repeated-line removal
     "text_dedupe_lines_in_doc": text_dedupe_lines_in_doc,
     # r10 late additions (outside the window; r11 rotation pool): the
-    # CCNet cross-document paragraph dedup and the C4 line/page rules
+    # CCNet cross-document paragraph dedup, the C4 line/page rules,
+    # and the robots.txt parser chained into the opt-out screen
     "dedup_corpus_paragraphs": dedup_corpus_paragraphs,
     "text_clean_c4": text_clean_c4,
+    "text_robots_parse_screen": text_robots_parse_screen,
     # r9 late additions, part 7: embedding-diversity sampling and the
     # per-domain crawl curation report
     "sample_embedding_diverse": sample_embedding_diverse,
@@ -5471,6 +5511,17 @@ ORACLES["text_clean_c4"] = """
              AS n_lines_removed,
            CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
                      THEN 1 ELSE 0 END AS INT) AS kept
+    FROM documents
+"""
+
+# Analytic plant replay: disallowed follows from single-digit prefix
+# arithmetic — neither the robots parser nor the screen is replayed
+ORACLES["text_robots_parse_screen"] = """
+    SELECT doc_id,
+           'example' || CAST(doc_id % 97 AS VARCHAR) || '.com' AS domain,
+           CAST(CASE WHEN substr(CAST(doc_id % 37 AS VARCHAR), 1, 1)
+                          = CAST((doc_id % 97) % 5 AS VARCHAR)
+                     THEN 1 ELSE 0 END AS INT) AS disallowed
     FROM documents
 """
 

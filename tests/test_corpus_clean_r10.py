@@ -120,3 +120,90 @@ def test_clean_c4_lines_quote_terminal_and_thresholds(spark):
         df, "doc_id", "text", min_kept_lines=3
     ).collect()[0]
     assert out.kept == 0
+
+
+ROBOTS_BODY = """# policy file
+User-agent: fancybot
+Disallow: /secret
+
+User-agent: *
+User-agent: otherbot
+Disallow: /docs/3   # trailing comment
+Disallow:
+Allow: /docs/public
+Crawl-delay: 10
+Disallow: /tmp
+
+user-AGENT: GoodBot
+disallow: /goodbot-only
+"""
+
+
+def test_parse_robots_rfc_group_semantics(spark):
+    from hive_scd_spark.operators.text import parse_robots
+
+    df = spark.createDataFrame(
+        [("a.com", ROBOTS_BODY.encode("utf-8"))], "domain string, payload binary"
+    )
+    # default agent '*': the two-UA group applies ('/docs/3' and '/tmp' —
+    # the rule AFTER Allow/Crawl-delay still attaches); fancybot's and
+    # GoodBot's groups do not; the empty Disallow emits nothing
+    rules = {(r.domain, r.path_prefix) for r in parse_robots(df, "domain", "payload").collect()}
+    assert rules == {("a.com", "/docs/3"), ("a.com", "/tmp")}
+    # a named agent picks up ITS group plus the * group
+    rules = {
+        r.path_prefix
+        for r in parse_robots(df, "domain", "payload", agent="goodbot").collect()
+    }
+    assert rules == {"/docs/3", "/tmp", "/goodbot-only"}
+    rules = {
+        r.path_prefix
+        for r in parse_robots(df, "domain", "payload", agent="fancybot").collect()
+    }
+    assert rules == {"/secret", "/docs/3", "/tmp"}
+
+
+def test_parse_robots_ua_after_rules_starts_new_group(spark):
+    from hive_scd_spark.operators.text import parse_robots
+
+    body = (
+        "User-agent: botA\nDisallow: /a\n"
+        "User-agent: botB\nDisallow: /b\n"
+    )
+    df = spark.createDataFrame([("x.com", body)], "domain string, payload string")
+    assert {
+        r.path_prefix for r in parse_robots(df, "domain", "payload", agent="botA").collect()
+    } == {"/a"}
+    assert {
+        r.path_prefix for r in parse_robots(df, "domain", "payload", agent="botB").collect()
+    } == {"/b"}
+
+
+def test_parse_robots_composes_with_optout_filter(spark):
+    from hive_scd_spark.operators.text import parse_robots, url_optout_filter
+
+    robots = spark.createDataFrame(
+        [("Shop.Example", "User-agent: *\nDisallow: /cart\n")],
+        "domain string, payload string",
+    )
+    rules = parse_robots(robots, "domain", "payload")
+    docs = spark.createDataFrame(
+        [
+            (1, "https://shop.example/cart/item9"),
+            (2, "https://shop.example/about"),
+            (3, "https://other.example/cart/x"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r.disallowed for r in url_optout_filter(docs, "doc_id", "url", rules).collect()}
+    assert out == {1: 1, 2: 0, 3: 0}
+
+
+def test_parse_robots_empty_and_malformed(spark):
+    from hive_scd_spark.operators.text import parse_robots
+
+    df = spark.createDataFrame(
+        [("a.com", None), ("b.com", ""), ("c.com", "just prose, no fields")],
+        "domain string, payload string",
+    )
+    assert parse_robots(df, "domain", "payload").count() == 0
