@@ -361,6 +361,33 @@ def main():
             train=d.filter(is_tr),
         )
 
+    def paragraphs_gate(d):
+        # promo paragraph shared by the doc_id % 997 class (class df
+        # grows ~100x — the min-combine stress); bodies stay unique
+        # across rotation-translated replicas
+        from hive_scd_spark.operators.dedup import dedup_paragraphs
+
+        planted = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("promo block "),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit("\n\n"),
+                F.col("text"),
+            ).alias("text"),
+        )
+        return dedup_paragraphs(planted, "doc_id", "text")
+
+    def c4_gate(d):
+        # ~6-word terminal-punct lines out of the real text: the line
+        # rules do real row-local work at corpus scale
+        from hive_scd_spark.operators.text import clean_c4_lines
+
+        lined = F.regexp_replace(F.col("text"), r"(([^ ]+ ){5}[^ ]+) ", "$1.\n")
+        return clean_c4_lines(
+            d.select("doc_id", lined.alias("text")), "doc_id", "text"
+        )
+
     doc_experiments = [
         ("dedup_minhash_lsh", minhash_gate),
         ("dedup_exact_substring", substring_gate),
@@ -381,6 +408,8 @@ def main():
         ("source_warc_scan", warc_scan_gate),
         ("pipeline_crawl_to_corpus", crawl_gate),
         ("text_bigram_logprob", bigram_gate),
+        ("dedup_corpus_paragraphs", paragraphs_gate),
+        ("text_clean_c4", c4_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),

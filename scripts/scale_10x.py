@@ -368,6 +368,36 @@ def main():
             train=docs.filter(is_tr),
         )
 
+    def paragraphs_gate(docs):
+        # plant a promo paragraph shared by the doc_id % 997 class (the
+        # class df grows with replication — the min-combine stress) in
+        # front of the real text (replica-translated, so bodies stay
+        # unique across replicas and the in-replica dup rate holds)
+        from hive_scd_spark.operators.dedup import dedup_paragraphs
+
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("promo block "),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit("\n\n"),
+                F.col("text"),
+            ).alias("text"),
+        )
+        return dedup_paragraphs(planted, "doc_id", "text")
+
+    def c4_gate(docs):
+        # break the corpus text into ~6-word terminal-punct lines so
+        # the line rules have real work per row (pure row-local plan)
+        from hive_scd_spark.operators.text import clean_c4_lines
+
+        lined = F.regexp_replace(
+            F.col("text"), r"(([^ ]+ ){5}[^ ]+) ", "$1.\n"
+        )
+        return clean_c4_lines(
+            docs.select("doc_id", lined.alias("text")), "doc_id", "text"
+        )
+
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
@@ -400,6 +430,8 @@ def main():
         ("source_warc_scan", warc_scan_gate, docs1, docs10),
         ("pipeline_crawl_to_corpus", crawl_gate, docs1, docs10),
         ("text_bigram_logprob", bigram_gate, docs1, docs10),
+        ("dedup_corpus_paragraphs", paragraphs_gate, docs1, docs10),
+        ("text_clean_c4", c4_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in
