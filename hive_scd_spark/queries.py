@@ -4647,6 +4647,26 @@ def text_clean_c4(spark, sf_dir):
     )
 
 
+def dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint candidate pairs (operators/dedup.py:
+    winnow_fingerprints / winnow_dup_pairs — Schleimer et al.
+    SIGMOD'03, the MOSS algorithm) over the known-duplicate corpus
+    (_dup_corpus): every re-keyed copy must share its original's
+    fingerprints (the k+w-1 substring guarantee), boilerplate
+    fingerprints are df-capped, and pairs need ≥5 shared fingerprints.
+    The oracle replays the whole selection — positional k-gram md5
+    hashes, per-window list minima, distinct set, df cap, pair count —
+    with plain DuckDB list ops: selecting window-minimum VALUES (not
+    positions) makes tie-breaking irrelevant, so the replay needs no
+    positional tie rule."""
+    from hive_scd_spark.operators.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", k=12, w=8,
+        max_df=50, min_shared=5,
+    )
+
+
 def text_robots_parse_screen(spark, sf_dir):
     """Crawl compliance from RAW robots bytes (operators/text.py:
     parse_robots → url_optout_filter): one planted robots.txt per
@@ -4934,6 +4954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_paragraphs": dedup_corpus_paragraphs,
     "text_clean_c4": text_clean_c4,
     "text_robots_parse_screen": text_robots_parse_screen,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
     # r9 late additions, part 7: embedding-diversity sampling and the
     # per-domain crawl curation report
     "sample_embedding_diverse": sample_embedding_diverse,
@@ -5512,6 +5533,36 @@ ORACLES["text_clean_c4"] = """
            CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
                      THEN 1 ELSE 0 END AS INT) AS kept
     FROM documents
+"""
+
+# Full winnowing replay in DuckDB list ops: window-minimum VALUES are
+# tie-independent, so no positional tie rule needs porting
+ORACLES["dedup_winnow_pairs"] = """
+    WITH c AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    g AS (SELECT doc_id, lower(trim(COALESCE(text, ''))) AS t FROM c),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(t) - 11, 1) + 1),
+                   i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), 12)), 1, 8))::BIGINT
+                        % 2147483647) AS hs
+          FROM g),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 7, 1) + 1),
+                   j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 7 AS INT)))))
+                   AS fps
+          FROM h),
+    e AS (SELECT doc_id, unnest(fps) AS f FROM s),
+    d AS (SELECT f FROM e GROUP BY f HAVING count(*) BETWEEN 2 AND 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM e a JOIN d ON a.f = d.f JOIN e b ON b.f = a.f
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
 """
 
 # Analytic plant replay: disallowed follows from single-digit prefix

@@ -207,3 +207,62 @@ def test_parse_robots_empty_and_malformed(spark):
         "domain string, payload string",
     )
     assert parse_robots(df, "domain", "payload").count() == 0
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee: documents sharing a substring of
+    length >= k + w - 1 share at least one fingerprint; the selected
+    set is far smaller than the gram count."""
+    from hive_scd_spark.operators.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    rows = [
+        (1, "prefix one here. " + shared + " tail a"),
+        (2, "totally different opening text! " + shared + " other end"),
+        (3, "no overlap with anyone else in this corpus at all, none"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: r for r in winnow_fingerprints(df, "doc_id", "text").collect()}
+    # density: ~2/(w+1) of grams, far below the gram count
+    n_grams = len(rows[0][1]) - 11
+    assert 0 < fp[1].n_fingerprints < n_grams
+    assert fp[1].fingerprints == sorted(set(fp[1].fingerprints))
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_dup_pairs(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1  # the guarantee
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_hot_fingerprint_excluded(spark):
+    from hive_scd_spark.operators.dedup import winnow_dup_pairs
+
+    # every doc shares one boilerplate sentence; with max_df below the
+    # corpus size the boilerplate fingerprints carry no pairs
+    rows = [(i, f"unique body {i} " * 3 + "shared boilerplate sentence here") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert winnow_dup_pairs(df, "doc_id", "text", max_df=5).count() == 0
+    # raising the cap lets the boilerplate pair everything
+    assert winnow_dup_pairs(df, "doc_id", "text", max_df=10).count() == 45
+
+
+def test_winnow_layout_independent_and_edgecases(spark):
+    from hive_scd_spark.operators.dedup import winnow_fingerprints
+
+    rows = [(1, "short"), (2, None), (3, "x" * 11)]  # all below k
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in winnow_fingerprints(df, "doc_id", "text").collect()}
+    assert all(out[i].n_fingerprints == 1 for i in (1, 2, 3))  # whole-text gram
+    big = spark.createDataFrame(
+        [(i, f"document number {i} with some body text to hash") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, winnow_fingerprints(big, "doc_id", "text").collect()))
+    b = sorted(
+        map(tuple, winnow_fingerprints(big.repartition(7), "doc_id", "text").collect())
+    )
+    assert a == b
