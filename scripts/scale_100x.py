@@ -388,6 +388,13 @@ def main():
             d.select("doc_id", lined.alias("text")), "doc_id", "text"
         )
 
+    def winnow_gate(d):
+        # substring-level fingerprint candidates; df cap bounds pair
+        # fan-out whatever the corpus size
+        from hive_scd_spark.operators.dedup import winnow_dup_pairs
+
+        return winnow_dup_pairs(d, "doc_id", "text", min_shared=5)
+
     doc_experiments = [
         ("dedup_minhash_lsh", minhash_gate),
         ("dedup_exact_substring", substring_gate),
@@ -410,6 +417,7 @@ def main():
         ("text_bigram_logprob", bigram_gate),
         ("dedup_corpus_paragraphs", paragraphs_gate),
         ("text_clean_c4", c4_gate),
+        ("dedup_winnow_pairs", winnow_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),

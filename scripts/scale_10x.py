@@ -398,6 +398,13 @@ def main():
             docs.select("doc_id", lined.alias("text")), "doc_id", "text"
         )
 
+    def winnow_gate(d):
+        # substring-level fingerprint candidates; df cap bounds pair
+        # fan-out whatever the corpus size
+        from hive_scd_spark.operators.dedup import winnow_dup_pairs
+
+        return winnow_dup_pairs(d, "doc_id", "text", min_shared=5)
+
     # events from load_events use ts_us already prepared; keep raw-col path here
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
@@ -432,6 +439,7 @@ def main():
         ("text_bigram_logprob", bigram_gate, docs1, docs10),
         ("dedup_corpus_paragraphs", paragraphs_gate, docs1, docs10),
         ("text_clean_c4", c4_gate, docs1, docs10),
+        ("dedup_winnow_pairs", winnow_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in
