@@ -508,3 +508,79 @@ def bigram_logprob(
             "avg_bigram_logprob",
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    level: int = 6,
+    min_ratio: float = 0.30,
+    max_ratio: float = 0.95,
+) -> DataFrame:
+    """zlib compressibility as a quality signal — the Dolma/Gopher-era
+    structural filter the statistical rules miss: heavily REPETITIVE
+    text (templated listings, keyword stuffing) compresses far below
+    natural prose, and RANDOM bytes (binary-in-text, encrypted blobs,
+    base64 walls) barely compress at all.  Per document:
+    ``ratio = len(zlib(text, level)) / len(utf8(text))`` plus a
+    ``kept`` flag for ``min_ratio <= ratio <= max_ratio`` (empty text
+    is never kept).
+
+    Runs as Arrow-batched ``mapInPandas`` (the multimodal-column
+    convention — zlib is not expressible in either SQL engine, which
+    is also why this is a ROWS-ONLY gate: exact compressed sizes are
+    pinned against CPython's zlib in pytest instead of DuckDB).
+    Output: (id, n_bytes, n_compressed, ratio, kept).
+
+    Scale: embarrassingly parallel — one pass, no shuffle; Arrow moves
+    each partition's strings to one Python worker batch.  Compressed
+    sizes are deterministic for a fixed zlib build (the container
+    pins one); across zlib versions the RATIO moves by well under the
+    filter band's width, which is the property the filter needs.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+            T.StructField("kept", T.IntegerType()),
+        ]
+    )
+
+    def per_batch(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf[text_col]
+            ]
+            n_bytes = [len(b) for b in raw]
+            n_comp = [len(zlib.compress(b, level)) for b in raw]
+            ratio = [
+                round(c / n, 6) if n else 0.0 for c, n in zip(n_comp, n_bytes)
+            ]
+            kept = [
+                1 if n and min_ratio <= r <= max_ratio else 0
+                for r, n in zip(ratio, n_bytes)
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "ratio": ratio,
+                    "kept": kept,
+                }
+            )
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        per_batch, schema=out_schema
+    )
+    return out.withColumnRenamed("id", id_col)

@@ -4574,6 +4574,10 @@ ROWS_ONLY_GATES: frozenset[str] = frozenset({
     # explicit weaker-check category; the loop is pinned merge-for-merge
     # against a Python reference trainer in tests/test_operators.py
     "text_bpe_train",
+    # zlib is not expressible in either SQL engine; exact compressed
+    # sizes are pinned against CPython's zlib in
+    # tests/test_corpus_clean_r10.py
+    "text_compression_ratio",
 })
 
 
@@ -4665,6 +4669,19 @@ def dedup_winnow_pairs(spark, sf_dir):
         _dup_corpus(spark, sf_dir), "doc_id", "text", k=12, w=8,
         max_df=50, min_shared=5,
     )
+
+
+def text_compression_ratio(spark, sf_dir):
+    """zlib compressibility screen (operators/quality.py:
+    compression_ratio — the Dolma/Gopher-era structural filter):
+    per-document compressed/raw byte ratio via Arrow-batched
+    mapInPandas, with the keep-band flag.  ROWS-ONLY gate: zlib exists
+    in neither SQL engine, so exact sizes are pinned against CPython's
+    zlib in pytest instead of DuckDB (the text_bpe_train precedent)."""
+    from hive_scd_spark.operators.quality import compression_ratio
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_ratio(docs, "doc_id", "text")
 
 
 def text_robots_parse_screen(spark, sf_dir):
@@ -4955,6 +4972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_clean_c4": text_clean_c4,
     "text_robots_parse_screen": text_robots_parse_screen,
     "dedup_winnow_pairs": dedup_winnow_pairs,
+    "text_compression_ratio": text_compression_ratio,
     # r9 late additions, part 7: embedding-diversity sampling and the
     # per-domain crawl curation report
     "sample_embedding_diverse": sample_embedding_diverse,

@@ -266,3 +266,42 @@ def test_winnow_layout_independent_and_edgecases(spark):
         map(tuple, winnow_fingerprints(big.repartition(7), "doc_id", "text").collect())
     )
     assert a == b
+
+
+def test_compression_ratio_signal_and_python_reference(spark):
+    """Rows-only gate discipline: exact compressed sizes pinned against
+    CPython's zlib, and the signal orders as the filter assumes —
+    repetitive < natural < random."""
+    import zlib
+
+    from hive_scd_spark.operators.quality import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    words = (
+        "the quick brown fox jumps over lazy dog cat window sun day "
+        "data model train corpus quality signal filter large small "
+        "green river stone cloud paper metal glass night light".split()
+    )
+    natural = " ".join(rng.choice(words) for _ in range(200)) + "."
+    repetitive = "buy now best price " * 60
+    rand = "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(1000))
+    rows = [(1, natural), (2, repetitive), (3, rand), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in compression_ratio(
+            df, "doc_id", "text", min_ratio=0.2, max_ratio=0.8
+        ).collect()
+    }
+    for i, t in rows:
+        b = (t or "").encode("utf-8")
+        assert out[i].n_bytes == len(b)
+        assert out[i].n_compressed == len(zlib.compress(b, 6))  # exact
+    assert out[2].ratio < out[1].ratio < out[3].ratio
+    assert out[1].kept == 1          # varied prose inside the band
+    assert out[2].kept == 0          # templated repetition: too compressible
+    assert out[3].kept == 0          # random symbols: incompressible
+    assert out[4].kept == 0 and out[5].kept == 0  # empty never kept
+    assert out[2].ratio < 0.2 and out[3].ratio > 0.8
