@@ -305,3 +305,80 @@ def test_compression_ratio_signal_and_python_reference(spark):
     assert out[3].kept == 0          # random symbols: incompressible
     assert out[4].kept == 0 and out[5].kept == 0  # empty never kept
     assert out[2].ratio < 0.2 and out[3].ratio > 0.8
+
+
+def test_winnow_guarantee_property(spark):
+    """Property sweep: random document pairs with a planted shared
+    substring of length >= k + w - 1 ALWAYS share a fingerprint
+    (the winnowing theorem); unrelated random docs share none unless
+    they genuinely repeat a k-gram window."""
+    import random
+
+    from hive_scd_spark.operators.dedup import winnow_dup_pairs
+
+    rng = random.Random(42)
+    k, w = 12, 8
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    for trial in range(5):
+        shared = "".join(rng.choice(alphabet) for _ in range(k + w - 1))
+        mk = lambda: "".join(rng.choice(alphabet) for _ in range(rng.randint(30, 120)))  # noqa: E731
+        rows = [
+            (1, mk() + shared + mk()),
+            (2, mk() + shared + mk()),
+            (3, mk()),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in winnow_dup_pairs(
+                df, "doc_id", "text", k=k, w=w, min_shared=1
+            ).collect()
+        }
+        assert (1, 2) in pairs, (trial, shared)
+
+
+def _py_dedup_paragraphs(rows, sep="\n\n"):
+    """Pure-Python reference for dedup_paragraphs."""
+    winner = {}
+    for doc_id, text in sorted(rows):
+        for idx, p in enumerate((text or "").split(sep)):
+            key = p.strip().lower()
+            if key == "":
+                continue
+            if key not in winner or (doc_id, idx) < winner[key]:
+                winner[key] = (doc_id, idx)
+    out = {}
+    for doc_id, text in rows:
+        paras = (text or "").split(sep)
+        kept = [
+            p
+            for i, p in enumerate(paras)
+            if p.strip() == "" or winner[p.strip().lower()] == (doc_id, i)
+        ]
+        out[doc_id] = (sep.join(kept), len(kept), len(paras) - len(kept))
+    return out
+
+
+def test_dedup_paragraphs_matches_python_reference_property(spark):
+    import random
+
+    from hive_scd_spark.operators.dedup import dedup_paragraphs
+
+    rng = random.Random(1001)
+    pool = [f"para {i} content" for i in range(8)] + ["  ", ""]
+    for trial in range(4):
+        rows = [
+            (
+                d,
+                "\n\n".join(
+                    rng.choice(pool) for _ in range(rng.randint(1, 6))
+                ),
+            )
+            for d in range(1, rng.randint(4, 12))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_paras_kept, r.n_paras_removed)
+            for r in dedup_paragraphs(df, "doc_id", "text").collect()
+        }
+        assert got == _py_dedup_paragraphs(rows), trial
