@@ -32,7 +32,8 @@ from hive_scd_spark.session import get_spark  # noqa: E402
 # and one of each extension family (dedup/similarity/text/events).
 # Quadratic exact baselines (dedup_ngram_jaccard, dedup_embedding_cosine)
 # are deliberately excluded — they are labeled verifier baselines, not
-# scale paths, and would dominate the total (102 s / 25 s at sf0.1).
+# scale paths, and would dominate the total (the jaccard gate cost
+# 102 s at sf0.1 before its r11 half-corpus slice; the cosine one 25 s).
 HEADLINE = [
     "scd_asof_timeline",
     "scd_customer_orders_revenue",
@@ -103,8 +104,33 @@ HEADLINE = [
     "dedup_url_canonical",
     "select_dsir_weights",
     "text_bigram_logprob",
+    # round-11: the cleaner-chained crawl capstone (C4 → cross-doc
+    # paragraph dedup → robots screen over WARC bytes) and winnowing
+    # composed into the pairs → clusters → keepers endgame
+    "pipeline_crawl_to_corpus_v2",
+    "dedup_winnow_corpus",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
+
+# The 10 most expensive headline rows (by BENCH_r10) run 4 timed reps
+# instead of 2 (VERDICT r10 task 6): at reps=2 the ±20% co-tenant noise
+# envelope on exactly these rows kept eating verdict attention; two
+# extra isolated reps (~+60 s total budget) tighten the min-estimator
+# where a swing costs the most.  Cheap rows stay at 2 — their absolute
+# swings are already sub-0.2 s.
+EXTRA_REPS = {
+    "pipeline_crawl_to_corpus",
+    "pipeline_semantic_dedup",
+    "graph_pagerank_dups",
+    "pipeline_corpus_to_sequences",
+    "text_bpe_tokenize",
+    "dedup_simhash_near",
+    "select_dsir_weights",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "source_warc_scan",
+}
+assert EXTRA_REPS <= set(HEADLINE)
 
 
 # Iterative operators run their convergence loop (Spark actions) inside
@@ -140,6 +166,8 @@ ITERATIVE = {
     "sketch_quantile_totalprice",
     # r7: bloom_to_hex collects the nibble rows at build time
     "decontam_bloom_screen",
+    # r11: dup_clusters inside dedup_corpus localCheckpoints per round
+    "dedup_winnow_corpus",
 }
 
 
@@ -186,17 +214,19 @@ def main() -> None:
     def isolate() -> None:
         gc_isolate(spark)
 
-    # Two timed reps, per-query MIN: this box shows ±20-80% swings on
+    # Timed reps, per-query MIN: this box shows ±20-80% swings on
     # identical code between back-to-back runs (co-tenant interference;
     # e.g. dedup_minhash_lsh measured 2.36 s and 4.37 s in consecutive
-    # bench invocations of the same commit).  The min of two isolated
-    # runs is the standard latency-benchmark answer to one-sided noise:
+    # bench invocations of the same commit).  The min of isolated runs
+    # is the standard latency-benchmark answer to one-sided noise:
     # spikes only ever ADD time, so the min is the best estimate of the
-    # true cost.  Recorded as "reps" in the JSON.
+    # true cost.  2 reps for cheap rows; 4 for EXTRA_REPS (the rows
+    # whose noise envelope dominated round-over-round comparisons).
+    # Recorded as "reps"/"reps_extra" in the JSON.
     timings: dict[str, float] = {}
-    for _rep in range(2):
+    for rep in range(4):
         for name in HEADLINE:
-            if name in errors:
+            if name in errors or (rep >= 2 and name not in EXTRA_REPS):
                 continue
             isolate()
             try:
@@ -216,6 +246,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "reps": 2,
+        "reps_extra": {"reps": 4, "queries": sorted(EXTRA_REPS)},
     }
     if errors:
         # a partial total is NOT comparable with a complete round's total

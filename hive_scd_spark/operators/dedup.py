@@ -954,9 +954,13 @@ def dedup_paragraphs(
     the remove_boilerplate_lines convention) via an md5 digest key;
     kept paragraphs are verbatim and keep their original order.
     Whitespace-only paragraphs are never deduped (blank separators
-    survive), and every input document survives — a fully-deduped
-    document comes back with empty text and ``n_paras_kept = 0``.
-    Output: (id, text, n_paras_kept, n_paras_removed).
+    survive) and are counted in NEITHER counter (ADVICE r10: blanks
+    are separators, not content — counting them broke the invariant
+    below for all-blank documents); every input document survives —
+    a fully-deduped document comes back with ``n_paras_kept = 0``
+    (its text retains only blank separators, if any).
+    Output: (id, text, n_paras_kept, n_paras_removed) —
+    kept + removed = the document's NON-BLANK paragraph count.
 
     Scale: paragraph explode is shuffle-free; the winner table is ONE
     md5-digest shuffle with a map-side-combined ``min(struct(id,
@@ -970,7 +974,8 @@ def dedup_paragraphs(
 
     paras = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
     base = df.select(
-        F.col(id_col).alias("__pid"), F.size(paras).alias("__n_paras")
+        F.col(id_col).alias("__pid"),
+        F.size(F.filter(paras, lambda p: F.trim(p) != "")).alias("__n_paras"),
     )
     work = df.select(
         F.col(id_col).alias("__pid"),
@@ -1002,7 +1007,7 @@ def dedup_paragraphs(
                 ),
                 sep,
             ).alias("__text"),
-            F.count("*").alias("__n_kept"),
+            F.count(F.when(~F.col("__blank"), F.lit(1))).alias("__n_kept"),
         )
     )
     out = base.join(kept, "__pid", "left")

@@ -531,7 +531,11 @@ def compression_ratio(
     convention — zlib is not expressible in either SQL engine, which
     is also why this is a ROWS-ONLY gate: exact compressed sizes are
     pinned against CPython's zlib in pytest instead of DuckDB).
-    Output: (id, n_bytes, n_compressed, ratio, kept).
+    Output: (id_col, n_bytes, n_compressed, ratio, kept) — the id
+    passes through with its ORIGINAL Spark type (long, string, UUID
+    alike; ADVICE r10: the previous int64 hardcast died deep in pandas
+    on string ids, and the 'id'-then-rename dance assumed no
+    collision).
 
     Scale: embarrassingly parallel — one pass, no shuffle; Arrow moves
     each partition's strings to one Python worker batch.  Compressed
@@ -541,9 +545,16 @@ def compression_ratio(
     """
     from pyspark.sql import types as T
 
+    reserved = {"n_bytes", "n_compressed", "ratio", "kept"}
+    if id_col in reserved:
+        raise ValueError(
+            f"compression_ratio: id_col {id_col!r} collides with an "
+            f"output column ({sorted(reserved)}); rename it first"
+        )
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField(id_col, id_type),
             T.StructField("n_bytes", T.LongType()),
             T.StructField("n_compressed", T.LongType()),
             T.StructField("ratio", T.DoubleType()),
@@ -572,7 +583,9 @@ def compression_ratio(
             ]
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].astype("int64"),
+                    # pass the id through untouched — Arrow carries it
+                    # back under its declared (original) Spark type
+                    id_col: pdf[id_col],
                     "n_bytes": n_bytes,
                     "n_compressed": n_comp,
                     "ratio": ratio,
@@ -580,7 +593,6 @@ def compression_ratio(
                 }
             )
 
-    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         per_batch, schema=out_schema
     )
-    return out.withColumnRenamed("id", id_col)

@@ -240,19 +240,31 @@ def split_by_cluster(
     # keeps the message consistent whether ANSI mode is on (plain cast
     # would throw its own CAST_INVALID_INPUT first) or off (plain cast
     # would return the silent NULL this guard exists to catch).
+    # ... and the cast must ROUND-TRIP (ADVICE r10): try_cast alone
+    # TRUNCATES fractional numerics (DoubleType 3.9 → 3), so distinct
+    # float ids could silently collide on split_key — the same silent
+    # leak-safety failure, one type family over.  Non-canonical strings
+    # ("03" → 3 ← "3") collide the same way; the round-trip comparison
+    # rejects every non-faithful mapping in one rule.  All row-level
+    # expressions — no driver action, scale-free.
     idc = F.col(id_col)
+    id_type = docs.schema[id_col].dataType
+    id_long_raw = idc.try_cast("long")
+    faithful = id_long_raw.isNotNull() & (id_long_raw.cast(id_type) == idc)
     id_long = F.when(idc.isNull(), F.lit(None).cast("long")).otherwise(
-        F.coalesce(
-            idc.try_cast("long"),
+        # coalesce: three-valued logic must not route a NULL comparison
+        # into the raise_error branch silently — treat unknown as bad
+        F.when(F.coalesce(faithful, F.lit(False)), id_long_raw).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
                         f"split_by_cluster: {id_col} must be integral "
-                        "(castable to long), got "
+                        "(round-trip castable to long; fractional or "
+                        "non-canonical ids would collide), got "
                     ),
                     idc.cast("string"),
                 )
-            ).cast("long"),
+            ).cast("long")
         )
     )
     clusters = dup_clusters(pairs, pair_a, pair_b, strategy=strategy)

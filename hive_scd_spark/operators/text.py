@@ -1466,9 +1466,19 @@ def parse_robots(
     - Consecutive ``User-agent`` lines form ONE group head (their
       rules apply to every named agent); a ``User-agent`` line after
       a non-User-agent line starts a NEW group.
-    - A group applies when it names *agent* (case-insensitive) or
-      ``*``.  ``Disallow`` lines in applying groups emit rules; an
-      EMPTY ``Disallow:`` value means allow-all and emits nothing.
+    - **Most-specific group wins** (RFC 9309 §2.2.1, ADVICE r10): when
+      ANY group names *agent* exactly (case-insensitive token
+      equality), only exact groups apply and every ``*`` group is
+      ignored — ``User-agent: mybot / Disallow:`` (allow-all) beside
+      ``User-agent: * / Disallow: /`` yields NO rules for mybot, not
+      deny-all.  ``*`` groups apply only when no exact group exists.
+      Documented simplification vs the full RFC: specificity is
+      exact-name-vs-``*`` (the two tiers robots files actually use),
+      not longest-prefix agent matching (``googlebot-news`` vs
+      ``googlebot``).
+    - ``Disallow`` lines in applying groups emit rules; an EMPTY
+      ``Disallow:`` value means allow-all and emits nothing (but the
+      group still exists — an exact empty group SHADOWS star rules).
     - ``Allow``/``Crawl-delay``/``Sitemap`` and unknown fields are
       ignored (this operator builds the DISALLOW screen only) but do
       not end the group — rules after them still attach.
@@ -1488,30 +1498,56 @@ def parse_robots(
     value = lambda x: F.trim(F.regexp_extract(x, r"^[^:]+:(.*)$", 1))  # noqa: E731
     me = F.lit(agent.lower())
 
+    empty = F.array().cast("array<string>")
     init = F.struct(
         F.lit(False).alias("in_ua"),
-        F.lit(False).alias("applies"),
-        F.array().cast("array<string>").alias("acc"),
+        F.lit(False).alias("exact"),  # current group names *agent* itself
+        F.lit(False).alias("star"),  # current group has a '*' UA line
+        F.lit(False).alias("has_exact"),  # ANY group so far is exact
+        empty.alias("acc_exact"),
+        empty.alias("acc_star"),
     )
 
     def step(s, x):
         is_ua = field(x) == "user-agent"
         is_dis = field(x) == "disallow"
-        ua_match = (F.lower(value(x)) == me) | (value(x) == "*")
-        applies = (
-            F.when(is_ua & s["in_ua"], s["applies"] | ua_match)
-            .when(is_ua, ua_match)
-            .otherwise(s["applies"])
+        ua_me = F.lower(value(x)) == me
+        ua_star = value(x) == "*"
+        # a UA line extends the current head (in_ua) or starts a new one
+        exact = (
+            F.when(is_ua & s["in_ua"], s["exact"] | ua_me)
+            .when(is_ua, ua_me)
+            .otherwise(s["exact"])
         )
-        acc = F.when(
-            is_dis & s["applies"] & (value(x) != ""),
-            F.array_union(s["acc"], F.array(value(x))),
-        ).otherwise(s["acc"])
+        star = (
+            F.when(is_ua & s["in_ua"], s["star"] | ua_star)
+            .when(is_ua, ua_star)
+            .otherwise(s["star"])
+        )
+        has_exact = s["has_exact"] | (is_ua & exact)
+        rule = is_dis & (value(x) != "")
+        acc_exact = F.when(
+            rule & s["exact"], F.array_union(s["acc_exact"], F.array(value(x)))
+        ).otherwise(s["acc_exact"])
+        acc_star = F.when(
+            rule & s["star"] & ~s["exact"],
+            F.array_union(s["acc_star"], F.array(value(x))),
+        ).otherwise(s["acc_star"])
         return F.struct(
-            is_ua.alias("in_ua"), applies.alias("applies"), acc.alias("acc")
+            is_ua.alias("in_ua"),
+            exact.alias("exact"),
+            star.alias("star"),
+            has_exact.alias("has_exact"),
+            acc_exact.alias("acc_exact"),
+            acc_star.alias("acc_star"),
         )
 
-    rules = F.aggregate(lines, init, step, lambda s: s["acc"])
+    rules = F.aggregate(
+        lines,
+        init,
+        step,
+        lambda s: F.when(s["has_exact"], s["acc_exact"]).otherwise(s["acc_star"]),
+    )
     return (
         df.select(
             F.col(domain_col).alias("domain"),

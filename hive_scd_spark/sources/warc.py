@@ -27,7 +27,15 @@ pipeline's actual first mile.  This module reads WARC the way
   chain check.  A WHOLE-FILE-gzip archive degrades gracefully to
   file-granular: its single member starts at offset 0, so the first
   split owns every record and interior splits find no chain-valid
-  member and emit nothing — exactly the honest fallback.
+  member and emit nothing — and the alignment scan is BOUNDED by the
+  split end (r11, ADVICE r10), so a fruitless interior split reads
+  ~its own range once, never start-to-EOF.  Decode loops also trim the
+  consumed window prefix, so per-task memory is O(record), not
+  O(range).  For crawls that actually SHIP as whole-file gzip,
+  :func:`reshard_warc_gz` is the documented pre-pass: one streaming
+  linear pass per archive (parallel across archives) rewrites the drop
+  as per-record-gzip members, after which every read byte-range
+  splits.
 
 Record payloads stay opaque ``binary`` (the multimodal-column
 convention); for ``response`` records the HTTP envelope is additionally
@@ -236,7 +244,19 @@ class _Window:
             if not self.ensure(self.base + len(self.buf) + _CHUNK):
                 return None
 
-    def next_record_at(self, from_off: int):
+    def trim(self, keep_from: int) -> None:
+        """Drop buffered bytes before file offset ``keep_from - 4``
+        (the 4-byte slack keeps terminator look-behind valid).  The
+        decode loops call this as their cursor advances so a split
+        holds O(record) memory, not O(range) (ADVICE r10).  Amortized:
+        only trims once a full ``_CHUNK`` of prefix is dead, so the
+        copy cost is O(bytes read), not O(records * range)."""
+        cut = keep_from - 4 - self.base
+        if cut >= _CHUNK:
+            self.buf = self.buf[cut:]
+            self.base += cut
+
+    def next_record_at(self, from_off: int, stop: int | None = None):
         """First CHAIN-VALID record header at file offset ≥ *from_off*:
         the candidate must start the file or follow a record
         terminator, and ``_CHAIN_DEPTH`` successive records must
@@ -245,11 +265,24 @@ class _Window:
         version line).  A payload embedding fake WARC bytes — even one
         quoting a couple of complete records back-to-back — fails the
         chain and the scan moves on (_CHAIN_DEPTH documents the
-        residual limit).  Returns a file offset or None."""
+        residual limit).  *stop* bounds the SCAN: callers discard
+        candidates starting at offset ≥ *stop* (the ``pos < end`` loop),
+        so the search ends there instead of buffering to EOF — without
+        it, a garbage-filled split of a large file reads and HOLDS
+        everything from its start to EOF (ADVICE r10, the gzip twin of
+        which was the flagged OOM path).  Returns a file offset or
+        None."""
         search = from_off - self.base
         while True:
             idx = self.buf.find(b"WARC/1.", search)
+            if idx >= 0 and stop is not None and self.base + idx >= stop:
+                return None
             if idx < 0:
+                if stop is not None and self.base + len(self.buf) >= stop + 7:
+                    # every candidate start < stop is already in-buffer
+                    # (the 7-byte find pattern fits); nothing useful lies
+                    # further right
+                    return None
                 # a version string may straddle the window's right edge:
                 # resume just before the PRE-growth edge (capture the
                 # length first — the post-growth length would skip the
@@ -332,17 +365,34 @@ def _gz_records_at(win: _Window, off: int):
         return None
 
 
-def _next_gz_member_at(win: _Window, from_off: int):
+def _next_gz_member_at(win: _Window, from_off: int, stop: int | None = None):
     """First CHAIN-VALID gzip member start at file offset ≥ *from_off*:
     the candidate must begin with the gzip deflate magic, decompress
     cleanly to complete WARC records, and ``_CHAIN_DEPTH`` successive
     members must do the same (EOF short-circuits).  Same residual limit
     as the uncompressed chain: a payload embedding that many complete
-    members, terminator-aligned, can still fool the scan."""
+    members, terminator-aligned, can still fool the scan.
+
+    *stop* bounds the SCAN (ADVICE r10 — the medium finding): callers
+    discard member starts at offset ≥ *stop* (their ``pos < end``
+    loop), so the search must end there too.  Without the bound, every
+    interior split of a WHOLE-FILE-gzip archive (which has no interior
+    member starts at all) scanned from its start to EOF, reading and
+    buffering O(filesize) bytes per split — N splits did
+    ~N·filesize/2 total IO and each concurrently held up to the whole
+    file tail.  With it, a fruitless split reads at most its own range
+    plus one chunk and emits nothing — the graceful degrade the module
+    docstring promises."""
     search = from_off - win.base
     while True:
         idx = win.buf.find(_GZ_MAGIC, search)
+        if idx >= 0 and stop is not None and win.base + idx >= stop:
+            return None
         if idx < 0:
+            if stop is not None and win.base + len(win.buf) >= stop + 2:
+                # buffer already covers every possible start < stop
+                # (3-byte magic starting at stop-1 ends at stop+1)
+                return None
             old_len = len(win.buf)
             if win.ensure(win.base + old_len + _CHUNK):
                 search = max(search, old_len - 2)
@@ -396,7 +446,11 @@ def _decode_split_partition(out_cols: list[str]):
                         # interior splits need realignment evidence,
                         # else a corrupt gap within _CHAIN_DEPTH of the
                         # file start would reject true leading members
-                        pos = 0 if start == 0 else _next_gz_member_at(win, start)
+                        pos = (
+                            0
+                            if start == 0
+                            else _next_gz_member_at(win, start, stop=end)
+                        )
                         while pos is not None and pos < end:
                             got = _gz_records_at(win, pos)
                             if got is None:
@@ -414,13 +468,18 @@ def _decode_split_partition(out_cols: list[str]):
                                 # corrupt tail: realign to the next
                                 # chain-valid member (the uncompressed
                                 # path's policy, member-granular)
-                                pos = _next_gz_member_at(win, nxt)
+                                pos = _next_gz_member_at(win, nxt, stop=end)
+                            win.trim(pos if pos is not None else nxt)
                     else:
                         start, end = int(r.start), int(r.end)
                         win = _Window(f, start, end, size)
                         # offset 0 is trusted (strict parse below); the
                         # chain scan is for interior starts only
-                        pos = 0 if start == 0 else win.next_record_at(start)
+                        pos = (
+                            0
+                            if start == 0
+                            else win.next_record_at(start, stop=end)
+                        )
                         while pos is not None and pos < end:
                             got = win.parse_record_at(pos)
                             if got is None:
@@ -439,7 +498,8 @@ def _decode_split_partition(out_cols: list[str]):
                                 # a policy choice — we realign (the next
                                 # split would otherwise double-read) but
                                 # only to a chain-valid header
-                                pos = win.next_record_at(nxt)
+                                pos = win.next_record_at(nxt, stop=end)
+                            win.trim(pos if pos is not None else nxt)
                 yield pd.DataFrame(
                     [[row.get(c) for c in out_cols] for row in rows],
                     columns=out_cols,
@@ -450,6 +510,193 @@ def _decode_split_partition(out_cols: list[str]):
 
 
 _SPLIT_SCHEMA = "path string, start long, end long, file_size long, codec string"
+
+
+# -- decompress-and-reshard pre-pass (whole-file-gzip archives) ----------------
+
+
+def _raw_stream_chunks(f, size: int) -> Iterator:
+    """Positional-read chunk iterator over an uncompressed file."""
+    pos = 0
+    while pos < size:
+        b = f.read_at(min(_CHUNK, size - pos), pos)
+        if not b:
+            return
+        pos += len(b)
+        yield bytes(b)
+
+
+def _gz_stream_chunks(f, size: int) -> Iterator:
+    """Streaming gzip decode over positional reads — O(chunk) memory
+    whatever the archive size, and member-concatenation-transparent
+    (a whole-file archive and a per-record-member file both decode to
+    one logical byte stream, like :class:`gzip.GzipFile`)."""
+    import zlib
+
+    d = zlib.decompressobj(31)
+    pos = 0
+    while pos < size:
+        raw = f.read_at(min(_CHUNK, size - pos), pos)
+        if not raw:
+            break
+        pos += len(raw)
+        out = d.decompress(raw)
+        if out:
+            yield out
+        # restart on member boundaries (concatenated gzip)
+        while d.eof and d.unused_data:
+            rest = d.unused_data
+            d = zlib.decompressobj(31)
+            out = d.decompress(rest)
+            if out:
+                yield out
+    tail = d.flush()
+    if tail:
+        yield tail
+
+
+def _iter_raw_warc_records(chunks) -> Iterator:
+    """Frame a decompressed WARC byte stream into RAW record blobs
+    (header + body + terminator, byte-identical — no parse/serialize
+    round trip) holding O(record) memory.  Strict: malformed or
+    truncated framing raises, exactly like :func:`parse_warc_bytes`."""
+    import re as _re
+
+    buf = bytearray()
+    it = iter(chunks)
+    eof = False
+
+    def more() -> bool:
+        nonlocal eof
+        try:
+            buf.extend(next(it))
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
+    while True:
+        while not eof and len(buf) < 10:
+            more()
+        if not buf and eof:
+            return
+        if bytes(buf[:10]) not in _VERSIONS:
+            raise ValueError("Malformed WARC record in archive stream")
+        hend = buf.find(b"\r\n\r\n")
+        while hend < 0:
+            if not more():
+                raise ValueError("Truncated WARC header at archive tail")
+            hend = buf.find(b"\r\n\r\n")
+        m = _re.search(
+            rb"(?im)^content-length:[ \t]*(\d+)[ \t]*$", bytes(buf[:hend])
+        )
+        if m is None:
+            raise ValueError("WARC record without Content-Length")
+        total = hend + 4 + int(m.group(1)) + 4
+        while len(buf) < total:
+            if not more():
+                raise ValueError("Truncated WARC record at archive tail")
+        if bytes(buf[total - 4 : total]) != b"\r\n\r\n":
+            raise ValueError("WARC Content-Length does not land on terminator")
+        yield bytes(buf[:total])
+        del buf[:total]
+
+
+_RESHARD_SCHEMA = "src string, dst string, n_records long, bytes_out long"
+
+
+def reshard_warc_gz(spark: SparkSession, path, dst_dir: str) -> DataFrame:
+    """Decompress-and-reshard pre-pass for WHOLE-FILE-gzip WARC
+    archives — the one crawl layout byte-range splits cannot reach
+    (gzip without member boundaries is inherently serial; the module
+    docstring documents the graceful degrade).  A real 100 TB crawl in
+    that shape pays this ONE linear pass and every downstream read is
+    splittable:
+
+    - one task per input archive (the only possible parallelism for
+      unsplittable inputs — across archives, never within one);
+    - each task STREAMS its archive (zlib decompressobj over
+      positional reads + incremental record framing — O(record)
+      memory, never a whole-file materialization);
+    - records are re-emitted BYTE-IDENTICAL, each wrapped in its own
+      gzip member (``mtime=0`` for deterministic output) — the
+      CommonCrawl layout :func:`read_warc` splits by byte range;
+    - accepts already-per-record-member and uncompressed ``.warc``
+      inputs too (member-concatenation-transparent decode), so one
+      normalization pass canonicalizes a mixed crawl drop.
+
+    Returns the lazy manifest DataFrame (src, dst, n_records,
+    bytes_out) — one row per archive; an action on it (e.g.
+    ``.collect()``, bounded by the FILE count, never rows) drives the
+    rewrite.  Output files land in *dst_dir* named after each source
+    archive."""
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    files: list[tuple[str, int]] = []
+    for p in paths:
+        fs = fs_for(spark, p)
+        if fs.is_file(p):
+            files.append((p, fs.file_size(p)))
+        else:
+            for dirpath, _dirs, names in fs.walk(p):
+                for name in sorted(names):
+                    if not name.startswith((".", "_")):
+                        fp = fs.join(dirpath, name)
+                        files.append((fp, fs.file_size(fp)))
+    if not files:
+        raise FileNotFoundError(f"No WARC files under {paths!r}")
+    rows = []
+    for fp, size in files:
+        base = fp.rstrip("/").rsplit("/", 1)[-1]
+        if not base.endswith(".gz"):
+            base += ".gz"
+        rows.append((fp, size, f"{dst_dir.rstrip('/')}/{base}"))
+    plan = spark.createDataFrame(
+        rows, "src string, file_size long, dst string"
+    ).repartition(len(rows))
+
+    def work(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow.fs as pafs
+
+        for pdf in batches:
+            out_rows = []
+            for r in pdf.itertuples(index=False):
+                if "://" in r.src or r.src.startswith("file:"):
+                    fs_in, p_in = pafs.FileSystem.from_uri(r.src)
+                else:
+                    fs_in, p_in = pafs.LocalFileSystem(), r.src
+                if "://" in r.dst or r.dst.startswith("file:"):
+                    fs_out, p_out = pafs.FileSystem.from_uri(r.dst)
+                else:
+                    fs_out, p_out = pafs.LocalFileSystem(), r.dst
+                parent = p_out.rsplit("/", 1)[0]
+                fs_out.create_dir(parent, recursive=True)
+                n = 0
+                out_bytes = 0
+                with fs_in.open_input_file(p_in) as f:
+                    chunks = (
+                        _gz_stream_chunks(f, int(r.file_size))
+                        if p_in.endswith(".gz")
+                        else _raw_stream_chunks(f, int(r.file_size))
+                    )
+                    # compression=None: pyarrow's 'detect' default would
+                    # gzip the stream AGAIN because of the .gz extension,
+                    # collapsing the per-record members into one —
+                    # exactly the layout this pass exists to remove
+                    with fs_out.open_output_stream(
+                        p_out, compression=None
+                    ) as out:
+                        for rec in _iter_raw_warc_records(chunks):
+                            blob = gzip.compress(rec, mtime=0)
+                            out.write(blob)
+                            n += 1
+                            out_bytes += len(blob)
+                out_rows.append([r.src, r.dst, n, out_bytes])
+            yield pd.DataFrame(
+                out_rows, columns=["src", "dst", "n_records", "bytes_out"]
+            )
+
+    return plan.mapInPandas(work, schema=_RESHARD_SCHEMA)
 
 
 def read_warc(spark: SparkSession, path, split_bytes: int | None = None) -> DataFrame:

@@ -338,6 +338,7 @@ def main():
     # byte-range-split scan + downstream plan, not fixture IO
     from hive_scd_spark.queries import (
         _crawl_to_corpus_over,
+        _crawl_to_corpus_v2_over,
         _warc_scan_over,
         write_warc_fixture,
     )
@@ -355,6 +356,13 @@ def main():
 
     def crawl_gate(docs):
         return _crawl_to_corpus_over(spark, warc_fixture_for(docs), split_bytes=1 << 20)
+
+    def crawl_v2_gate(docs):
+        # r11: the cleaner-chained capstone (C4 → paragraph dedup →
+        # robots screen) over the same production-split WARC fixture
+        return _crawl_to_corpus_v2_over(
+            spark, warc_fixture_for(docs), split_bytes=1 << 20
+        )
 
     def bigram_gate(docs):
         # trained corpus = src0+src1 (grows with the pool, as the gate
@@ -440,6 +448,8 @@ def main():
         ("dedup_corpus_paragraphs", paragraphs_gate, docs1, docs10),
         ("text_clean_c4", c4_gate, docs1, docs10),
         ("dedup_winnow_pairs", winnow_gate, docs1, docs10),
+        # round-11: the cleaner-chained crawl capstone (VERDICT r10 task 3)
+        ("pipeline_crawl_to_corpus_v2", crawl_v2_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

@@ -50,7 +50,10 @@ def test_dedup_paragraphs_blanks_and_empty_docs_survive(spark):
     out = {r.doc_id: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
     assert out[1].text == "a\n\n  "
     assert sorted(out) == [1, 2, 3]  # every doc survives
-    assert out[2].text == "" and out[2].n_paras_kept == 1  # [''] is blank, kept
+    # [''] is blank: it survives in the text but counts in NEITHER
+    # counter (ADVICE r10 — blanks are separators, not content)
+    assert out[2].text == "" and out[2].n_paras_kept == 0
+    assert out[2].n_paras_removed == 0
     assert out[3].text == "" and out[3].n_paras_kept == 0
     assert out[3].n_paras_removed == 1
 
@@ -150,17 +153,46 @@ def test_parse_robots_rfc_group_semantics(spark):
     # GoodBot's groups do not; the empty Disallow emits nothing
     rules = {(r.domain, r.path_prefix) for r in parse_robots(df, "domain", "payload").collect()}
     assert rules == {("a.com", "/docs/3"), ("a.com", "/tmp")}
-    # a named agent picks up ITS group plus the * group
+    # RFC 9309 most-specific-group-wins (ADVICE r10): a named agent with
+    # its OWN group sees only that group — the '*' group is shadowed
     rules = {
         r.path_prefix
         for r in parse_robots(df, "domain", "payload", agent="goodbot").collect()
     }
-    assert rules == {"/docs/3", "/tmp", "/goodbot-only"}
+    assert rules == {"/goodbot-only"}
     rules = {
         r.path_prefix
         for r in parse_robots(df, "domain", "payload", agent="fancybot").collect()
     }
-    assert rules == {"/secret", "/docs/3", "/tmp"}
+    assert rules == {"/secret"}
+    # an agent named by NO group falls back to the '*' group
+    rules = {
+        r.path_prefix
+        for r in parse_robots(df, "domain", "payload", agent="strangerbot").collect()
+    }
+    assert rules == {"/docs/3", "/tmp"}
+
+
+def test_parse_robots_exact_empty_group_shadows_star(spark):
+    """The ADVICE r10 motivating case: 'User-agent: mybot / Disallow:'
+    (allow-all) beside 'User-agent: * / Disallow: /' must yield NO
+    rules for mybot — the exact group wins even when it emits nothing."""
+    from hive_scd_spark.operators.text import parse_robots
+
+    body = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    df = spark.createDataFrame([("m.com", body)], "domain string, payload string")
+    assert parse_robots(df, "domain", "payload", agent="mybot").count() == 0
+    # everyone else still gets the deny-all
+    assert {
+        r.path_prefix for r in parse_robots(df, "domain", "payload").collect()
+    } == {"/"}
+    # a group naming BOTH mybot and '*' is an exact group for mybot
+    body2 = "User-agent: mybot\nUser-agent: *\nDisallow: /x\n"
+    df2 = spark.createDataFrame([("m.com", body2)], "domain string, payload string")
+    assert {
+        r.path_prefix
+        for r in parse_robots(df2, "domain", "payload", agent="mybot").collect()
+    } == {"/x"}
 
 
 def test_parse_robots_ua_after_rules_starts_new_group(spark):
@@ -355,7 +387,10 @@ def _py_dedup_paragraphs(rows, sep="\n\n"):
             for i, p in enumerate(paras)
             if p.strip() == "" or winner[p.strip().lower()] == (doc_id, i)
         ]
-        out[doc_id] = (sep.join(kept), len(kept), len(paras) - len(kept))
+        # counters see non-blank paragraphs only (ADVICE r10)
+        n_kept = sum(1 for p in kept if p.strip() != "")
+        n_content = sum(1 for p in paras if p.strip() != "")
+        out[doc_id] = (sep.join(kept), n_kept, n_content - n_kept)
     return out
 
 
