@@ -940,6 +940,7 @@ def dedup_paragraphs(
     id_col: str,
     text_col: str,
     sep: str = "\n\n",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """CROSS-document exact paragraph dedup — the CCNet first pass
     (arXiv:1911.00359 §3.1 dedups the crawl at paragraph granularity
@@ -959,8 +960,10 @@ def dedup_paragraphs(
     below for all-blank documents); every input document survives —
     a fully-deduped document comes back with ``n_paras_kept = 0``
     (its text retains only blank separators, if any).
-    Output: (id, text, n_paras_kept, n_paras_removed) —
-    kept + removed = the document's NON-BLANK paragraph count.
+    Output: (id, text, n_paras_kept, n_paras_removed [, *keep_cols]) —
+    kept + removed = the document's NON-BLANK paragraph count;
+    *keep_cols* (r11) ride the already-present base join, so document
+    metadata survives the dedup stage at zero extra shuffle.
 
     Scale: paragraph explode is shuffle-free; the winner table is ONE
     md5-digest shuffle with a map-side-combined ``min(struct(id,
@@ -972,10 +975,17 @@ def dedup_paragraphs(
     """
     import re as _re
 
+    reserved = {id_col, text_col, "n_paras_kept", "n_paras_removed"}
+    bad = [c for c in keep_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"dedup_paragraphs: keep_cols {bad} collide with output columns"
+        )
     paras = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
     base = df.select(
         F.col(id_col).alias("__pid"),
         F.size(F.filter(paras, lambda p: F.trim(p) != "")).alias("__n_paras"),
+        *[F.col(c) for c in keep_cols],
     )
     work = df.select(
         F.col(id_col).alias("__pid"),
@@ -1018,6 +1028,7 @@ def dedup_paragraphs(
         (F.col("__n_paras") - F.coalesce(F.col("__n_kept"), F.lit(0)))
         .cast("long")
         .alias("n_paras_removed"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

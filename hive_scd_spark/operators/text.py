@@ -1392,6 +1392,7 @@ def clean_c4_lines(
     line_sep: str = "\n",
     min_words: int = 5,
     min_kept_lines: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4 cleaning rules (Raffel et al., arXiv:1910.10683 §2.2 —
     the public heuristics behind the C4 corpus), line level first,
@@ -1409,7 +1410,10 @@ def clean_c4_lines(
     every-row-survives convention — ``WHERE kept = 1`` is the C4-clean
     corpus); ``text`` is the kept lines re-joined in original order
     (empty when the page is dropped or no line passes).  Output:
-    (id, text, n_lines_kept, n_lines_removed, kept).
+    (id, text, n_lines_kept, n_lines_removed, kept [, *keep_cols]) —
+    *keep_cols* (r11) pass through untouched, so document metadata
+    (URL, source, timestamps) survives the cleaning stage without a
+    corpus-sized re-join downstream.
 
     Scale: a pure row-local projection — no shuffle, no UDF, whole
     plan inside codegen; per-row cost is linear in the document.  The
@@ -1434,6 +1438,12 @@ def clean_c4_lines(
             & ~F.lower(t).contains("javascript")
         )
 
+    reserved = {id_col, text_col, "n_lines_kept", "n_lines_removed", "kept"}
+    bad = [c for c in keep_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"clean_c4_lines: keep_cols {bad} collide with output columns"
+        )
     kept_lines = F.filter(lines, line_ok)
     n_kept = F.size(kept_lines)
     kept = (page_ok & (n_kept >= min_kept_lines)).cast("int")
@@ -1445,6 +1455,7 @@ def clean_c4_lines(
         n_kept.cast("long").alias("n_lines_kept"),
         (F.size(lines) - n_kept).cast("long").alias("n_lines_removed"),
         kept.alias("kept"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

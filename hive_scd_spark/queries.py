@@ -3656,12 +3656,9 @@ def _warc_monolith_fixture(spark, sf_dir) -> str:
     interior boundaries).  Streamed driver build (toLocalIterator
     through one GzipFile, mtime=0), marker-idempotent per (data
     fingerprint, sf) under /tmp — the _warc_fixture conventions."""
-    import gzip as _gzip
     import hashlib
     import os
     import tempfile
-
-    from hive_scd_spark.sources.warc import write_warc_records
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     tag = hashlib.md5(
@@ -3670,9 +3667,24 @@ def _warc_monolith_fixture(spark, sf_dir) -> str:
     base = os.path.join(
         tempfile.gettempdir(), f"warc_mono_{os.path.basename(sf_dir)}_{tag}"
     )
+    write_warc_monolith(docs, base)
+    return base
+
+
+def write_warc_monolith(docs, base: str) -> None:
+    """Write docs as ONE whole-file-gzip archive (single member,
+    mtime=0) under *base* — the _warc_monolith_fixture layout for any
+    (doc_id, text) frame; shared with the scale scripts.  Streamed
+    toLocalIterator build, marker-idempotent (the write_warc_fixture
+    conventions)."""
+    import gzip as _gzip
+    import os
+
+    from hive_scd_spark.sources.warc import write_warc_records
+
     marker = os.path.join(base, "_built")
     if os.path.exists(marker):
-        return base
+        return
     os.makedirs(base, exist_ok=True)
     with _gzip.GzipFile(
         os.path.join(base, "archive.warc.gz"), "wb", mtime=0
@@ -3703,7 +3715,6 @@ def _warc_monolith_fixture(spark, sf_dir) -> str:
             )
     with open(marker, "w") as f:
         f.write("ok")
-    return base
 
 
 def source_warc_reshard(spark, sf_dir):
@@ -3862,13 +3873,18 @@ def _crawl_to_corpus_v2_over(spark, warc_dir: str, split_bytes: int = 8192):
         F.concat(page, F.lit("\nMore text lorem ipsum appears here today.")),
     ).otherwise(page)
     planted = parsed.select("doc_id", page.alias("text"), "url")
+    # keep_cols threads the URL THROUGH both cleaning stages (r11):
+    # document metadata rides the stages' existing plans instead of a
+    # corpus-sized re-join against a second WARC decode
     cleaned = clean_c4_lines(
-        planted.select("doc_id", "text"), "doc_id", "text"
+        planted, "doc_id", "text", keep_cols=("url",)
     )
-    alive = cleaned.filter(F.col("kept") == 1).select("doc_id", "text")
+    alive = cleaned.filter(F.col("kept") == 1).select("doc_id", "text", "url")
     # line-granular cross-doc dedup: C4 output joins kept lines with
     # '\n', so paragraphs == lines here (the CCNet convention)
-    deduped = dedup_paragraphs(alive, "doc_id", "text", sep="\n")
+    deduped = dedup_paragraphs(
+        alive, "doc_id", "text", sep="\n", keep_cols=("url",)
+    )
     robots = spark.range(97).select(
         F.concat(F.lit("example"), F.col("id").cast("string"), F.lit(".com"))
         .alias("domain"),
@@ -3879,8 +3895,7 @@ def _crawl_to_corpus_v2_over(spark, warc_dir: str, split_bytes: int = 8192):
         ).alias("payload"),
     )
     rules = parse_robots(robots, "domain", "payload")
-    withurl = deduped.join(planted.select("doc_id", "url"), "doc_id")
-    out = url_optout_filter(withurl, "doc_id", "url", rules)
+    out = url_optout_filter(deduped, "doc_id", "url", rules)
     return out.select(
         "doc_id",
         "domain",

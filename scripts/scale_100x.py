@@ -334,6 +334,7 @@ def main():
     # downstream crawl plan, not fixture IO.
     from hive_scd_spark.queries import (
         _crawl_to_corpus_over,
+        _crawl_to_corpus_v2_over,
         _warc_scan_over,
         write_warc_fixture,
     )
@@ -349,6 +350,12 @@ def main():
 
     def crawl_gate(d):
         return _crawl_to_corpus_over(spark, warc_fixture_for(d), split_bytes=1 << 20)
+
+    def crawl_v2_gate(d):
+        # r11: the cleaner-chained capstone over the same fixture
+        return _crawl_to_corpus_v2_over(
+            spark, warc_fixture_for(d), split_bytes=1 << 20
+        )
 
     def bigram_gate(d):
         # trained corpus = src0+src1 (grows with the pool, as the gate
@@ -414,6 +421,7 @@ def main():
         # round-10: the crawl first mile at scale (VERDICT r9 task 3)
         ("source_warc_scan", warc_scan_gate),
         ("pipeline_crawl_to_corpus", crawl_gate),
+        ("pipeline_crawl_to_corpus_v2", crawl_v2_gate),
         ("text_bigram_logprob", bigram_gate),
         ("dedup_corpus_paragraphs", paragraphs_gate),
         ("text_clean_c4", c4_gate),

@@ -341,6 +341,7 @@ def main():
         _crawl_to_corpus_v2_over,
         _warc_scan_over,
         write_warc_fixture,
+        write_warc_monolith,
     )
 
     def warc_fixture_for(docs):
@@ -363,6 +364,36 @@ def main():
         return _crawl_to_corpus_v2_over(
             spark, warc_fixture_for(docs), split_bytes=1 << 20
         )
+
+    def mono_archive_for(docs):
+        # whole-file-gzip archive (single member) built untimed —
+        # the reshard row times the PRE-PASS, not fixture IO
+        tag = "10x" if docs is docs10 else "1x"
+        base = f"/tmp/scale_mono_{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+        write_warc_monolith(docs.select("doc_id", "text"), base)
+        return os.path.join(base, "archive.warc.gz")
+
+    def reshard_gate(docs):
+        # r11: the decompress-and-reshard pre-pass.  One archive in →
+        # one linear task (the only possible shape for an unsplittable
+        # input); the 10× row therefore measures the per-archive
+        # streaming throughput — the quantity that must stay linear.
+        from hive_scd_spark.sources.warc import reshard_warc_gz
+
+        tag = "10x" if docs is docs10 else "1x"
+        src = mono_archive_for(docs)
+        return reshard_warc_gz(
+            spark, src, f"/tmp/scale_reshard_{tag}"
+        )
+
+    def winnow_corpus_gate(d):
+        # r11: winnowing composed into the pairs→clusters→keepers
+        # endgame (candidate-sized graph, left-anti keep step)
+        from hive_scd_spark.operators.cluster import dedup_corpus
+        from hive_scd_spark.operators.dedup import winnow_dup_pairs
+
+        pairs = winnow_dup_pairs(d, "doc_id", "text", min_shared=5)
+        return dedup_corpus(d, pairs, "doc_id")
 
     def bigram_gate(docs):
         # trained corpus = src0+src1 (grows with the pool, as the gate
@@ -450,6 +481,9 @@ def main():
         ("dedup_winnow_pairs", winnow_gate, docs1, docs10),
         # round-11: the cleaner-chained crawl capstone (VERDICT r10 task 3)
         ("pipeline_crawl_to_corpus_v2", crawl_v2_gate, docs1, docs10),
+        # round-11: winnow endgame + the whole-file-gzip reshard pre-pass
+        ("dedup_winnow_corpus", winnow_corpus_gate, docs1, docs10),
+        ("source_warc_reshard", reshard_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

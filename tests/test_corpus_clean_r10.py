@@ -417,3 +417,36 @@ def test_dedup_paragraphs_matches_python_reference_property(spark):
             for r in dedup_paragraphs(df, "doc_id", "text").collect()
         }
         assert got == _py_dedup_paragraphs(rows), trial
+
+
+def test_keep_cols_pass_through_both_cleaners(spark):
+    """r11: keep_cols threads document metadata (URL, source) through
+    clean_c4_lines and dedup_paragraphs without a downstream re-join;
+    reserved-name collisions raise."""
+    import pytest as _pytest
+
+    from hive_scd_spark.operators.dedup import dedup_paragraphs
+    from hive_scd_spark.operators.text import clean_c4_lines
+
+    rows = [
+        (1, "This is a proper long sentence one.\nshort", "https://a/1"),
+        (2, "This is a proper long sentence one.\nAnother proper long"
+            " sentence follows here too.\nAnd a third proper sentence"
+            " closes the page.", "https://a/2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    c4 = clean_c4_lines(df, "doc_id", "text", keep_cols=("url",))
+    got = {r.doc_id: r.url for r in c4.collect()}
+    assert got == {1: "https://a/1", 2: "https://a/2"}
+
+    dp = dedup_paragraphs(
+        df.select("doc_id", "text", "url"), "doc_id", "text",
+        sep="\n", keep_cols=("url",),
+    )
+    got = {r.doc_id: r.url for r in dp.collect()}
+    assert got == {1: "https://a/1", 2: "https://a/2"}
+
+    with _pytest.raises(ValueError, match="keep_cols.*collide"):
+        clean_c4_lines(df, "doc_id", "text", keep_cols=("kept",))
+    with _pytest.raises(ValueError, match="keep_cols.*collide"):
+        dedup_paragraphs(df, "doc_id", "text", keep_cols=("n_paras_kept",))
