@@ -327,3 +327,156 @@ def quality_floor_per_group(
         F.col("q_rank")
         <= (F.col("n_group") * keep_permille + 999).cast("long") / F.lit(1000)
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic distributed GLOBAL SHUFFLE for training order —
+    the step between curation and sequence packing: documents must be
+    presented in an order that is (a) statistically shuffled, (b) a
+    pure function of (salt, document identity) so a re-run — or a
+    different cluster layout, or a different engine — reproduces the
+    SAME order, and (c) computed without a single-partition sort.
+    A new *salt* is a fresh, uncorrelated permutation (the
+    split_assign namespacing convention).
+
+    Output: *df* + *rank_col*, the dense 1-based global position in
+    md5(salt ':' id) order (id tiebreak — total order).
+
+    Scale: the two-phase distributed ranking (operators/shard.py:
+    distributed_rank — range repartition + per-partition row_number +
+    driver cumsum over PARTITION COUNTS, never rows), exactly the
+    balanced_shards machinery pointed at a hash key.  One range
+    shuffle; no window over the whole corpus.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    from hive_scd_spark.operators.shard import distributed_rank
+
+    out = distributed_rank(
+        df.withColumn("__shuf_key", key),
+        [F.asc("__shuf_key"), F.asc(id_col)],
+        rank_name=rank_col,
+    )
+    return out.drop("__shuf_key")
+
+
+# quarter-power ladders: sqrt is CORRECTLY ROUNDED under IEEE 754, so a
+# chain of sqrts (and one product of two such values) evaluates to the
+# identical double in every conforming engine — which is what lets the
+# temperature weights be value-checked against DuckDB at all.  A free
+# exponent would go through pow(), whose last-ulp behavior is
+# library-specific; restricting alpha to quarter powers keeps the
+# operator engine-exact (the md5-determinism discipline, applied to
+# floats).
+_ALPHA_LADDER = {1.0, 0.75, 0.5, 0.25}
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    tokens_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual/multi-source
+    sampling recipe (Lample & Conneau arXiv:1901.07291 §3.1; also the
+    mT5/GPT-3 data-mixture shape): a corpus of unequal sources is
+    rebalanced by sampling source *s* proportional to ``n_s^alpha``
+    (n_s = the source's token count).  ``alpha = 1`` keeps natural
+    proportions, ``alpha → 0`` approaches uniform-over-sources; small
+    high-quality sources get UP-sampled (documents repeat — real
+    recipes run small sources for multiple epochs) and huge crawls get
+    down-sampled.
+
+    Per source: ``target_s = floor(budget · n_s^alpha / Σ n_t^alpha)``
+    tokens, materialized as ``n_repeats = target_s // n_s`` full
+    epochs for every document plus ONE extra repeat for the
+    deterministic md5-order document prefix covering the remainder
+    (the cap_tokens_per_group boundary rule: the straddling document
+    rounds up).  Every input row survives with its ``n_repeats``
+    (possibly 0 — dropped from the mixture); downstream materializes
+    repeats with the id-salted explode it prefers.
+
+    Engine-exactness: *alpha* must be a quarter power (0.25/0.5/
+    0.75/1.0 — sqrt chains are IEEE-correctly-rounded, see
+    _ALPHA_LADDER); the weight SUM folds over sources in sorted-name
+    order (a ~20-element fold in a 1-row aggregate — additions in a
+    fixed order, so the double is bit-identical in any engine); all
+    remaining arithmetic is integer.  Output: *df* + ``n_repeats``
+    (long).
+
+    Scale: one groupBy(source) whose result is SOURCE-COUNT-sized, a
+    1-row ordered fold, a broadcast join of the per-source stats back
+    to the corpus, and one per-source window for the remainder prefix
+    (largest-source sort — the cap_tokens_per_group bound).  Nothing
+    corpus-quadratic, nothing driver-sized.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if alpha not in _ALPHA_LADDER:
+        raise ValueError(
+            f"alpha must be one of {sorted(_ALPHA_LADDER)} (quarter powers "
+            f"stay IEEE-exact across engines), got {alpha}"
+        )
+
+    def ladder(n):
+        d = n.cast("double")
+        if alpha == 1.0:
+            return d
+        if alpha == 0.5:
+            return F.sqrt(d)
+        if alpha == 0.25:
+            return F.sqrt(F.sqrt(d))
+        return F.sqrt(d) * F.sqrt(F.sqrt(d))  # 0.75
+
+    src = F.col(source_col)
+    stats = (
+        df.groupBy(src.alias("__tm_source"))
+        .agg(F.sum(F.coalesce(F.col(tokens_col), F.lit(0))).cast("long").alias("__tm_n"))
+        .filter(F.col("__tm_n") > 0)
+        .withColumn("__tm_w", ladder(F.col("__tm_n")))
+    )
+    total = stats.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("__tm_source", "__tm_w"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["__tm_w"],
+        ).alias("__tm_sum")
+    )
+    targets = stats.crossJoin(F.broadcast(total)).select(
+        "__tm_source",
+        "__tm_n",
+        F.floor(F.lit(float(budget)) * (F.col("__tm_w") / F.col("__tm_sum")))
+        .cast("long")
+        .alias("__tm_target"),
+    )
+    joined = df.join(
+        F.broadcast(targets), src == F.col("__tm_source"), "left"
+    ).drop("__tm_source")
+    w = (
+        W.partitionBy(src)
+        .orderBy(
+            F.md5(
+                F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+            ),
+            F.col(id_col),
+        )
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(
+        F.sum(F.coalesce(F.col(tokens_col), F.lit(0))).over(w), F.lit(0)
+    ).cast("long")
+    repeats = (
+        F.floor(F.col("__tm_target") / F.col("__tm_n")).cast("long")
+        + F.when(before < F.col("__tm_target") % F.col("__tm_n"), 1).otherwise(0)
+    )
+    return joined.select(
+        *df.columns,
+        F.coalesce(repeats, F.lit(0)).cast("long").alias("n_repeats"),
+    )

@@ -3270,6 +3270,47 @@ def sample_split_assign(spark, sf_dir):
     return split_assign(docs, "doc_id").select("doc_id", "source", "split")
 
 
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing (operators/sampling.py:
+    temperature_mix — the XLM/mT5-style n_s^alpha recipe): the 20
+    documents sources rebalanced at alpha = 0.5 under a 50k-token
+    budget; per-document repeat factors (full epochs + the md5-order
+    remainder prefix).  The oracle replays the ladder (IEEE sqrt),
+    the sorted-source fold sum, the floor targets, and the window
+    prefix — the whole float path is value-checked because every step
+    is correctly-rounded-deterministic (see _ALPHA_LADDER)."""
+    from hive_scd_spark.operators.sampling import temperature_mix
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out = temperature_mix(
+        docs, "doc_id", "source", "n_tokens", budget=50_000, alpha=0.5
+    )
+    return out.select("doc_id", "source", "n_tokens", "n_repeats")
+
+
+def sample_shuffle_order(spark, sf_dir):
+    """Deterministic distributed global shuffle (operators/sampling.py:
+    shuffle_corpus): dense training-order rank by md5(salt:id) via the
+    two-phase distributed ranking — reproducible across runs, layouts,
+    and engines; no single-partition sort anywhere."""
+    from hive_scd_spark.operators.sampling import shuffle_corpus
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = shuffle_corpus(docs, "doc_id", salt="order1")
+    return out.select("doc_id", "shuffle_rank")
+
+
 def sample_split_by_cluster(spark, sf_dir):
     """Leakage-safe split (operators/sampling.py: split_by_cluster):
     every member of a MinHash near-dup cluster receives the SAME split,
@@ -5241,10 +5282,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # comment above.  text_compression_ratio stays here: rows-only by
     # design, it can never hash-green.)
     "text_compression_ratio": text_compression_ratio,
-    # r11 late addition (r12 rotation pool): the whole-file-gzip
-    # decompress-and-reshard pre-pass, closing the WARC module's
-    # documented serial residual (VERDICT r10 "What's missing" #2)
+    # r11 late additions (r12 rotation pool): the whole-file-gzip
+    # decompress-and-reshard pre-pass (closing the WARC module's
+    # documented serial residual, VERDICT r10 "What's missing" #2),
+    # temperature-scaled source mixing, and the deterministic global
+    # training-order shuffle
     "source_warc_reshard": source_warc_reshard,
+    "sample_temperature_mix": sample_temperature_mix,
+    "sample_shuffle_order": sample_shuffle_order,
     # r9 late additions, part 7: embedding-diversity sampling and the
     # per-domain crawl curation report
     "sample_embedding_diverse": sample_embedding_diverse,
@@ -5710,6 +5755,53 @@ ORACLES["source_warc_scan"] = """
 # the reshard gate reproduces the source_warc_scan surface from a
 # monolithic archive — same analytic ground truth
 ORACLES["source_warc_reshard"] = ORACLES["source_warc_scan"]
+
+# Full replay of the temperature-mix float path: every step is
+# correctly-rounded-deterministic (sqrt ladder, ordered fold, one
+# divide/multiply/floor), so the doubles agree bit-for-bit and the
+# integer repeats replay exactly.  list_reduce folds the source
+# weights in sorted-name order — the same addition order as the Spark
+# side's sort_array aggregate.
+ORACLES["sample_temperature_mix"] = r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')),
+                                                     '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n
+          FROM d GROUP BY 1 HAVING SUM(n_tokens) > 0),
+    w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM s),
+    tot AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b)
+              AS sm FROM w),
+    tg AS (SELECT source, n,
+                  CAST(FLOOR(CAST(50000 AS DOUBLE) * (w / sm)) AS BIGINT)
+                    AS target
+           FROM w, tot),
+    cum AS (
+      SELECT d.doc_id, d.source, d.n_tokens, tg.n, tg.target,
+             COALESCE(SUM(d.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY md5('tmix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM d LEFT JOIN tg USING (source)
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(COALESCE(target // n
+                         + CASE WHEN before < target % n THEN 1 ELSE 0 END,
+                         0) AS BIGINT) AS n_repeats
+    FROM cum
+"""
+
+ORACLES["sample_shuffle_order"] = """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('order1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+"""
 
 ORACLES["text_bigram_logprob"] = """
     WITH tr AS (SELECT text FROM documents WHERE source IN ('src0','src1')),
