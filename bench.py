@@ -109,6 +109,10 @@ HEADLINE = [
     # composed into the pairs → clusters → keepers endgame
     "pipeline_crawl_to_corpus_v2",
     "dedup_winnow_corpus",
+    # round-11 second tranche: temperature-scaled source mixing and the
+    # deterministic global training-order shuffle
+    "sample_temperature_mix",
+    "sample_shuffle_order",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -168,6 +172,9 @@ ITERATIVE = {
     "decontam_bloom_screen",
     # r11: dup_clusters inside dedup_corpus localCheckpoints per round
     "dedup_winnow_corpus",
+    # r11: distributed_rank pins its ranged layout with a localCheckpoint
+    # and collects partition COUNTS at build (the shard_assignment rule)
+    "sample_shuffle_order",
 }
 
 

@@ -115,3 +115,72 @@ def test_shuffle_corpus_is_a_deterministic_permutation(spark):
         for r in shuffle_corpus(docs, "doc_id", salt="other").collect()
     }
     assert c != a and sorted(c.values()) == list(range(1, 501))
+
+
+def _py_temperature_mix(rows, budget, alpha=0.5, salt="tmix"):
+    """Pure-Python reference for temperature_mix (same ladder, same
+    sorted-source fold, same md5-prefix boundary rule)."""
+    import hashlib
+    import math
+
+    n = {}
+    for _id, src, t in rows:
+        n[src] = n.get(src, 0) + t
+    n = {s: v for s, v in n.items() if v > 0}
+
+    def ladder(x):
+        if alpha == 1.0:
+            return float(x)
+        if alpha == 0.5:
+            return math.sqrt(float(x))
+        if alpha == 0.25:
+            return math.sqrt(math.sqrt(float(x)))
+        return math.sqrt(float(x)) * math.sqrt(math.sqrt(float(x)))
+
+    sm = 0.0
+    for s in sorted(n):
+        sm += ladder(n[s])
+    target = {s: math.floor(float(budget) * (ladder(n[s]) / sm)) for s in n}
+    order = {}
+    for s in n:
+        docs = [(hashlib.md5(f"{salt}:{d}".encode()).hexdigest(), d, t)
+                for d, src, t in rows if src == s]
+        docs.sort()
+        before = 0
+        for h, d, t in docs:
+            order[d] = before
+            before += t
+    out = {}
+    for d, src, t in rows:
+        if src not in n:
+            out[d] = 0
+            continue
+        k, r = target[src] // n[src], target[src] % n[src]
+        out[d] = k + (1 if order[d] < r else 0)
+    return out
+
+
+def test_temperature_mix_matches_python_reference_property(spark):
+    import random
+
+    from hive_scd_spark.operators.sampling import temperature_mix
+
+    rng = random.Random(411)
+    for trial in range(4):
+        alpha = rng.choice([0.25, 0.5, 0.75, 1.0])
+        budget = rng.randint(500, 20_000)
+        rows = [
+            (d, f"s{rng.randint(0, 5)}", rng.randint(0, 200))
+            for d in range(1, rng.randint(30, 120))
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"
+        )
+        got = {
+            r.doc_id: r.n_repeats
+            for r in temperature_mix(
+                df, "doc_id", "source", "n_tokens", budget, alpha=alpha
+            ).collect()
+        }
+        want = _py_temperature_mix(rows, budget, alpha)
+        assert got == want, (trial, alpha, budget)
