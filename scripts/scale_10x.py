@@ -395,6 +395,25 @@ def main():
         pairs = winnow_dup_pairs(d, "doc_id", "text", min_shared=5)
         return dedup_corpus(d, pairs, "doc_id")
 
+    def tmix_gate(d):
+        # r11: temperature mixing — source-count-sized stats + one
+        # per-source window; budget fixed (the mixture target is a
+        # constant of the recipe, not of the corpus size)
+        from hive_scd_spark.operators.sampling import temperature_mix
+
+        toks = d.select(
+            "doc_id", "source",
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+        return temperature_mix(
+            toks, "doc_id", "source", "n_tokens", budget=50_000, alpha=0.5
+        )
+
     def bigram_gate(docs):
         # trained corpus = src0+src1 (grows with the pool, as the gate
         # defines it); vocab held at 30 — the model is top-V whatever
@@ -484,6 +503,7 @@ def main():
         # round-11: winnow endgame + the whole-file-gzip reshard pre-pass
         ("dedup_winnow_corpus", winnow_corpus_gate, docs1, docs10),
         ("source_warc_reshard", reshard_gate, docs1, docs10),
+        ("sample_temperature_mix", tmix_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in
