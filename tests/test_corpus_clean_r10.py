@@ -450,3 +450,68 @@ def test_keep_cols_pass_through_both_cleaners(spark):
         clean_c4_lines(df, "doc_id", "text", keep_cols=("kept",))
     with _pytest.raises(ValueError, match="keep_cols.*collide"):
         dedup_paragraphs(df, "doc_id", "text", keep_cols=("n_paras_kept",))
+
+
+def _py_parse_robots(text, agent="*"):
+    """Independent Python reference implementing the documented
+    semantics: comment strip, consecutive-UA group heads, empty
+    Disallow emits nothing, exact-agent groups shadow '*'."""
+    me = agent.lower()
+    in_ua = exact = star = has_exact = False
+    acc_exact, acc_star = [], []
+    for raw in (text or "").split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        is_ua = field == "user-agent"
+        if is_ua:
+            ua_me, ua_star = value.lower() == me, value == "*"
+            if in_ua:
+                exact, star = exact or ua_me, star or ua_star
+            else:
+                exact, star = ua_me, ua_star
+            has_exact = has_exact or exact
+        elif field == "disallow" and value != "":
+            if exact and value not in acc_exact:
+                acc_exact.append(value)
+            elif star and not exact and value not in acc_star:
+                acc_star.append(value)
+        in_ua = is_ua
+    return set(acc_exact) if has_exact else set(acc_star)
+
+
+def test_parse_robots_fuzz_vs_python_reference(spark):
+    """Random robots files (group shapes, case noise, comments, blank
+    and junk lines, empty Disallows) against the independent Python
+    reference, for '*' and two named agents."""
+    import random
+
+    from hive_scd_spark.operators.text import parse_robots
+
+    rng = random.Random(911)
+    fields = [
+        lambda r: f"User-agent: {r.choice(['*', 'botA', 'BotB', 'other'])}",
+        lambda r: f"user-AGENT:{r.choice(['*', 'botA', 'botb'])}",
+        lambda r: f"Disallow: /p{r.randint(0, 5)}",
+        lambda r: "Disallow:",
+        lambda r: f"disallow: /q{r.randint(0, 3)}  # c",
+        lambda r: "Allow: /x",
+        lambda r: "Crawl-delay: 3",
+        lambda r: "",
+        lambda r: "just prose",
+        lambda r: "# full comment",
+    ]
+    for trial in range(12):
+        body = "\n".join(
+            rng.choice(fields)(rng) for _ in range(rng.randint(3, 25))
+        )
+        df = spark.createDataFrame(
+            [("f.com", body)], "domain string, payload string"
+        )
+        for agent in ("*", "botA", "botb"):
+            got = {
+                r.path_prefix
+                for r in parse_robots(df, "domain", "payload", agent=agent).collect()
+            }
+            want = _py_parse_robots(body, agent)
+            assert got == want, (trial, agent, body)

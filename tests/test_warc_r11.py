@@ -141,3 +141,33 @@ def test_reshard_output_is_deterministic(spark, tmp_path):
     b1 = open(os.path.join(d1, "det.warc.gz"), "rb").read()
     b2 = open(os.path.join(d2, "det.warc.gz"), "rb").read()
     assert b1 == b2 and len(b1) > 0
+
+
+def test_raw_record_framing_chunking_invariance():
+    """The framing iterator's output must be independent of HOW the
+    decompressed stream is chunked — random cut points, single-byte
+    dribbles, and one-shot delivery all frame identically."""
+    import random
+
+    recs = _mk_records(30)
+    data = write_warc_records(recs)
+    rng = random.Random(7)
+    for _trial in range(20):
+        k = rng.randint(1, 9)
+        cuts = sorted(rng.sample(range(1, len(data)), k=k))
+        chunks = [data[a:b] for a, b in zip([0] + cuts, cuts + [len(data)])]
+        got = list(_iter_raw_warc_records(iter(chunks)))
+        assert b"".join(got) == data and len(got) == 30
+    # pathological: 1-byte chunks over a small prefix of records
+    small = write_warc_records(recs[:3])
+    got = list(_iter_raw_warc_records(bytes([b]) for b in small))
+    assert b"".join(got) == small and len(got) == 3
+
+
+def test_reshard_rejects_trailing_garbage_loudly(spark, tmp_path):
+    """An archive with non-gzip trailing bytes must fail the pre-pass
+    loudly (strict normalization), not silently truncate."""
+    data = gzip.compress(write_warc_records(_mk_records(4))) + b"#garbage"
+    src = _write(tmp_path, "trail.warc.gz", data)
+    with pytest.raises(Exception, match="Error|error|invalid|Malformed"):
+        reshard_warc_gz(spark, src, os.path.join(str(tmp_path), "g")).collect()
