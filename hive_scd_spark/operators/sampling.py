@@ -12,6 +12,48 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _md5_bucket_offsets(
+    df: DataFrame, group_col: str, id_col: str, measure
+) -> DataFrame:
+    """Shared phase-1 of the bucketed two-phase prefix (r11): per
+    (group, md5-first-byte bucket) sums of *measure* with the running
+    total of all EARLIER buckets.  The bucket table is ≤ 256 rows per
+    group — metadata-sized — so its running-total window is free, and
+    the broadcast graft back costs nothing.  Because the bucket is the
+    md5 key's first byte, global per-group md5 order ≡ (bucket asc,
+    key asc): fine windows then partition by (group, bucket), giving
+    256× the parallelism and 1/256 the skew bound of a whole-group
+    window — the difference between "a dominant source is a dominant
+    task" and a plan that survives 100 TB."""
+    return (
+        df.groupBy(
+            F.col(group_col).alias("__mb_g"), F.col("__cap_b").alias("__mb_b")
+        )
+        .agg(F.sum(measure).cast("long").alias("__mb_t"))
+        .select(
+            "__mb_g",
+            "__mb_b",
+            F.coalesce(
+                F.sum("__mb_t").over(
+                    W.partitionBy("__mb_g")
+                    .orderBy("__mb_b")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__mb_before"),
+        )
+    )
+
+
+def _with_md5_bucket(df: DataFrame, id_col: str):
+    key = F.md5(F.col(id_col).cast("string"))
+    return df.withColumn("__cap_key", key).withColumn(
+        "__cap_b", F.conv(F.substring(F.col("__cap_key"), 1, 2), 16, 10).cast("int")
+    )
+
+
 def cap_per_group(
     df: DataFrame, group_col: str, id_col: str, n: int, rank_col: str | None = None
 ) -> DataFrame:
@@ -23,20 +65,27 @@ def cap_per_group(
     ``rank_col``: optionally keep the 1-based rank in the output under
     this name; default drops it.
 
-    Scale note: the window shuffles by group and sorts each group, so
-    cost is bounded by the largest group's sort.  For pathological
-    single-group data compose with a hash prefilter
-    (``h % K < ceil(target/count·K)``) to cut the group before the
-    sort; at normal group cardinality the per-group sort is the right
-    plan and AQE handles moderate skew."""
+    Scale note (r11): the rank is a BUCKETED two-phase computation
+    (see _md5_bucket_offsets) — per-bucket counts plus a row_number
+    within (group, md5-first-byte bucket) — so the sort bound is the
+    largest group's largest BUCKET (~1/256 of the group), never the
+    whole group; identical ranks to the naive whole-group window."""
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    w = W.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    keyed = _with_md5_bucket(df, id_col)
+    offs = _md5_bucket_offsets(keyed, group_col, id_col, F.lit(1))
+    keyed = keyed.join(
+        F.broadcast(offs),
+        (F.col(group_col) == F.col("__mb_g")) & (F.col("__cap_b") == F.col("__mb_b")),
+        "left",
     )
-    out = df.withColumn("__cap_rk", F.row_number().over(w)).filter(
-        F.col("__cap_rk") <= n
-    )
+    wf = W.partitionBy(group_col, "__cap_b").orderBy("__cap_key", F.col(id_col))
+    out = keyed.withColumn(
+        "__cap_rk",
+        (F.coalesce(F.col("__mb_before"), F.lit(0)) + F.row_number().over(wf))
+        .cast("long"),
+    ).filter(F.col("__cap_rk") <= n)
+    out = out.drop("__cap_key", "__cap_b", "__mb_g", "__mb_b", "__mb_before")
     if rank_col is None:
         return out.drop("__cap_rk")
     return out.withColumnRenamed("__cap_rk", rank_col)
@@ -65,22 +114,34 @@ def cap_tokens_per_group(
     ``cum_col``: optionally keep the tokens-consumed-before audit
     column under this name.
 
-    Scale note: one window shuffle by group + per-group sort, same
-    bound as ``cap_per_group`` (largest group's sort).  The cumulative
-    sum is ROWS UNBOUNDED PRECEDING → 1 PRECEDING — a running frame,
-    no O(n²) re-aggregation.
+    Scale note (r11): the cumulative sum is the BUCKETED two-phase
+    form (see _md5_bucket_offsets) — per-bucket token sums plus a
+    running frame within (group, md5-first-byte bucket) — so the sort
+    bound is ~1/256 of the largest group, never the whole group;
+    byte-identical `before` values to the naive whole-group window.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    w = (
-        W.partitionBy(group_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    keyed = _with_md5_bucket(df, id_col)
+    offs = _md5_bucket_offsets(keyed, group_col, id_col, F.col(tokens_col))
+    keyed = keyed.join(
+        F.broadcast(offs),
+        (F.col(group_col) == F.col("__mb_g")) & (F.col("__cap_b") == F.col("__mb_b")),
+        "left",
+    )
+    wf = (
+        W.partitionBy(group_col, "__cap_b")
+        .orderBy("__cap_key", F.col(id_col))
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
-    out = df.withColumn("__cap_before", before).filter(
+    before = (
+        F.coalesce(F.col("__mb_before"), F.lit(0))
+        + F.coalesce(F.sum(tokens_col).over(wf), F.lit(0))
+    ).cast("long")
+    out = keyed.withColumn("__cap_before", before).filter(
         F.col("__cap_before") < budget
     )
+    out = out.drop("__cap_key", "__cap_b", "__mb_g", "__mb_b", "__mb_before")
     if cum_col is None:
         return out.drop("__cap_before")
     return out.withColumnRenamed("__cap_before", cum_col)
@@ -413,9 +474,11 @@ def temperature_mix(
 
     Scale: one groupBy(source) whose result is SOURCE-COUNT-sized, a
     1-row ordered fold, a broadcast join of the per-source stats back
-    to the corpus, and one per-source window for the remainder prefix
-    (largest-source sort — the cap_tokens_per_group bound).  Nothing
-    corpus-quadratic, nothing driver-sized.
+    to the corpus, and a BUCKETED two-phase cumulative sum for the
+    remainder prefix (md5-first-byte buckets; see the inline comment)
+    — the fine window partitions by (source, bucket), so a dominant
+    source costs 1/256 of itself per task instead of one whole-source
+    sort.  Nothing corpus-quadratic, nothing driver-sized.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -459,24 +522,56 @@ def temperature_mix(
     joined = df.join(
         F.broadcast(targets), src == F.col("__tm_source"), "left"
     ).drop("__tm_source")
-    w = (
-        W.partitionBy(src)
-        .orderBy(
-            F.md5(
-                F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
-            ),
-            F.col(id_col),
-        )
+    # Remainder prefix as a BUCKETED two-phase cumulative sum (the
+    # pack.py distributed-prefix-sum pattern), NOT one window per
+    # source: partitionBy(source) would put an entire source in one
+    # sort task — at 100 TB a dominant source is a dominant task.
+    # Bucket = the md5 key's first byte, so global per-source md5
+    # order ≡ (bucket asc, key asc): phase 1 sums tokens per
+    # (source, bucket) — a ≤ 256-rows-per-source METADATA table whose
+    # running totals ride a tiny window; phase 2 grafts each bucket's
+    # offset back (broadcast) and runs the fine cumsum per
+    # (source, bucket) — 256× the parallelism and 1/256 the skew
+    # bound of the naive window, byte-identical `before` values.
+    tok = F.coalesce(F.col(tokens_col), F.lit(0))
+    key = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    keyed = joined.withColumn("__tm_key", key).withColumn(
+        "__tm_b", F.conv(F.substring(F.col("__tm_key"), 1, 2), 16, 10).cast("int")
+    )
+    bsums = keyed.groupBy(
+        src.alias("__tmb_source"), F.col("__tm_b").alias("__tmb_b")
+    ).agg(F.sum(tok).cast("long").alias("__tmb_t"))
+    wb = (
+        W.partitionBy("__tmb_source")
+        .orderBy("__tmb_b")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    before = F.coalesce(
-        F.sum(F.coalesce(F.col(tokens_col), F.lit(0))).over(w), F.lit(0)
+    boffs = bsums.select(
+        "__tmb_source",
+        "__tmb_b",
+        F.coalesce(F.sum("__tmb_t").over(wb), F.lit(0))
+        .cast("long")
+        .alias("__tmb_before"),
+    )
+    keyed = keyed.join(
+        F.broadcast(boffs),
+        (src == F.col("__tmb_source")) & (F.col("__tm_b") == F.col("__tmb_b")),
+        "left",
+    ).drop("__tmb_source", "__tmb_b")
+    wf = (
+        W.partitionBy(src, "__tm_b")
+        .orderBy("__tm_key", F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = (
+        F.coalesce(F.col("__tmb_before"), F.lit(0))
+        + F.coalesce(F.sum(tok).over(wf), F.lit(0))
     ).cast("long")
     repeats = (
         F.floor(F.col("__tm_target") / F.col("__tm_n")).cast("long")
         + F.when(before < F.col("__tm_target") % F.col("__tm_n"), 1).otherwise(0)
     )
-    return joined.select(
+    return keyed.select(
         *df.columns,
         F.coalesce(repeats, F.lit(0)).cast("long").alias("n_repeats"),
     )
