@@ -74,9 +74,13 @@ def cap_per_group(
         raise ValueError(f"n must be positive, got {n}")
     keyed = _with_md5_bucket(df, id_col)
     offs = _md5_bucket_offsets(keyed, group_col, id_col, F.lit(1))
+    # eqNullSafe: a NULL group is one group (the window below treats it
+    # as one partition); plain `=` would orphan its offset rows and let
+    # every md5 bucket restart at rank 1 — up to 256*n kept rows.
     keyed = keyed.join(
         F.broadcast(offs),
-        (F.col(group_col) == F.col("__mb_g")) & (F.col("__cap_b") == F.col("__mb_b")),
+        F.col(group_col).eqNullSafe(F.col("__mb_g"))
+        & (F.col("__cap_b") == F.col("__mb_b")),
         "left",
     )
     wf = W.partitionBy(group_col, "__cap_b").orderBy("__cap_key", F.col(id_col))
@@ -124,9 +128,12 @@ def cap_tokens_per_group(
         raise ValueError(f"budget must be positive, got {budget}")
     keyed = _with_md5_bucket(df, id_col)
     offs = _md5_bucket_offsets(keyed, group_col, id_col, F.col(tokens_col))
+    # eqNullSafe: see cap_per_group — a NULL group must match its own
+    # offset rows or its buckets each get the full budget (~256x).
     keyed = keyed.join(
         F.broadcast(offs),
-        (F.col(group_col) == F.col("__mb_g")) & (F.col("__cap_b") == F.col("__mb_b")),
+        F.col(group_col).eqNullSafe(F.col("__mb_g"))
+        & (F.col("__cap_b") == F.col("__mb_b")),
         "left",
     )
     wf = (
@@ -567,8 +574,11 @@ def temperature_mix(
         F.coalesce(F.col("__tmb_before"), F.lit(0))
         + F.coalesce(F.sum(tok).over(wf), F.lit(0))
     ).cast("long")
+    # `div` is true integer division (ADVICE r11): floor(a / b) routes
+    # through a double and can be off by one past 2^53, breaking the
+    # "all remaining arithmetic is integer" engine-exactness claim.
     repeats = (
-        F.floor(F.col("__tm_target") / F.col("__tm_n")).cast("long")
+        F.expr("__tm_target div __tm_n").cast("long")
         + F.when(before < F.col("__tm_target") % F.col("__tm_n"), 1).otherwise(0)
     )
     return keyed.select(

@@ -49,6 +49,7 @@ per-file driver reads during planning).
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
 import re
 from collections.abc import Iterator
@@ -645,11 +646,28 @@ def reshard_warc_gz(spark: SparkSession, path, dst_dir: str) -> DataFrame:
     if not files:
         raise FileNotFoundError(f"No WARC files under {paths!r}")
     rows = []
+    seen_dst: dict[str, str] = {}
     for fp, size in files:
         base = fp.rstrip("/").rsplit("/", 1)[-1]
         if not base.endswith(".gz"):
             base += ".gz"
-        rows.append((fp, size, f"{dst_dir.rstrip('/')}/{base}"))
+        dst = f"{dst_dir.rstrip('/')}/{base}"
+        if dst in seen_dst:
+            # Crawl segment dirs routinely repeat basenames
+            # (segment-*/part-00000.warc.gz); a silent same-dst
+            # overwrite would drop whole archives from the corpus.
+            # Disambiguate with a stable hash of the full source path.
+            dst = (
+                f"{dst_dir.rstrip('/')}/"
+                f"{hashlib.md5(fp.encode()).hexdigest()[:8]}-{base}"
+            )
+        if dst in seen_dst:
+            raise ValueError(
+                f"reshard_warc_gz: duplicate output path {dst!r} for "
+                f"{fp!r} and {seen_dst[dst]!r}"
+            )
+        seen_dst[dst] = fp
+        rows.append((fp, size, dst))
     plan = spark.createDataFrame(
         rows, "src string, file_size long, dst string"
     ).repartition(len(rows))
