@@ -1050,27 +1050,57 @@ def _winnow_selected(
     nested array expression (transform → array_min(slice)) and then
     exploding it re-evaluates the interpreted higher-order expression
     on the Generate path — measured 182 s vs 2.4 s at sf0.001 for the
-    same output.  Exploding the flat hash array and using the
-    window-frame min keeps every expression single-evaluation and the
-    per-document work inside one (id)-partitioned sort.
+    same output.
+
+    Two r12 refinements, both measured on the 100× replicated sf0.1
+    pool (identical output pinned at sf0.001):
+
+    - **Hash in codegen, not in a lambda.**  The previous form built
+      the hash array with ``F.transform`` — Spark evaluates HOF
+      lambdas INTERPRETED, so every gram paid a boxed md5 call (24 s
+      of the 30 s selection).  Exploding the POSITION range first and
+      computing the md5 as a plain projection keeps the per-gram hash
+      inside whole-stage codegen: selection 30 s → 21 s.
+    - **Pre-explode repartition(id).**  Generate preserves its child's
+      partitioning, so hash-partitioning the DOC rows up front
+      satisfies the window's clustered-distribution requirement and
+      Spark plans only a partition-local sort — no exchange of the
+      exploded gram rows (~one per character of the corpus).
+
+    The gram count rides the explode as ``__ng`` (it is known BEFORE
+    exploding), so the clamped-window filter needs no second
+    count-over-document window pass.
     """
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism, F.col(id_col))
     txt = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
     n_grams = F.greatest(F.length(txt) - (k - 1), F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(F.substring(F.md5(F.substring(txt, i, k)), 1, 8), 16, 10)
-        .cast("long")
-        % F.lit(HASH_P),
+    base = df.select(F.col(id_col), txt.alias("__t"), n_grams.alias("__ng"))
+    e = base.select(
+        F.col(id_col),
+        "__ng",
+        F.explode(F.sequence(F.lit(1), F.col("__ng"))).alias("__i"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        "__ng",
+        (F.col("__i") - 1).alias("__pos"),
+        (
+            F.conv(
+                F.substring(F.md5(F.substring(F.col("__t"), F.col("__i"), k)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(HASH_P)
+        ).alias("__h"),
     )
-    e = df.select(F.col(id_col), F.posexplode(hashes).alias("__pos", "__h"))
     win = W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
-    n = W.partitionBy(id_col)
     m = e.select(
         F.col(id_col),
         "__pos",
+        "__ng",
         F.min("__h").over(win).alias("__wmin"),
-        F.count("*").over(n).alias("__n"),
-    ).filter(F.col("__pos") <= F.greatest(F.col("__n") - w, F.lit(0)))
+    ).filter(F.col("__pos") <= F.greatest(F.col("__ng") - w, F.lit(0)))
     return m.select(id_col, F.col("__wmin").alias("fingerprint")).distinct()
 
 
@@ -1115,6 +1145,62 @@ def winnow_fingerprints(
     )
 
 
+def winnow_selected(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    w: int = 8,
+) -> DataFrame:
+    """Public selected-fingerprint ROWS — (id, fingerprint), distinct —
+    the shared upstream of both :func:`winnow_fingerprints` (per-doc
+    sets) and :func:`winnow_pairs_from_selected` (candidate pairs).
+    Exposed so a session can materialize the selection ONCE and fan it
+    out to several consumers (the shared_minhash_pairs idiom): the
+    window pass over exploded gram hashes is the expensive part, and
+    pair generation at different df caps / thresholds reuses it
+    unchanged.  (No fan_out needed: _winnow_selected hash-partitions
+    the doc rows itself — the load-bearing pre-explode exchange.)"""
+    return _winnow_selected(df, id_col, text_col, k, w)
+
+
+def winnow_pairs_from_selected(
+    sel: DataFrame,
+    id_col: str,
+    max_df: int = 50,
+    min_shared: int = 1,
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Candidate pairs from a pre-computed selected-fingerprint row set
+    (see :func:`winnow_selected`) — the grouped inverted-index idiom:
+    ONE shuffle on the fingerprint, per-value sorted id arrays bounded
+    by *max_df* (the MOSS noise threshold: a fingerprint in > max_df
+    documents is boilerplate, contributes df² candidate rows, and
+    carries no dedup signal), chained posexplode+slice, map-side
+    pair count.  Output: (id_a, id_b, n_shared)."""
+    e = sel.select(
+        F.col(id_col).alias("__id"), F.col(fingerprint_col).alias("__f")
+    )
+    grouped = (
+        e.groupBy("__f")
+        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_df))
+    )
+    pairs_raw = grouped.select(
+        F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
+    ).select(
+        "id_a",
+        F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias(
+            "id_b"
+        ),
+    )
+    return (
+        pairs_raw.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnow_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -1138,26 +1224,9 @@ def winnow_dup_pairs(
     a map-side-combined pair count.  Σ df² is capped at max_df² per
     fingerprint by construction.
     """
-    from hive_scd_spark.operators.layout import fan_out
-
-    e = _winnow_selected(fan_out(df), id_col, text_col, k, w).select(
-        F.col(id_col).alias("__id"), F.col("fingerprint").alias("__f")
-    )
-    grouped = (
-        e.groupBy("__f")
-        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
-        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_df))
-    )
-    pairs_raw = grouped.select(
-        F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids")
-    ).select(
-        "id_a",
-        F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias(
-            "id_b"
-        ),
-    )
-    return (
-        pairs_raw.groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    return winnow_pairs_from_selected(
+        winnow_selected(df, id_col, text_col, k, w),
+        id_col,
+        max_df=max_df,
+        min_shared=min_shared,
     )

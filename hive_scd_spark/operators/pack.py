@@ -108,7 +108,11 @@ def distributed_prefix_sum(
 
 
 def pack_sequences(
-    df: DataFrame, id_col: str, tokens_col: str, context_len: int
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    context_len: int,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Concat-and-chunk packing plan: one output row per
     (document, training sequence) span.
@@ -123,12 +127,16 @@ def pack_sequences(
 
     Zero-token documents contribute nothing and are dropped.  All
     arithmetic is integer (bigint) — no float anywhere, so the mapping
-    is exact and engine-independent."""
+    is exact and engine-independent.
+
+    ``keep_cols``: extra columns threaded through to the output (the
+    clean_c4_lines convention) — document metadata rides the prefix-sum
+    plan instead of a corpus-sized re-join on the id."""
     if context_len <= 0:
         raise ValueError(f"context_len must be positive, got {context_len}")
     L = int(context_len)
     toks = df.filter(F.col(tokens_col) > 0).select(
-        F.col(id_col), F.col(tokens_col).cast("long").alias("__n")
+        F.col(id_col), F.col(tokens_col).cast("long").alias("__n"), *keep_cols
     )
     pre = distributed_prefix_sum(toks, [F.asc(id_col)], "__n", name="__start")
     first_seq = F.expr("__start div " + str(L))
@@ -141,4 +149,5 @@ def pack_sequences(
         F.col("seq_id"),
         slice_start.alias("slice_start"),
         (slice_end - slice_start).alias("slice_len"),
+        *keep_cols,
     )

@@ -995,20 +995,72 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _PAIR_CACHE: dict[tuple, DataFrame] = {}
 
 
-def shared_minhash_pairs(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _shared_df(spark, tag: str, sf_dir: str, build) -> DataFrame:
+    """Session-level materialize-once cache (r12: the shared_minhash
+    idiom generalized — VERDICT r11 task 2).  Keyed by (applicationId,
+    tag, sf_dir); *build* runs once per session and its result is
+    persisted MEMORY_AND_DISK for every later consumer."""
+    key = (spark.sparkContext.applicationId, tag, sf_dir)
     got = _PAIR_CACHE.get(key)
     if got is not None:
         return got
     from pyspark import StorageLevel
 
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _PAIR_CACHE[key] = df
+    return df
+
+
+def shared_minhash_pairs(spark, sf_dir):
     from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
 
-    pairs = minhash_near_dup_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", k=8, threshold=0.3
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _PAIR_CACHE[key] = pairs
-    return pairs
+    return _shared_df(
+        spark,
+        "minhash_pairs",
+        sf_dir,
+        lambda: minhash_near_dup_pairs(
+            t(spark, sf_dir, "documents"), "doc_id", "text", k=8, threshold=0.3
+        ),
+    )
+
+
+def shared_warc_records(spark, sf_dir):
+    """ONE WARC fixture scan per (session, sf_dir), persisted — the
+    r11 contract profile showed the two crawl capstones and the scan
+    gate each re-paying the same 8 KiB-split byte-range read + parse
+    (27.5 s + 16.6 s of the 338 s sf0.1 wall).  The byte path (framing,
+    split exactly-once-ness, gzip member realignment, HTTP envelope
+    split) is still fully exercised — once per session, like any real
+    pipeline that scans a crawl drop a single time and fans out."""
+    from hive_scd_spark.sources.warc import read_warc
+
+    return _shared_df(
+        spark,
+        "warc_records",
+        sf_dir,
+        lambda: read_warc(
+            spark, _warc_fixture(spark, sf_dir), split_bytes=8192
+        ).select("record_id", "http_status", "payload", "target_uri"),
+    )
+
+
+def shared_winnow_selected(spark, sf_dir):
+    """ONE winnowing fingerprint selection over the planted-duplicate
+    corpus per (session, sf_dir), persisted — the expensive window pass
+    over exploded k-gram hashes (operators/dedup.py: winnow_selected),
+    shared by the pair gate, the composed corpus gate, and the
+    df-capped recall gate (pair generation at different df caps reuses
+    the identical selected rows)."""
+    from hive_scd_spark.operators.dedup import winnow_selected
+
+    return _shared_df(
+        spark,
+        "winnow_selected",
+        sf_dir,
+        lambda: winnow_selected(
+            _dup_corpus(spark, sf_dir), "doc_id", "text", k=12, w=8
+        ),
+    )
 
 
 def release_shared_caches(spark=None) -> int:
@@ -3311,6 +3363,74 @@ def sample_shuffle_order(spark, sf_dir):
     return out.select("doc_id", "shuffle_rank")
 
 
+def pipeline_mix_shuffle_pack(spark, sf_dir):
+    """CAPSTONE (VERDICT r11 task 6): the r11 mixing family composed
+    into the order a real training run uses, in ONE lazy plan —
+    temperature mixing (operators/sampling.py: temperature_mix,
+    n_s^0.5 at a 50k-token budget) → repeat MATERIALIZATION (each
+    document's n_repeats explode to distinct repeat instances,
+    id '#'-salted so every epoch copy has its own shuffle identity) →
+    deterministic global shuffle over the repeat instances
+    (shuffle_corpus — two-phase distributed rank, no single-partition
+    sort) → sequence packing in shuffle order (operators/pack.py:
+    pack_sequences at context 512, the distributed prefix sum).
+
+    The oracle replays the full chain — the IEEE-exact quarter-power
+    weights and integer repeat arithmetic (the sample_temperature_mix
+    float contract), generate_series repeat expansion, md5-order
+    ROW_NUMBER, and the running-sum packing spans — every step is
+    engine-exact by construction, so the composition is too.
+
+    Scale: nothing new is paid for composing — the mix is
+    source-count-sized metadata plus one bucketed prefix, the explode
+    is output-sized, and shuffle+pack are the same two range shuffles
+    they cost alone; no stage materializes between them."""
+    from hive_scd_spark.operators.pack import pack_sequences
+    from hive_scd_spark.operators.sampling import shuffle_corpus, temperature_mix
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    mixed = temperature_mix(
+        docs, "doc_id", "source", "n_tokens", budget=50_000, alpha=0.5
+    )
+    # sequence(1, 0) DESCENDS in Spark — filter the zero-repeat docs
+    # before building the repeat range
+    reps = mixed.filter(F.col("n_repeats") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_repeats"))).alias(
+            "rep"
+        ),
+    )
+    reps = reps.withColumn(
+        "rep_id",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("#"), F.col("rep").cast("string")
+        ),
+    )
+    shuffled = shuffle_corpus(reps, "rep_id", salt="mixshuf")
+    packed = pack_sequences(
+        shuffled,
+        "shuffle_rank",
+        "n_tokens",
+        512,
+        keep_cols=("doc_id", "rep"),
+    )
+    return packed.select(
+        "doc_id", "rep", "shuffle_rank", "seq_id", "slice_start", "slice_len"
+    )
+
+
 def sample_split_by_cluster(spark, sf_dir):
     """Leakage-safe split (operators/sampling.py: split_by_cluster):
     every member of a MinHash near-dup cluster receives the SAME split,
@@ -3667,8 +3787,10 @@ def source_warc_scan(spark, sf_dir):
     BYTE length of the HTTP body, the target URI) derives analytically
     from the documents table, so framing, split exactly-once-ness,
     HTTP envelope split, and utf-8 payload length are all checked
-    against independent ground truth."""
-    return _warc_scan_over(spark, _warc_fixture(spark, sf_dir))
+    against independent ground truth.  The scan itself is the
+    session-shared one (shared_warc_records — materialized once,
+    fanned out to this gate and both crawl capstones)."""
+    return _warc_scan_from(shared_warc_records(spark, sf_dir))
 
 
 def _warc_scan_over(spark, warc_dir: str, split_bytes: int = 8192):
@@ -3680,7 +3802,10 @@ def _warc_scan_over(spark, warc_dir: str, split_bytes: int = 8192):
     per-task scheduling — is what each task spends its time on)."""
     from hive_scd_spark.sources.warc import read_warc
 
-    out = read_warc(spark, warc_dir, split_bytes=split_bytes)
+    return _warc_scan_from(read_warc(spark, warc_dir, split_bytes=split_bytes))
+
+
+def _warc_scan_from(out):
     return out.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
         .cast("long")
@@ -3806,23 +3931,30 @@ def pipeline_crawl_to_corpus(spark, sf_dir):
     operator families, one plan, no intermediate materialization.  The
     oracle replays the whole chain ANALYTICALLY from the documents
     table (canonical form, keeper choice, rule coverage, token count,
-    split hash) — none of the engine code is replayed."""
-    return _crawl_to_corpus_over(spark, _warc_fixture(spark, sf_dir))
+    split hash) — none of the engine code is replayed.  The WARC scan
+    is the session-shared one (shared_warc_records)."""
+    return _crawl_to_corpus_from(spark, shared_warc_records(spark, sf_dir))
 
 
 def _crawl_to_corpus_over(spark, warc_dir: str, split_bytes: int = 8192):
     """The pipeline_crawl_to_corpus plan over any _warc_fixture-layout
     directory (shared with scripts/scale_10x.py / scale_100x.py; see
     _warc_scan_over for the split-size convention)."""
+    from hive_scd_spark.sources.warc import read_warc
+
+    return _crawl_to_corpus_from(
+        spark, read_warc(spark, warc_dir, split_bytes=split_bytes)
+    )
+
+
+def _crawl_to_corpus_from(spark, warc):
     from hive_scd_spark.functions import ws_tokens
     from hive_scd_spark.operators.sampling import split_assign
     from hive_scd_spark.operators.text import (
         url_canonical_dedup,
         url_optout_filter,
     )
-    from hive_scd_spark.sources.warc import read_warc
 
-    warc = read_warc(spark, warc_dir, split_bytes=split_bytes)
     parsed = warc.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
         .cast("long")
@@ -3875,23 +4007,30 @@ def pipeline_crawl_to_corpus_v2(spark, sf_dir):
     from the documents table: C4 survivorship, the per-class paragraph
     winner, reassembled-text md5, and single-digit-prefix robots
     coverage all derive from doc_id arithmetic + payload length —
-    none of the engine code is replayed."""
-    return _crawl_to_corpus_v2_over(spark, _warc_fixture(spark, sf_dir))
+    none of the engine code is replayed.  The WARC scan is the
+    session-shared one (shared_warc_records)."""
+    return _crawl_to_corpus_v2_from(spark, shared_warc_records(spark, sf_dir))
 
 
 def _crawl_to_corpus_v2_over(spark, warc_dir: str, split_bytes: int = 8192):
     """The pipeline_crawl_to_corpus_v2 plan over any _warc_fixture-
     layout directory (shared with scripts/scale_10x.py; see
     _warc_scan_over for the split-size convention)."""
+    from hive_scd_spark.sources.warc import read_warc
+
+    return _crawl_to_corpus_v2_from(
+        spark, read_warc(spark, warc_dir, split_bytes=split_bytes)
+    )
+
+
+def _crawl_to_corpus_v2_from(spark, warc):
     from hive_scd_spark.operators.dedup import dedup_paragraphs
     from hive_scd_spark.operators.text import (
         clean_c4_lines,
         parse_robots,
         url_optout_filter,
     )
-    from hive_scd_spark.sources.warc import read_warc
 
-    warc = read_warc(spark, warc_dir, split_bytes=split_bytes)
     parsed = warc.select(
         F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
         .cast("long")
@@ -4916,11 +5055,13 @@ def dedup_winnow_pairs(spark, sf_dir):
     hashes, per-window list minima, distinct set, df cap, pair count —
     with plain DuckDB list ops: selecting window-minimum VALUES (not
     positions) makes tie-breaking irrelevant, so the replay needs no
-    positional tie rule."""
-    from hive_scd_spark.operators.dedup import winnow_dup_pairs
+    positional tie rule.  The selection is the session-shared one
+    (shared_winnow_selected — materialized once, reused by the corpus
+    and df-capped gates)."""
+    from hive_scd_spark.operators.dedup import winnow_pairs_from_selected
 
-    return winnow_dup_pairs(
-        _dup_corpus(spark, sf_dir), "doc_id", "text", k=12, w=8,
+    return winnow_pairs_from_selected(
+        shared_winnow_selected(spark, sf_dir), "doc_id",
         max_df=50, min_shared=5,
     )
 
@@ -4940,13 +5081,15 @@ def dedup_winnow_corpus(spark, sf_dir):
 
     Scale: the pair graph is candidate-sized, never corpus-sized; the
     final keep step is one left-anti join (AQE picks broadcast when
-    the loser list is small)."""
+    the loser list is small).  The fingerprint selection is the
+    session-shared one (shared_winnow_selected)."""
     from hive_scd_spark.operators.cluster import dedup_corpus
-    from hive_scd_spark.operators.dedup import winnow_dup_pairs
+    from hive_scd_spark.operators.dedup import winnow_pairs_from_selected
 
     corpus = _dup_corpus(spark, sf_dir)
-    pairs = winnow_dup_pairs(
-        corpus, "doc_id", "text", k=12, w=8, max_df=50, min_shared=5
+    pairs = winnow_pairs_from_selected(
+        shared_winnow_selected(spark, sf_dir), "doc_id",
+        max_df=50, min_shared=5,
     )
     keep = dedup_corpus(corpus, pairs, "doc_id")
     return keep.select(
@@ -4954,6 +5097,49 @@ def dedup_winnow_corpus(spark, sf_dir):
         F.length(F.coalesce(F.col("text"), F.lit("")))
         .cast("long")
         .alias("n_chars"),
+    )
+
+
+def dedup_winnow_capped(spark, sf_dir):
+    """Df-capped winnowing RECALL gate (VERDICT r11 task 5): the MOSS
+    noise threshold tightened from max_df=50 to max_df=16 (a
+    fingerprint in > 16 documents is dropped before pair generation —
+    operators/dedup.py: winnow_pairs_from_selected), and the output
+    MEASURES recall on the planted duplicates, oracle-checked in both
+    engines: one row per planted original (doc_id % 5 == 0) with
+    whether its re-keyed copy (doc_id + 100000) was recovered and with
+    how many shared surviving fingerprints.  Planted copies are
+    verbatim, so their shared fingerprints are the original's whole
+    selected set — rare fingerprints survive any df cap ≥ 2, which is
+    why tightening the cap costs little recall while bounding
+    candidate fan-out at Σ df² with df ≤ 16.  Measured recall of the
+    (≥ 5 shared) pair at this corpus's density: 100/100 at sf0.001
+    and sf0.01; 979/1000 at sf0.1 (vs 998/1000 at the production
+    max_df=50 — short template-heavy documents whose every fingerprint
+    is common lose the pair at ANY practical cap; the df band is a
+    density dial, not a correctness switch).  test_advice_r12 pins the
+    100 % small-SF recall.  The oracle replays the capped selection +
+    pair count in DuckDB list ops and the same planted left join.
+    The selection is the session-shared one (shared_winnow_selected)."""
+    from hive_scd_spark.operators.dedup import winnow_pairs_from_selected
+
+    pairs = winnow_pairs_from_selected(
+        shared_winnow_selected(spark, sf_dir), "doc_id",
+        max_df=16, min_shared=5,
+    )
+    planted = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id")
+    hit = pairs.filter(F.col("id_b") == F.col("id_a") + 100000).select(
+        F.col("id_a"), F.col("n_shared").alias("__ns")
+    )
+    out = planted.join(hit, planted["doc_id"] == hit["id_a"], "left")
+    return out.select(
+        "doc_id",
+        F.when(F.col("id_a").isNotNull(), 1).otherwise(0)
+        .cast("int")
+        .alias("recovered"),
+        F.coalesce(F.col("__ns"), F.lit(0)).cast("long").alias("n_shared"),
     )
 
 
@@ -5045,17 +5231,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal keeps multimodal_dedup_exact, joins keep
     # range_join_event_windows + both fuzzy joins.
     "fuzzy_typo_pairs": fuzzy_typo_pairs,
-    "fuzzy_link_master": fuzzy_link_master,
     "sketch_quantile_totalprice": sketch_quantile_totalprice,
     "decontam_bloom_screen": decontam_bloom_screen,
-    "sample_weighted_docs": sample_weighted_docs,
-    "dedup_embedding_lsh_incremental": dedup_embedding_lsh_incremental,
-    "q21_waiting_orders": q21_waiting_orders,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q9_product_profit": q9_product_profit,
-    "q20_excess_shippers": q20_excess_shippers,
-    "q15_top_supplier": q15_top_supplier,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    # r12 rotation (VERDICT r11 task 1): the ENTIRE remaining
+    # never-driver-verified pool — all 11 rotatable entries — takes
+    # window slots in one shot, plus the two gates built this round
+    # (dedup_winnow_capped — the df-capped winnowing recall gate, task
+    # 5; pipeline_mix_shuffle_pack — the mix→shuffle→pack composed
+    # capstone, task 6; rotate-on-add policy).  After this window,
+    # every hash-checkable registry entry has held a driver slot at
+    # least once.  Out (13 multiply-green veterans, all still
+    # DuckDB-verified every round via scripts/check_contract.py):
+    # q21/q2/q9/q20/q15/q22 (green r9+r10+r11), q19/q16/q11/q12
+    # (green r10+r11) — TPC-H keeps seven fresh r11 shapes in-window
+    # (q4/q7/q10/q13/q14/q17/q18); fuzzy_link_master (x3 —
+    # fuzzy_typo_pairs keeps the family); sample_weighted_docs (x3 —
+    # sampling gains four fresh reps below);
+    # dedup_embedding_lsh_incremental (x3 — dedup keeps five reps:
+    # winnow pairs/corpus/capped, url-canonical, paragraphs).  The ten
+    # SCD core gates never rotate (test_registry.py pins the
+    # invariant).
+    "text_chunk_sliding": text_chunk_sliding,
+    "text_url_domain_filter": text_url_domain_filter,
+    "sample_split_assign": sample_split_assign,
+    "text_script_detect": text_script_detect,
+    "corpus_source_report": corpus_source_report,
+    "text_dedupe_lines_in_doc": text_dedupe_lines_in_doc,
+    "sample_embedding_diverse": sample_embedding_diverse,
+    "report_domain_census": report_domain_census,
+    "source_warc_reshard": source_warc_reshard,
+    "sample_temperature_mix": sample_temperature_mix,
+    "sample_shuffle_order": sample_shuffle_order,
+    "dedup_winnow_capped": dedup_winnow_capped,
+    "pipeline_mix_shuffle_pack": pipeline_mix_shuffle_pack,
     # TPC-H-style analytics (join + agg + pushdown + top-k)
     # r7 rotation (VERDICT r6 task 1): seven never-driver-verified
     # entries take the slots of seven multiply-green veterans
@@ -5147,11 +5355,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_url_optout_screen": text_url_optout_screen,
     "select_quality_floor": select_quality_floor,
     "sample_split_by_cluster": sample_split_by_cluster,
+    # --- beyond the driver window (slot >50) ----------------------------
+    # r12 displaced veterans (see the r12 rotation comment above):
+    "q21_waiting_orders": q21_waiting_orders,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q15_top_supplier": q15_top_supplier,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q19_disjunctive_pred": q19_disjunctive_pred,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q11_important_stock": q11_important_stock,
     "q12_shipping_priority_classes": q12_shipping_priority_classes,
-    # --- beyond the driver window (slot >50) ----------------------------
+    "fuzzy_link_master": fuzzy_link_master,
+    "sample_weighted_docs": sample_weighted_docs,
+    "dedup_embedding_lsh_incremental": dedup_embedding_lsh_incremental,
     # Near-duplicates of gates above; every operator family keeps a
     # driver-window representative.  All of these stay value-checked
     # against their DuckDB oracles by scripts/check_contract.py.
@@ -5216,11 +5434,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_semi_customers_with_big_order": join_semi_customers_with_big_order,
     "text_doc_fingerprint": text_doc_fingerprint,
     "ivf_cosine_topk": ivf_cosine_topk_q,
-    "text_chunk_sliding": text_chunk_sliding,
-    "text_url_domain_filter": text_url_domain_filter,
-    "sample_split_assign": sample_split_assign,
-    "text_script_detect": text_script_detect,
-    "corpus_source_report": corpus_source_report,
+    # (text_chunk_sliding, text_url_domain_filter, sample_split_assign,
+    # text_script_detect, corpus_source_report: promoted to the r12
+    # driver window — see the rotation comment above)
     # r7: the TPC-H suite completed — every remaining shape adapted to
     # the reduced schema (no partsupp/shipmode/commitdate; see each
     # docstring).  q21/q2/q9/q20/q15/q22 promoted to the window in r9;
@@ -5272,28 +5488,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_token_budget_per_source": sample_token_budget_per_source,
     "skew_salted_join_orders": skew_salted_join_orders,
     "text_remove_boilerplate": text_remove_boilerplate,
-    # r9 late additions not yet driver-verified (next rotation pool,
-    # with sample_embedding_diverse / report_domain_census below):
-    # intra-doc repeated-line removal
-    "text_dedupe_lines_in_doc": text_dedupe_lines_in_doc,
-    # (the r10 late additions — dedup_corpus_paragraphs, text_clean_c4,
-    # text_robots_parse_screen, dedup_winnow_pairs, text_bigram_logprob
-    # — were promoted to the driver window in r11; see the rotation
-    # comment above.  text_compression_ratio stays here: rows-only by
-    # design, it can never hash-green.)
+    # (text_dedupe_lines_in_doc, source_warc_reshard,
+    # sample_temperature_mix, sample_shuffle_order,
+    # sample_embedding_diverse, report_domain_census: promoted to the
+    # r12 driver window — the never-driver-verified pool is now EMPTY;
+    # see the rotation comment above.  text_compression_ratio stays
+    # here: rows-only by design, it can never hash-green.)
     "text_compression_ratio": text_compression_ratio,
-    # r11 late additions (r12 rotation pool): the whole-file-gzip
-    # decompress-and-reshard pre-pass (closing the WARC module's
-    # documented serial residual, VERDICT r10 "What's missing" #2),
-    # temperature-scaled source mixing, and the deterministic global
-    # training-order shuffle
-    "source_warc_reshard": source_warc_reshard,
-    "sample_temperature_mix": sample_temperature_mix,
-    "sample_shuffle_order": sample_shuffle_order,
-    # r9 late additions, part 7: embedding-diversity sampling and the
-    # per-domain crawl curation report
-    "sample_embedding_diverse": sample_embedding_diverse,
-    "report_domain_census": report_domain_census,
     # rows-only layout gate, swapped out of the window in r9 (it can
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
@@ -5803,6 +6004,79 @@ ORACLES["sample_shuffle_order"] = """
     FROM documents
 """
 
+# mix → repeat-expand → shuffle → pack, replayed end-to-end: the
+# temperature CTEs are the sample_temperature_mix contract verbatim;
+# repeats expand with generate_series; the shuffle is ROW_NUMBER over
+# the same md5(salt:rep_id) total order; packing is the running-sum
+# span arithmetic of pack_sequences_ctx in shuffle_rank order.
+ORACLES["pipeline_mix_shuffle_pack"] = r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')),
+                                                     '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n
+          FROM d GROUP BY 1 HAVING SUM(n_tokens) > 0),
+    w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM s),
+    tot AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b)
+              AS sm FROM w),
+    tg AS (SELECT source, n,
+                  CAST(FLOOR(CAST(50000 AS DOUBLE) * (w / sm)) AS BIGINT)
+                    AS target
+           FROM w, tot),
+    cum AS (
+      SELECT d.doc_id, d.n_tokens, tg.n, tg.target,
+             COALESCE(SUM(d.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY md5('tmix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM d LEFT JOIN tg USING (source)
+    ),
+    mixrep AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(target // n
+                           + CASE WHEN before < target % n THEN 1 ELSE 0 END,
+                           0) AS BIGINT) AS n_repeats
+      FROM cum
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             unnest(range(1, n_repeats + 1)) AS rep
+      FROM mixrep WHERE n_repeats > 0
+    ),
+    k AS (
+      SELECT doc_id, CAST(rep AS BIGINT) AS rep, n_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY
+               md5('mixshuf:' || CAST(doc_id AS VARCHAR) || '#'
+                   || CAST(rep AS VARCHAR)),
+               CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)
+             ) AS BIGINT) AS shuffle_rank
+      FROM r
+    ),
+    nz AS (SELECT * FROM k WHERE n_tokens > 0),
+    pre AS (
+      SELECT doc_id, rep, shuffle_rank, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS st
+      FROM nz
+    ),
+    x AS (
+      SELECT doc_id, rep, shuffle_rank, n_tokens, st,
+             unnest(range(st // 512, (st + n_tokens - 1) // 512 + 1)) AS seq_id
+      FROM pre
+    )
+    SELECT doc_id, rep, shuffle_rank,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(GREATEST(0, seq_id*512 - st) AS BIGINT) AS slice_start,
+           CAST(LEAST(n_tokens, (seq_id+1)*512 - st)
+                - GREATEST(0, seq_id*512 - st) AS BIGINT) AS slice_len
+    FROM x
+"""
+
 ORACLES["text_bigram_logprob"] = """
     WITH tr AS (SELECT text FROM documents WHERE source IN ('src0','src1')),
     sc0 AS (SELECT doc_id, text FROM documents
@@ -5927,8 +6201,11 @@ ORACLES["text_clean_c4"] = """
 
 # Full winnowing replay in DuckDB list ops: window-minimum VALUES are
 # tie-independent, so no positional tie rule needs porting.  Shared by
-# the pair gate and the composed pairs→clusters→keepers gate below.
-_WINNOW_CTES = """
+# the pair gate, the composed pairs→clusters→keepers gate, and the
+# df-capped recall gate below (max_df parametrizes the MOSS noise
+# threshold — r12).
+def _winnow_ctes(max_df: int) -> str:
+    return f"""
     c AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -5947,7 +6224,7 @@ _WINNOW_CTES = """
                    AS fps
           FROM h),
     e AS (SELECT doc_id, unnest(fps) AS f FROM s),
-    d AS (SELECT f FROM e GROUP BY f HAVING count(*) BETWEEN 2 AND 50),
+    d AS (SELECT f FROM e GROUP BY f HAVING count(*) BETWEEN 2 AND {max_df}),
     wpairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(count(*) AS BIGINT) AS n_shared
@@ -5958,9 +6235,25 @@ _WINNOW_CTES = """
     )
 """
 
+
+_WINNOW_CTES = _winnow_ctes(50)
+
 ORACLES["dedup_winnow_pairs"] = f"""
     WITH {_WINNOW_CTES}
     SELECT id_a, id_b, n_shared FROM wpairs
+"""
+
+# df-capped recall replay: the same selection at max_df=16, left-joined
+# to the planted originals — recovered must be provable in BOTH engines
+ORACLES["dedup_winnow_capped"] = f"""
+    WITH {_winnow_ctes(16)}
+    SELECT p.doc_id,
+           CAST(CASE WHEN w.id_a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS recovered,
+           CAST(COALESCE(w.n_shared, 0) AS BIGINT) AS n_shared
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) p
+    LEFT JOIN wpairs w
+      ON w.id_a = p.doc_id AND w.id_b = p.doc_id + 100000
 """
 
 # pairs → recursive transitive closure → min-id canonical keepers
