@@ -113,26 +113,37 @@ HEADLINE = [
     # deterministic global training-order shuffle
     "sample_temperature_mix",
     "sample_shuffle_order",
+    # round-12: the df-capped winnowing recall gate (accounting: reads
+    # the session-shared winnow selection, built once during the
+    # untimed warm-up — this row and dedup_winnow_corpus are MARGINAL
+    # cost in pipeline mode, the dedup_cluster_assign precedent) and
+    # the mix → repeat-explode → shuffle → pack composed capstone
+    "dedup_winnow_capped",
+    "pipeline_mix_shuffle_pack",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
-# The 10 most expensive headline rows (by BENCH_r10) run 4 timed reps
-# instead of 2 (VERDICT r10 task 6): at reps=2 the ±20% co-tenant noise
-# envelope on exactly these rows kept eating verdict attention; two
-# extra isolated reps (~+60 s total budget) tighten the min-estimator
-# where a swing costs the most.  Cheap rows stay at 2 — their absolute
-# swings are already sub-0.2 s.
+# Rows that run 4 timed reps instead of 2 (VERDICT r10 task 6, rule
+# widened per VERDICT r11 task 8): the 10 most expensive rows of the
+# LAST round's bench ∪ any common-query mover > 1.3× vs the round
+# before — so verdict attention never goes to a sub-second row whose
+# swing was reps=2 noise.  Recomputed each round from BENCH_r{N-1}.
+# r12 inputs: top-10 by BENCH_r11; movers vs r10 =
+# sample_token_budget_per_source (2.16×, VERDICT r11 task 4) and
+# text_hash_embed_ann (1.36×).
 EXTRA_REPS = {
+    "dedup_winnow_corpus",
+    "pipeline_crawl_to_corpus_v2",
     "pipeline_crawl_to_corpus",
     "pipeline_semantic_dedup",
     "graph_pagerank_dups",
-    "pipeline_corpus_to_sequences",
     "text_bpe_tokenize",
-    "dedup_simhash_near",
-    "select_dsir_weights",
-    "dedup_minhash_incremental",
-    "dedup_minhash_lsh",
+    "pipeline_corpus_to_sequences",
     "source_warc_scan",
+    "dedup_simhash_near",
+    "dedup_minhash_incremental",
+    "sample_token_budget_per_source",
+    "text_hash_embed_ann",
 }
 assert EXTRA_REPS <= set(HEADLINE)
 
@@ -175,6 +186,9 @@ ITERATIVE = {
     # r11: distributed_rank pins its ranged layout with a localCheckpoint
     # and collects partition COUNTS at build (the shard_assignment rule)
     "sample_shuffle_order",
+    # r12: composes shuffle_corpus (distributed_rank) + pack_sequences
+    # (distributed_prefix_sum) — both collect partition counts at build
+    "pipeline_mix_shuffle_pack",
 }
 
 

@@ -3837,12 +3837,37 @@ def _warc_monolith_fixture(spark, sf_dir) -> str:
     return base
 
 
-def write_warc_monolith(docs, base: str) -> None:
-    """Write docs as ONE whole-file-gzip archive (single member,
-    mtime=0) under *base* — the _warc_monolith_fixture layout for any
-    (doc_id, text) frame; shared with the scale scripts.  Streamed
-    toLocalIterator build, marker-idempotent (the write_warc_fixture
-    conventions)."""
+def _warc_monolith_multi_fixture(spark, sf_dir, n_archives: int = 4) -> str:
+    """*n_archives* whole-file-gzip archives of the documents table
+    (docs routed by doc_id % n) — the multi-archive crawl-drop shape
+    the reshard pre-pass parallelizes across (VERDICT r11 task 3).
+    Same conventions as _warc_monolith_fixture."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(
+        (f"warc_monomulti_v1_{n_archives}" + _data_fingerprint(sf_dir, "documents")).encode()
+    ).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"warc_monomulti_{os.path.basename(sf_dir)}_{tag}",
+    )
+    write_warc_monolith(docs, base, n_archives=n_archives)
+    return base
+
+
+def write_warc_monolith(docs, base: str, n_archives: int = 1) -> None:
+    """Write docs as *n_archives* whole-file-gzip archives (single
+    member each, mtime=0) under *base* — the _warc_monolith_fixture
+    layout for any (doc_id, text) frame; shared with the scale
+    scripts.  ``n_archives=1`` keeps the original single
+    ``archive.warc.gz`` name; more archives route docs by
+    ``doc_id % n`` into ``archive-<i>.warc.gz`` (constant per-archive
+    size as the corpus grows — the real crawl-drop shape, and what the
+    reshard pre-pass parallelizes ACROSS).  Streamed toLocalIterator
+    build, marker-idempotent (the write_warc_fixture conventions)."""
     import gzip as _gzip
     import os
 
@@ -3852,61 +3877,84 @@ def write_warc_monolith(docs, base: str) -> None:
     if os.path.exists(marker):
         return
     os.makedirs(base, exist_ok=True)
+    if n_archives > 1:
+        gzs = [
+            _gzip.GzipFile(
+                os.path.join(base, f"archive-{i:03d}.warc.gz"), "wb", mtime=0
+            )
+            for i in range(n_archives)
+        ]
+        try:
+            for r in docs.orderBy("doc_id").toLocalIterator():
+                gzs[r.doc_id % n_archives].write(
+                    write_warc_records([_monolith_record(r)])
+                )
+        finally:
+            for gz in gzs:
+                gz.close()
+        with open(marker, "w") as f:
+            f.write("ok")
+        return
     with _gzip.GzipFile(
         os.path.join(base, "archive.warc.gz"), "wb", mtime=0
     ) as gz:
         for r in docs.orderBy("doc_id").toLocalIterator():
-            gz.write(
-                write_warc_records(
-                    [
-                        {
-                            "record_id": f"<urn:doc:{r.doc_id}>",
-                            "warc_type": "response",
-                            "target_uri": (
-                                f"https://example{r.doc_id % 97}.com/docs/"
-                                f"{r.doc_id % 37}"
-                            ),
-                            "warc_date": "2024-01-01T00:00:00Z",
-                            "content_type": (
-                                "application/http; msgtype=response"
-                            ),
-                            "payload": (
-                                b"HTTP/1.1 200 OK\r\n"
-                                b"Content-Type: text/plain\r\n\r\n"
-                                + (r.text or "").encode("utf-8")
-                            ),
-                        }
-                    ]
-                )
-            )
+            gz.write(write_warc_records([_monolith_record(r)]))
     with open(marker, "w") as f:
         f.write("ok")
+
+
+def _monolith_record(r) -> dict:
+    """One fixture WARC record for a (doc_id, text) row — the analytic
+    id/URI arithmetic every WARC oracle derives from."""
+    return {
+        "record_id": f"<urn:doc:{r.doc_id}>",
+        "warc_type": "response",
+        "target_uri": (
+            f"https://example{r.doc_id % 97}.com/docs/{r.doc_id % 37}"
+        ),
+        "warc_date": "2024-01-01T00:00:00Z",
+        "content_type": "application/http; msgtype=response",
+        "payload": (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/plain\r\n\r\n" + (r.text or "").encode("utf-8")
+        ),
+    }
 
 
 def source_warc_reshard(spark, sf_dir):
     """The decompress-and-reshard pre-pass (sources/warc.py:
     reshard_warc_gz) closing the module's documented serial residual:
-    a WHOLE-FILE-gzip archive (one member, unsplittable — the
-    _warc_monolith_fixture) is streamed once into per-record-gzip
-    members, then read back BYTE-RANGE SPLIT at 8 KiB.  The oracle is
-    the source_warc_scan analytic: id/status/body-byte-length/URI all
+    FOUR whole-file-gzip archives (one member each, unsplittable —
+    the _warc_monolith_multi_fixture; >1 archive so the pre-pass's
+    across-archive parallel path is what the gate exercises, VERDICT
+    r11 task 3) are streamed once into per-record-gzip members, then
+    read back BYTE-RANGE SPLIT at 8 KiB.  The oracle is the
+    source_warc_scan analytic: id/status/body-byte-length/URI all
     derive from the documents table, so the reshard's byte fidelity,
-    the member framing, and split exactly-once-ness are checked
-    against independent ground truth.  The reshard itself runs once
-    per fixture (marker-idempotent, manifest-collect bounded by the
-    archive COUNT — one here, never rows)."""
+    the member framing, split exactly-once-ness, AND the union across
+    archives are checked against independent ground truth.  The
+    reshard itself runs once per fixture (marker-idempotent,
+    manifest-collect bounded by the archive COUNT — four here, never
+    rows)."""
     import os
 
     from hive_scd_spark.sources.warc import read_warc, reshard_warc_gz
 
-    base = _warc_monolith_fixture(spark, sf_dir)
+    base = _warc_monolith_multi_fixture(spark, sf_dir, n_archives=4)
     dst = os.path.join(base, "resharded")
     marker = os.path.join(dst, "_resharded")
     if not os.path.exists(marker):
-        manifest = reshard_warc_gz(
-            spark, os.path.join(base, "archive.warc.gz"), dst
-        ).collect()
-        assert len(manifest) == 1 and manifest[0].n_records > 0
+        # explicit archive list, not the base dir: dst lives under
+        # base, and a crashed earlier run's partial output must never
+        # be walked up as INPUT
+        srcs = [
+            os.path.join(base, f"archive-{i:03d}.warc.gz") for i in range(4)
+        ]
+        manifest = reshard_warc_gz(spark, srcs, dst).collect()
+        assert len(manifest) == 4, manifest
+        assert all(m.n_records > 0 for m in manifest), manifest
+        assert len({m.dst for m in manifest}) == 4, manifest
         with open(marker, "w") as f:
             f.write("ok")
     out = read_warc(spark, dst, split_bytes=8192)

@@ -402,6 +402,85 @@ def main():
 
         return winnow_dup_pairs(d, "doc_id", "text", min_shared=5)
 
+    def winnow_capped_gate(d):
+        # r12: pair generation at the tightened MOSS df cap (max_df=16)
+        from hive_scd_spark.operators.dedup import (
+            winnow_pairs_from_selected,
+            winnow_selected,
+        )
+
+        return winnow_pairs_from_selected(
+            winnow_selected(d, "doc_id", "text"), "doc_id",
+            max_df=16, min_shared=5,
+        )
+
+    def multi_archives_for(d):
+        # r12 (VERDICT r11 task 3): multi-archive crawl-drop shape —
+        # per-archive size CONSTANT as the corpus grows (4 at 1x, 400
+        # at 100x), the layout the across-archive parallel claim is
+        # about.  Built untimed, marker-idempotent.
+        tag, n_arch = (f"{n}x", 4 * n) if d is docs100 else ("1x", 4)
+        base = f"/tmp/scale100_monomulti_{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+        from hive_scd_spark.queries import write_warc_monolith as _wm
+
+        _wm(d.select("doc_id", "text"), base, n_archives=n_arch)
+        return [
+            os.path.join(base, f"archive-{i:03d}.warc.gz")
+            for i in range(n_arch)
+        ]
+
+    def reshard_multi_gate(d):
+        # r12: one task per archive, archives grow with data — the
+        # measured proof of reshard_warc_gz's across-archive
+        # parallelism (expected ~n_waves = ceil(archives/cores), not
+        # ~data ratio)
+        from hive_scd_spark.sources.warc import reshard_warc_gz
+
+        tag = f"{n}x" if d is docs100 else "1x"
+        return reshard_warc_gz(
+            spark, multi_archives_for(d), f"/tmp/scale100_reshard_multi_{tag}"
+        )
+
+    def mix_pack_gate(d):
+        # r12: mix→repeat-explode→shuffle→pack capstone; budget grows
+        # with the corpus (a bigger pool packs more sequences)
+        from hive_scd_spark.operators.pack import pack_sequences
+        from hive_scd_spark.operators.sampling import (
+            shuffle_corpus,
+            temperature_mix,
+        )
+
+        toks = d.select(
+            "doc_id", "source",
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+        budget = 50_000 * (n if d is docs100 else 1)
+        mixed = temperature_mix(
+            toks, "doc_id", "source", "n_tokens", budget=budget, alpha=0.5
+        )
+        reps = mixed.filter(F.col("n_repeats") > 0).select(
+            "doc_id", "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_repeats"))
+            ).alias("rep"),
+        ).withColumn(
+            "rep_id",
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#"),
+                F.col("rep").cast("string"),
+            ),
+        )
+        shuffled = shuffle_corpus(reps, "rep_id", salt="mixshuf")
+        return pack_sequences(
+            shuffled, "shuffle_rank", "n_tokens", 512,
+            keep_cols=("doc_id", "rep"),
+        )
+
     doc_experiments = [
         ("dedup_minhash_lsh", minhash_gate),
         ("dedup_exact_substring", substring_gate),
@@ -426,6 +505,11 @@ def main():
         ("dedup_corpus_paragraphs", paragraphs_gate),
         ("text_clean_c4", c4_gate),
         ("dedup_winnow_pairs", winnow_gate),
+        # round-12: df-capped winnow pairs, across-archive reshard,
+        # and the mix→shuffle→pack capstone
+        ("dedup_winnow_capped", winnow_capped_gate),
+        ("source_warc_reshard_multi", reshard_multi_gate),
+        ("pipeline_mix_shuffle_pack", mix_pack_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),

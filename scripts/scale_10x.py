@@ -386,6 +386,31 @@ def main():
             spark, src, f"/tmp/scale_reshard_{tag}"
         )
 
+    def multi_archives_for(docs):
+        # r12 (VERDICT r11 task 3): the multi-archive crawl-drop shape —
+        # per-archive size CONSTANT as the corpus grows (4 archives at
+        # 1x, 40 at 10x), which is what real crawls ship and what the
+        # across-archive parallel claim is about
+        tag, n = ("10x", 40) if docs is docs10 else ("1x", 4)
+        base = f"/tmp/scale_monomulti_{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+        from hive_scd_spark.queries import write_warc_monolith as _wm
+
+        _wm(docs.select("doc_id", "text"), base, n_archives=n)
+        return [
+            os.path.join(base, f"archive-{i:03d}.warc.gz") for i in range(n)
+        ]
+
+    def reshard_multi_gate(docs):
+        # r12: one task per archive, archives grow with data — the
+        # measured proof of reshard_warc_gz's across-archive
+        # parallelism (expected near-flat until archives > cores)
+        from hive_scd_spark.sources.warc import reshard_warc_gz
+
+        tag = "10x" if docs is docs10 else "1x"
+        return reshard_warc_gz(
+            spark, multi_archives_for(docs), f"/tmp/scale_reshard_multi_{tag}"
+        )
+
     def winnow_corpus_gate(d):
         # r11: winnowing composed into the pairs→clusters→keepers
         # endgame (candidate-sized graph, left-anti keep step)
@@ -412,6 +437,62 @@ def main():
         )
         return temperature_mix(
             toks, "doc_id", "source", "n_tokens", budget=50_000, alpha=0.5
+        )
+
+    def winnow_capped_gate(d):
+        # r12: pair generation at the df-capped MOSS noise threshold
+        # (max_df=16) over the shared-shape selection — measures the
+        # candidate fan-out bound at scale
+        from hive_scd_spark.operators.dedup import (
+            winnow_pairs_from_selected,
+            winnow_selected,
+        )
+
+        return winnow_pairs_from_selected(
+            winnow_selected(d, "doc_id", "text"), "doc_id",
+            max_df=16, min_shared=5,
+        )
+
+    def mix_pack_gate(d):
+        # r12: the mix→repeat-explode→shuffle→pack composed capstone —
+        # budget grows WITH the corpus (a training run over a bigger
+        # pool packs more sequences; a fixed budget would make the
+        # pack stage constant-size and the row meaningless)
+        from hive_scd_spark.operators.pack import pack_sequences
+        from hive_scd_spark.operators.sampling import (
+            shuffle_corpus,
+            temperature_mix,
+        )
+
+        toks = d.select(
+            "doc_id", "source",
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+        budget = 50_000 * (10 if d is docs10 else 1)
+        mixed = temperature_mix(
+            toks, "doc_id", "source", "n_tokens", budget=budget, alpha=0.5
+        )
+        reps = mixed.filter(F.col("n_repeats") > 0).select(
+            "doc_id", "n_tokens",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_repeats"))
+            ).alias("rep"),
+        ).withColumn(
+            "rep_id",
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#"),
+                F.col("rep").cast("string"),
+            ),
+        )
+        shuffled = shuffle_corpus(reps, "rep_id", salt="mixshuf")
+        return pack_sequences(
+            shuffled, "shuffle_rank", "n_tokens", 512,
+            keep_cols=("doc_id", "rep"),
         )
 
     def bigram_gate(docs):
@@ -504,6 +585,11 @@ def main():
         ("dedup_winnow_corpus", winnow_corpus_gate, docs1, docs10),
         ("source_warc_reshard", reshard_gate, docs1, docs10),
         ("sample_temperature_mix", tmix_gate, docs1, docs10),
+        # round-12: across-archive reshard parallelism + the df-capped
+        # winnow pair generation + the mix→shuffle→pack capstone
+        ("source_warc_reshard_multi", reshard_multi_gate, docs1, docs10),
+        ("dedup_winnow_capped", winnow_capped_gate, docs1, docs10),
+        ("pipeline_mix_shuffle_pack", mix_pack_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in
