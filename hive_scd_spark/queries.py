@@ -1064,8 +1064,10 @@ def shared_winnow_selected(spark, sf_dir):
 
 
 def release_shared_caches(spark=None) -> int:
-    """Unpersist and drop every session-level shared cache (currently
-    the MinHash pair cache).  VERDICT r6 nit 2: the cache had no
+    """Unpersist and drop every session-level shared cache (the
+    MinHash pair cache, the WARC record scan, the winnow selection —
+    everything registered through _shared_df).  VERDICT r6 nit 2: the
+    cache had no
     release path, which is harmless in bench/driver runs (one session,
     process exit reclaims everything) but a slow leak in a long-lived
     multi-tenant session.  Pass *spark* to release only that session's
