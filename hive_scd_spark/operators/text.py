@@ -237,10 +237,20 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     text, scored against each language's embedded profile by DISTINCT
     overlap count; prediction is the argmax (ties broken by profile
     declaration order), ``confidence = overlap / n_doc_trigrams``,
-    'und' when nothing overlaps.  Everything is ONE row-local codegen
-    projection — array_distinct + array_intersect per language, no
-    shuffle, no UDF — and the oracle replays the identical profiles
-    from a VALUES list, so classification is value-checked exactly.
+    'und' when nothing overlaps.  The oracle replays the identical
+    profiles from a VALUES list, so classification is value-checked
+    exactly.
+
+    r12 formulation: trigram ROWS, not a trigram array.  The previous
+    array form built ``array_distinct(transform(...))`` and referenced
+    it once per language plus once for the size — projection collapse
+    re-evaluated the INTERPRETED HOF lambda per reference (the known
+    Generate/duplication trap, SCALE_NOTES r10/r12): measured 8.3 s at
+    sf0.1.  Exploding positions first keeps the substring in codegen;
+    doc rows are hash-partitioned by id up front so the distinct and
+    the per-id score aggregation are both partition-local (one doc-row
+    exchange total); per-language scores are codegen `isin` sums over
+    the distinct rows: 2.0 s, byte-identical output.
 
     Honest quality note: the synthetic testdata's ``lang`` column is
     assigned independently of its (English pseudo-word) text, so
@@ -249,20 +259,37 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``tests/test_operators.py`` (real sentences in all four languages
     must classify correctly)."""
     # coalesce: NULL text classifies as 'und' instead of propagating
-    padded = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
-    tri = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(padded) - 2, F.lit(1))),
-            lambda i: F.substring(padded, i, 3),
-        )
+    sc = df.sparkSession.sparkContext
+    d = df.repartition(sc.defaultParallelism, F.col(id_col))
+    padded = F.concat(
+        F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" ")
     )
-    work = df.select(F.col(id_col), tri.alias("__tri"))
-    langs = list(LANG_PROFILES)
-    for lang in langs:
-        work = work.withColumn(
-            f"__s_{lang}",
-            F.size(F.array_intersect("__tri", F.lit(LANG_PROFILES[lang]))),
+    base = d.select(
+        F.col(id_col),
+        padded.alias("__p"),
+        F.greatest(F.length(padded) - 2, F.lit(1)).alias("__n"),
+    )
+    e = (
+        base.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__i"),
+            "__p",
         )
+        .select(
+            F.col(id_col), F.substring(F.col("__p"), F.col("__i"), 3).alias("__t")
+        )
+        .distinct()
+    )
+    langs = list(LANG_PROFILES)
+    aggs = [
+        F.sum(
+            F.when(F.col("__t").isin(*LANG_PROFILES[lang]), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias(f"__s_{lang}")
+        for lang in langs
+    ]
+    g = e.groupBy(id_col).agg(F.count("*").alias("__ntri"), *aggs)
     # argmax with declaration-order tiebreak: struct compare is
     # lexicographic, so (score, -position, lang) picks the highest
     # score and the EARLIEST language on ties
@@ -279,9 +306,9 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pred = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
     conf = F.when(
         best["s"] > 0,
-        F.round(best["s"].cast("double") / F.size("__tri"), 6),
+        F.round(best["s"].cast("double") / F.col("__ntri"), 6),
     ).otherwise(F.lit(0.0))
-    return work.select(
+    return g.select(
         F.col(id_col), pred.alias("pred_lang"), conf.alias("confidence")
     )
 

@@ -6273,7 +6273,7 @@ def _winnow_ctes(max_df: int) -> str:
                    j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 7 AS INT)))))
                    AS fps
           FROM h),
-    e AS (SELECT doc_id, unnest(fps) AS f FROM s),
+    e AS MATERIALIZED (SELECT doc_id, unnest(fps) AS f FROM s),
     d AS (SELECT f FROM e GROUP BY f HAVING count(*) BETWEEN 2 AND {max_df}),
     wpairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
