@@ -217,9 +217,6 @@ def minhash_band_table(
     corpus, then each new batch joins its own (tiny) band table against
     it (:func:`minhash_incremental_pairs`) without ever re-shingling
     the corpus."""
-    from hive_scd_spark.operators.layout import fan_out
-
-    df = fan_out(df)  # single-split inputs serialize the md5 explode
     rows = num_perm // bands
     perms = minhash_perms(num_perm, seed)
     # (1) signatures via explode → groupBy(min × num_perm).  The array
@@ -228,13 +225,40 @@ def minhash_band_table(
     # project-collapse — a 32× recompute and a codegen tree that chokes.
     # Exploded rows + flat min-aggregates get map-side combine instead;
     # shuffle volume is one row per (doc, shingle), keys never skew.
-    hashed = df.select(
+    # r12: the shingle hashes come from the explode-FIRST codegen path
+    # (explode the position range, substring + md5 as plain
+    # projections) instead of exploding the char_shingles HOF array —
+    # transform lambdas evaluate interpreted.  Two deliberate choices:
+    # no per-doc distinct (a min-aggregate is duplicate-blind, so the
+    # array_distinct work was pure waste), and the doc rows stay
+    # ROUND-ROBIN fanned out rather than hash-partitioned by id — the
+    # signature groupBy's exchange (1 partial-min row per doc) is the
+    # reuse point both legs of the downstream band self-join share; a
+    # partition-local groupBy has no exchange to reuse and the whole
+    # signature pipeline runs twice (measured: 71 s vs 62 s at 100×).
+    from hive_scd_spark.operators.layout import fan_out
+
+    df = fan_out(df)  # single-split inputs serialize the md5 explode
+    txt = F.col(text_col)
+    base = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(char_shingles(text_col, k)).alias("__s"),
+        txt.alias("__t"),
+        F.greatest(F.length(txt) - (k - 1), F.lit(1)).alias("__ng"),
+    )
+    hashed = base.select(
+        "__id",
+        F.explode(F.sequence(F.lit(1), F.col("__ng"))).alias("__i"),
+        "__t",
     ).select(
         "__id",
         (
-            F.conv(F.substring(F.md5("__s"), 1, 8), 16, 10).cast("long")
+            F.conv(
+                F.substring(
+                    F.md5(F.substring(F.col("__t"), F.col("__i"), k)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
             % F.lit(HASH_P)
         ).alias("__h"),
     )
@@ -342,18 +366,45 @@ def _verify_jaccard(
     threshold: float,
 ) -> DataFrame:
     """Exact-Jaccard scoring of a candidate (id_a, id_b) list against
-    the text source *df* — shingles computed ABOVE the membership joins
-    so CPU cost is O(candidates), never O(corpus) (full rationale in
-    minhash_near_dup_pairs step 3)."""
-    side_a = (
-        df.join(candidates, df[id_col] == F.col("id_a"))
-        .select("id_a", "id_b", char_shingles(text_col, k).alias("__sha"))
+    the text source *df* — shingle work is O(candidate DOCS), never
+    O(corpus) and (r12) never O(pairs): the previous form computed
+    char_shingles per (pair, side) row after the membership joins, so
+    a document in p pairs was re-shingled p times through an
+    interpreted HOF; now the distinct-shingle SET is built once per
+    candidate document on the explode-first codegen path and the two
+    sides join the per-doc arrays back by id (verify 41.6 s → 36.5 s
+    on the 100× pool, byte-identical — the residual cost is the
+    per-pair array_intersect, inherent to exact verification).  No
+    broadcast hint on the candidate-ids side: normally-duplicated
+    corpora have a small list (AQE converts at runtime), but a
+    pathological one can have billions of candidates and a forced
+    broadcast would OOM the driver — the dedup_corpus trade."""
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("__cid")
+    ).distinct()
+    sc_ = df.sparkSession.sparkContext
+    touched = df.join(cand_ids, df[id_col] == F.col("__cid")).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
-    side_b = (
-        df.join(candidates, df[id_col] == F.col("id_b"))
-        .select("id_a", "id_b", char_shingles(text_col, k).alias("__shb"))
+    base = touched.repartition(sc_.defaultParallelism, F.col("__id")).select(
+        "__id",
+        "__t",
+        F.greatest(F.length("__t") - (k - 1), F.lit(1)).alias("__ng"),
     )
-    pairs = side_a.join(side_b, ["id_a", "id_b"])
+    sh = base.select(
+        "__id",
+        F.explode(F.sequence(F.lit(1), F.col("__ng"))).alias("__i"),
+        "__t",
+    ).select("__id", F.substring(F.col("__t"), F.col("__i"), k).alias("__s"))
+    arrs = sh.groupBy("__id").agg(F.collect_set("__s").alias("__arr"))
+    pa = candidates.join(
+        arrs.select(F.col("__id").alias("id_a"), F.col("__arr").alias("__sha")),
+        "id_a",
+    )
+    pairs = pa.join(
+        arrs.select(F.col("__id").alias("id_b"), F.col("__arr").alias("__shb")),
+        "id_b",
+    )
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - inter
     jac = inter.cast("double") / union
