@@ -283,3 +283,112 @@ def histogram_quantiles(
     return picked.select(
         *keys, "p", F.round(F.col("__best.est"), 6).alias("est")
     )
+
+
+def heavy_hitters(
+    stream: DataFrame,
+    key_col: str,
+    k: int = 128,
+    capacity: int = 512,
+) -> DataFrame:
+    """Exact φ-heavy-hitters (φ = 1/k) over an element stream, with a
+    Misra–Gries candidate pass — the FREQUENT-ITEMS member of the
+    mergeable-sketch trio (distinct → HLL ``sketch_merge_distinct_users``,
+    quantile → :func:`histogram_sketch`, frequency → this).
+
+    Why not plain ``groupBy(key).count()``: the map-side combiner's
+    hash map — and the shuffle it feeds — is sized by the PER-PARTITION
+    DISTINCT key count.  For Zipf-tailed streams (user ids, URLs,
+    ngrams) that is nearly the stream itself, and at 100 TB the answer
+    "which keys exceed 1/k of all traffic" does not need that shuffle:
+
+    - **Pass 1 (candidates, shuffle-free)**: each partition folds its
+      rows through a Misra–Gries summary of ≤ *capacity* counters
+      (Arrow-batched ``mapInPandas``; per batch an exact Counter is
+      MG-MERGED into the running summary by subtracting the
+      (capacity+1)-th largest count — the Agarwal-et-al mergeable-
+      summaries rule, total undercount ≤ n_p/(capacity+1)).  Output is
+      ≤ capacity rows per partition.  Any key with global count
+      ≥ N/k appears in at least one partition summary whenever
+      capacity ≥ k: if it survived nowhere, its count would be
+      ≤ Σ_p n_p/(capacity+1) < N/k.  No false negatives, ever.
+    - **Pass 2 (exact recount)**: the ≤ capacity×P candidate keys are
+      distinct-ed (metadata-sized shuffle), broadcast, semi-joined back
+      into the stream, and counted exactly; the 1-row stream total
+      joins via the audited broadcast-crossJoin idiom.  The filter is
+      INTEGER arithmetic — ``cnt * k >= N`` — so the result set is
+      exact and engine-identical (no float threshold), and false
+      positives from pass 1 die here.
+
+    The final output is therefore EXACT (keys, counts, shares) — the
+    sketch bounds memory and shuffle width, not accuracy — which is
+    what makes this gate hash-checkable against a plain-SQL oracle.
+    NULL keys are excluded on both passes (they match no semi-join and
+    ``count(key)`` skips them).  Output: (key_col, cnt, share) with
+    share = round(cnt/N, 6).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (phi = 1/k), got {k}")
+    if capacity < k:
+        raise ValueError(
+            f"capacity ({capacity}) must be >= k ({k}) or the "
+            "Misra-Gries pass can drop a true heavy hitter"
+        )
+    from pyspark.sql import types as T
+
+    key_type = stream.schema[key_col].dataType
+    summary_schema = T.StructType([T.StructField(key_col, key_type)])
+
+    def mg_summaries(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        summary: dict = {}
+        for pdf in batches:
+            batch = Counter(pdf[key_col].dropna())
+            for key, c in batch.items():
+                summary[key] = summary.get(key, 0) + c
+            if len(summary) > capacity:
+                vals = sorted(summary.values(), reverse=True)
+                sub = vals[capacity]
+                summary = {x: c - sub for x, c in summary.items() if c > sub}
+        if summary:
+            yield pd.DataFrame({key_col: list(summary)})
+
+    keyed = stream.select(F.col(key_col)).filter(F.col(key_col).isNotNull())
+    candidates = keyed.mapInPandas(mg_summaries, schema=summary_schema).distinct()
+    total = keyed.agg(F.count("*").alias("__hh_n"))
+    counts = (
+        keyed.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k >= F.col("__hh_n"))
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__hh_n"), 6).alias("share"),
+        )
+    )
+
+
+def token_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    k: int = 128,
+    capacity: int = 512,
+) -> DataFrame:
+    """:func:`heavy_hitters` over the shared whitespace tokenizer —
+    the vocabulary-census convenience (stopword discovery, boilerplate
+    token screens).  Empty tokens (split semantics on empty text) are
+    excluded; output keys are named ``token``."""
+    from hive_scd_spark.functions import ws_tokens
+
+    stream = (
+        df.select(F.explode(ws_tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters(stream, "token", k=k, capacity=capacity)

@@ -1397,6 +1397,38 @@ def table_profile_documents(spark, sf_dir):
     return table_profile(t(spark, sf_dir, "documents"))
 
 
+def sketch_heavy_hitters(spark, sf_dir):
+    """Exact φ-heavy-hitters with a Misra–Gries candidate pass
+    (operators/profile.py:heavy_hitters) — the FREQUENT-ITEMS member of
+    the mergeable-sketch trio (HLL distinct / histogram quantile /
+    this).  The stream is a planted scale-invariant Zipf key over
+    lineitem: h = md5-uniform in [0, 2^20), key = ⌊2^20/(h+1)⌋, so
+    share(v) = 1/(v(v+1)) independent of data volume — ~10 keys exceed
+    φ = 1/128 at every SF while the distinct-key count grows with the
+    data (1130 at sf0.1 > the 256-counter summary, so the MG pruning
+    genuinely fires).  The sketch bounds memory and shuffle width; the
+    OUTPUT is exact (integer cnt·k ≥ N filter + broadcast recount), so
+    the oracle is the plain groupBy the sketch avoids shuffling."""
+    from hive_scd_spark.operators.profile import heavy_hitters
+
+    li = t(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string")
+            ),
+            1,
+            5,
+        ),
+        16,
+        10,
+    ).cast("long")
+    stream = li.select(
+        F.floor(F.lit(1048576) / (h + 1)).cast("long").alias("key")
+    )
+    return heavy_hitters(stream, "key", k=128, capacity=256)
+
+
 def dedup_exact_substring(spark, sf_dir):
     """Exact-substring dup pairs (Lee-et-al-style window dedup): star
     edges between documents sharing a verbatim 15-word window, hot
@@ -5549,6 +5581,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
     "layout_zorder_skipping": layout_zorder_skipping,
+    # r12 session-2 additions (rotation candidates for the r13 window —
+    # rotate-on-add; all DuckDB-verified by check_contract.py now):
+    "sketch_heavy_hitters": sketch_heavy_hitters,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -7564,4 +7599,20 @@ ORACLES["q21_waiting_orders"] = """
     GROUP BY 1
     ORDER BY numwait DESC, s_name
     LIMIT 20
+"""
+
+# -- round-12 session-2 additions: heavy hitters, KN trigram LM, PQ ANN ------
+
+ORACLES["sketch_heavy_hitters"] = """
+    WITH s AS (
+      SELECT CAST(FLOOR(1048576 / (
+               ('0x' || substr(md5(CAST(l_orderkey*8 + l_linenumber AS VARCHAR)),
+                       1, 5))::BIGINT + 1)) AS BIGINT) AS key
+      FROM lineitem),
+    tot AS (SELECT count(*) AS n FROM s),
+    c AS (SELECT key, count(*) AS cnt FROM s GROUP BY 1)
+    SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+           ROUND(CAST(c.cnt AS DOUBLE) / tot.n, 6) AS share
+    FROM c, tot
+    WHERE c.cnt * 128 >= tot.n
 """
