@@ -596,3 +596,163 @@ def compression_ratio(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         per_batch, schema=out_schema
     )
+
+
+def kn_trigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+    train: DataFrame | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring — the published CCNet
+    recipe's model class (KenLM is a KN n-gram LM; this is its n=3
+    form, trained distributedly).  :func:`bigram_logprob`'s add-one
+    model over-penalizes rare-but-real continuations; KN's absolute
+    discount + CONTINUATION counts ("how many contexts has this word
+    completed") is the standard fix, and its backoff chain is what
+    separates fluent-but-novel text from word salad.
+
+    Model (train corpus, clipped to top-*vocab_size* tokens + <unk>,
+    exactly the bigram gate's vocabulary rule), with fixed *discount*
+    D — every quantity below is a count over DISTINCT trigram types
+    except c3/c2ctx, so the whole state is type-bounded:
+
+    - c3(w1,w2,w3) trigram counts; c2ctx(w1,w2) = Σ_w3 c3 and
+      n3(w1,w2) = |{w3 : c3 > 0}|;
+    - continuation bigrams cc2(w2,w3) = |{w1 : c3 > 0}|, their context
+      sums ctx2(w2) = Σ_w3 cc2 and fan-outs n2(w2) = |{w3 : cc2 > 0}|;
+    - continuation unigrams cc1(w3) = |{w2 : cc2 > 0}|, T = Σ cc1,
+      U = |{w3 : cc1 > 0}|.
+
+    P1(w3)       = max(cc1-D,0)/T + D·U/T/(V+1)          (uniform floor)
+    P2(w3|w2)    = max(cc2-D,0)/ctx2 + (D·n2/ctx2)·P1     (else P1)
+    P3(w3|w1w2)  = max(c3-D,0)/c2ctx + (D·n3/c2ctx)·P2    (else P2)
+
+    Per scored document: avg over positions i≥3 of ln P3, plus
+    ``n_unseen`` (trigrams with c3 = 0 — the backoff events).  Docs
+    with < 3 tokens emit (0, 0, NULL); every input row survives.  The
+    expression trees are written ONCE and mirrored token-for-token in
+    the DuckDB oracle, so each ln term is engine-identical and the
+    ROUND(avg, 6) absorbs only summation order.
+
+    Scale: model tables are trigram-TYPE-bounded (vocabulary-clipped);
+    tri/ctx3/cc2 join the scored trigram stream as ordinary shuffle
+    joins (AQE broadcasts them when small), ctx2/cc1 are (V+1)-bounded
+    broadcasts, and the two scalars ride the audited 1-row
+    broadcast-crossJoin.  The per-doc pass is the bigram plan plus one
+    more shifted self-join — never a whole-document window.  No Python.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    D = float(discount)
+
+    def toks_of(frame):
+        return frame.select(
+            F.col(id_col),
+            F.filter(
+                F.coalesce(_ws_tokens(text_col), F.array().cast("array<string>")),
+                lambda t: t != "",
+            ).alias("__toks"),
+        )
+
+    train_toks = toks_of(df if train is None else train)
+    vocab = (
+        train_toks.select(F.explode("__toks").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .select("__tok", F.lit(1).alias("__inv"))
+    )
+
+    def trigrams_of(toks_frame):
+        pos = toks_frame.select(
+            id_col, F.posexplode("__toks").alias("__i", "__tok")
+        )
+        clipped = pos.join(F.broadcast(vocab), "__tok", "left").select(
+            id_col,
+            "__i",
+            F.when(F.col("__inv").isNotNull(), F.col("__tok"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__w"),
+        )
+        a = clipped.select(
+            F.col(id_col), (F.col("__i") + 2).alias("__j"), F.col("__w").alias("__w1")
+        )
+        b = clipped.select(
+            F.col(id_col), (F.col("__i") + 1).alias("__j"), F.col("__w").alias("__w2")
+        )
+        c = clipped.select(
+            F.col(id_col), F.col("__i").alias("__j"), F.col("__w").alias("__w3")
+        )
+        return a.join(b, [id_col, "__j"]).join(c, [id_col, "__j"])
+
+    train_tris = trigrams_of(train_toks)
+    tri = train_tris.groupBy("__w1", "__w2", "__w3").agg(
+        F.count("*").alias("__c3")
+    )
+    ctx3 = tri.groupBy("__w1", "__w2").agg(
+        F.sum("__c3").alias("__c2ctx"), F.count("*").alias("__n3")
+    )
+    cc2 = tri.groupBy("__w2", "__w3").agg(F.count("*").alias("__cc2"))
+    ctx2 = cc2.groupBy("__w2").agg(
+        F.sum("__cc2").alias("__ctx2"), F.count("*").alias("__n2")
+    )
+    cc1 = cc2.groupBy("__w3").agg(F.count("*").alias("__cc1"))
+    totals = cc1.agg(
+        F.sum("__cc1").alias("__T"), F.count("*").alias("__U")
+    )
+
+    scored = (
+        (train_tris if train is None else trigrams_of(toks_of(df)))
+        .join(tri, ["__w1", "__w2", "__w3"], "left")
+        .join(ctx3, ["__w1", "__w2"], "left")
+        .join(cc2, ["__w2", "__w3"], "left")
+        .join(F.broadcast(ctx2), "__w2", "left")
+        .join(F.broadcast(cc1), "__w3", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    V1 = float(vocab_size + 1)
+    Td = F.col("__T").cast("double")
+    p1 = (
+        F.greatest(F.coalesce(F.col("__cc1"), F.lit(0)).cast("double") - D, F.lit(0.0))
+        / Td
+        + F.lit(D) * F.col("__U").cast("double") / Td / F.lit(V1)
+    )
+    ctx2d = F.col("__ctx2").cast("double")
+    p2 = F.when(
+        F.col("__ctx2").isNull(), p1
+    ).otherwise(
+        F.greatest(F.coalesce(F.col("__cc2"), F.lit(0)).cast("double") - D, F.lit(0.0))
+        / ctx2d
+        + F.lit(D) * F.col("__n2").cast("double") / ctx2d * p1
+    )
+    c2ctxd = F.col("__c2ctx").cast("double")
+    p3 = F.when(
+        F.col("__c2ctx").isNull(), p2
+    ).otherwise(
+        F.greatest(F.coalesce(F.col("__c3"), F.lit(0)).cast("double") - D, F.lit(0.0))
+        / c2ctxd
+        + F.lit(D) * F.col("__n3").cast("double") / c2ctxd * p2
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum(F.when(F.col("__c3").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        F.round(F.avg(F.log(p3)), 6).alias("avg_kn_logprob"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+            "avg_kn_logprob",
+        )
+    )

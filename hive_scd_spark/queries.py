@@ -3556,6 +3556,29 @@ def text_bigram_logprob(spark, sf_dir):
     return out.select("doc_id", "n_bigrams", "n_unseen", "avg_bigram_logprob")
 
 
+def text_kn_trigram_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney trigram scoring (operators/quality.py:
+    kn_trigram_logprob) — the KenLM-class model CCNet actually filters
+    with, in the same train-on-trusted/score-the-crawl shape as the
+    bigram gate: src0+src1 train a V=30 clipped-vocab KN model, the
+    other 18 sources are scored under it.  Scored documents carry
+    trigrams the trusted corpus never saw, so all three backoff levels
+    (trigram → continuation-bigram → continuation-unigram + uniform
+    floor) execute and are value-checked — the oracle replays the
+    vocabulary cut, every count table (c3/c2ctx/n3, cc2/ctx2/n2,
+    cc1/T/U), and each ln term with a token-identical expression
+    tree."""
+    from hive_scd_spark.operators.quality import kn_trigram_logprob
+
+    docs = t(spark, sf_dir, "documents")
+    is_tr = F.col("source").isin("src0", "src1")
+    out = kn_trigram_logprob(
+        docs.filter(~is_tr), "doc_id", "text", vocab_size=30,
+        train=docs.filter(is_tr),
+    )
+    return out.select("doc_id", "n_trigrams", "n_unseen", "avg_kn_logprob")
+
+
 def sample_embedding_diverse(spark, sf_dir):
     """Diversity (cluster-balanced) sampling: LSH buckets as cheap
     semantic clusters (similarity.py: lsh_bucketize, 8 md5-derived
@@ -5584,6 +5607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12 session-2 additions (rotation candidates for the r13 window —
     # rotate-on-add; all DuckDB-verified by check_contract.py now):
     "sketch_heavy_hitters": sketch_heavy_hitters,
+    "text_kn_trigram_logprob": text_kn_trigram_logprob,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -7615,4 +7639,80 @@ ORACLES["sketch_heavy_hitters"] = """
            ROUND(CAST(c.cnt AS DOUBLE) / tot.n, 6) AS share
     FROM c, tot
     WHERE c.cnt * 128 >= tot.n
+"""
+
+ORACLES["text_kn_trigram_logprob"] = """
+    WITH tr AS (SELECT text FROM documents WHERE source IN ('src0','src1')),
+    sc0 AS (SELECT doc_id, text FROM documents
+            WHERE source NOT IN ('src0','src1')),
+    trt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t <> '') AS ts FROM tr),
+    vocab AS (SELECT t FROM (SELECT unnest(ts) AS t FROM trt)
+              GROUP BY t ORDER BY count(*) DESC, t LIMIT 30),
+    vl AS (SELECT LIST(t) AS vs FROM vocab),
+    trc AS (SELECT list_transform(ts,
+               x -> CASE WHEN list_contains(vl.vs, x)
+                         THEN x ELSE '<unk>' END) AS ws FROM trt, vl),
+    trg AS (SELECT unnest(list_transform(range(1, CAST(len(ws)-1 AS BIGINT)),
+                                         i -> [ws[i], ws[i+1], ws[i+2]])) AS g
+            FROM trc WHERE len(ws) >= 3),
+    t3 AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3 FROM trg),
+    tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+            FROM t3 GROUP BY 1, 2, 3),
+    ctx3 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2ctx,
+                    CAST(count(*) AS BIGINT) AS n3 FROM tri GROUP BY 1, 2),
+    cb AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS b_cc2
+           FROM tri GROUP BY 1, 2),
+    cbx AS (SELECT w2, CAST(SUM(b_cc2) AS BIGINT) AS ctx2s,
+                   CAST(count(*) AS BIGINT) AS n2 FROM cb GROUP BY 1),
+    cu AS (SELECT w3, CAST(count(*) AS BIGINT) AS u_cc1 FROM cb GROUP BY 1),
+    tot AS (SELECT CAST(SUM(u_cc1) AS BIGINT) AS tt,
+                   CAST(count(*) AS BIGINT) AS uu FROM cu),
+    sct AS (SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t <> '') AS ts FROM sc0),
+    scc AS (SELECT doc_id, list_transform(ts,
+               x -> CASE WHEN list_contains(vl.vs, x)
+                         THEN x ELSE '<unk>' END) AS ws FROM sct, vl),
+    scg AS (SELECT doc_id,
+                   unnest(list_transform(range(1, CAST(len(ws)-1 AS BIGINT)),
+                                         i -> [ws[i], ws[i+1], ws[i+2]])) AS g
+            FROM scc WHERE len(ws) >= 3),
+    st3 AS (SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3 FROM scg),
+    j AS (SELECT st3.doc_id, tri.c3, ctx3.c2ctx, ctx3.n3, cb.b_cc2,
+                 cbx.ctx2s, cbx.n2, cu.u_cc1, tot.tt, tot.uu
+          FROM st3
+          LEFT JOIN tri USING (w1, w2, w3)
+          LEFT JOIN ctx3 USING (w1, w2)
+          LEFT JOIN cb USING (w2, w3)
+          LEFT JOIN cbx USING (w2)
+          LEFT JOIN cu USING (w3)
+          CROSS JOIN tot),
+    p1c AS (SELECT *,
+              GREATEST(CAST(COALESCE(u_cc1, 0) AS DOUBLE) - 0.75, 0.0)
+                / CAST(tt AS DOUBLE)
+              + 0.75 * CAST(uu AS DOUBLE) / CAST(tt AS DOUBLE) / 31.0 AS p1
+            FROM j),
+    p2c AS (SELECT *,
+              CASE WHEN ctx2s IS NULL THEN p1
+                   ELSE GREATEST(CAST(COALESCE(b_cc2, 0) AS DOUBLE) - 0.75, 0.0)
+                          / CAST(ctx2s AS DOUBLE)
+                        + 0.75 * CAST(n2 AS DOUBLE) / CAST(ctx2s AS DOUBLE) * p1
+              END AS p2
+            FROM p1c),
+    p3c AS (SELECT *,
+              CASE WHEN c2ctx IS NULL THEN p2
+                   ELSE GREATEST(CAST(COALESCE(c3, 0) AS DOUBLE) - 0.75, 0.0)
+                          / CAST(c2ctx AS DOUBLE)
+                        + 0.75 * CAST(n3 AS DOUBLE) / CAST(c2ctx AS DOUBLE) * p2
+              END AS p3
+            FROM p2c),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   CAST(SUM(CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unseen,
+                   ROUND(AVG(ln(p3)), 6) AS avg_kn_logprob
+            FROM p3c GROUP BY 1)
+    SELECT d.doc_id, COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+           COALESCE(agg.n_unseen, 0) AS n_unseen, agg.avg_kn_logprob
+    FROM sc0 d LEFT JOIN agg USING (doc_id)
 """
