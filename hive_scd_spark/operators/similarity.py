@@ -595,3 +595,219 @@ def hash_embed(
         ),
     )
     return dense.select(F.col(id_col), vec.alias("vec"), F.col("n_tokens"))
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Product-quantization codebooks: split *dim* into *n_sub* equal
+    subspaces and train an independent :func:`kmeans_centroids`
+    codebook of *n_codes* entries in each — the Jégou-et-al PQ recipe,
+    each stage reusing this module's deterministic k-means (md5-seeded
+    init, fixed Lloyd iterations, round-6 argmax ties), so the whole
+    training replays in SQL.  Output: (sub_id, list_id, __centv,
+    __centn) — n_sub × n_codes rows, metadata-sized, always broadcast.
+
+    Scale: PQ is the memory lever brute-force and IVF lack — a
+    64-float vector (256 B) becomes n_sub code bytes (64× at 4×16),
+    which is what lets a 100 TB embedding corpus keep its ANN index
+    in cluster RAM.  Training cost is n_sub runs of the k-means pass
+    (train on a ``sample_mod`` slice at scale, exactly as IVF does)."""
+    if dim % n_sub != 0:
+        raise ValueError(f"dim ({dim}) must divide evenly into n_sub ({n_sub})")
+    w = dim // n_sub
+    parts = []
+    for s in range(n_sub):
+        sliced = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * w + 1, w).alias(vec_col)
+        )
+        cent = kmeans_centroids(
+            sliced, id_col, vec_col,
+            n_lists=n_codes, n_iter=n_iter, sample_mod=sample_mod,
+        )
+        parts.append(
+            cent.select(F.lit(s).alias("sub_id"), "list_id", "__centv", "__centn")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _subvectors(df, id_col, vec_col, dim, n_sub):
+    """(id, sub_id, __v, __n) — one row per (vector, subspace)."""
+    w = dim // n_sub
+    subs = F.array(
+        *[F.slice(F.col(vec_col), s * w + 1, w) for s in range(n_sub)]
+    )
+    return df.select(F.col(id_col), F.posexplode(subs).alias("sub_id", "__v")).select(
+        id_col, "sub_id", "__v", vector_norm(F.col("__v")).alias("__n")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+) -> DataFrame:
+    """Encode each vector as *n_sub* codebook indices: per subspace the
+    nearest (round-6 cosine, ties → smallest code) codebook entry —
+    the same argmax contract as :func:`_nearest_centroid`.  Output:
+    (id_col, codes array<long>, ordered by sub_id).  One broadcast of
+    the codebooks + one corpus pass; the only shuffle is the n_sub-row
+    per-vector code collection (map-side combined)."""
+    subv = _subvectors(df, id_col, vec_col, dim, n_sub)
+    scored = subv.join(F.broadcast(codebooks), "sub_id").select(
+        id_col,
+        "sub_id",
+        F.struct(
+            _pair_cos(F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn"))
+            .alias("sim"),
+            (-F.col("list_id")).alias("neg_list"),
+        ).alias("__sl"),
+    )
+    best = scored.groupBy(id_col, "sub_id").agg(F.max("__sl").alias("__best"))
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("sub_id", (-F.col("__best.neg_list")).alias("code"))
+                    )
+                ),
+                lambda s: s.code,
+            ).alias("codes")
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    n_candidates: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k: score every encoded corpus vector
+    against each query through the PQ lookup table (one dot product
+    per (query, subspace, code) — n_q × n_sub × n_codes entries, never
+    per corpus row), shortlist the *n_candidates* best ADC scores, and
+    exact-rerank only the shortlist to the final *k*.
+
+    Determinism discipline: every LUT entry is ROUND(dot, 6); the ADC
+    score is the FIXED-ORDER sum lut[0][c0] + lut[1][c1] + ... (an
+    explicit n_sub-term expression, not an aggregate — float addition
+    order is part of the cross-engine contract); both ranks break ties
+    on neighbor id.  Output: (query_id, neighbor_id, cos, rk).
+
+    Scale: the corpus is touched twice — once through its CODES (n_sub
+    longs per row, the 64×-compressed representation), once for the
+    |queries| × n_candidates rerank rows fetched by broadcast
+    semi-join.  Full vectors never shuffle; the LUT and query set ride
+    one broadcast."""
+    from functools import reduce as _reduce
+
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, n_sub)
+    qsub = _subvectors(queries, id_col, vec_col, dim, n_sub).withColumnRenamed(
+        id_col, "query_id"
+    )
+    lut_entries = qsub.join(F.broadcast(codebooks), "sub_id").select(
+        "query_id",
+        "sub_id",
+        "list_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.col("__centv"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("d"),
+    )
+    lut = (
+        lut_entries.groupBy("query_id", "sub_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("list_id", "d"))),
+                lambda s: s.d,
+            ).alias("tbl")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "tbl"))),
+                lambda s: s.tbl,
+            ).alias("lut")
+        )
+    )
+    adc = F.round(
+        _reduce(
+            lambda a, b: a + b,
+            [
+                F.element_at(
+                    F.element_at("lut", s + 1),
+                    F.element_at("codes", s + 1).cast("int") + 1,
+                )
+                for s in range(n_sub)
+            ],
+        ),
+        6,
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(lut))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    wa = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("__ark", F.row_number().over(wa))
+        .filter(F.col("__ark") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        vector_norm(F.col(vec_col)).alias("__cn"),
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        vector_norm(F.col(vec_col)).alias("__qn"),
+    )
+    rerank = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pair_cos(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rk")
+    )

@@ -1970,6 +1970,26 @@ def ivf_kmeans_topk(spark, sf_dir):
     return ivf_cosine_topk(emb, queries, k=5, n_probe=8, centroids=cent)
 
 
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py: pq_codebooks
+    / pq_encode / pq_adc_topk) — the memory lever the ANN family was
+    missing: brute force scans vectors, IVF prunes WHICH vectors are
+    scanned, PQ shrinks WHAT is scanned (64 floats → 4 code bytes,
+    64×).  Four 16-dim subspaces each train the module's deterministic
+    k-means (16 codes, 2 Lloyd iterations); queries score the whole
+    corpus through a 4×16-entry lookup table with a FIXED-ORDER 4-term
+    ADC sum, shortlist 32, exact-rerank to top-5.  The oracle replays
+    all four k-means trainings, the encode argmax, every LUT entry,
+    the ADC sum in the same addition order, and both ranks — full
+    value-level verification of the entire PQ pipeline."""
+    from hive_scd_spark.operators.similarity import pq_adc_topk, pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, dim=64, n_sub=4, n_codes=16, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(emb, queries, cb, dim=64, n_sub=4, n_candidates=32, k=5)
+
+
 def sample_deterministic(spark, sf_dir):
     """Reproducible sampling — the training-pipeline requirement Spark's
     ``df.sample`` (partition-layout-dependent RNG) cannot give: hash the
@@ -5608,6 +5628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotate-on-add; all DuckDB-verified by check_contract.py now):
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "text_kn_trigram_logprob": text_kn_trigram_logprob,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -7716,3 +7737,126 @@ ORACLES["text_kn_trigram_logprob"] = """
            COALESCE(agg.n_unseen, 0) AS n_unseen, agg.avg_kn_logprob
     FROM sc0 d LEFT JOIN agg USING (doc_id)
 """
+
+
+# Full PQ replication in SQL (same discipline as the ivf_kmeans_topk
+# oracle): each of the four subspace k-means trainings is replayed
+# CTE-by-CTE (md5-seeded init, two Lloyd iterations, round-6 argmax
+# ties), then the encode argmax, every LUT entry, the fixed-order
+# 4-term ADC sum, the 32-candidate shortlist, and the exact rerank.
+def _pq_sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _pq_assign_cte(norms: str, cent: str) -> str:
+    dot = _pq_sql_dot("v.emb", "c.centv")
+    return f"""
+      SELECT vec_id, list_id FROM (
+        SELECT v.vec_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 ROUND({dot} / (v.nrm * c.centn), 6) DESC, c.list_id ASC) AS rk
+        FROM {norms} v, {cent} c) WHERE rk = 1"""
+
+
+def _pq_mean_cte(assign: str, norms: str) -> str:
+    return f"""
+      SELECT list_id, centv,
+             SQRT(list_sum(list_transform(centv,
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS centn
+      FROM (
+        SELECT list_id, list(avgv ORDER BY pos) AS centv FROM (
+          SELECT a.list_id, u.pos, AVG(u.val) AS avgv
+          FROM {assign} a JOIN {norms} n USING (vec_id),
+               LATERAL (SELECT unnest(n.emb) AS val,
+                               generate_subscripts(n.emb, 1) AS pos) u
+          GROUP BY a.list_id, u.pos)
+        GROUP BY list_id)"""
+
+
+def _pq_oracle(n_sub: int = 4, width: int = 16, n_codes: int = 16) -> str:
+    ctes = []
+    for s in range(n_sub):
+        lo, hi = s * width + 1, (s + 1) * width
+        ctes.append(
+            f"""norms{s} AS (
+      SELECT vec_id, embedding[{lo}:{hi}] AS emb,
+             SQRT(list_sum(list_transform(embedding[{lo}:{hi}],
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)"""
+        )
+        ctes.append(
+            f"""seed{s} AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS list_id,
+             emb AS centv, nrm AS centn
+      FROM norms{s} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_codes})"""
+        )
+        ctes.append(f"a{s}1 AS ({_pq_assign_cte(f'norms{s}', f'seed{s}')})")
+        ctes.append(f"c{s}1 AS ({_pq_mean_cte(f'a{s}1', f'norms{s}')})")
+        ctes.append(f"a{s}2 AS ({_pq_assign_cte(f'norms{s}', f'c{s}1')})")
+        ctes.append(f"c{s}2 AS ({_pq_mean_cte(f'a{s}2', f'norms{s}')})")
+        ctes.append(f"enc{s} AS ({_pq_assign_cte(f'norms{s}', f'c{s}2')})")
+        lut_dot = _pq_sql_dot("v.emb", "c.centv")
+        ctes.append(
+            f"""lut{s} AS (
+      SELECT v.vec_id AS query_id, c.list_id, ROUND({lut_dot}, 6) AS d
+      FROM norms{s} v, c{s}2 c WHERE v.vec_id < 8)"""
+        )
+    enc_joins = "\n      ".join(
+        f"JOIN enc{s} e{s} USING (vec_id)" for s in range(1, n_sub)
+    )
+    lut_joins = "\n      ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = l0.query_id "
+        f"AND l{s}.list_id = e{s}.list_id"
+        for s in range(1, n_sub)
+    )
+    adc_sum = " + ".join(f"l{s}.d" for s in range(n_sub))
+    ctes.append(
+        f"""scored AS (
+      SELECT l0.query_id, e0.vec_id AS neighbor_id,
+             ROUND({adc_sum}, 6) AS adc
+      FROM enc0 e0
+      {enc_joins}
+      JOIN lut0 l0 ON l0.list_id = e0.list_id
+      {lut_joins}
+      WHERE e0.vec_id != l0.query_id)"""
+    )
+    ctes.append(
+        """shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id ASC) AS ark
+        FROM scored) WHERE ark <= 32)"""
+    )
+    full_dot = _pq_sql_dot("q.embedding", "n.embedding")
+    ctes.append(
+        """fnorm AS (
+      SELECT vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)"""
+    )
+    ctes.append(
+        f"""rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND({full_dot} / (q.nrm * n.nrm), 6) AS cos
+      FROM shortlist s
+      JOIN fnorm q ON q.vec_id = s.query_id
+      JOIN fnorm n ON n.vec_id = s.neighbor_id)"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, neighbor_id, cos, rk FROM (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rk
+      FROM rer) WHERE rk <= 5
+"""
+
+
+ORACLES["ann_pq_adc_topk"] = _pq_oracle()

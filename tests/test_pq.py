@@ -1,0 +1,101 @@
+"""Product quantization (operators/similarity.py: pq_codebooks /
+pq_encode / pq_adc_topk).
+
+The gate `ann_pq_adc_topk` value-checks the whole pipeline against a
+full SQL replay; these tests carry the structural and quality
+evidence: codebook/code shapes, determinism, the exact-when-unpruned
+guarantee (shortlist = corpus -> identical to brute force), and the
+ADC signal (shortlist of 32 beats a random shortlist by a wide
+margin on the structure-free random fixture — the PQ worst case)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_scd_spark.operators.similarity import (
+    cosine_topk,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+)
+
+N_SUB, N_CODES, DIM = 4, 16, 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cb(emb):
+    c = pq_codebooks(emb, dim=DIM, n_sub=N_SUB, n_codes=N_CODES, n_iter=2).persist()
+    c.count()
+    yield c
+    c.unpersist()
+
+
+def test_codebook_shape(cb):
+    rows = cb.collect()
+    assert len(rows) == N_SUB * N_CODES
+    seen = {(r["sub_id"], r["list_id"]) for r in rows}
+    assert seen == {(s, l) for s in range(N_SUB) for l in range(N_CODES)}
+    assert all(len(r["__centv"]) == DIM // N_SUB for r in rows)
+
+
+def test_encode_shape_and_range(emb, cb):
+    codes = pq_encode(emb, cb, dim=DIM, n_sub=N_SUB)
+    rows = codes.collect()
+    assert len(rows) == emb.count()  # every vector encodes
+    for r in rows[:50]:
+        cs = list(r["codes"])
+        assert len(cs) == N_SUB
+        assert all(0 <= c < N_CODES for c in cs)
+
+
+def test_encode_deterministic(emb, cb):
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb, dim=DIM, n_sub=N_SUB).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb, dim=DIM, n_sub=N_SUB).collect()}
+    assert a == b
+
+
+def _recall(got, exact):
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    return len(g & e) / len(e)
+
+
+def test_exact_when_shortlist_is_corpus(emb, cb):
+    """n_candidates >= corpus: ADC prunes nothing, the exact rerank
+    must reproduce brute force bit-for-bit (same round-6 cosine, same
+    tiebreak)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    got = pq_adc_topk(emb, q, cb, dim=DIM, n_sub=N_SUB, n_candidates=n, k=5)
+    exact = cosine_topk(emb, q, k=5)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(got) == as_set(exact)
+
+
+def test_adc_signal_beats_random_shortlist(emb, cb):
+    """Random 64-dim vectors are the PQ worst case (no cluster
+    structure, concentrated cosines); even there the 32-candidate ADC
+    shortlist must far exceed the 32/500 ~ 6.4% a random shortlist
+    yields.  Measured 0.38 on this fixture; pin a safe floor."""
+    q = emb.filter(F.col("vec_id") < 20)
+    got = pq_adc_topk(emb, q, cb, dim=DIM, n_sub=N_SUB, n_candidates=32, k=5)
+    assert _recall(got, cosine_topk(emb, q, k=5)) >= 0.2
+
+
+def test_recall_monotone_in_candidates(emb, cb):
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, q, k=5)
+    r32 = _recall(pq_adc_topk(emb, q, cb, dim=DIM, n_sub=N_SUB, n_candidates=32, k=5), exact)
+    r128 = _recall(pq_adc_topk(emb, q, cb, dim=DIM, n_sub=N_SUB, n_candidates=128, k=5), exact)
+    assert r128 >= r32
+
+
+def test_dim_divisibility_guard(emb):
+    with pytest.raises(ValueError, match="divide"):
+        pq_codebooks(emb, dim=64, n_sub=5)
