@@ -125,6 +125,15 @@ HEADLINE = [
     # the mix → repeat-explode → shuffle → pack composed capstone
     "dedup_winnow_capped",
     "pipeline_mix_shuffle_pack",
+    # round-12 session 2: the frequent-items sketch (MG candidates +
+    # exact broadcast recount), the KN trigram LM (train src0+src1,
+    # score 18 sources — the KenLM-class CCNet filter), and PQ ANN
+    # (4 subspace k-means trainings + ADC shortlist + exact rerank;
+    # builder is pure plan construction except the 4 metadata-sized
+    # seed collects, which stay untimed like ivf_cosine_topk's)
+    "sketch_heavy_hitters",
+    "text_kn_trigram_logprob",
+    "ann_pq_adc_topk",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -194,6 +203,10 @@ ITERATIVE = {
     # r12: composes shuffle_corpus (distributed_rank) + pack_sequences
     # (distributed_prefix_sum) — both collect partition counts at build
     "pipeline_mix_shuffle_pack",
+    # r12 session 2: the 4 subspace k-means trainings collect their
+    # metadata-sized seed rows at build time (4 small topK jobs) — the
+    # training cost belongs inside the timed window
+    "ann_pq_adc_topk",
 }
 
 

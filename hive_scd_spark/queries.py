@@ -5475,12 +5475,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_warc_scan": source_warc_scan,
     "pipeline_crawl_to_corpus": pipeline_crawl_to_corpus,
     "dedup_url_canonical": dedup_url_canonical,
-    "select_dsir_weights": select_dsir_weights,
     "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
     "text_url_optout_screen": text_url_optout_screen,
+    # r12 session-2 rotation (rotate-on-add, the r10/r11 precedent):
+    # the three operators built mid-round take window slots immediately.
+    # In: sketch_heavy_hitters (frequent-items joins the mergeable-
+    # sketch family in-window), text_kn_trigram_logprob (the KenLM-
+    # class CCNet filter; LM scoring keeps text_bigram_logprob too),
+    # ann_pq_adc_topk (ANN regains a window representative — the whole
+    # ladder had rotated out).  Out (each driver-green r10+r11, still
+    # DuckDB-verified every round via scripts/check_contract.py):
+    # select_dsir_weights (x2 — selection keeps dsir_gumbel_topk,
+    # which scores THROUGH the weights path), select_quality_floor
+    # (x2 — quality gains the KN gate), sample_split_by_cluster (x2 —
+    # sampling keeps four fresh window reps: temperature_mix,
+    # shuffle_order, split_assign, embedding_diverse).
+    "sketch_heavy_hitters": sketch_heavy_hitters,
+    "text_kn_trigram_logprob": text_kn_trigram_logprob,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
+    # --- beyond the driver window (slot >50) ----------------------------
+    # r12 session-2 displaced veterans (see the rotation comment above):
+    "select_dsir_weights": select_dsir_weights,
     "select_quality_floor": select_quality_floor,
     "sample_split_by_cluster": sample_split_by_cluster,
-    # --- beyond the driver window (slot >50) ----------------------------
     # r12 displaced veterans (see the r12 rotation comment above):
     "q21_waiting_orders": q21_waiting_orders,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -5624,11 +5641,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
     "layout_zorder_skipping": layout_zorder_skipping,
-    # r12 session-2 additions (rotation candidates for the r13 window —
-    # rotate-on-add; all DuckDB-verified by check_contract.py now):
-    "sketch_heavy_hitters": sketch_heavy_hitters,
-    "text_kn_trigram_logprob": text_kn_trigram_logprob,
-    "ann_pq_adc_topk": ann_pq_adc_topk,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)

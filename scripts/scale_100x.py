@@ -481,6 +481,43 @@ def main():
             keep_cols=("doc_id", "rep"),
         )
 
+    def hh_gate(od):
+        # r12 session 2: frequent-items sketch over a scale-invariant
+        # Zipf stream keyed off the replicated orders (15M elements at
+        # 100x) — distinct keys grow with the stream, the hitter set
+        # does not; MG pruning + the broadcast recount both scale
+        from hive_scd_spark.operators.profile import heavy_hitters
+
+        h = F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 5), 16, 10
+        ).cast("long")
+        stream = od.select(
+            F.floor(F.lit(1048576) / (h + 1)).cast("long").alias("key")
+        )
+        return heavy_hitters(stream, "key", k=128, capacity=256)
+
+    def kn_gate(d):
+        # r12 session 2: KN trigram — model state V-clipped whatever
+        # the corpus; scoring is the bigram plan + one more self-join
+        from hive_scd_spark.operators.quality import kn_trigram_logprob
+
+        is_tr = F.col("source").isin("src0", "src1")
+        return kn_trigram_logprob(
+            d.filter(~is_tr), "doc_id", "text", vocab_size=30,
+            train=d.filter(is_tr),
+        )
+
+    def pq_gate(emb):
+        # r12 session 2: PQ end-to-end; codebook and query set fixed
+        # (recipe constants), so training+encode+ADC are all ~linear
+        from hive_scd_spark.operators.similarity import pq_adc_topk, pq_codebooks
+
+        cb = pq_codebooks(emb, dim=64, n_sub=4, n_codes=16, n_iter=2)
+        return pq_adc_topk(
+            emb, emb.filter(F.col("vec_id") < 8), cb,
+            dim=64, n_sub=4, n_candidates=32, k=5,
+        )
+
     doc_experiments = [
         ("dedup_minhash_lsh", minhash_gate),
         ("dedup_exact_substring", substring_gate),
@@ -510,15 +547,22 @@ def main():
         ("dedup_winnow_capped", winnow_capped_gate),
         ("source_warc_reshard_multi", reshard_multi_gate),
         ("pipeline_mix_shuffle_pack", mix_pack_gate),
+        # round-12 session 2: the KenLM-class KN trigram filter
+        ("text_kn_trigram_logprob", kn_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),
         ("ann_lsh_topk", ann_gate),
+        # round-12 session 2: PQ end-to-end
+        ("ann_pq_adc_topk", pq_gate),
     ]
     experiments = (
         [(lbl, fn, docs1, docs100) for lbl, fn in doc_experiments]
         + [(lbl, fn, emb1, emb100) for lbl, fn in emb_experiments]
         + [("sketch_quantile_totalprice", sketch_gate, orders1, orders100)]
+        # round-12 session 2: frequent-items sketch over the 15M-element
+        # Zipf stream derived from replicated orders
+        + [("sketch_heavy_hitters", hh_gate, orders1, orders100)]
     )
     # Inter-experiment isolation (session.gc_isolate — its docstring
     # carries the full two-mechanism rationale): at n=100 a dozen heavy

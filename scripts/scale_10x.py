@@ -545,6 +545,44 @@ def main():
         return winnow_dup_pairs(d, "doc_id", "text", min_shared=5)
 
     # events from load_events use ts_us already prepared; keep raw-col path here
+    def hh_gate(ev):
+        # r12 session 2: frequent-items sketch over a scale-invariant
+        # Zipf stream (share(v)=1/(v(v+1))) — distinct keys grow with
+        # the stream, so the MG pruning and the candidate recount both
+        # scale; the heavy-hitter SET is size-independent by design
+        from hive_scd_spark.operators.profile import heavy_hitters
+
+        h = F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 5), 16, 10
+        ).cast("long")
+        stream = ev.select(
+            F.floor(F.lit(1048576) / (h + 1)).cast("long").alias("key")
+        )
+        return heavy_hitters(stream, "key", k=128, capacity=256)
+
+    def kn_gate(d):
+        # r12 session 2: KN trigram — same train/score split as the
+        # bigram row; model state stays V-clipped whatever the corpus
+        from hive_scd_spark.operators.quality import kn_trigram_logprob
+
+        is_tr = F.col("source").isin("src0", "src1")
+        return kn_trigram_logprob(
+            d.filter(~is_tr), "doc_id", "text", vocab_size=30,
+            train=d.filter(is_tr),
+        )
+
+    def pq_gate(emb):
+        # r12 session 2: PQ end-to-end (4 subspace trainings + encode +
+        # ADC + rerank); codebook size fixed (16 codes is a property of
+        # the recipe, not the corpus), queries fixed — expect ~linear
+        from hive_scd_spark.operators.similarity import pq_adc_topk, pq_codebooks
+
+        cb = pq_codebooks(emb, dim=64, n_sub=4, n_codes=16, n_iter=2)
+        return pq_adc_topk(
+            emb, emb.filter(F.col("vec_id") < 8), cb,
+            dim=64, n_sub=4, n_candidates=32, k=5,
+        )
+
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
         ("shard_assignment", shard_gate, docs1, docs10),
@@ -590,6 +628,10 @@ def main():
         ("source_warc_reshard_multi", reshard_multi_gate, docs1, docs10),
         ("dedup_winnow_capped", winnow_capped_gate, docs1, docs10),
         ("pipeline_mix_shuffle_pack", mix_pack_gate, docs1, docs10),
+        # round-12 session 2: frequent-items sketch, KN trigram, PQ ANN
+        ("sketch_heavy_hitters", hh_gate, ev1, ev10),
+        ("text_kn_trigram_logprob", kn_gate, docs1, docs10),
+        ("ann_pq_adc_topk", pq_gate, emb1, emb10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

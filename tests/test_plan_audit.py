@@ -135,6 +135,13 @@ SWEEP = [
     # into a broadcast; an equi-join on a constant key constant-folds
     # back to the same BNLJ, so the exemption is the honest shape)
     ("decontam_bloom_screen", {"nested-loop"}),
+    # r12 session-2 additions: heavy hitters and KN trigram are clean
+    # (their 1-row totals ride the recognized one-row-aggregate
+    # broadcast); PQ's BNLJ builds are the query-set-bounded LUT and
+    # the n_sub x n_codes codebook — the ANN bounded-build contract
+    ("sketch_heavy_hitters", set()),
+    ("text_kn_trigram_logprob", set()),
+    ("ann_pq_adc_topk", {"nested-loop"}),
 ]
 
 
