@@ -285,6 +285,41 @@ def histogram_quantiles(
     )
 
 
+def mg_candidates(keyed: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """The Misra-Gries candidate pass shared by :func:`heavy_hitters`
+    and the streaming ``frequent_ingest_sink``: fold each partition of
+    the NON-NULL key stream through a ≤ *capacity*-counter MG summary
+    (per Arrow batch an exact Counter is merged by the Agarwal-et-al
+    subtract-the-(capacity+1)th-largest rule; total undercount per
+    partition ≤ n_p/(capacity+1)), then distinct the survivors.
+    Guarantee: every key with stream frequency > N/(capacity+1)
+    appears in the output.  ≤ capacity rows per partition, shuffle
+    only over the metadata-sized candidate set."""
+    from pyspark.sql import types as T
+
+    key_type = keyed.schema[key_col].dataType
+    summary_schema = T.StructType([T.StructField(key_col, key_type)])
+
+    def mg_summaries(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        summary: dict = {}
+        for pdf in batches:
+            batch = Counter(pdf[key_col].dropna())
+            for key, c in batch.items():
+                summary[key] = summary.get(key, 0) + c
+            if len(summary) > capacity:
+                vals = sorted(summary.values(), reverse=True)
+                sub = vals[capacity]
+                summary = {x: c - sub for x, c in summary.items() if c > sub}
+        if summary:
+            yield pd.DataFrame({key_col: list(summary)})
+
+    return keyed.mapInPandas(mg_summaries, schema=summary_schema).distinct()
+
+
 def heavy_hitters(
     stream: DataFrame,
     key_col: str,
@@ -334,30 +369,8 @@ def heavy_hitters(
             f"capacity ({capacity}) must be >= k ({k}) or the "
             "Misra-Gries pass can drop a true heavy hitter"
         )
-    from pyspark.sql import types as T
-
-    key_type = stream.schema[key_col].dataType
-    summary_schema = T.StructType([T.StructField(key_col, key_type)])
-
-    def mg_summaries(batches):
-        from collections import Counter
-
-        import pandas as pd
-
-        summary: dict = {}
-        for pdf in batches:
-            batch = Counter(pdf[key_col].dropna())
-            for key, c in batch.items():
-                summary[key] = summary.get(key, 0) + c
-            if len(summary) > capacity:
-                vals = sorted(summary.values(), reverse=True)
-                sub = vals[capacity]
-                summary = {x: c - sub for x, c in summary.items() if c > sub}
-        if summary:
-            yield pd.DataFrame({key_col: list(summary)})
-
     keyed = stream.select(F.col(key_col)).filter(F.col(key_col).isNotNull())
-    candidates = keyed.mapInPandas(mg_summaries, schema=summary_schema).distinct()
+    candidates = mg_candidates(keyed, key_col, capacity)
     total = keyed.agg(F.count("*").alias("__hh_n"))
     counts = (
         keyed.join(F.broadcast(candidates), key_col, "left_semi")

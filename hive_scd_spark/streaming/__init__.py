@@ -662,3 +662,114 @@ def warc_stream(spark, path: str) -> DataFrame:
         .load(path)
     )
     return binary.select("path", "content").mapInPandas(decode, schema=WARC_SCHEMA)
+
+
+def frequent_ingest_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    capacity: int = 512,
+):
+    """Continuous frequent-items maintenance — the FREQUENCY member of
+    the streaming sketch loops (distinct → minhash/embedding ingest,
+    quantile → :func:`histogram_ingest_sink`, frequency → this).  Per
+    micro-batch: the batch's Misra-Gries candidates
+    (``operators.profile.mg_candidates``, ≤ *capacity* keys per
+    partition) are exact-counted within the batch by broadcast
+    semi-join — foreachBatch re-reads the SAME static epoch data, so
+    the two-pass trick batch :func:`~hive_scd_spark.operators.profile.
+    heavy_hitters` uses survives streaming intact — and APPENDED to
+    *state_path* as (key, cnt, epoch, batch_n, capacity) rows.
+
+    What the state can answer (through :func:`read_frequent_state`):
+    for every key, exact-count-where-candidate plus a per-epoch miss
+    bound — a non-candidate of epoch b carries at most
+    ``d_b = batch_n/(capacity+1)`` occurrences (the MG pass-1
+    guarantee), so ``cnt_min ≤ c(key) ≤ cnt_min + Σ_absent d_b`` with
+    NO false negatives for any φ = 1/k ≥ 1/capacity.  This is the
+    honest streaming trade-off made explicit: the raw stream is gone,
+    so instead of a second exact pass the reader returns certified
+    [cnt_min, cnt_max] intervals.
+
+    Replay caveat (the histogram sink's, verbatim): foreachBatch is
+    at-least-once and a replayed count row double-counts; batch
+    content is deterministic per epoch, so the reader's
+    (epoch, key) dedup restores exactly-once.  Read the state through
+    :func:`read_frequent_state`, never bare ``spark.read``."""
+    from hive_scd_spark.operators.profile import mg_candidates
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        keyed = batch_df.select(F.col(key_col)).filter(F.col(key_col).isNotNull())
+        n_b = keyed.count()
+        if n_b == 0:
+            return
+        cand = mg_candidates(keyed, key_col, capacity)
+        counts = (
+            keyed.join(F.broadcast(cand), key_col, "left_semi")
+            .groupBy(key_col)
+            .agg(F.count("*").alias("cnt"))
+        )
+        (
+            counts.withColumn("epoch", F.lit(epoch_id))
+            .withColumn("batch_n", F.lit(n_b))
+            .withColumn("capacity", F.lit(capacity))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest)
+    )
+
+
+def read_frequent_state(
+    spark, state_path: str, key_col: str, k: int = 128
+) -> DataFrame:
+    """Answer "which keys exceeded 1/k of all traffic" from
+    :func:`frequent_ingest_sink` state: (key, cnt_min, cnt_max,
+    certain) for every key whose certified interval CAN reach the
+    threshold (``cnt_max·k ≥ N``) — no false negatives; ``certain``
+    marks keys whose lower bound alone clears it (``cnt_min·k ≥ N``).
+    Keys absent from every epoch's candidates carry at most
+    ``Σ_b d_b ≤ N/(capacity+1) < N/k`` occurrences, so they are
+    correctly absent.  Replayed epochs are collapsed by (epoch, key)
+    dedup before any sum.  Requires k ≤ the smallest capacity the
+    state was written with (validated — one metadata-sized first())."""
+    st = spark.read.parquet(state_path).dropDuplicates(["epoch", key_col])
+    meta = st.select("epoch", "batch_n", "capacity").distinct()
+    min_cap = meta.agg(F.min("capacity").alias("c")).first()["c"]
+    if min_cap is not None and k > min_cap:
+        raise ValueError(
+            f"k ({k}) exceeds the state's smallest capacity ({min_cap}); "
+            "the no-false-negative guarantee needs k <= capacity"
+        )
+    eps = meta.select(
+        "epoch",
+        "batch_n",
+        F.expr("batch_n div (capacity + 1)").alias("d_b"),
+    )
+    tot = eps.agg(
+        F.sum("batch_n").alias("__n"), F.sum("d_b").alias("__total_d")
+    )
+    per = (
+        st.join(eps.select("epoch", "d_b"), "epoch")
+        .groupBy(key_col)
+        .agg(F.sum("cnt").alias("cnt_min"), F.sum("d_b").alias("__present_d"))
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            key_col,
+            "cnt_min",
+            (F.col("cnt_min") + F.col("__total_d") - F.col("__present_d")).alias(
+                "cnt_max"
+            ),
+            (F.col("cnt_min") * k >= F.col("__n")).alias("certain"),
+            F.col("__n").alias("__nn"),
+        )
+        .filter(F.col("cnt_max") * k >= F.col("__nn"))
+        .drop("__nn")
+    )
