@@ -1593,3 +1593,183 @@ def parse_robots(
         )
         .distinct()
     )
+
+
+# -- span-attribute pipeline (the Dolma tagger/mixer architecture) -----------
+# Taggers and the mixer are DECOUPLED through an attribute table keyed
+# by (doc, span) with character offsets — taggers run independently
+# (and incrementally) over the span table; the mixer applies any rule
+# set without re-running a tagger.  That separation — not any single
+# filter — is the published Dolma/RedPajama pipeline architecture.
+
+
+def paragraph_spans(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """Explode each document into paragraph spans WITH character
+    offsets: (id, span_idx, span_start, span_len, span) where
+    ``text[span_start : span_start+span_len] == span`` — the offset
+    discipline an attribute file needs to stay valid against the raw
+    text it was computed from.
+
+    Offsets are built row-locally by a higher-order ``aggregate``
+    running sum over the split lengths (shuffle-free; the oracle
+    replays them with a per-document window running sum — same
+    values).  NULL text yields no spans; empty paragraphs are real
+    spans (the mixer decides their fate).  Scale: one projection +
+    one explode, no shuffle, no Python."""
+    import re as _re
+
+    parts = F.split(
+        F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep)
+    )
+    lens = F.transform(parts, lambda p: F.length(p).cast("bigint"))
+    acc0 = F.struct(
+        F.array().cast("array<bigint>").alias("st"),
+        F.lit(0).cast("bigint").alias("cur"),
+    )
+    starts = F.aggregate(
+        lens,
+        acc0,
+        lambda acc, ln: F.struct(
+            F.concat(acc.st, F.array(acc.cur)).alias("st"),
+            (acc.cur + ln + F.lit(len(sep)).cast("bigint")).alias("cur"),
+        ),
+        lambda acc: acc.st,
+    )
+    zipped = F.arrays_zip(parts.alias("span"), starts.alias("span_start"))
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(zipped).alias("span_idx", "__z"),
+    ).select(
+        id_col,
+        F.col("span_idx").cast("bigint").alias("span_idx"),
+        F.col("__z.span_start").alias("span_start"),
+        F.length("__z.span").cast("bigint").alias("span_len"),
+        F.col("__z.span").alias("span"),
+    )
+
+
+def tag_span_attrs(
+    spans: DataFrame,
+    id_col: str,
+    min_tokens: int = 3,
+    max_symbol_ratio: float = 0.5,
+) -> DataFrame:
+    """Built-in span taggers, long-form: (id, span_idx, attr, score)
+    with one row per attribute that FIRES — the Dolma attribute-file
+    shape, unioned across taggers so new taggers append without
+    touching existing rows.
+
+    - ``too_short``: fewer than *min_tokens* whitespace tokens
+      (score = token count);
+    - ``has_pii``: email / phone / IPv4 present (score = match count,
+      the redact_pii patterns and order);
+    - ``symbol_heavy``: non-alphanumeric-non-space character ratio
+      above *max_symbol_ratio* on the lowered span (score = ratio,
+      round-6).
+
+    All row-local projections over the span table — no shuffle; a
+    tagger added tomorrow reads the same span table and appends its
+    own rows."""
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("span")), r"\s+"), lambda t: t != "")
+    ).cast("double")
+    pii_n = (
+        F.regexp_count(F.col("span"), F.lit(EMAIL_REGEX))
+        + F.regexp_count(
+            F.regexp_replace(F.col("span"), EMAIL_REGEX, "<EMAIL>"),
+            F.lit(PHONE_REGEX),
+        )
+        + F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(F.col("span"), EMAIL_REGEX, "<EMAIL>"),
+                PHONE_REGEX,
+                "<PHONE>",
+            ),
+            F.lit(IPV4_REGEX),
+        )
+    ).cast("double")
+    low = F.lower(F.col("span"))
+    sym_ratio = F.round(
+        F.try_divide(
+            F.length(F.regexp_replace(low, r"[a-z0-9\s]", "")).cast("double"),
+            F.length(low).cast("double"),
+        ),
+        6,
+    )
+    base = ["span_idx"]
+    short_rows = spans.filter(toks < min_tokens).select(
+        id_col, *base, F.lit("too_short").alias("attr"), toks.alias("score")
+    )
+    pii_rows = spans.filter(pii_n > 0).select(
+        id_col, *base, F.lit("has_pii").alias("attr"), pii_n.alias("score")
+    )
+    sym_rows = spans.filter(
+        sym_ratio.isNotNull() & (sym_ratio > max_symbol_ratio)
+    ).select(
+        id_col, *base, F.lit("symbol_heavy").alias("attr"), sym_ratio.alias("score")
+    )
+    return short_rows.unionByName(pii_rows).unionByName(sym_rows)
+
+
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    text_col: str,
+    drop_attrs: tuple[str, ...],
+    sep: str = "\n\n",
+) -> DataFrame:
+    """The mixer: rebuild each document keeping only spans NOT flagged
+    with any attr in *drop_attrs* — kept spans stay VERBATIM in their
+    original order, joined by *sep*.  Output: (id, scrubbed_text,
+    n_spans_kept, n_spans_removed, chars_removed); chars_removed
+    counts span content only (separators excluded).  Every input
+    document survives — a fully-scrubbed document comes back with
+    empty text and n_spans_kept = 0.
+
+    Scale: the flag set is an anti-join on (id, span_idx) — attribute
+    rows per span are tagger-bounded; reassembly is ONE shuffle by
+    document id (the dedup_paragraphs argument); everything else is
+    row-local."""
+    flagged = (
+        attrs.filter(F.col("attr").isin(*drop_attrs))
+        .select(id_col, "span_idx")
+        .distinct()
+    )
+    kept = spans.join(flagged, [id_col, "span_idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s.span,
+            ),
+            sep,
+        ).alias("scrubbed_text"),
+        F.count("*").cast("long").alias("n_spans_kept"),
+        F.sum("span_len").cast("long").alias("__kept_chars"),
+    )
+    totals = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("__n_spans"),
+        F.sum("span_len").cast("long").alias("__total_chars"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("scrubbed_text"), F.lit("")).alias("scrubbed_text"),
+            F.coalesce(F.col("n_spans_kept"), F.lit(0)).alias("n_spans_kept"),
+            (
+                F.coalesce(F.col("__n_spans"), F.lit(0))
+                - F.coalesce(F.col("n_spans_kept"), F.lit(0))
+            ).alias("n_spans_removed"),
+            (
+                F.coalesce(F.col("__total_chars"), F.lit(0))
+                - F.coalesce(F.col("__kept_chars"), F.lit(0))
+            ).alias("chars_removed"),
+        )
+    )

@@ -1970,6 +1970,50 @@ def ivf_kmeans_topk(spark, sf_dir):
     return ivf_cosine_topk(emb, queries, k=5, n_probe=8, centroids=cent)
 
 
+def text_span_scrub(spark, sf_dir):
+    """Span-attribute pipeline (operators/text.py: paragraph_spans /
+    tag_span_attrs / scrub_spans) — the Dolma tagger/mixer architecture
+    made explicit: documents explode into paragraph spans with exact
+    character offsets (HOF running sum, shuffle-free), independent
+    row-local taggers append long-form attribute rows (too_short /
+    has_pii / symbol_heavy), and the mixer rebuilds each document
+    keeping unflagged spans verbatim.  The fixture plants a PII
+    paragraph and a too-short paragraph into every document; the
+    oracle replays the split, every tagger predicate, and the ordered
+    reassembly (string_agg ... ORDER BY span_idx).  Attribute table
+    and mixer are decoupled — a new tagger appends rows without
+    re-running the others, which is the architecture's point."""
+    from hive_scd_spark.operators.text import (
+        paragraph_spans,
+        scrub_spans,
+        tag_span_attrs,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n\ncontact me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com\n\nok\n\nclosing body paragraph for doc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    spans = paragraph_spans(docs, "doc_id", "text")
+    attrs = tag_span_attrs(spans, "doc_id", min_tokens=3, max_symbol_ratio=0.5)
+    out = scrub_spans(
+        docs, spans, attrs, "doc_id", "text",
+        drop_attrs=("too_short", "has_pii", "symbol_heavy"),
+    )
+    return out.select(
+        "doc_id",
+        F.md5("scrubbed_text").alias("scrubbed_md5"),
+        "n_spans_kept",
+        "n_spans_removed",
+        "chars_removed",
+    )
+
+
 def ann_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py: pq_codebooks
     / pq_encode / pq_adc_topk) — the memory lever the ANN family was
@@ -5476,7 +5520,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_crawl_to_corpus": pipeline_crawl_to_corpus,
     "dedup_url_canonical": dedup_url_canonical,
     "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
-    "text_url_optout_screen": text_url_optout_screen,
     # r12 session-2 rotation (rotate-on-add, the r10/r11 precedent):
     # the three operators built mid-round take window slots immediately.
     # In: sketch_heavy_hitters (frequent-items joins the mergeable-
@@ -5493,11 +5536,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "text_kn_trigram_logprob": text_kn_trigram_logprob,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    # fourth session-2 slot: text_span_scrub in (the Dolma tagger/mixer
+    # span-attribute pipeline), text_url_optout_screen out (x2 — the
+    # text-screen family stays represented in-window by text_clean_c4
+    # and text_robots_parse_screen)
+    "text_span_scrub": text_span_scrub,
     # --- beyond the driver window (slot >50) ----------------------------
     # r12 session-2 displaced veterans (see the rotation comment above):
     "select_dsir_weights": select_dsir_weights,
     "select_quality_floor": select_quality_floor,
     "sample_split_by_cluster": sample_split_by_cluster,
+    "text_url_optout_screen": text_url_optout_screen,
     # r12 displaced veterans (see the r12 rotation comment above):
     "q21_waiting_orders": q21_waiting_orders,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -7872,3 +7921,64 @@ def _pq_oracle(n_sub: int = 4, width: int = 16, n_codes: int = 16) -> str:
 
 
 ORACLES["ann_pq_adc_topk"] = _pq_oracle()
+
+ORACLES["text_span_scrub"] = """
+    WITH planted AS (
+      SELECT doc_id,
+             COALESCE(text, '') || chr(10) || chr(10)
+               || 'contact me at user' || CAST(doc_id AS VARCHAR)
+               || '@example.com' || chr(10) || chr(10) || 'ok'
+               || chr(10) || chr(10)
+               || 'closing body paragraph for doc ' || CAST(doc_id AS VARCHAR)
+               AS t
+      FROM documents),
+    sp AS (
+      SELECT doc_id, u.p AS span, u.i - 1 AS span_idx
+      FROM planted,
+           LATERAL (SELECT unnest(string_split(t, chr(10)||chr(10))) AS p,
+                           generate_subscripts(
+                             string_split(t, chr(10)||chr(10)), 1) AS i) u),
+    att AS (
+      SELECT doc_id, span_idx,
+             (len(list_filter(string_split_regex(trim(span), '\\s+'),
+                              x -> x <> '')) < 3) AS too_short,
+             (regexp_matches(span,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')
+              OR regexp_matches(
+                   regexp_replace(span,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                     '<EMAIL>', 'g'),
+                   '\\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}')
+              OR regexp_matches(
+                   regexp_replace(
+                     regexp_replace(span,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                       '<EMAIL>', 'g'),
+                     '\\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}',
+                     '<PHONE>', 'g'),
+                   '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b')) AS has_pii,
+             (len(span) > 0 AND
+              ROUND(CAST(len(regexp_replace(lower(span), '[a-z0-9\\s]', '', 'g'))
+                         AS DOUBLE) / CAST(len(span) AS DOUBLE), 6) > 0.5)
+               AS symbol_heavy
+      FROM sp),
+    kept AS (
+      SELECT sp.doc_id, sp.span, sp.span_idx
+      FROM sp JOIN att USING (doc_id, span_idx)
+      WHERE NOT (att.too_short OR att.has_pii OR att.symbol_heavy)),
+    reb AS (
+      SELECT doc_id,
+             string_agg(span, chr(10)||chr(10) ORDER BY span_idx) AS scrubbed,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(SUM(len(span)) AS BIGINT) AS kept_chars
+      FROM kept GROUP BY 1),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(SUM(len(span)) AS BIGINT) AS total_chars
+      FROM sp GROUP BY 1)
+    SELECT t2.doc_id, md5(COALESCE(reb.scrubbed, '')) AS scrubbed_md5,
+           COALESCE(reb.n_kept, 0) AS n_spans_kept,
+           t2.n_spans - COALESCE(reb.n_kept, 0) AS n_spans_removed,
+           t2.total_chars - COALESCE(reb.kept_chars, 0) AS chars_removed
+    FROM tot t2 LEFT JOIN reb USING (doc_id)
+"""
