@@ -134,6 +134,9 @@ HEADLINE = [
     "sketch_heavy_hitters",
     "text_kn_trigram_logprob",
     "ann_pq_adc_topk",
+    # round-12 session 2: the Dolma tagger/mixer span pipeline (row-
+    # local taggers + one reassembly shuffle)
+    "text_span_scrub",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

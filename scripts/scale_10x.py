@@ -583,6 +583,33 @@ def main():
             dim=64, n_sub=4, n_candidates=32, k=5,
         )
 
+    def span_scrub_gate(d):
+        # r12 session 2: span pipeline end-to-end (offset-exact split,
+        # three row-local taggers, reassembly shuffle) over the gate's
+        # planted PII/too-short paragraphs — expect ~linear
+        from hive_scd_spark.operators.text import (
+            paragraph_spans,
+            scrub_spans,
+            tag_span_attrs,
+        )
+
+        planted = d.select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("\n\ncontact me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com\n\nok\n\nclosing body paragraph for doc "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        spans = paragraph_spans(planted, "doc_id", "text")
+        attrs = tag_span_attrs(spans, "doc_id")
+        return scrub_spans(
+            planted, spans, attrs, "doc_id", "text",
+            drop_attrs=("too_short", "has_pii", "symbol_heavy"),
+        )
+
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
         ("shard_assignment", shard_gate, docs1, docs10),
@@ -632,6 +659,7 @@ def main():
         ("sketch_heavy_hitters", hh_gate, ev1, ev10),
         ("text_kn_trigram_logprob", kn_gate, docs1, docs10),
         ("ann_pq_adc_topk", pq_gate, emb1, emb10),
+        ("text_span_scrub", span_scrub_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

@@ -142,6 +142,8 @@ SWEEP = [
     ("sketch_heavy_hitters", set()),
     ("text_kn_trigram_logprob", set()),
     ("ann_pq_adc_topk", {"nested-loop"}),
+    # span pipeline: row-local taggers + one reassembly shuffle
+    ("text_span_scrub", set()),
 ]
 
 
