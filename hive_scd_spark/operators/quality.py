@@ -756,3 +756,107 @@ def kn_trigram_logprob(
             "avg_kn_logprob",
         )
     )
+
+
+def nb_logodds(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pos: DataFrame,
+    neg: DataFrame,
+    vocab_size: int = 1000,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Two-class quality classifier scoring — the GPT-3/PaLM data-
+    selection shape (train a classifier on trusted-vs-crawl, keep
+    documents the classifier likes), in its engine-exact Naive-Bayes
+    form: token log-odds between an add-one unigram model of *pos*
+    (trusted) and one of *neg* (rejected), averaged per document.
+
+    Model: the clipped top-*vocab_size* vocabulary + <unk> is cut from
+    pos ∪ neg (count desc, token asc — the bigram_logprob convention),
+    then one counting pass per class.  Per token:
+    ``llr(w) = ln((c_pos(w)+1)/(N_pos+V+1)) − ln((c_neg(w)+1)/(N_neg+V+1))``
+    and the document score is the token-average of llr, ROUND(·, 6).
+    ``kept`` = (rounded score ≥ *threshold*) — the comparison runs on
+    the already-rounded value, so it is engine-identical by
+    construction (no transcendental boundary risk; GPT-3's Pareto
+    coin-flip variant is deliberately NOT fused into the hash-checked
+    output — apply any sampling downstream on the score).
+
+    Empty/NULL docs score (0, NULL, kept=false) and every input row
+    survives.  Scale: model state is (V+1)-bounded (two count tables +
+    one 1-row totals broadcast); scoring is one explode + two
+    broadcast joins + one per-doc aggregate — the unigram_logprob plan
+    with a second model column.  No Python.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+
+    def toks_of(frame):
+        return frame.select(
+            F.col(id_col),
+            F.filter(
+                F.coalesce(_ws_tokens(text_col), F.array().cast("array<string>")),
+                lambda t: t != "",
+            ).alias("__toks"),
+        )
+
+    train = toks_of(pos).unionByName(toks_of(neg))
+    vocab = (
+        train.select(F.explode("__toks").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .select("__tok", F.lit(1).alias("__inv"))
+    )
+
+    def clipped(frame):
+        return (
+            frame.select(F.col(id_col), F.explode("__toks").alias("__tok"))
+            .join(F.broadcast(vocab), "__tok", "left")
+            .select(
+                id_col,
+                F.when(F.col("__inv").isNotNull(), F.col("__tok"))
+                .otherwise(F.lit("<unk>"))
+                .alias("__w"),
+            )
+        )
+
+    cp = clipped(toks_of(pos)).groupBy("__w").agg(F.count("*").alias("__cp"))
+    cn = clipped(toks_of(neg)).groupBy("__w").agg(F.count("*").alias("__cn"))
+    totals = (
+        cp.agg(F.sum("__cp").alias("__np"))
+        .crossJoin(cn.agg(F.sum("__cn").alias("__nn")))
+    )
+    V1 = float(vocab_size + 1)
+    scored = (
+        clipped(toks_of(df))
+        .join(F.broadcast(cp), "__w", "left")
+        .join(F.broadcast(cn), "__w", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    llr = F.log(
+        (F.coalesce(F.col("__cp"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("__np"), F.lit(0)) + V1).cast("double")
+    ) - F.log(
+        (F.coalesce(F.col("__cn"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("__nn"), F.lit(0)) + V1).cast("double")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg(llr), 6).alias("nb_logodds"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "nb_logodds",
+            F.coalesce(
+                F.col("nb_logodds") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("kept"),
+        )
+    )

@@ -618,27 +618,102 @@ def pq_codebooks(
     Scale: PQ is the memory lever brute-force and IVF lack — a
     64-float vector (256 B) becomes n_sub code bytes (64× at 4×16),
     which is what lets a 100 TB embedding corpus keep its ANN index
-    in cluster RAM.  Training cost is n_sub runs of the k-means pass
-    (train on a ``sample_mod`` slice at scale, exactly as IVF does)."""
+    in cluster RAM.  The n_sub trainings are JOINT, not sequential:
+    per-subspace argmax and means are independent, so every Lloyd
+    iteration runs over the exploded (vector, subspace) table in ONE
+    corpus pass (assign = broadcast codebooks + map-combined argmax
+    keyed by (id, sub); re-estimate = one (sub, list, pos)-keyed avg)
+    — value-identical to n_sub separate ``kmeans_centroids`` runs
+    (same md5 seed ids per sub, same round-6 ties; the oracle replays
+    the per-sub form) at 1/n_sub the scan count.  Train on a
+    ``sample_mod`` slice at scale, exactly as IVF does."""
     if dim % n_sub != 0:
         raise ValueError(f"dim ({dim}) must divide evenly into n_sub ({n_sub})")
     w = dim // n_sub
-    parts = []
-    for s in range(n_sub):
-        sliced = df.select(
-            F.col(id_col), F.slice(F.col(vec_col), s * w + 1, w).alias(vec_col)
+    base = df
+    if sample_mod > 1:
+        base = base.filter((F.col(id_col) % sample_mod) == 0)
+    subv = _subvectors(base, id_col, vec_col, dim, n_sub).withColumnRenamed(
+        id_col, "__id"
+    )
+    # Seeds: the n_codes vectors with the smallest md5(id) — ONE
+    # metadata-sized collect (same rule as kmeans_centroids; the same
+    # seed ids serve every subspace, exactly as n_sub separate runs
+    # would draw them).  Norms ride the collect from vector_norm, so
+    # no Python float arithmetic enters the contract.
+    seed_rows = (
+        subv.orderBy(
+            F.md5(F.col("__id").cast("string")), F.col("__id"), F.col("sub_id")
         )
-        cent = kmeans_centroids(
-            sliced, id_col, vec_col,
-            n_lists=n_codes, n_iter=n_iter, sample_mod=sample_mod,
+        .limit(n_codes * n_sub)
+        .collect()
+    )
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    seed_rows.sort(
+        key=lambda r: (
+            hashlib.md5(str(r["__id"]).encode()).hexdigest(),
+            r["__id"],
+            r["sub_id"],
         )
-        parts.append(
-            cent.select(F.lit(s).alias("sub_id"), "list_id", "__centv", "__centn")
+    )
+    sub_type = dict((f.name, f.dataType) for f in subv.schema.fields)
+    cent_schema = T.StructType(
+        [
+            T.StructField("sub_id", T.IntegerType(), False),
+            T.StructField("list_id", T.LongType(), False),
+            T.StructField("__centv", sub_type["__v"]),
+            T.StructField("__centn", sub_type["__n"]),
+        ]
+    )
+    cent_data = []
+    for rank, r in enumerate(seed_rows):
+        cent_data.append((r["sub_id"], rank // n_sub, r["__v"], r["__n"]))
+    cb = df.sparkSession.createDataFrame(
+        [c for c in cent_data], cent_schema
+    )
+    for _ in range(n_iter):
+        scored = subv.join(F.broadcast(cb), "sub_id").select(
+            "__id",
+            "sub_id",
+            "__v",
+            F.struct(
+                _pair_cos(
+                    F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn")
+                ).alias("sim"),
+                (-F.col("list_id")).alias("neg_list"),
+            ).alias("__sl"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        assigned = (
+            scored.groupBy("__id", "sub_id", "__v")
+            .agg(F.max("__sl").alias("__best"))
+            .select(
+                "sub_id", "__v", (-F.col("__best.neg_list")).alias("list_id")
+            )
+        )
+        means = (
+            assigned.select(
+                "sub_id", "list_id", F.posexplode("__v").alias("pos", "val")
+            )
+            .groupBy("sub_id", "list_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("avgv"))
+            .groupBy("sub_id", "list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "avgv"))),
+                    lambda s: s.avgv,
+                ).alias("__centv")
+            )
+        )
+        cb = means.select(
+            "sub_id",
+            "list_id",
+            "__centv",
+            vector_norm(F.col("__centv")).alias("__centn"),
+        )
+    return cb
 
 
 def _subvectors(df, id_col, vec_col, dim, n_sub):

@@ -1970,6 +1970,30 @@ def ivf_kmeans_topk(spark, sf_dir):
     return ivf_cosine_topk(emb, queries, k=5, n_probe=8, centroids=cent)
 
 
+def select_nb_quality(spark, sf_dir):
+    """Two-class quality-classifier selection (operators/quality.py:
+    nb_logodds) — the GPT-3/PaLM data-selection shape in its
+    engine-exact Naive-Bayes form: src0+src1 are the trusted class,
+    src2+src3 the rejected class, and the remaining 16 sources are
+    scored by average token log-odds under the two add-one unigram
+    models (clipped V=30 vocabulary, the bigram gate's convention).
+    ``kept`` compares the ALREADY-ROUNDED score to the threshold, so
+    the flag is engine-identical by construction.  The oracle replays
+    the vocabulary cut, both count tables, the totals, and every ln
+    term."""
+    from hive_scd_spark.operators.quality import nb_logodds
+
+    docs = t(spark, sf_dir, "documents")
+    is_pos = F.col("source").isin("src0", "src1")
+    is_neg = F.col("source").isin("src2", "src3")
+    out = nb_logodds(
+        docs.filter(~is_pos & ~is_neg), "doc_id", "text",
+        pos=docs.filter(is_pos), neg=docs.filter(is_neg),
+        vocab_size=30, threshold=0.0,
+    )
+    return out.select("doc_id", "n_tokens", "nb_logodds", "kept")
+
+
 def text_span_scrub(spark, sf_dir):
     """Span-attribute pipeline (operators/text.py: paragraph_spans /
     tag_span_attrs / scrub_spans) — the Dolma tagger/mixer architecture
@@ -5517,7 +5541,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # it can never hash-green; rotation_report.py now excludes
     # rows-only gates from the IN pool mechanically).
     "source_warc_scan": source_warc_scan,
-    "pipeline_crawl_to_corpus": pipeline_crawl_to_corpus,
     "dedup_url_canonical": dedup_url_canonical,
     "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
     # r12 session-2 rotation (rotate-on-add, the r10/r11 precedent):
@@ -5541,12 +5564,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text-screen family stays represented in-window by text_clean_c4
     # and text_robots_parse_screen)
     "text_span_scrub": text_span_scrub,
+    # fifth session-2 slot: select_nb_quality in (the GPT-3-shape
+    # two-class quality classifier), pipeline_crawl_to_corpus out (x2 —
+    # pipelines keep crawl v2 + mix_shuffle_pack in-window)
+    "select_nb_quality": select_nb_quality,
     # --- beyond the driver window (slot >50) ----------------------------
     # r12 session-2 displaced veterans (see the rotation comment above):
     "select_dsir_weights": select_dsir_weights,
     "select_quality_floor": select_quality_floor,
     "sample_split_by_cluster": sample_split_by_cluster,
     "text_url_optout_screen": text_url_optout_screen,
+    "pipeline_crawl_to_corpus": pipeline_crawl_to_corpus,
     # r12 displaced veterans (see the r12 rotation comment above):
     "q21_waiting_orders": q21_waiting_orders,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -7981,4 +8009,52 @@ ORACLES["text_span_scrub"] = """
            t2.n_spans - COALESCE(reb.n_kept, 0) AS n_spans_removed,
            t2.total_chars - COALESCE(reb.kept_chars, 0) AS chars_removed
     FROM tot t2 LEFT JOIN reb USING (doc_id)
+"""
+
+ORACLES["select_nb_quality"] = """
+    WITH posd AS (SELECT text FROM documents WHERE source IN ('src0','src1')),
+    negd AS (SELECT text FROM documents WHERE source IN ('src2','src3')),
+    sc0 AS (SELECT doc_id, text FROM documents
+            WHERE source NOT IN ('src0','src1','src2','src3')),
+    post AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '') AS ts FROM posd),
+    negt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '') AS ts FROM negd),
+    train AS (SELECT ts FROM post UNION ALL SELECT ts FROM negt),
+    vocab AS (SELECT t FROM (SELECT unnest(ts) AS t FROM train)
+              GROUP BY t ORDER BY count(*) DESC, t LIMIT 30),
+    vl AS (SELECT LIST(t) AS vs FROM vocab),
+    cp AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT CASE WHEN list_contains(vl.vs, u.t)
+                         THEN u.t ELSE '<unk>' END AS w
+             FROM post, vl, LATERAL (SELECT unnest(ts) AS t) u)
+           GROUP BY 1),
+    cn AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT CASE WHEN list_contains(vl.vs, u.t)
+                         THEN u.t ELSE '<unk>' END AS w
+             FROM negt, vl, LATERAL (SELECT unnest(ts) AS t) u)
+           GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(c) FROM cp) AS np,
+                   (SELECT SUM(c) FROM cn) AS nn),
+    sct AS (SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t <> '') AS ts FROM sc0),
+    scw AS (SELECT doc_id,
+                   CASE WHEN list_contains(vl.vs, u.t)
+                        THEN u.t ELSE '<unk>' END AS w
+            FROM sct, vl, LATERAL (SELECT unnest(ts) AS t) u),
+    s AS (SELECT scw.doc_id,
+                 ln(CAST(COALESCE(cp.c, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(tot.np, 0) + 31 AS DOUBLE))
+                 - ln(CAST(COALESCE(cn.c, 0) + 1 AS DOUBLE)
+                      / CAST(COALESCE(tot.nn, 0) + 31 AS DOUBLE)) AS llr
+          FROM scw LEFT JOIN cp ON cp.w = scw.w
+                   LEFT JOIN cn ON cn.w = scw.w
+                   CROSS JOIN tot),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(llr), 6) AS nb_logodds
+            FROM s GROUP BY 1)
+    SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens, agg.nb_logodds,
+           COALESCE(agg.nb_logodds >= 0.0, FALSE) AS kept
+    FROM sc0 d LEFT JOIN agg USING (doc_id)
 """
