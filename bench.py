@@ -137,6 +137,10 @@ HEADLINE = [
     # round-12 session 2: the Dolma tagger/mixer span pipeline (row-
     # local taggers + one reassembly shuffle)
     "text_span_scrub",
+    # round-12 session 2: NB quality classifier + the capstone chaining
+    # span scrub into it with a per-source rollup
+    "select_nb_quality",
+    "pipeline_scrub_classify_report",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -161,6 +165,9 @@ EXTRA_REPS = {
     "dedup_minhash_incremental",
     "sample_token_budget_per_source",
     "text_hash_embed_ann",
+    # r12 session 2: the most expensive new row enters reps=4 on arrival
+    # (it will be in the top-10 set this round by construction)
+    "ann_pq_adc_topk",
 }
 assert EXTRA_REPS <= set(HEADLINE)
 

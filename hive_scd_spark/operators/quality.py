@@ -826,9 +826,16 @@ def nb_logodds(
 
     cp = clipped(toks_of(pos)).groupBy("__w").agg(F.count("*").alias("__cp"))
     cn = clipped(toks_of(neg)).groupBy("__w").agg(F.count("*").alias("__cn"))
+    # ONE 1-row aggregate for both class totals (the audited
+    # broadcast-crossJoin idiom wants a single aggregate build, not a
+    # crossJoin of two)
     totals = (
-        cp.agg(F.sum("__cp").alias("__np"))
-        .crossJoin(cn.agg(F.sum("__cn").alias("__nn")))
+        cp.select(F.lit(1).alias("__side"), F.col("__cp").alias("__c"))
+        .unionByName(cn.select(F.lit(0).alias("__side"), F.col("__cn").alias("__c")))
+        .agg(
+            F.sum(F.when(F.col("__side") == 1, F.col("__c"))).alias("__np"),
+            F.sum(F.when(F.col("__side") == 0, F.col("__c"))).alias("__nn"),
+        )
     )
     V1 = float(vocab_size + 1)
     scored = (

@@ -1970,6 +1970,67 @@ def ivf_kmeans_topk(spark, sf_dir):
     return ivf_cosine_topk(emb, queries, k=5, n_probe=8, centroids=cent)
 
 
+def pipeline_scrub_classify_report(spark, sf_dir):
+    """CAPSTONE (session 2): the new families composed in ONE lazy plan
+    — planted multi-paragraph documents run span scrub (offset-exact
+    spans → three taggers → mixer), the SCRUBBED text trains and feeds
+    the NB quality classifier (trusted src0+src1 vs rejected
+    src2+src3, scored over the other 16 sources), and the output is
+    the per-source curation report an allow/block decision reads:
+    document counts, kept counts, scrubbed-token sums, and the
+    round-6 mean classifier score.  The oracle replays the whole chain
+    analytically — split, tagger predicates, ordered reassembly,
+    vocabulary cut, both count tables, every ln term, and the final
+    rollup.  Scale: the chain adds ONE reassembly shuffle and one
+    per-source combiner-collapsed groupBy on top of the component
+    plans; nothing materializes between stages."""
+    from hive_scd_spark.operators.quality import nb_logodds
+    from hive_scd_spark.operators.text import (
+        paragraph_spans,
+        scrub_spans,
+        tag_span_attrs,
+    )
+
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n\ncontact me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com\n\nok\n\nclosing body paragraph for doc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    spans = paragraph_spans(base, "doc_id", "text")
+    attrs = tag_span_attrs(spans, "doc_id", min_tokens=3, max_symbol_ratio=0.5)
+    scrubbed = scrub_spans(
+        base, spans, attrs, "doc_id", "text",
+        drop_attrs=("too_short", "has_pii", "symbol_heavy"),
+    ).join(base.select("doc_id", "source"), "doc_id")
+    docs2 = scrubbed.select("doc_id", "source", F.col("scrubbed_text").alias("text"))
+    is_pos = F.col("source").isin("src0", "src1")
+    is_neg = F.col("source").isin("src2", "src3")
+    nb = nb_logodds(
+        docs2.filter(~is_pos & ~is_neg), "doc_id", "text",
+        pos=docs2.filter(is_pos), neg=docs2.filter(is_neg),
+        vocab_size=30, threshold=0.0,
+    )
+    joined = nb.join(docs2.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("toks_total"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("toks_kept"),
+            F.round(F.avg("nb_logodds"), 6).alias("avg_nb_logodds"),
+        )
+    )
+
+
 def select_nb_quality(spark, sf_dir):
     """Two-class quality-classifier selection (operators/quality.py:
     nb_logodds) — the GPT-3/PaLM data-selection shape in its
@@ -5718,6 +5779,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
     "layout_zorder_skipping": layout_zorder_skipping,
+    # r12 session-2 capstone: span scrub -> NB classifier -> per-source
+    # curation report in ONE lazy plan (r13 rotation candidate; five
+    # session-2 gates already took window slots this round)
+    "pipeline_scrub_classify_report": pipeline_scrub_classify_report,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -8057,4 +8122,115 @@ ORACLES["select_nb_quality"] = """
     SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens, agg.nb_logodds,
            COALESCE(agg.nb_logodds >= 0.0, FALSE) AS kept
     FROM sc0 d LEFT JOIN agg USING (doc_id)
+"""
+
+# The session-2 capstone oracle: the span-scrub replay (planted/sp/att/
+# kept/reb — identical CTEs to text_span_scrub) feeds the NB-classifier
+# replay (identical CTEs to select_nb_quality, reading scrubbed text),
+# then the per-source rollup.
+ORACLES["pipeline_scrub_classify_report"] = """
+    WITH planted AS (
+      SELECT doc_id, source,
+             COALESCE(text, '') || chr(10) || chr(10)
+               || 'contact me at user' || CAST(doc_id AS VARCHAR)
+               || '@example.com' || chr(10) || chr(10) || 'ok'
+               || chr(10) || chr(10)
+               || 'closing body paragraph for doc ' || CAST(doc_id AS VARCHAR)
+               AS t
+      FROM documents),
+    sp AS (
+      SELECT doc_id, u.p AS span, u.i - 1 AS span_idx
+      FROM planted,
+           LATERAL (SELECT unnest(string_split(t, chr(10)||chr(10))) AS p,
+                           generate_subscripts(
+                             string_split(t, chr(10)||chr(10)), 1) AS i) u),
+    att AS (
+      SELECT doc_id, span_idx,
+             (len(list_filter(string_split_regex(trim(span), '\\s+'),
+                              x -> x <> '')) < 3) AS too_short,
+             (regexp_matches(span,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')
+              OR regexp_matches(
+                   regexp_replace(span,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                     '<EMAIL>', 'g'),
+                   '\\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}')
+              OR regexp_matches(
+                   regexp_replace(
+                     regexp_replace(span,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                       '<EMAIL>', 'g'),
+                     '\\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}',
+                     '<PHONE>', 'g'),
+                   '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b')) AS has_pii,
+             (len(span) > 0 AND
+              ROUND(CAST(len(regexp_replace(lower(span), '[a-z0-9\\s]', '', 'g'))
+                         AS DOUBLE) / CAST(len(span) AS DOUBLE), 6) > 0.5)
+               AS symbol_heavy
+      FROM sp),
+    keptsp AS (
+      SELECT sp.doc_id, sp.span, sp.span_idx
+      FROM sp JOIN att USING (doc_id, span_idx)
+      WHERE NOT (att.too_short OR att.has_pii OR att.symbol_heavy)),
+    reb AS (
+      SELECT doc_id,
+             string_agg(span, chr(10)||chr(10) ORDER BY span_idx) AS scrubbed
+      FROM keptsp GROUP BY 1),
+    scrubbed AS (
+      SELECT p2.doc_id, p2.source, COALESCE(reb.scrubbed, '') AS text
+      FROM planted p2 LEFT JOIN reb USING (doc_id)),
+    posd AS (SELECT text FROM scrubbed WHERE source IN ('src0','src1')),
+    negd AS (SELECT text FROM scrubbed WHERE source IN ('src2','src3')),
+    sc0 AS (SELECT doc_id, source, text FROM scrubbed
+            WHERE source NOT IN ('src0','src1','src2','src3')),
+    post AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '') AS ts FROM posd),
+    negt AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t <> '') AS ts FROM negd),
+    train AS (SELECT ts FROM post UNION ALL SELECT ts FROM negt),
+    vocab AS (SELECT t FROM (SELECT unnest(ts) AS t FROM train)
+              GROUP BY t ORDER BY count(*) DESC, t LIMIT 30),
+    vl AS (SELECT LIST(t) AS vs FROM vocab),
+    cp AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT CASE WHEN list_contains(vl.vs, u.t)
+                         THEN u.t ELSE '<unk>' END AS w
+             FROM post, vl, LATERAL (SELECT unnest(ts) AS t) u)
+           GROUP BY 1),
+    cn AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT CASE WHEN list_contains(vl.vs, u.t)
+                         THEN u.t ELSE '<unk>' END AS w
+             FROM negt, vl, LATERAL (SELECT unnest(ts) AS t) u)
+           GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(c) FROM cp) AS np,
+                   (SELECT SUM(c) FROM cn) AS nn),
+    sct AS (SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> t <> '') AS ts FROM sc0),
+    scw AS (SELECT doc_id,
+                   CASE WHEN list_contains(vl.vs, u.t)
+                        THEN u.t ELSE '<unk>' END AS w
+            FROM sct, vl, LATERAL (SELECT unnest(ts) AS t) u),
+    s AS (SELECT scw.doc_id,
+                 ln(CAST(COALESCE(cp.c, 0) + 1 AS DOUBLE)
+                    / CAST(COALESCE(tot.np, 0) + 31 AS DOUBLE))
+                 - ln(CAST(COALESCE(cn.c, 0) + 1 AS DOUBLE)
+                      / CAST(COALESCE(tot.nn, 0) + 31 AS DOUBLE)) AS llr
+          FROM scw LEFT JOIN cp ON cp.w = scw.w
+                   LEFT JOIN cn ON cn.w = scw.w
+                   CROSS JOIN tot),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(llr), 6) AS nb_logodds
+            FROM s GROUP BY 1),
+    perdoc AS (
+      SELECT d.doc_id, d.source, COALESCE(agg.n_tokens, 0) AS n_tokens,
+             agg.nb_logodds,
+             COALESCE(agg.nb_logodds >= 0.0, FALSE) AS kept
+      FROM sc0 d LEFT JOIN agg USING (doc_id))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS toks_total,
+           CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS toks_kept,
+           ROUND(AVG(nb_logodds), 6) AS avg_nb_logodds
+    FROM perdoc GROUP BY 1
 """

@@ -144,6 +144,10 @@ SWEEP = [
     ("ann_pq_adc_topk", {"nested-loop"}),
     # span pipeline: row-local taggers + one reassembly shuffle
     ("text_span_scrub", set()),
+    # NB classifier (V-bounded model broadcasts + 1-row totals) and the
+    # session-2 capstone chaining span scrub into it
+    ("select_nb_quality", set()),
+    ("pipeline_scrub_classify_report", set()),
 ]
 
 
