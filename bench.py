@@ -141,6 +141,9 @@ HEADLINE = [
     # span scrub into it with a per-source rollup
     "select_nb_quality",
     "pipeline_scrub_classify_report",
+    # round-12 session 2: interval x interval overlap join (equi-join on
+    # bin; each pair found in exactly one bin, no dedup pass)
+    "range_join_interval_overlap",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

@@ -72,3 +72,72 @@ def range_join(
     )
     out = pt.join(iv, cond, how)
     return out.drop(pt["__bin"]).drop(iv["__bin"])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval × interval OVERLAP join: match where
+    ``l_start < r_end AND r_start < l_end`` (half-open on both sides) —
+    the timeline-alignment primitive (audio/video segments × transcript
+    spans, sessions × incident windows) that
+    :func:`range_join`'s point-in-interval shape cannot express.
+
+    Same binning idea, one extra trick: both sides explode to the bins
+    they cover, and because an overlapping pair shares EVERY bin of
+    their intersection, the pair is counted once by keeping it only in
+    the bin where the overlap STARTS —
+    ``greatest(l_start, r_start) div bin_width`` — which both sides
+    provably cover.  The join stays a plain equi-join on ``bin`` with
+    the exact predicate re-checked, and needs NO dedup pass (a
+    ``distinct`` here would shuffle the matched pairs a second time
+    and widen with every payload column).
+
+    Empty intervals (start >= end) never match.  Only ``how='inner'``
+    is supported: unlike range_join's points (one bin each), the left
+    side here is PRE-EXPLODED, so a SQL left join would emit one NULL
+    row per covered bin for every unmatched interval — silently wrong.
+    Callers wanting left semantics anti-join the inner result against
+    their own left key (which they have; this operator does not).
+    Column names must not collide between inputs.  Cost at 100 TB:
+    each side replicated ×(len/bin_width + 1), then one AQE-eligible
+    shuffle join — pick *bin_width* near the typical interval length,
+    exactly the range_join guidance."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    if how != "inner":
+        raise ValueError(
+            "interval_overlap_join supports how='inner' only (a left join "
+            "over the pre-exploded left side would duplicate unmatched "
+            f"intervals per bin); got {how!r}"
+        )
+
+    l_lo = F.expr(f"`{l_start}` div {bin_width}")
+    l_hi = F.expr(f"(`{l_end}` - 1) div {bin_width}")
+    r_lo = F.expr(f"`{r_start}` div {bin_width}")
+    r_hi = F.expr(f"(`{r_end}` - 1) div {bin_width}")
+
+    lv = left.filter(F.col(l_start) < F.col(l_end)).withColumn(
+        "__bin", F.explode(F.sequence(l_lo, l_hi))
+    )
+    rv = right.filter(F.col(r_start) < F.col(r_end)).withColumn(
+        "__bin", F.explode(F.sequence(r_lo, r_hi))
+    )
+    overlap_start_bin = F.expr(
+        f"greatest(`{l_start}`, `{r_start}`) div {bin_width}"
+    )
+    cond = (
+        (lv["__bin"] == rv["__bin"])
+        & (F.col(l_start) < F.col(r_end))
+        & (F.col(r_start) < F.col(l_end))
+        & (lv["__bin"] == overlap_start_bin)
+    )
+    out = lv.join(rv, cond, how)
+    return out.drop(lv["__bin"]).drop(rv["__bin"])

@@ -1912,6 +1912,47 @@ def range_join_event_windows(spark, sf_dir):
     )
 
 
+def range_join_interval_overlap(spark, sf_dir):
+    """Interval × interval OVERLAP join (operators/range_join.py:
+    interval_overlap_join) — the timeline-alignment primitive the
+    point-in-interval gate cannot express: per-(user, day) activity
+    intervals [min ts, max ts + 1) built from events, overlapped
+    against the 60 campaign windows, reported as per-window user-day
+    and distinct-user counts.  Each overlapping pair is found in
+    exactly ONE bin (the bin where the overlap starts — both sides
+    provably cover it), so the plan is a plain equi-join with no
+    dedup pass; the oracle is the naive non-equi join."""
+    from hive_scd_spark.operators.range_join import interval_overlap_join
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us")
+    day_us = 86_400_000_000
+    acts = (
+        ev.groupBy(
+            "user_id", F.expr(f"ts_us div {day_us}").alias("__day")
+        )
+        .agg(
+            F.min("ts_us").alias("act_start"),
+            (F.max("ts_us") + 1).alias("act_end"),
+        )
+        .select("user_id", "act_start", "act_end")
+    )
+    windows = spark.range(60).select(
+        F.col("id").alias("window_id"),
+        (F.lit(_WINDOW_EPOCH_US) + F.col("id") * _WINDOW_STEP_US).alias("w_start"),
+        (
+            F.lit(_WINDOW_EPOCH_US) + F.col("id") * _WINDOW_STEP_US + _WINDOW_LEN_US
+        ).alias("w_end"),
+    )
+    joined = interval_overlap_join(
+        acts, windows, "act_start", "act_end", "w_start", "w_end",
+        bin_width=_WINDOW_BIN_US,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").cast("long").alias("n_user_days"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 def dedup_cluster_assign(spark, sf_dir):
     """Near-dup pairs → connected components (operators/cluster.py):
     every document that appears in a MinHash-LSH pair, labeled with the
@@ -5783,6 +5824,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # curation report in ONE lazy plan (r13 rotation candidate; five
     # session-2 gates already took window slots this round)
     "pipeline_scrub_classify_report": pipeline_scrub_classify_report,
+    # r12 session-2: interval x interval overlap join (r13 rotation
+    # candidate with the capstone)
+    "range_join_interval_overlap": range_join_interval_overlap,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -8233,4 +8277,20 @@ ORACLES["pipeline_scrub_classify_report"] = """
              AS toks_kept,
            ROUND(AVG(nb_logodds), 6) AS avg_nb_logodds
     FROM perdoc GROUP BY 1
+"""
+
+ORACLES["range_join_interval_overlap"] = f"""
+    WITH acts AS (
+      SELECT user_id, MIN(ts_us) AS act_start, MAX(ts_us) + 1 AS act_end
+      FROM (SELECT user_id, epoch_us(ts) AS ts_us FROM events)
+      GROUP BY user_id, ts_us // 86400000000
+    ),
+    w AS (SELECT i AS window_id,
+                 {_WINDOW_EPOCH_US} + i*{_WINDOW_STEP_US} AS w_start,
+                 {_WINDOW_EPOCH_US} + i*{_WINDOW_STEP_US} + {_WINDOW_LEN_US} AS w_end
+          FROM (SELECT unnest(range(60)) AS i))
+    SELECT w.window_id, CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM acts a JOIN w ON a.act_start < w.w_end AND w.w_start < a.act_end
+    GROUP BY 1
 """

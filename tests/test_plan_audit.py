@@ -148,6 +148,8 @@ SWEEP = [
     # session-2 capstone chaining span scrub into it
     ("select_nb_quality", set()),
     ("pipeline_scrub_classify_report", set()),
+    # interval x interval overlap: equi-join on bin, no dedup pass
+    ("range_join_interval_overlap", set()),
 ]
 
 
