@@ -142,8 +142,10 @@ HEADLINE = [
     "select_nb_quality",
     "pipeline_scrub_classify_report",
     # round-12 session 2: interval x interval overlap join (equi-join on
-    # bin; each pair found in exactly one bin, no dedup pass)
+    # bin; each pair found in exactly one bin, no dedup pass) and the
+    # LOCF time-series grid fill
     "range_join_interval_overlap",
+    "events_gap_fill_locf",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

@@ -69,3 +69,74 @@ def asof_join(
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in value_cols],
         F.col("__m.__time").alias(f"{right_time}{suffix}"),
     )
+
+
+def gap_fill_locf(
+    events: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    step: int,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """Regular-grid gap fill with last-observation-carried-forward —
+    the as-of join's self-join special case and the standard
+    time-series densification (downstream feature windows want one row
+    per (key, bucket), not the raw event cadence).
+
+    Grid: every key × every bucket of the half-open [start, end) range
+    at *step* width (bucket = time div step, so bucket boundaries are
+    engine-exact integer arithmetic).  Per bucket the OBSERVED value
+    is the bucket's last event — max (time, value) struct, so ties on
+    time break on value, deterministically in any engine.  Fill is one
+    per-key window ``last(value, ignorenulls)`` over bucket order:
+    buckets before a key's first observation stay NULL (LOCF has
+    nothing to carry), and ``is_observed`` distinguishes carried rows
+    from real ones.
+
+    Output: (key_col, bucket, filled_value, is_observed).  Scale: the
+    grid is an EXPLODE over the distinct-key table (never a
+    crossJoin), one (key, bucket) combiner-collapsed aggregate for the
+    observations, and one KEY-PARTITIONED window — n_keys × n_buckets
+    output rows is the inherent result size, nothing quadratic and
+    nothing single-partition."""
+    if step <= 0:
+        raise ValueError(f"step must be positive, got {step}")
+    if not start < end:
+        raise ValueError(f"need start < end, got [{start}, {end})")
+    lo = start // step
+    hi = (end - 1) // step
+    in_range = (F.col(time_col) >= start) & (F.col(time_col) < end)
+    obs = (
+        events.filter(in_range)
+        .groupBy(
+            F.col(key_col), F.expr(f"`{time_col}` div {step}").alias("bucket")
+        )
+        .agg(
+            F.max(
+                F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v"))
+            ).alias("__last")
+        )
+        .select(key_col, "bucket", F.col("__last.v").alias("__obs"))
+    )
+    grid = (
+        events.select(key_col)
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.explode(F.sequence(F.lit(lo).cast("long"), F.lit(hi).cast("long"))),
+        )
+    )
+    joined = grid.join(obs, [key_col, "bucket"], "left")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.last("__obs", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("__obs").isNotNull().alias("is_observed"),
+    )

@@ -1953,6 +1953,27 @@ def range_join_interval_overlap(spark, sf_dir):
     )
 
 
+def events_gap_fill_locf(spark, sf_dir):
+    """Regular-grid gap fill with LOCF (operators/asof.py:
+    gap_fill_locf) — the time-series densification downstream feature
+    windows need: every user × every 12-hour bucket of January 2024,
+    the bucket's last observed value carried forward across gaps,
+    NULL before a user's first observation, ``is_observed`` marking
+    carried rows.  The observed value per bucket is the max (time,
+    value) struct, so ties are engine-deterministic; the oracle
+    replays the grid, the per-bucket pick (ROW_NUMBER over t DESC,
+    v DESC), and the IGNORE NULLS window."""
+    from hive_scd_spark.operators.asof import gap_fill_locf
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us", "value")
+    start = _WINDOW_EPOCH_US
+    end = _WINDOW_EPOCH_US + 60 * _WINDOW_STEP_US
+    return gap_fill_locf(
+        ev, "user_id", "ts_us", "value", step=_WINDOW_STEP_US,
+        start=start, end=end,
+    )
+
+
 def dedup_cluster_assign(spark, sf_dir):
     """Near-dup pairs → connected components (operators/cluster.py):
     every document that appears in a MinHash-LSH pair, labeled with the
@@ -5824,9 +5845,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # curation report in ONE lazy plan (r13 rotation candidate; five
     # session-2 gates already took window slots this round)
     "pipeline_scrub_classify_report": pipeline_scrub_classify_report,
-    # r12 session-2: interval x interval overlap join (r13 rotation
-    # candidate with the capstone)
+    # r12 session-2: interval x interval overlap join and LOCF grid
+    # fill (r13 rotation candidates with the capstone)
     "range_join_interval_overlap": range_join_interval_overlap,
+    "events_gap_fill_locf": events_gap_fill_locf,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -8293,4 +8315,33 @@ ORACLES["range_join_interval_overlap"] = f"""
            CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
     FROM acts a JOIN w ON a.act_start < w.w_end AND w.w_start < a.act_end
     GROUP BY 1
+"""
+
+_GF_START = _WINDOW_EPOCH_US
+_GF_END = _WINDOW_EPOCH_US + 60 * _WINDOW_STEP_US
+ORACLES["events_gap_fill_locf"] = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+      WHERE epoch_us(ts) >= {_GF_START} AND epoch_us(ts) < {_GF_END}),
+    obs AS (
+      SELECT user_id, bucket, v AS obs FROM (
+        SELECT user_id, ts_us // {_WINDOW_STEP_US} AS bucket, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {_WINDOW_STEP_US}
+                                  ORDER BY ts_us DESC, value DESC) AS rk
+        FROM e) WHERE rk = 1),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT keys.user_id, u.b AS bucket
+      FROM keys, (SELECT unnest(range({_GF_START // _WINDOW_STEP_US},
+                                      {(_GF_END - 1) // _WINDOW_STEP_US} + 1))
+                    AS b) u),
+    j AS (SELECT g.user_id, g.bucket, obs.obs
+          FROM grid g LEFT JOIN obs USING (user_id, bucket))
+    SELECT user_id, bucket,
+           last_value(obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value,
+           obs IS NOT NULL AS is_observed
+    FROM j
 """

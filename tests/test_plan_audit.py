@@ -150,6 +150,8 @@ SWEEP = [
     ("pipeline_scrub_classify_report", set()),
     # interval x interval overlap: equi-join on bin, no dedup pass
     ("range_join_interval_overlap", set()),
+    # LOCF grid fill: explode grid + key-partitioned window
+    ("events_gap_fill_locf", set()),
 ]
 
 
