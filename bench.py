@@ -146,6 +146,11 @@ HEADLINE = [
     # LOCF time-series grid fill
     "range_join_interval_overlap",
     "events_gap_fill_locf",
+    # round-12 session 2: soft dedup (down-weight clusters, the
+    # published alternative to hard dedup; reads the session-shared
+    # minhash pairs - marginal cost in pipeline mode, the
+    # dedup_cluster_assign precedent)
+    "sample_softdedup_weights",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

@@ -585,3 +585,47 @@ def temperature_mix(
         *df.columns,
         F.coalesce(repeats, F.lit(0)).cast("long").alias("n_repeats"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Soft deduplication: down-WEIGHT duplicate clusters instead of
+    dropping them — the published alternative to hard dedup (sampling
+    pressure ∝ 1/cluster_size keeps one expected copy of every
+    near-dup cluster in each epoch while hard dedup's canonical-keeper
+    choice discards the variants outright).  Composes with every
+    sampler in this module: feed ``weight`` to ``sample_weighted`` or
+    multiply it into a token budget.
+
+    *pairs* is any near-dup pair set (MinHash/SimHash/winnowing —
+    columns ``id_a``/``id_b``); clusters come from the same
+    ``cluster.dup_clusters`` fixpoint the hard-dedup lane uses, so the
+    two lanes agree on what a duplicate IS.  Output: every input
+    document with (cluster_size, weight = round(1/cluster_size, 6));
+    unpaired documents get cluster_size 1, weight 1.0.
+
+    Scale: the cluster pass is the audited O(log n) large/small-star
+    CC; sizes are one combiner-collapsed groupBy over the CLUSTERED
+    nodes only (pair-graph-sized, not corpus-sized); the graft back is
+    one left equi-join on the id."""
+    from hive_scd_spark.operators.cluster import dup_clusters
+
+    clusters = dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("__csz")
+    )
+    labeled = clusters.join(sizes, "cluster").select(
+        F.col("node").alias(id_col), F.col("__csz")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(labeled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__csz"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce(F.col("__csz"), F.lit(1)).cast("double"), 6
+            ).alias("weight"),
+        )
+    )

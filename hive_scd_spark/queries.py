@@ -1987,6 +1987,23 @@ def dedup_cluster_assign(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
+def sample_softdedup_weights(spark, sf_dir):
+    """Soft deduplication (operators/sampling.py: soft_dedup_weights):
+    instead of dropping near-dup clusters, every document gets a
+    sampling weight 1/cluster_size — one expected copy of each cluster
+    per epoch, variants retained.  Clusters come from the SAME MinHash
+    pair set and CC fixpoint as the hard-dedup lane
+    (dedup_cluster_assign), so the two lanes agree on what a duplicate
+    is; the oracle extends that gate's recursive-CTE closure with the
+    size/weight arithmetic."""
+    from hive_scd_spark.operators.sampling import soft_dedup_weights
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return soft_dedup_weights(
+        docs, shared_minhash_pairs(spark, sf_dir), "doc_id"
+    )
+
+
 def scd_snapshot_roundtrip(spark, sf_dir):
     """The sink path with a value check: snapshot() materializes the
     as-of customer table to Parquet (README.md:239-244 compaction
@@ -5849,6 +5866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fill (r13 rotation candidates with the capstone)
     "range_join_interval_overlap": range_join_interval_overlap,
     "events_gap_fill_locf": events_gap_fill_locf,
+    "sample_softdedup_weights": sample_softdedup_weights,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -6161,6 +6179,23 @@ ORACLES["dedup_cluster_assign"] = f"""
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+ORACLES["sample_softdedup_weights"] = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle()}),
+    und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und) n
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    cl AS (SELECT a AS node, MIN(b) AS cluster FROM reach GROUP BY a),
+    sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csz FROM cl GROUP BY 1),
+    lab AS (SELECT cl.node, sz.csz FROM cl JOIN sz USING (cluster))
+    SELECT d.doc_id, COALESCE(lab.csz, 1) AS cluster_size,
+           ROUND(1.0 / CAST(COALESCE(lab.csz, 1) AS DOUBLE), 6) AS weight
+    FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
 """
 
 ORACLES["sample_split_by_cluster"] = f"""

@@ -152,6 +152,8 @@ SWEEP = [
     ("range_join_interval_overlap", set()),
     # LOCF grid fill: explode grid + key-partitioned window
     ("events_gap_fill_locf", set()),
+    # soft dedup: the audited CC pass + pair-graph-sized size groupBy
+    ("sample_softdedup_weights", set()),
 ]
 
 
