@@ -151,6 +151,8 @@ HEADLINE = [
     # minhash pairs - marginal cost in pipeline mode, the
     # dedup_cluster_assign precedent)
     "sample_softdedup_weights",
+    # round-12 session 2: StarCoder-style code file filters (row-local)
+    "text_code_quality",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

@@ -867,3 +867,70 @@ def nb_logodds(
             ).alias("kept"),
         )
     )
+
+
+def code_quality_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_avg_line_len: float = 100.0,
+    max_max_line_len: int = 1000,
+    min_alnum_frac: float = 0.25,
+) -> DataFrame:
+    """Code-corpus quality filters — the StarCoder/BigCode file-level
+    rules, the code analog of the prose Gopher rules (prose signals
+    misfire on source files; these are the published replacements):
+
+    - ``avg_line_len`` / ``max_line_len`` — minified/generated
+      bundles have few, enormous lines;
+    - ``alnum_frac`` — alphanumeric characters over all characters;
+      data blobs and ASCII art sink below any real language's floor;
+    - ``autogen`` — a generated-file marker ("auto-generated",
+      "do not edit", "generated by") in the lowered text;
+    - ``xml_header`` — files opening with ``<?xml`` (the classic
+      non-code leak into code corpora);
+    - ``kept`` — the conjunction under the given thresholds, each
+      comparison on an already-rounded value (engine-identical).
+
+    One codegen projection per document — line lengths via a split +
+    transform fold, character classes via regexp_replace lengths; no
+    shuffle, no Python, replayed term-for-term by the oracle.  NULL
+    text behaves as empty (one zero-length line, never kept)."""
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
+    lens = F.transform(F.split(t0, "\n"), lambda p: F.length(p).cast("bigint"))
+    n_lines = F.size(lens).cast("long")
+    sum_len = F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    avg_line = F.round(sum_len.cast("double") / n_lines.cast("double"), 6)
+    max_line = F.array_max(lens).cast("long")
+    n_chars = F.length(t0).cast("long")
+    n_alnum = F.length(F.regexp_replace(t0, "[^a-zA-Z0-9]", "")).cast("long")
+    alnum_frac = F.round(
+        F.when(n_chars > 0, n_alnum.cast("double") / n_chars.cast("double"))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    low = F.lower(t0)
+    autogen = (
+        low.contains("auto-generated")
+        | low.contains("do not edit")
+        | low.contains("generated by")
+    )
+    xml_header = t0.startswith("<?xml")
+    out = df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        avg_line.alias("avg_line_len"),
+        max_line.alias("max_line_len"),
+        alnum_frac.alias("alnum_frac"),
+        autogen.alias("autogen"),
+        xml_header.alias("xml_header"),
+    )
+    return out.withColumn(
+        "kept",
+        (F.col("avg_line_len") <= float(max_avg_line_len))
+        & (F.col("max_line_len") <= int(max_max_line_len))
+        & (F.col("alnum_frac") >= float(min_alnum_frac))
+        & ~F.col("autogen")
+        & ~F.col("xml_header")
+        & (F.col("n_lines") > 0),
+    )

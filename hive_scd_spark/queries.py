@@ -1987,6 +1987,34 @@ def dedup_cluster_assign(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
+def text_code_quality(spark, sf_dir):
+    """StarCoder/BigCode file-level code filters (operators/quality.py:
+    code_quality_stats) — the code analog of the prose Gopher rules:
+    line-length stats, alphanumeric fraction, generated-file markers,
+    ``<?xml`` leaks, and the conjunction ``kept`` flag on
+    already-rounded values.  The fixture plants the failure modes the
+    rules exist for: every 5th document is minified (spaces stripped —
+    one enormous line) and every 7th carries an auto-generated header;
+    the oracle replays the planting and every rule term-for-term."""
+    from hive_scd_spark.operators.quality import code_quality_stats
+
+    docs = t(spark, sf_dir, "documents")
+    base = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", ""),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("// auto-generated do not edit\n"), base),
+        )
+        .otherwise(base)
+        .alias("text"),
+    )
+    return code_quality_stats(planted, "doc_id", "text")
+
+
 def sample_softdedup_weights(spark, sf_dir):
     """Soft deduplication (operators/sampling.py: soft_dedup_weights):
     instead of dropping near-dup clusters, every document gets a
@@ -5867,6 +5895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_interval_overlap": range_join_interval_overlap,
     "events_gap_fill_locf": events_gap_fill_locf,
     "sample_softdedup_weights": sample_softdedup_weights,
+    "text_code_quality": text_code_quality,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -8379,4 +8408,45 @@ ORACLES["events_gap_fill_locf"] = f"""
              AS filled_value,
            obs IS NOT NULL AS is_observed
     FROM j
+"""
+
+ORACLES["text_code_quality"] = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN replace(COALESCE(text, ''), ' ', '')
+                  ELSE COALESCE(text, '') END AS b
+      FROM documents),
+    planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '// auto-generated do not edit' || chr(10) || b
+                  ELSE b END AS t
+      FROM base),
+    stats AS (
+      SELECT doc_id, t,
+             string_split(t, chr(10)) AS ls
+      FROM planted),
+    m AS (
+      SELECT doc_id, t,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             ROUND(CAST(list_sum(list_transform(ls, x -> len(x))) AS DOUBLE)
+                   / CAST(len(ls) AS DOUBLE), 6) AS avg_line_len,
+             CAST(list_max(list_transform(ls, x -> len(x))) AS BIGINT)
+               AS max_line_len,
+             ROUND(CASE WHEN len(t) > 0
+                        THEN CAST(len(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g'))
+                                  AS DOUBLE) / CAST(len(t) AS DOUBLE)
+                        ELSE 0.0 END, 6) AS alnum_frac,
+             (contains(lower(t), 'auto-generated')
+              OR contains(lower(t), 'do not edit')
+              OR contains(lower(t), 'generated by')) AS autogen,
+             starts_with(t, '<?xml') AS xml_header
+      FROM stats)
+    SELECT doc_id, n_lines, avg_line_len, max_line_len, alnum_frac,
+           autogen, xml_header,
+           (avg_line_len <= 100.0 AND max_line_len <= 1000
+            AND alnum_frac >= 0.25 AND NOT autogen AND NOT xml_header
+            AND n_lines > 0) AS kept
+    FROM m
 """

@@ -154,6 +154,8 @@ SWEEP = [
     ("events_gap_fill_locf", set()),
     # soft dedup: the audited CC pass + pair-graph-sized size groupBy
     ("sample_softdedup_weights", set()),
+    # code quality: one codegen projection, no shuffle
+    ("text_code_quality", set()),
 ]
 
 
