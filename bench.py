@@ -153,6 +153,8 @@ HEADLINE = [
     "sample_softdedup_weights",
     # round-12 session 2: StarCoder-style code file filters (row-local)
     "text_code_quality",
+    # round-12 session 2: per-source KL drift report
+    "report_source_divergence",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

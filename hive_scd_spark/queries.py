@@ -1987,6 +1987,73 @@ def dedup_cluster_assign(spark, sf_dir):
     return out.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
 
 
+def report_source_divergence(spark, sf_dir):
+    """Per-source distribution-drift report: KL(source ‖ corpus) over
+    the clipped top-30 unigram vocabulary — the monitoring aggregate a
+    curation team reads to spot a source whose token distribution has
+    drifted from the pool (new crawl snapshot gone weird, wrong
+    language mix, template flood).  KL needs no smoothing here: the
+    corpus distribution dominates every source (global counts ⊇ source
+    counts), so q(w) > 0 ⇒ p(w) > 0 and every term is finite.  Also
+    reports each source's modal token (min(struct(-cnt, token)) — ties
+    break to the smallest token, engine-deterministic).  One token
+    explode, vocabulary-bounded shuffles, broadcast model joins —
+    the NB-classifier plan shape, reduced to counting."""
+    from hive_scd_spark.functions import ws_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.coalesce(ws_tokens("text"), F.array().cast("array<string>")),
+                lambda x: x != "",
+            )
+        ).alias("__tok"),
+    )
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.count("*").alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__tok"))
+        .limit(30)
+        .select("__tok", F.lit(1).alias("__inv"))
+    )
+    clipped = toks.join(F.broadcast(vocab), "__tok", "left").select(
+        "source",
+        F.when(F.col("__inv").isNotNull(), F.col("__tok"))
+        .otherwise(F.lit("<unk>"))
+        .alias("__w"),
+    )
+    sw = clipped.groupBy("source", "__w").agg(F.count("*").alias("__sc"))
+    gw = clipped.groupBy("__w").agg(F.count("*").alias("__gc"))
+    tot = clipped.agg(F.count("*").alias("__n"))
+    ns = sw.groupBy("source").agg(F.sum("__sc").alias("__ns"))
+    term = (
+        sw.join(F.broadcast(gw), "__w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "__sc",
+            "__w",
+            (
+                (F.col("__sc").cast("double") / F.col("__ns").cast("double"))
+                * F.log(
+                    (F.col("__sc").cast("double") / F.col("__ns").cast("double"))
+                    / (F.col("__gc").cast("double") / F.col("__n").cast("double"))
+                )
+            ).alias("__kl"),
+        )
+    )
+    return term.groupBy("source").agg(
+        F.sum("__sc").cast("long").alias("n_tokens"),
+        F.round(F.sum("__kl"), 6).alias("kl_vs_corpus"),
+        F.min(F.struct((-F.col("__sc")).alias("nc"), F.col("__w").alias("w")))[
+            "w"
+        ].alias("top_token"),
+    )
+
+
 def text_code_quality(spark, sf_dir):
     """StarCoder/BigCode file-level code filters (operators/quality.py:
     code_quality_stats) — the code analog of the prose Gopher rules:
@@ -5896,6 +5963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gap_fill_locf": events_gap_fill_locf,
     "sample_softdedup_weights": sample_softdedup_weights,
     "text_code_quality": text_code_quality,
+    "report_source_divergence": report_source_divergence,
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
@@ -8449,4 +8517,42 @@ ORACLES["text_code_quality"] = """
             AND alnum_frac >= 0.25 AND NOT autogen AND NOT xml_header
             AND n_lines > 0) AS kept
     FROM m
+"""
+
+ORACLES["report_source_divergence"] = """
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok FROM toks GROUP BY tok
+              ORDER BY count(*) DESC, tok LIMIT 30),
+    vl AS (SELECT LIST(tok) AS vs FROM vocab),
+    clipped AS (
+      SELECT source,
+             CASE WHEN list_contains(vl.vs, tok) THEN tok
+                  ELSE '<unk>' END AS w
+      FROM toks, vl),
+    sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS sc
+           FROM clipped GROUP BY 1, 2),
+    gw AS (SELECT w, CAST(count(*) AS BIGINT) AS gc FROM clipped GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM clipped),
+    ns AS (SELECT source, CAST(SUM(sc) AS BIGINT) AS nsum FROM sw GROUP BY 1),
+    term AS (
+      SELECT sw.source, sw.sc, sw.w,
+             (CAST(sw.sc AS DOUBLE) / CAST(ns.nsum AS DOUBLE))
+             * ln((CAST(sw.sc AS DOUBLE) / CAST(ns.nsum AS DOUBLE))
+                  / (CAST(gw.gc AS DOUBLE) / CAST(tot.n AS DOUBLE))) AS kl
+      FROM sw JOIN gw USING (w) JOIN ns USING (source) CROSS JOIN tot),
+    top AS (
+      SELECT source, w AS top_token FROM (
+        SELECT source, w,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY sc DESC, w ASC) AS rk
+        FROM sw) WHERE rk = 1)
+    SELECT term.source, CAST(SUM(term.sc) AS BIGINT) AS n_tokens,
+           ROUND(SUM(term.kl), 6) AS kl_vs_corpus,
+           ANY_VALUE(top.top_token) AS top_token
+    FROM term JOIN top USING (source)
+    GROUP BY 1
 """

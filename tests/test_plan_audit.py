@@ -156,6 +156,8 @@ SWEEP = [
     ("sample_softdedup_weights", set()),
     # code quality: one codegen projection, no shuffle
     ("text_code_quality", set()),
+    # KL drift report: vocabulary-bounded shuffles + broadcast models
+    ("report_source_divergence", set()),
 ]
 
 
