@@ -107,11 +107,16 @@ def test_interval_overlap_equals_naive(spark, ls, rs, bin_width):
             left, right, "a_start", "a_end", "b_start", "b_end", bin_width
         ).collect()
     ]
+    # half-open semantics: an EMPTY interval (start == end) overlaps
+    # nothing, even where the bare s1<e2 AND s2<e1 predicate holds
+    # ((0,2) vs (1,1): the intersection [1,1) is empty) — hypothesis
+    # found exactly this case; the operator's empty-interval exclusion
+    # is the correct contract and the reference must share it
     expect = {
         (i, j)
         for i, (s1, e1) in enumerate(ls)
         for j, (s2, e2) in enumerate(rs)
-        if s1 < e2 and s2 < e1
+        if s1 < e1 and s2 < e2 and s1 < e2 and s2 < e1
     }
     assert len(got) == len(set(got))
     assert set(got) == expect
