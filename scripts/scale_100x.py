@@ -518,6 +518,23 @@ def main():
             dim=64, n_sub=4, n_candidates=32, k=5,
         )
 
+    def nb_gate(d):
+        # r12 session 2: NB classifier — V-bounded model, linear scans
+        from hive_scd_spark.operators.quality import nb_logodds
+
+        is_pos = F.col("source").isin("src0", "src1")
+        is_neg = F.col("source").isin("src2", "src3")
+        return nb_logodds(
+            d.filter(~is_pos & ~is_neg), "doc_id", "text",
+            pos=d.filter(is_pos), neg=d.filter(is_neg), vocab_size=30,
+        )
+
+    def codeq_gate(d):
+        # r12 session 2: row-local code filters — the pure-projection row
+        from hive_scd_spark.operators.quality import code_quality_stats
+
+        return code_quality_stats(d, "doc_id", "text")
+
     doc_experiments = [
         ("dedup_minhash_lsh", minhash_gate),
         ("dedup_exact_substring", substring_gate),
@@ -549,6 +566,9 @@ def main():
         ("pipeline_mix_shuffle_pack", mix_pack_gate),
         # round-12 session 2: the KenLM-class KN trigram filter
         ("text_kn_trigram_logprob", kn_gate),
+        # round-12 session 2, later tranches
+        ("select_nb_quality", nb_gate),
+        ("text_code_quality", codeq_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),

@@ -610,6 +610,119 @@ def main():
             drop_attrs=("too_short", "has_pii", "symbol_heavy"),
         )
 
+    def nb_gate(d):
+        # r12 session 2: two-class NB classifier — model stays V-bounded
+        from hive_scd_spark.operators.quality import nb_logodds
+
+        is_pos = F.col("source").isin("src0", "src1")
+        is_neg = F.col("source").isin("src2", "src3")
+        return nb_logodds(
+            d.filter(~is_pos & ~is_neg), "doc_id", "text",
+            pos=d.filter(is_pos), neg=d.filter(is_neg), vocab_size=30,
+        )
+
+    def codeq_gate(d):
+        # r12 session 2: row-local code filters — expect ~linear
+        from hive_scd_spark.operators.quality import code_quality_stats
+
+        return code_quality_stats(d, "doc_id", "text")
+
+    def divergence_gate(d):
+        # r12 session 2: per-source KL drift — vocabulary-bounded model
+        from hive_scd_spark.queries import report_source_divergence  # noqa: F401
+        from hive_scd_spark.functions import ws_tokens
+
+        toks = d.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.coalesce(ws_tokens("text"), F.array().cast("array<string>")),
+                    lambda x: x != "",
+                )
+            ).alias("__tok"),
+        )
+        vocab = (
+            toks.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+            .orderBy(F.col("__cnt").desc(), F.col("__tok")).limit(30)
+            .select("__tok", F.lit(1).alias("__inv"))
+        )
+        clipped = toks.join(F.broadcast(vocab), "__tok", "left").select(
+            "source",
+            F.when(F.col("__inv").isNotNull(), F.col("__tok"))
+            .otherwise(F.lit("<unk>")).alias("__w"),
+        )
+        sw = clipped.groupBy("source", "__w").agg(F.count("*").alias("__sc"))
+        gw = clipped.groupBy("__w").agg(F.count("*").alias("__gc"))
+        tot = clipped.agg(F.count("*").alias("__n"))
+        ns = sw.groupBy("source").agg(F.sum("__sc").alias("__ns"))
+        term = (
+            sw.join(F.broadcast(gw), "__w").join(F.broadcast(ns), "source")
+            .crossJoin(F.broadcast(tot))
+            .select("source", "__sc",
+                    ((F.col("__sc") / F.col("__ns"))
+                     * F.log((F.col("__sc") / F.col("__ns"))
+                             / (F.col("__gc") / F.col("__n")))).alias("__kl"))
+        )
+        return term.groupBy("source").agg(
+            F.sum("__sc").alias("n_tokens"), F.round(F.sum("__kl"), 6).alias("kl")
+        )
+
+    def overlap_gate(ev):
+        # r12 session 2: interval x interval overlap — activity
+        # intervals grow with the event stream, windows fixed
+        from hive_scd_spark.operators.range_join import interval_overlap_join
+        from hive_scd_spark.queries import (
+            _WINDOW_BIN_US,
+            _WINDOW_EPOCH_US,
+            _WINDOW_LEN_US,
+            _WINDOW_STEP_US,
+        )
+
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ts_us = F.expr("ts div 1000")
+        else:
+            ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        e2 = ev.select("user_id", ts_us.alias("ts_us"))
+        acts = e2.groupBy(
+            "user_id", F.expr("ts_us div 86400000000").alias("__day")
+        ).agg(F.min("ts_us").alias("act_start"), (F.max("ts_us") + 1).alias("act_end"))
+        windows = ev.sparkSession.range(60).select(
+            F.col("id").alias("window_id"),
+            (F.lit(_WINDOW_EPOCH_US) + F.col("id") * _WINDOW_STEP_US).alias("w_start"),
+            (F.lit(_WINDOW_EPOCH_US) + F.col("id") * _WINDOW_STEP_US
+             + _WINDOW_LEN_US).alias("w_end"),
+        )
+        j = interval_overlap_join(
+            acts.select("user_id", "act_start", "act_end"), windows,
+            "act_start", "act_end", "w_start", "w_end", bin_width=_WINDOW_BIN_US,
+        )
+        return j.groupBy("window_id").agg(F.count("*").alias("n"))
+
+    def gapfill_gate(ev):
+        # r12 session 2: LOCF grid — keys grow with the stream, grid
+        # buckets fixed; output is keys x 60 rows
+        from hive_scd_spark.operators.asof import gap_fill_locf
+        from hive_scd_spark.queries import _WINDOW_EPOCH_US, _WINDOW_STEP_US
+
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ts_us = F.expr("ts div 1000")
+        else:
+            ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        e2 = ev.select("user_id", ts_us.alias("ts_us"), "value")
+        return gap_fill_locf(
+            e2, "user_id", "ts_us", "value", step=_WINDOW_STEP_US,
+            start=_WINDOW_EPOCH_US,
+            end=_WINDOW_EPOCH_US + 60 * _WINDOW_STEP_US,
+        )
+
+    def softdedup_gate(d):
+        # r12 session 2: 1/cluster_size weights over the minhash pairs
+        from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
+        from hive_scd_spark.operators.sampling import soft_dedup_weights
+
+        pairs = minhash_near_dup_pairs(d, "doc_id", "text", k=8, threshold=0.3)
+        return soft_dedup_weights(d.select("doc_id"), pairs, "doc_id")
+
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
         ("shard_assignment", shard_gate, docs1, docs10),
@@ -660,6 +773,13 @@ def main():
         ("text_kn_trigram_logprob", kn_gate, docs1, docs10),
         ("ann_pq_adc_topk", pq_gate, emb1, emb10),
         ("text_span_scrub", span_scrub_gate, docs1, docs10),
+        # round-12 session 2, later tranches
+        ("select_nb_quality", nb_gate, docs1, docs10),
+        ("text_code_quality", codeq_gate, docs1, docs10),
+        ("report_source_divergence", divergence_gate, docs1, docs10),
+        ("range_join_interval_overlap", overlap_gate, ev1, ev10),
+        ("events_gap_fill_locf", gapfill_gate, ev1, ev10),
+        ("sample_softdedup_weights", softdedup_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in
