@@ -5957,8 +5957,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # curation report in ONE lazy plan (r13 rotation candidate; five
     # session-2 gates already took window slots this round)
     "pipeline_scrub_classify_report": pipeline_scrub_classify_report,
-    # r12 session-2: interval x interval overlap join and LOCF grid
-    # fill (r13 rotation candidates with the capstone)
+    # r12 session-2 later tranches — with the capstone above, these six
+    # are the complete r13 rotation-IN pool (rotation_report.py tracks
+    # it mechanically; every one is DuckDB-verified both SFs every
+    # round via check_contract.py and carries 10x scale evidence):
+    # interval x interval overlap, LOCF grid fill, soft dedup weights,
+    # StarCoder code filters, per-source KL drift report
     "range_join_interval_overlap": range_join_interval_overlap,
     "events_gap_fill_locf": events_gap_fill_locf,
     "sample_softdedup_weights": sample_softdedup_weights,
