@@ -86,8 +86,11 @@ def gap_fill_locf(
     per (key, bucket), not the raw event cadence).
 
     Grid: every key × every bucket of the half-open [start, end) range
-    at *step* width (bucket = time div step, so bucket boundaries are
-    engine-exact integer arithmetic).  Per bucket the OBSERVED value
+    at *step* width (bucket = floor(time / step) computed in pure
+    integer arithmetic — ``(t - pmod(t, step)) / step`` — so bucket
+    boundaries are engine-exact and FLOOR-consistent with the Python
+    ``//`` grid bounds even for negative times; Spark's ``div``
+    truncates toward zero and would misalign negative observations).  Per bucket the OBSERVED value
     is the bucket's last event — max (time, value) struct, so ties on
     time break on value, deterministically in any engine.  Fill is one
     per-key window ``last(value, ignorenulls)`` over bucket order:
@@ -108,11 +111,17 @@ def gap_fill_locf(
     lo = start // step
     hi = (end - 1) // step
     in_range = (F.col(time_col) >= start) & (F.col(time_col) < end)
+    # floor division in exact BIGINT arithmetic: pmod is always
+    # non-negative, so (t - pmod(t, step)) is the largest multiple of
+    # step <= t and the trailing `div` is exact — matches Python's //
+    # for any sign of t, unlike a bare `t div step` (truncates to zero)
+    t_sql = f"CAST(`{time_col}` AS BIGINT)"
+    floor_bucket = F.expr(
+        f"({t_sql} - pmod({t_sql}, {step})) div {step}"
+    )
     obs = (
         events.filter(in_range)
-        .groupBy(
-            F.col(key_col), F.expr(f"`{time_col}` div {step}").alias("bucket")
-        )
+        .groupBy(F.col(key_col), floor_bucket.alias("bucket"))
         .agg(
             F.max(
                 F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v"))

@@ -347,13 +347,24 @@ def heavy_hitters(
       ≥ N/k appears in at least one partition summary whenever
       capacity ≥ k: if it survived nowhere, its count would be
       ≤ Σ_p n_p/(capacity+1) < N/k.  No false negatives, ever.
-    - **Pass 2 (exact recount)**: the ≤ capacity×P candidate keys are
-      distinct-ed (metadata-sized shuffle), broadcast, semi-joined back
-      into the stream, and counted exactly; the 1-row stream total
-      joins via the audited broadcast-crossJoin idiom.  The filter is
-      INTEGER arithmetic — ``cnt * k >= N`` — so the result set is
-      exact and engine-identical (no float threshold), and false
-      positives from pass 1 die here.
+    - **Pass 2 (exact recount + total, ONE scan)**: the ≤ capacity×P
+      candidate keys are distinct-ed (metadata-sized shuffle),
+      broadcast, and LEFT-joined back into the stream; a ROLLUP over
+      ``candidate? key : NULL`` then yields, in a single
+      map-side-combined aggregate, the exact per-candidate counts AND
+      the grand total N (the grouping-sets ``()`` row) — the stream is
+      never scanned a third time for a 1-row total.  The shuffle stays
+      candidate-bounded: non-candidates all collapse into the NULL
+      group.  The rollup output (≤ capacity×P + 2 rows) is lazily
+      ``localCheckpoint``-ed — the pagerank precedent — because its
+      two consumers (per-key counts, the N row) otherwise re-derive
+      the full lineage: Catalyst pushes each branch's grouping-id
+      filter below the Expand, the partial aggregates stop being
+      identical, and exchange reuse can never fire.  The 1-row total
+      then joins via the audited broadcast-crossJoin idiom.  The filter is INTEGER arithmetic —
+      ``cnt * k >= N`` — so the result set is exact and
+      engine-identical (no float threshold), and false positives from
+      pass 1 die here.
 
     The final output is therefore EXACT (keys, counts, shares) — the
     sketch bounds memory and shuffle width, not accuracy — which is
@@ -371,12 +382,16 @@ def heavy_hitters(
         )
     keyed = stream.select(F.col(key_col)).filter(F.col(key_col).isNotNull())
     candidates = mg_candidates(keyed, key_col, capacity)
-    total = keyed.agg(F.count("*").alias("__hh_n"))
-    counts = (
-        keyed.join(F.broadcast(candidates), key_col, "left_semi")
-        .groupBy(key_col)
-        .agg(F.count("*").alias("cnt"))
-    )
+    flagged = keyed.join(
+        F.broadcast(candidates.withColumn("__cand", F.lit(1))), key_col, "left"
+    ).select(F.when(F.col("__cand").isNotNull(), F.col(key_col)).alias("__k"))
+    grouped = flagged.rollup("__k").agg(
+        F.count("*").alias("cnt"), F.grouping("__k").alias("__g")
+    ).localCheckpoint(eager=False)
+    total = grouped.filter(F.col("__g") == 1).select(F.col("cnt").alias("__hh_n"))
+    counts = grouped.filter(
+        (F.col("__g") == 0) & F.col("__k").isNotNull()
+    ).select(F.col("__k").alias(key_col), "cnt")
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * k >= F.col("__hh_n"))

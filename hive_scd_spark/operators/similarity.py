@@ -790,6 +790,13 @@ def pq_adc_topk(
     order is part of the cross-engine contract); both ranks break ties
     on neighbor id.  Output: (query_id, neighbor_id, cos, rk).
 
+    The LUT is a MAP OF MAPS keyed by VALUE — sub_id → (list_id → d),
+    built with ``map_from_entries`` — never a position-indexed array:
+    :func:`pq_codebooks`' Lloyd re-estimation drops clusters that
+    empty, so surviving list_ids need not be contiguous — positional
+    indexing would silently read a shifted entry (or NULL) while the
+    SQL oracle joins LUT entries on list_id by value.
+
     Scale: the corpus is touched twice — once through its CODES (n_sub
     longs per row, the 64×-compressed representation), once for the
     |queries| × n_candidates rerank rows fetched by broadcast
@@ -821,16 +828,14 @@ def pq_adc_topk(
     lut = (
         lut_entries.groupBy("query_id", "sub_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("list_id", "d"))),
-                lambda s: s.d,
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("list_id", "d")))
             ).alias("tbl")
         )
         .groupBy("query_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_id", "tbl"))),
-                lambda s: s.tbl,
+            F.map_from_entries(
+                F.collect_list(F.struct("sub_id", "tbl"))
             ).alias("lut")
         )
     )
@@ -839,8 +844,8 @@ def pq_adc_topk(
             lambda a, b: a + b,
             [
                 F.element_at(
-                    F.element_at("lut", s + 1),
-                    F.element_at("codes", s + 1).cast("int") + 1,
+                    F.element_at("lut", F.lit(s)),
+                    F.element_at("codes", s + 1),
                 )
                 for s in range(n_sub)
             ],

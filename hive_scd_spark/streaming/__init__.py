@@ -695,9 +695,19 @@ def frequent_ingest_sink(
     Replay caveat (the histogram sink's, verbatim): foreachBatch is
     at-least-once and a replayed count row double-counts; batch
     content is deterministic per epoch, so the reader's
-    (epoch, key) dedup restores exactly-once.  Read the state through
+    (run, epoch, key) dedup restores exactly-once.  Epoch ids are only
+    unique WITHIN one checkpoint — a second query appending to the
+    same *state_path* from a fresh checkpoint restarts at epoch 0 — so
+    every row is stamped with ``run`` = md5(checkpoint path): restarts
+    of the SAME query (same checkpoint, replayed epoch ids) dedup
+    away, while distinct queries keep distinct (run, epoch) meta rows
+    and their batch totals add, never collide.  Read the state through
     :func:`read_frequent_state`, never bare ``spark.read``."""
+    import hashlib
+
     from hive_scd_spark.operators.profile import mg_candidates
+
+    run_id = hashlib.md5(str(checkpoint).encode("utf-8")).hexdigest()[:16]
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         keyed = batch_df.select(F.col(key_col)).filter(F.col(key_col).isNotNull())
@@ -711,7 +721,8 @@ def frequent_ingest_sink(
             .agg(F.count("*").alias("cnt"))
         )
         (
-            counts.withColumn("epoch", F.lit(epoch_id))
+            counts.withColumn("run", F.lit(run_id))
+            .withColumn("epoch", F.lit(epoch_id))
             .withColumn("batch_n", F.lit(n_b))
             .withColumn("capacity", F.lit(capacity))
             .write.mode("append")
@@ -735,11 +746,20 @@ def read_frequent_state(
     marks keys whose lower bound alone clears it (``cnt_min·k ≥ N``).
     Keys absent from every epoch's candidates carry at most
     ``Σ_b d_b ≤ N/(capacity+1) < N/k`` occurrences, so they are
-    correctly absent.  Replayed epochs are collapsed by (epoch, key)
-    dedup before any sum.  Requires k ≤ the smallest capacity the
-    state was written with (validated — one metadata-sized first())."""
-    st = spark.read.parquet(state_path).dropDuplicates(["epoch", key_col])
-    meta = st.select("epoch", "batch_n", "capacity").distinct()
+    correctly absent.  Replayed epochs are collapsed by
+    (run, epoch, key) dedup before any sum — ``run`` (stamped by the
+    sink from the checkpoint path) keeps two queries that appended to
+    the same state path from colliding on restarted epoch ids: their
+    meta rows stay distinct and their batch totals ADD instead of one
+    run's counts being arbitrarily dropped.  Pre-run-column state
+    (older sinks) reads as a single run.  Requires k ≤ the smallest
+    capacity the state was written with (validated — one
+    metadata-sized first())."""
+    st = spark.read.parquet(state_path)
+    if "run" not in st.columns:
+        st = st.withColumn("run", F.lit(""))
+    st = st.dropDuplicates(["run", "epoch", key_col])
+    meta = st.select("run", "epoch", "batch_n", "capacity").distinct()
     min_cap = meta.agg(F.min("capacity").alias("c")).first()["c"]
     if min_cap is not None and k > min_cap:
         raise ValueError(
@@ -747,6 +767,7 @@ def read_frequent_state(
             "the no-false-negative guarantee needs k <= capacity"
         )
     eps = meta.select(
+        "run",
         "epoch",
         "batch_n",
         F.expr("batch_n div (capacity + 1)").alias("d_b"),
@@ -755,7 +776,7 @@ def read_frequent_state(
         F.sum("batch_n").alias("__n"), F.sum("d_b").alias("__total_d")
     )
     per = (
-        st.join(eps.select("epoch", "d_b"), "epoch")
+        st.join(eps.select("run", "epoch", "d_b"), ["run", "epoch"])
         .groupBy(key_col)
         .agg(F.sum("cnt").alias("cnt_min"), F.sum("d_b").alias("__present_d"))
     )
