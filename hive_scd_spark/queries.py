@@ -5659,7 +5659,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal keeps multimodal_dedup_exact, joins keep
     # range_join_event_windows + both fuzzy joins.
     "fuzzy_typo_pairs": fuzzy_typo_pairs,
-    "sketch_quantile_totalprice": sketch_quantile_totalprice,
     "decontam_bloom_screen": decontam_bloom_screen,
     # r12 rotation (VERDICT r11 task 1): the ENTIRE remaining
     # never-driver-verified pool — all 11 rotatable entries — takes
@@ -5737,10 +5736,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
-    "dedup_corpus_paragraphs": dedup_corpus_paragraphs,
     "text_clean_c4": text_clean_c4,
     "text_robots_parse_screen": text_robots_parse_screen,
-    "dedup_winnow_pairs": dedup_winnow_pairs,
     "text_bigram_logprob": text_bigram_logprob,
     "pipeline_crawl_to_corpus_v2": pipeline_crawl_to_corpus_v2,
     "dedup_winnow_corpus": dedup_winnow_corpus,
@@ -5775,9 +5772,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # deliberately NOT rotated in (the layout_zorder_skipping lesson:
     # it can never hash-green; rotation_report.py now excludes
     # rows-only gates from the IN pool mechanically).
-    "source_warc_scan": source_warc_scan,
-    "dedup_url_canonical": dedup_url_canonical,
-    "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
     # r12 session-2 rotation (rotate-on-add, the r10/r11 precedent):
     # the three operators built mid-round take window slots immediately.
     # In: sketch_heavy_hitters (frequent-items joins the mergeable-
@@ -5803,7 +5797,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # two-class quality classifier), pipeline_crawl_to_corpus out (x2 —
     # pipelines keep crawl v2 + mix_shuffle_pack in-window)
     "select_nb_quality": select_nb_quality,
+    # r13 rotation (VERDICT r12 task 1): the complete six-entry
+    # rotation-IN pool the r12 session pre-documented — the last
+    # never-driver-verified hash-checkable entries (each already
+    # DuckDB-matched at both SFs in the committed r12 contract logs,
+    # each with 10x scale evidence).  After this window the
+    # never-windowed debt is exactly the permanent rows-only set.
+    # Out (six multiply-green veterans, every family keeping an
+    # in-window representative; all stay DuckDB-verified every round
+    # via scripts/check_contract.py): sketch_quantile_totalprice (x4 —
+    # sketches keep sketch_heavy_hitters), dedup_url_canonical (x3) +
+    # dedup_corpus_paragraphs (x2) + dedup_winnow_pairs (x2 — dedup
+    # keeps winnow_corpus + winnow_capped in-window),
+    # select_dsir_gumbel_topk (x3 — selection keeps select_nb_quality),
+    # source_warc_scan (x3 — sources keep source_warc_reshard).  In:
+    # range-join and as-of/grid families REGAIN window reps
+    # (range_join_event_windows rotated out in r11), sampling gains
+    # soft-dedup weights, quality gains the StarCoder-style code
+    # filters, reports gain the KL drift census, pipelines gain the
+    # scrub->classify->report capstone.  The ten SCD core gates never
+    # rotate (test_registry.py pins the invariant).
+    "range_join_interval_overlap": range_join_interval_overlap,
+    "events_gap_fill_locf": events_gap_fill_locf,
+    "sample_softdedup_weights": sample_softdedup_weights,
+    "text_code_quality": text_code_quality,
+    "report_source_divergence": report_source_divergence,
+    "pipeline_scrub_classify_report": pipeline_scrub_classify_report,
     # --- beyond the driver window (slot >50) ----------------------------
+    # r13 displaced veterans (see the r13 rotation comment above):
+    "sketch_quantile_totalprice": sketch_quantile_totalprice,
+    "dedup_url_canonical": dedup_url_canonical,
+    "select_dsir_gumbel_topk": select_dsir_gumbel_topk,
+    "source_warc_scan": source_warc_scan,
+    "dedup_corpus_paragraphs": dedup_corpus_paragraphs,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
     # r12 session-2 displaced veterans (see the rotation comment above):
     "select_dsir_weights": select_dsir_weights,
     "select_quality_floor": select_quality_floor,
@@ -5953,21 +5980,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never hash-green; its in-gate skip-fraction assertions still run
     # here via check_contract.py's rows-only path)
     "layout_zorder_skipping": layout_zorder_skipping,
-    # r12 session-2 capstone: span scrub -> NB classifier -> per-source
-    # curation report in ONE lazy plan (r13 rotation candidate; five
-    # session-2 gates already took window slots this round)
-    "pipeline_scrub_classify_report": pipeline_scrub_classify_report,
-    # r12 session-2 later tranches — with the capstone above, these six
-    # are the complete r13 rotation-IN pool (rotation_report.py tracks
-    # it mechanically; every one is DuckDB-verified both SFs every
-    # round via check_contract.py and carries 10x scale evidence):
-    # interval x interval overlap, LOCF grid fill, soft dedup weights,
-    # StarCoder code filters, per-source KL drift report
-    "range_join_interval_overlap": range_join_interval_overlap,
-    "events_gap_fill_locf": events_gap_fill_locf,
-    "sample_softdedup_weights": sample_softdedup_weights,
-    "text_code_quality": text_code_quality,
-    "report_source_divergence": report_source_divergence,
+    # (the six r12 session-2 later tranches — interval overlap, LOCF
+    # grid fill, soft dedup weights, code filters, KL drift report,
+    # and the scrub->classify->report capstone — were promoted to the
+    # r13 driver window above; the never-driver-verified pool is now
+    # exactly the permanent rows-only set, per rotation_report.py)
 }
 ORACLES.update(_SQL_SURFACE_ORACLES)
 ORACLES.update(EXT_ORACLES)
