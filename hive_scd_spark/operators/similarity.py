@@ -802,9 +802,32 @@ def pq_adc_topk(
     |queries| × n_candidates rerank rows fetched by broadcast
     semi-join.  Full vectors never shuffle; the LUT and query set ride
     one broadcast."""
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, n_sub)
+    return _pq_adc_from_codes(
+        codes, corpus, queries, codebooks, id_col, vec_col, dim, n_sub,
+        n_candidates, k,
+    )
+
+
+def _pq_adc_from_codes(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_sub: int,
+    n_candidates: int,
+    k: int,
+) -> DataFrame:
+    """ADC scan + exact rerank over a PRE-ENCODED code table — the
+    shared back half of :func:`pq_adc_topk` (which encodes the corpus
+    inline) and :func:`pq_incremental_topk` (which probes a persisted
+    code table, encoding only the arriving batch).  *vectors* supplies
+    full embeddings for the shortlist rerank only."""
     from functools import reduce as _reduce
 
-    codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, n_sub)
     qsub = _subvectors(queries, id_col, vec_col, dim, n_sub).withColumnRenamed(
         id_col, "query_id"
     )
@@ -864,7 +887,7 @@ def pq_adc_topk(
         .filter(F.col("__ark") <= n_candidates)
         .select("query_id", "neighbor_id")
     )
-    cvec = corpus.select(
+    cvec = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         vector_norm(F.col(vec_col)).alias("__cn"),
@@ -890,4 +913,51 @@ def pq_adc_topk(
         rerank.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos", "rk")
+    )
+
+
+def pq_incremental_topk(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    codebooks: DataFrame,
+    corpus_codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    n_candidates: int = 32,
+    k: int = 5,
+) -> DataFrame:
+    """Batch-arrival PQ ANN — the ``minhash_incremental_pairs`` idiom
+    applied to product quantization (VERDICT r12 task 6): new vectors
+    are encoded against the FROZEN codebooks on arrival (one codebook
+    broadcast + one bounded batch pass, never a retrain), appended to
+    the persisted corpus code table, and each arrival probes the
+    union — standing corpus and the batch's own earlier rows alike —
+    through the ADC lookup table.
+
+    The production loop this serves: keep :func:`pq_encode`'s code
+    table as a persisted table beside the corpus; per ingest, pass it
+    as *corpus_codes* (pass None to compute it from *corpus_df* for a
+    one-off run), take the top-k, then append the batch's code rows to
+    the state.  Codebooks are trained ONCE on the standing corpus and
+    frozen — the standard IVF/PQ serving discipline — so arrival cost
+    is O(|batch|) encode + one codes-only corpus scan, and the 64×
+    compression story is preserved: full vectors are touched only for
+    the broadcast-shortlist exact rerank.
+
+    Parity contract (the gate's oracle proves it value-level): output
+    is IDENTICAL to the batch path ``pq_adc_topk(corpus ∪ new, new,
+    codebooks)`` — encode-on-arrival against frozen codebooks is
+    exactly the batch encode restricted to the new rows, so nothing
+    drifts.  Output: (query_id, neighbor_id, cos, rk)."""
+    new_vecs = new_df.select(F.col(id_col), F.col(vec_col))
+    if corpus_codes is None:
+        corpus_codes = pq_encode(corpus_df, codebooks, id_col, vec_col, dim, n_sub)
+    new_codes = pq_encode(new_vecs, codebooks, id_col, vec_col, dim, n_sub)
+    all_codes = corpus_codes.unionByName(new_codes)
+    all_vecs = corpus_df.select(F.col(id_col), F.col(vec_col)).unionByName(new_vecs)
+    return _pq_adc_from_codes(
+        all_codes, all_vecs, new_vecs, codebooks, id_col, vec_col, dim,
+        n_sub, n_candidates, k,
     )

@@ -518,6 +518,38 @@ def main():
             dim=64, n_sub=4, n_candidates=32, k=5,
         )
 
+    emb_base_max = emb1.agg(F.max("vec_id")).first()[0]
+    _pq_incr_state: dict = {}
+
+    def pq_incr_gate(emb):
+        # r13: batch-arrival PQ — bounded arrival batch (replica-0
+        # slice) probing the 100x standing corpus through a PERSISTED
+        # code table + frozen codebooks (state built once in the
+        # untimed warm pass, the amortized standing cost); the timed
+        # path is the ingest cost: arrival encode + codes-only ADC
+        # scan + shortlist rerank
+        from hive_scd_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_incremental_topk,
+        )
+
+        is_new = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") <= emb_base_max)
+        standing, new = emb.filter(~is_new), emb.filter(is_new)
+        key = id(emb)
+        if key not in _pq_incr_state:
+            cb = pq_codebooks(
+                standing, dim=64, n_sub=4, n_codes=16, n_iter=2
+            ).persist()
+            codes = pq_encode(standing, cb, dim=64, n_sub=4).persist()
+            cb.count(), codes.count()
+            _pq_incr_state[key] = (cb, codes)
+        cb, codes = _pq_incr_state[key]
+        return pq_incremental_topk(
+            new, standing, cb, corpus_codes=codes,
+            dim=64, n_sub=4, n_candidates=32, k=5,
+        )
+
     def nb_gate(d):
         # r12 session 2: NB classifier — V-bounded model, linear scans
         from hive_scd_spark.operators.quality import nb_logodds
@@ -575,6 +607,8 @@ def main():
         ("ann_lsh_topk", ann_gate),
         # round-12 session 2: PQ end-to-end
         ("ann_pq_adc_topk", pq_gate),
+        # round-13: arrival probe against persisted PQ state
+        ("ann_pq_incremental", pq_incr_gate),
     ]
     experiments = (
         [(lbl, fn, docs1, docs100) for lbl, fn in doc_experiments]
@@ -597,6 +631,11 @@ def main():
 
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    # optional substring filter: scale_100x.py <sf_dir> <n> <name_filter>
+    # re-measures a single row without paying the whole suite
+    name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
+    if name_filter:
+        experiments = [e for e in experiments if name_filter in e[0]]
     for label, fn, d1, d100 in experiments:
         isolate()
         try:
@@ -604,10 +643,19 @@ def main():
             t1 = min(timed(f"{label} @1x", lambda: fn(d1)) for _ in range(2))
             fn(d100).write.format("noop").mode("overwrite").save()  # warm
             t100 = timed(f"{label} @{n}x", lambda: fn(d100))
+            reps100 = 1
+            # min-of-2 for heavy rows (VERDICT r12 task 5): single-rep
+            # cross-session machine variance on >10 s rows burned the
+            # r12 decontam episode (37.8 -> 58.8 -> ~50 s on zero code
+            # changes); a second rep bounds it the way the 10x artifact
+            # (min-of-2 throughout) already does
+            if t100 > 10.0:
+                t100 = min(t100, timed(f"{label} @{n}x rep2", lambda: fn(d100)))
+                reps100 = 2
             ratio = round(t100 / t1, 2)
             print(f"{label:55s} {n}x/1x ratio = {ratio:6.2f}", flush=True)
             results[label] = {"t1": round(t1, 3), f"t{n}": round(t100, 3),
-                              "ratio": ratio}
+                              "ratio": ratio, "reps100": reps100}
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
             errors[label] = f"{type(exc).__name__}: {msg[:300]}"

@@ -583,6 +583,41 @@ def main():
             dim=64, n_sub=4, n_candidates=32, k=5,
         )
 
+    _pq_incr_state: dict = {}
+
+    def pq_incr_gate(emb):
+        # r13: batch-arrival PQ — a BOUNDED arrival batch (replica-0
+        # slice) probes the growing standing corpus through a PERSISTED
+        # code table + frozen codebooks, exactly the production loop
+        # pq_incremental_topk's docstring describes.  The state build
+        # (train + standing encode) runs once in the untimed warm pass
+        # — it is the amortized standing cost, like corpus_bands in the
+        # minhash loop; the TIMED path is what an ingest pays: arrival
+        # encode + codes-only ADC scan + shortlist rerank.  Expect
+        # ~linear in the codes scan, far below the batch gate's
+        # train+encode slope.
+        from hive_scd_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+            pq_incremental_topk,
+        )
+
+        is_new = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") <= emb_base_max)
+        standing, new = emb.filter(~is_new), emb.filter(is_new)
+        key = id(emb)
+        if key not in _pq_incr_state:
+            cb = pq_codebooks(
+                standing, dim=64, n_sub=4, n_codes=16, n_iter=2
+            ).persist()
+            codes = pq_encode(standing, cb, dim=64, n_sub=4).persist()
+            cb.count(), codes.count()
+            _pq_incr_state[key] = (cb, codes)
+        cb, codes = _pq_incr_state[key]
+        return pq_incremental_topk(
+            new, standing, cb, corpus_codes=codes,
+            dim=64, n_sub=4, n_candidates=32, k=5,
+        )
+
     def span_scrub_gate(d):
         # r12 session 2: span pipeline end-to-end (offset-exact split,
         # three row-local taggers, reassembly shuffle) over the gate's
@@ -772,6 +807,8 @@ def main():
         ("sketch_heavy_hitters", hh_gate, ev1, ev10),
         ("text_kn_trigram_logprob", kn_gate, docs1, docs10),
         ("ann_pq_adc_topk", pq_gate, emb1, emb10),
+        # round-13: arrival probe against persisted PQ state
+        ("ann_pq_incremental", pq_incr_gate, emb1, emb10),
         ("text_span_scrub", span_scrub_gate, docs1, docs10),
         # round-12 session 2, later tranches
         ("select_nb_quality", nb_gate, docs1, docs10),
@@ -797,6 +834,11 @@ def main():
 
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    # optional substring filter: scale_10x.py <sf_dir> <name_filter>
+    # re-measures a single row without paying the whole suite
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    if name_filter:
+        experiments = [e for e in experiments if name_filter in e[0]]
     for label, fn, d1, d10 in experiments:
         isolate()
         try:

@@ -99,3 +99,43 @@ def test_recall_monotone_in_candidates(emb, cb):
 def test_dim_divisibility_guard(emb):
     with pytest.raises(ValueError, match="divide"):
         pq_codebooks(emb, dim=64, n_sub=5)
+
+
+def test_incremental_parity_with_batch(spark, emb, cb):
+    """pq_incremental_topk's contract: encode-on-arrival against
+    frozen codebooks + a persisted code table is VALUE-IDENTICAL to
+    the batch path over the union, restricted to the new queries."""
+    from hive_scd_spark.operators.similarity import (
+        pq_encode,
+        pq_incremental_topk,
+    )
+
+    is_new = F.col("vec_id") % 25 == 0
+    standing, new = emb.filter(~is_new), emb.filter(is_new)
+    codes = pq_encode(standing, cb, dim=DIM, n_sub=N_SUB)
+    incr = pq_incremental_topk(
+        new, standing, cb, corpus_codes=codes,
+        dim=DIM, n_sub=N_SUB, n_candidates=32, k=5,
+    )
+    batch = pq_adc_topk(emb, new, cb, dim=DIM, n_sub=N_SUB, n_candidates=32, k=5)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(incr) == as_set(batch)
+    assert incr.count() == new.count() * 5
+
+
+def test_incremental_computes_state_when_absent(spark, emb, cb):
+    """corpus_codes=None is the one-off convenience path — same answer."""
+    from hive_scd_spark.operators.similarity import (
+        pq_encode,
+        pq_incremental_topk,
+    )
+
+    is_new = F.col("vec_id") % 25 == 0
+    standing, new = emb.filter(~is_new), emb.filter(is_new)
+    a = pq_incremental_topk(new, standing, cb, dim=DIM, n_sub=N_SUB,
+                            n_candidates=32, k=5)
+    b = pq_incremental_topk(new, standing, cb,
+                            corpus_codes=pq_encode(standing, cb, dim=DIM, n_sub=N_SUB),
+                            dim=DIM, n_sub=N_SUB, n_candidates=32, k=5)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(a) == as_set(b)
