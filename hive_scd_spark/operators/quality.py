@@ -789,7 +789,31 @@ def nb_logodds(
     one 1-row totals broadcast); scoring is one explode + two
     broadcast joins + one per-doc aggregate — the unigram_logprob plan
     with a second model column.  No Python.
+
+    Train-once serving (the streaming lane): :func:`nb_model` builds
+    the frozen (V+1)-row model table from the reference corpora, and
+    :func:`nb_score` scores any frame against it — this function is
+    exactly ``nb_score(df, …, nb_model(pos, neg, …))``.
     """
+    model = nb_model(pos, neg, id_col, text_col, vocab_size)
+    return nb_score(df, id_col, text_col, model, vocab_size, threshold)
+
+
+def nb_model(
+    pos: DataFrame,
+    neg: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """The frozen NB model table for :func:`nb_score` — ONE
+    (V+1)-bounded DataFrame: a row per clipped-vocabulary word (plus
+    ``<unk>`` when the reference corpora contain out-of-vocab tokens)
+    carrying both class counts and, replicated on every row, both
+    class totals.  Small by construction — persist it once and score
+    every arriving batch against it (the streaming
+    ``scrub_classify_sink`` loop); retraining per batch would both
+    waste the reference scan and break batch-equivalence."""
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be positive, got {vocab_size}")
 
@@ -837,13 +861,63 @@ def nb_logodds(
             F.sum(F.when(F.col("__side") == 0, F.col("__c"))).alias("__nn"),
         )
     )
-    V1 = float(vocab_size + 1)
-    scored = (
-        clipped(toks_of(df))
-        .join(F.broadcast(cp), "__w", "left")
-        .join(F.broadcast(cn), "__w", "left")
+    return (
+        cp.join(cn, "__w", "full_outer")
         .crossJoin(F.broadcast(totals))
+        .select("__w", "__cp", "__cn", "__np", "__nn")
     )
+
+
+def nb_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    vocab_size: int = 1000,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Score *df* against a frozen :func:`nb_model` table — the
+    serving half of :func:`nb_logodds` (identical output by
+    construction; the parity is pinned in tests).  *vocab_size* must
+    be the model's training value: it enters the add-one denominators
+    as V+1.  The model rides one broadcast; unknown tokens map to
+    ``<unk>``; scoring is one explode + one broadcast join + one
+    per-doc aggregate.  No Python."""
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    # vocabulary membership = model words (every vocab word appears in
+    # at least one reference class by construction)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.coalesce(_ws_tokens(text_col), F.array().cast("array<string>")),
+                lambda t: t != "",
+            )
+        ).alias("__tok"),
+    )
+    words = model.filter(F.col("__w") != "<unk>").select(
+        F.col("__w").alias("__tok"), F.lit(1).alias("__inv")
+    )
+    clipped = (
+        toks.join(F.broadcast(words), "__tok", "left")
+        .select(
+            id_col,
+            F.when(F.col("__inv").isNotNull(), F.col("__tok"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__w"),
+        )
+    )
+    V1 = float(vocab_size + 1)
+    # totals ride their own 1-row aggregate (they are replicated on
+    # every model row), so a token that misses the word join — an
+    # <unk> the reference corpora never produced — still sees the
+    # class totals, exactly as nb_logodds' independent totals crossJoin
+    # did
+    totals = model.agg(F.max("__np").alias("__np"), F.max("__nn").alias("__nn"))
+    scored = clipped.join(
+        F.broadcast(model.select("__w", "__cp", "__cn")), "__w", "left"
+    ).crossJoin(F.broadcast(totals))
     llr = F.log(
         (F.coalesce(F.col("__cp"), F.lit(0)) + 1).cast("double")
         / (F.coalesce(F.col("__np"), F.lit(0)) + V1).cast("double")

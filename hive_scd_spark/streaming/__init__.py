@@ -736,6 +736,80 @@ def frequent_ingest_sink(
     )
 
 
+def scrub_classify_sink(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    threshold: float = 0.0,
+    drop_attrs: tuple = ("too_short", "has_pii", "symbol_heavy"),
+    min_tokens: int = 3,
+    max_symbol_ratio: float = 0.5,
+):
+    """Streaming curation lane (VERDICT r12 task 7): documents arrive
+    → span scrub (offset-exact paragraph spans → row-local taggers →
+    mixer, ``operators/text.py``) → NB quality scoring against a
+    FROZEN :func:`~hive_scd_spark.operators.quality.nb_model` table →
+    scored scrubbed rows appended to *out_path*.
+
+    The model is the load-bearing argument: train it ONCE on the
+    static trusted/rejected reference corpora (``nb_model``), persist
+    it (V+1 rows), and pass it in — per-batch retraining would both
+    re-scan the references every trigger and make scores depend on
+    trigger boundaries.  With the model frozen, every pipeline step is
+    row-local per document, so the union of per-batch outputs is
+    VALUE-IDENTICAL to the batch path (scrub + ``nb_score``) over the
+    concatenated corpus — the curation-composition batch-equivalence
+    pin, extended to the session-2 quality families
+    (``tests/test_streaming_scrub.py``).
+
+    Output columns: (id_col, scrubbed_text, n_spans_kept,
+    n_spans_removed, chars_removed, n_tokens, nb_logodds, kept).
+    Replay caveat: foreachBatch is at-least-once; rows are
+    deterministic per document, so readers dedup on *id_col* (the
+    statement-log precedent)."""
+    from hive_scd_spark.operators.quality import nb_score
+    from hive_scd_spark.operators.text import (
+        paragraph_spans,
+        scrub_spans,
+        tag_span_attrs,
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        base = batch_df.select(F.col(id_col), F.col(text_col))
+        spans = paragraph_spans(base, id_col, text_col)
+        attrs = tag_span_attrs(
+            spans, id_col, min_tokens=min_tokens,
+            max_symbol_ratio=max_symbol_ratio,
+        )
+        scrubbed = scrub_spans(
+            base, spans, attrs, id_col, text_col, drop_attrs=drop_attrs
+        )
+        scored = nb_score(
+            scrubbed.select(id_col, F.col("scrubbed_text").alias(text_col)),
+            id_col, text_col, model, vocab_size=vocab_size,
+            threshold=threshold,
+        )
+        (
+            scrubbed.join(scored, id_col)
+            .select(
+                id_col, "scrubbed_text", "n_spans_kept", "n_spans_removed",
+                "chars_removed", "n_tokens", "nb_logodds", "kept",
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest)
+    )
+
+
 def read_frequent_state(
     spark, state_path: str, key_col: str, k: int = 128
 ) -> DataFrame:
