@@ -5,6 +5,20 @@ the same parquet tables, compare row count + column names + an
 order-insensitive value multiset.
 
 Usage: python scripts/check_contract.py [sf0.001|sf0.01|sf0.1] [name_filter]
+
+Pin policy (VERDICT r12 task 3): the two labeled QUADRATIC verifier
+baselines (BASELINE_QUERIES — dedup_ngram_jaccard,
+dedup_embedding_cosine) exist to certify the production operators'
+recall, not to be production paths; re-paying their all-pairs cost
+every contract run verified an operator that had not changed since
+r10 (~7% of the whole sf0.1 run).  So: after a full value-level match,
+the run records a PIN in logs/contract_pins.json keyed by a
+fingerprint of (gate source, oracle SQL, operators/dedup.py bytes,
+input parquet size+mtime, sf).  A later run whose fingerprint matches
+prints a PIN line and skips re-execution; ANY change to the gate, the
+oracle, the operator module, or the test data invalidates the pin and
+the baseline re-verifies in full.  Pins apply ONLY to BASELINE_QUERIES
+— registry gates always execute.
 """
 
 from __future__ import annotations
@@ -85,6 +99,48 @@ def type_mismatches(spark_dtypes, duck_cols, duck_types):
     return out
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PIN_PATH = os.path.join(_REPO, "logs", "contract_pins.json")
+# input tables each pinnable baseline reads (part of the fingerprint:
+# regenerated test data must invalidate the pin)
+_PIN_INPUTS = {
+    "dedup_ngram_jaccard": ("documents.parquet",),
+    "dedup_embedding_cosine": ("embeddings.parquet",),
+}
+
+
+def _pin_fingerprint(name, fn, oracle_sql_text, sf_dir):
+    import hashlib
+    import inspect
+
+    h = hashlib.sha256()
+    h.update(inspect.getsource(fn).encode())
+    h.update((oracle_sql_text or "").encode())
+    with open(os.path.join(_REPO, "hive_scd_spark", "operators", "dedup.py"), "rb") as f:
+        h.update(f.read())
+    for rel in _PIN_INPUTS[name]:
+        st = os.stat(os.path.join(sf_dir, rel))
+        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def _load_pins():
+    import json
+
+    if os.path.exists(PIN_PATH):
+        with open(PIN_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_pins(pins):
+    import json
+
+    os.makedirs(os.path.dirname(PIN_PATH), exist_ok=True)
+    with open(PIN_PATH, "w") as f:
+        json.dump(pins, f, indent=1, sort_keys=True)
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -109,11 +165,26 @@ def main():
 
     queries = {**queries, **BASELINE_QUERIES}
     oracles = {**oracles, **BASELINE_ORACLES}
+    pins = _load_pins()
+    n_pinned = 0
     failures = []
     for name, fn in queries.items():
         if name_filter and name_filter not in name:
             continue
         t0 = time.time()
+        pin_fp = None
+        if name in BASELINE_QUERIES and name in oracles:
+            pin_fp = _pin_fingerprint(name, fn, oracles[name], sf_dir)
+            prior = pins.get(name, {}).get(sf)
+            if prior and prior.get("fp") == pin_fp:
+                n_pinned += 1
+                print(
+                    f"PIN  {name:40s} {time.time()-t0:6.2f}s  "
+                    f"match ({prior['rows']} rows, pinned — gate source, "
+                    f"oracle, operator module and input data unchanged "
+                    f"since the recorded green run)"
+                )
+                continue
         # fault isolation (VERDICT r4 #2): one broken builder must never
         # abort the run — record the error and keep checking the rest
         try:
@@ -163,6 +234,12 @@ def main():
                     ok = False
                 else:
                     status.append(f"match ({len(spark_rows)} rows)")
+                    if pin_fp is not None:
+                        pins.setdefault(name, {})[sf] = {
+                            "fp": pin_fp,
+                            "rows": len(spark_rows),
+                        }
+                        _save_pins(pins)
             if not ok:
                 failures.append((name, "; ".join(status)))
         print(f"{'OK ' if (name, '; '.join(status)) not in failures and not any(f[0]==name for f in failures) else 'FAIL'} {name:40s} {time.time()-t0:6.2f}s  {'; '.join(status)}")
@@ -173,7 +250,9 @@ def main():
         for name, why in failures:
             print(f"  {name}: {why}")
         sys.exit(1)
-    print(f"all {len([n for n in queries if not name_filter or name_filter in n])} queries match")
+    n_all = len([n for n in queries if not name_filter or name_filter in n])
+    suffix = f" ({n_pinned} pinned)" if n_pinned else ""
+    print(f"all {n_all} queries match{suffix}")
 
 
 if __name__ == "__main__":
