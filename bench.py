@@ -155,6 +155,9 @@ HEADLINE = [
     "text_code_quality",
     # round-12 session 2: per-source KL drift report
     "report_source_divergence",
+    # round-13: batch-arrival PQ — arrival encode + codes-only ADC
+    # probe against the standing corpus (frozen codebooks)
+    "ann_pq_incremental",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -163,25 +166,31 @@ assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 # LAST round's bench ∪ any common-query mover > 1.3× vs the round
 # before — so verdict attention never goes to a sub-second row whose
 # swing was reps=2 noise.  Recomputed each round from BENCH_r{N-1}.
-# r12 inputs: top-10 by BENCH_r11; movers vs r10 =
-# sample_token_budget_per_source (2.16×, VERDICT r11 task 4) and
-# text_hash_embed_ann (1.36×).
+# r13 inputs: top-10 by BENCH_r12 (ann_pq_adc_topk 4.71,
+# pipeline_semantic_dedup 4.59, pipeline_scrub_classify_report 4.21,
+# pipeline_crawl_to_corpus_v2 4.16, graph_pagerank_dups 4.14,
+# dedup_minhash_incremental 3.67, dedup_winnow_corpus 3.65,
+# pipeline_corpus_to_sequences 3.23, text_kn_trigram_logprob 3.16,
+# dedup_simhash_near 3.13); movers vs r11 (the VERDICT r12 list) =
+# sample_shuffle_order (1.90×), range_join_event_windows (1.57×),
+# dedup_cluster_assign (1.56×), dedup_minhash_incremental (1.47×).
 EXTRA_REPS = {
-    "dedup_winnow_corpus",
-    "pipeline_crawl_to_corpus_v2",
-    "pipeline_crawl_to_corpus",
-    "pipeline_semantic_dedup",
-    "graph_pagerank_dups",
-    "text_bpe_tokenize",
-    "pipeline_corpus_to_sequences",
-    "source_warc_scan",
-    "dedup_simhash_near",
-    "dedup_minhash_incremental",
-    "sample_token_budget_per_source",
-    "text_hash_embed_ann",
-    # r12 session 2: the most expensive new row enters reps=4 on arrival
-    # (it will be in the top-10 set this round by construction)
     "ann_pq_adc_topk",
+    "pipeline_semantic_dedup",
+    "pipeline_scrub_classify_report",
+    "pipeline_crawl_to_corpus_v2",
+    "graph_pagerank_dups",
+    "dedup_minhash_incremental",
+    "dedup_winnow_corpus",
+    "pipeline_corpus_to_sequences",
+    "text_kn_trigram_logprob",
+    "dedup_simhash_near",
+    # r12→r11 movers under the >1.3× rule
+    "sample_shuffle_order",
+    "range_join_event_windows",
+    "dedup_cluster_assign",
+    # r13: the new row enters reps=4 on arrival (rotate-on-add rule)
+    "ann_pq_incremental",
 }
 assert EXTRA_REPS <= set(HEADLINE)
 
@@ -231,6 +240,12 @@ ITERATIVE = {
     # metadata-sized seed rows at build time (4 small topK jobs) — the
     # training cost belongs inside the timed window
     "ann_pq_adc_topk",
+    # r13: trains frozen codebooks on the standing corpus at build (the
+    # same seed collects) — the state-build cost stays inside the timer
+    # so the row is the honest one-off arrival cost; the AMORTIZED
+    # arrival cost is the scale artifacts' pq_incr rows (persisted
+    # state, 0.96× @10x)
+    "ann_pq_incremental",
 }
 
 
@@ -302,7 +317,16 @@ def main() -> None:
             timings[name] = min(timings.get(name, t), t)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # Tail-capture discipline (VERDICT r12 task 2): the driver records
+    # only the LAST ~2 kB of stdout, and r12's line outgrew it — the
+    # committed artifact lost its HEAD (the metric/value fields and the
+    # first ~15 timings).  Two defenses: (a) the stdout line is kept
+    # COMPACT (2-decimal timings, reps_extra as a count) and ordered
+    # queries-first / value-LAST, so any future truncation eats query
+    # rows and never the total; (b) the full 3-decimal record including
+    # the reps_extra list is written to logs/bench_last.json — the
+    # artifact of record lives in the repo regardless of tail capture.
+    full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -311,12 +335,30 @@ def main() -> None:
         "reps": 2,
         "reps_extra": {"reps": 4, "queries": sorted(EXTRA_REPS)},
     }
+    out = {
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf),
+        "reps": 2,
+        "reps_extra": {"reps": 4, "n": len(EXTRA_REPS)},
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+    }
     if errors:
         # a partial total is NOT comparable with a complete round's total
         # (a broken query reads as a speedup) — flag it loudly and exit
         # nonzero while still emitting every surviving per-query number
-        out["errors"] = errors
+        full["errors"] = errors
+        full["partial"] = True
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
         out["partial"] = True
+    try:
+        logdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs")
+        os.makedirs(logdir, exist_ok=True)
+        with open(os.path.join(logdir, "bench_last.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=False)
+    except OSError:
+        pass  # never let the artifact-of-record write kill the line
     print(json.dumps(out))
     if errors:
         sys.exit(1 if not timings else 2)

@@ -142,6 +142,10 @@ SWEEP = [
     ("sketch_heavy_hitters", set()),
     ("text_kn_trigram_logprob", set()),
     ("ann_pq_adc_topk", {"nested-loop"}),
+    # r13: the incremental path shares the batch ADC back half
+    # (_pq_adc_from_codes) — same query-set-bounded LUT / codebook
+    # BNLJ builds, same exemption
+    ("ann_pq_incremental", {"nested-loop"}),
     # span pipeline: row-local taggers + one reassembly shuffle
     ("text_span_scrub", set()),
     # NB classifier (V-bounded model broadcasts + 1-row totals) and the
