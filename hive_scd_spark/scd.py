@@ -260,6 +260,65 @@ def snapshot(df: DataFrame, path: str | None = None, mode: str = "overwrite") ->
     return df
 
 
+def _chain_boundary_states(df, stmts, times, cols, field_types):
+    """Boundary states via ONE sequential select chain — the
+    ``apply_statements`` semantics (each statement sees the POST-image
+    of every earlier statement), so read-after-write chains fold
+    correctly.  Valid only when script order agrees with
+    effective-time order (checked by the caller): then the statements
+    applicable at boundary t_i are exactly a prefix, and each
+    boundary's state is the previous boundary's state plus that
+    boundary's statements in script order.  Returns the frame carrying
+    one ``__b{i}`` struct column (tracked cols + ``__alive``) per
+    boundary; Catalyst collapses the select chain into one projection
+    (the A9 single-codegen-stage design), so cost stays k× the
+    projection width with no joins and no per-time scans."""
+    base_cols = list(df.columns)
+    work = df.select(*base_cols, F.lit(True).alias("__alive"))
+    carried: list[str] = []
+    si = 0
+
+    def key(s):
+        return 0 if s.effective_ms is None else s.effective_ms
+
+    for i, t in enumerate(times):
+        while si < len(stmts) and key(stmts[si]) <= t:
+            stmt = stmts[si]
+            si += 1
+            cond = (
+                F.lit(True)
+                if stmt.where is None
+                else F.coalesce(F.expr(stmt.where).cast("boolean"), F.lit(False))
+            )
+            if stmt.kind == "delete":
+                work = work.select(
+                    *base_cols,
+                    *carried,
+                    (F.col("__alive") & ~cond).alias("__alive"),
+                )
+            else:
+                new = {}
+                for col, set_expr in stmt.sets:
+                    actual = next(
+                        (c for c in base_cols if c.lower() == col.lower()), col
+                    )
+                    new[actual] = F.when(
+                        cond, F.expr(set_expr).cast(field_types[actual])
+                    ).otherwise(F.col(actual))
+                work = work.select(
+                    *[new.get(c, F.col(c)).alias(c) for c in base_cols],
+                    *carried,
+                    "__alive",
+                )
+        snap = F.struct(
+            *[F.col(c).alias(c) for c in cols], F.col("__alive").alias("__alive")
+        )
+        name = f"__b{i}"
+        work = work.select(*base_cols, *carried, "__alive", snap.alias(name))
+        carried.append(name)
+    return work
+
+
 def scd2_history(df: DataFrame, stmts, tracked_cols: list[str] | None = None) -> DataFrame:
     """Materialize a **Type-2** history table from the Type-7 statement
     log: one row per (entity, state interval), with ``valid_from_ms`` /
@@ -273,7 +332,16 @@ def scd2_history(df: DataFrame, stmts, tracked_cols: list[str] | None = None) ->
     an array of (t_i, state, alive) structs, de-duplicated against the
     previous interval, and exploded.  No self-joins, no per-time scans
     — cost is k× the projection width for k distinct times, which is
-    tiny because k = number of timestamped script epochs, not rows."""
+    tiny because k = number of timestamped script epochs, not rows.
+
+    Read-after-write chains (a later statement reading a column an
+    earlier statement assigned) fold through the SEQUENTIAL select
+    chain (:func:`_chain_boundary_states`, r13) whenever script order
+    agrees with effective-time order — the append-only ``.updates``
+    shape every real log has.  Only the pathological combination
+    (chain + out-of-order effective times, where boundary states are
+    not prefix-extensible) still refuses loudly; the workaround stays
+    ``apply_statements`` per as-of."""
     if isinstance(stmts, str):
         stmts = parse_script(stmts)
     stmts = list(stmts)
@@ -284,56 +352,75 @@ def scd2_history(df: DataFrame, stmts, tracked_cols: list[str] | None = None) ->
     cols = df.columns if tracked_cols is None else tracked_cols
     field_types = {f.name: f.dataType for f in df.schema.fields}
 
-    # NOTE on pre-image correctness: every statement's WHERE/SET below
-    # evaluates against the *source columns* composed so far, exactly
-    # like apply_statements — but chains where a later statement's
-    # expressions read a column an earlier statement assigned cannot be
-    # re-derived per-boundary this way without sequential snapshots.
-    # Detect that case and refuse loudly rather than silently mis-state
-    # history.
+    # Pre-image correctness: the per-boundary composed-expression path
+    # below evaluates every WHERE/SET against the *source columns*,
+    # exactly like one boundary of apply_statements — valid only when
+    # no statement reads a column an earlier statement assigned.
+    # Chains route to the sequential select chain instead.
+    chained = False
     assigned: set[str] = set()
     for stmt in stmts:
         refs = ((stmt.where or "") + " " + " ".join(e for _c, e in stmt.sets)).lower()
         if any(c.lower() in refs for c in assigned):
-            raise NotImplementedError(
-                "scd2_history: statement chains where later statements read "
-                "columns assigned by earlier ones need sequential snapshots — "
-                "use apply_statements per as_of instead"
-            )
+            chained = True
+            break
         assigned.update(c for c, _e in stmt.sets)
 
-    def state_at(t_ms: int):
-        """(state struct, alive) after folding statements eff ≤ t_ms."""
-        exprs = {c: F.col(c) for c in df.columns}
-        alive = F.lit(True)
-        for stmt in applicable(stmts, t_ms):
-            cond = (
-                F.lit(True)
-                if stmt.where is None
-                else F.coalesce(F.expr(stmt.where).cast("boolean"), F.lit(False))
+    if chained:
+        keys = [0 if s.effective_ms is None else s.effective_ms for s in stmts]
+        if any(a > b for a, b in zip(keys, keys[1:])):
+            raise NotImplementedError(
+                "scd2_history: read-after-write statement chains with "
+                "OUT-OF-ORDER effective times cannot fold incrementally "
+                "(boundary states are not prefix-extensible) — use "
+                "apply_statements per as_of instead"
             )
-            if stmt.kind == "delete":
-                alive = alive & ~cond
-            else:
-                for col, set_expr in stmt.sets:
-                    actual = next(
-                        (c for c in df.columns if c.lower() == col.lower()), col
-                    )
-                    exprs[actual] = F.when(
-                        cond, F.expr(set_expr).cast(field_types[actual])
-                    ).otherwise(exprs[actual])
-        return F.struct(*[exprs[c].alias(c) for c in cols]), alive
-
-    entries = []
-    for t in times:
-        state, alive = state_at(t)
-        entries.append(
+        src = _chain_boundary_states(df, stmts, times, cols, field_types)
+        entries = [
             F.struct(
                 F.lit(t).alias("valid_from_ms"),
-                state.alias("state"),
-                alive.alias("alive"),
+                F.struct(
+                    *[F.col(f"__b{i}.{c}").alias(c) for c in cols]
+                ).alias("state"),
+                F.col(f"__b{i}.__alive").alias("alive"),
             )
-        )
+            for i, t in enumerate(times)
+        ]
+    else:
+        src = df
+
+        def state_at(t_ms: int):
+            """(state struct, alive) after folding statements eff ≤ t_ms."""
+            exprs = {c: F.col(c) for c in df.columns}
+            alive = F.lit(True)
+            for stmt in applicable(stmts, t_ms):
+                cond = (
+                    F.lit(True)
+                    if stmt.where is None
+                    else F.coalesce(F.expr(stmt.where).cast("boolean"), F.lit(False))
+                )
+                if stmt.kind == "delete":
+                    alive = alive & ~cond
+                else:
+                    for col, set_expr in stmt.sets:
+                        actual = next(
+                            (c for c in df.columns if c.lower() == col.lower()), col
+                        )
+                        exprs[actual] = F.when(
+                            cond, F.expr(set_expr).cast(field_types[actual])
+                        ).otherwise(exprs[actual])
+            return F.struct(*[exprs[c].alias(c) for c in cols]), alive
+
+        entries = []
+        for t in times:
+            state, alive = state_at(t)
+            entries.append(
+                F.struct(
+                    F.lit(t).alias("valid_from_ms"),
+                    state.alias("state"),
+                    alive.alias("alive"),
+                )
+            )
     arr = F.array(*entries)
 
     def at(i):  # 1-based element_at over the boundary array
@@ -366,7 +453,7 @@ def scd2_history(df: DataFrame, stmts, tracked_cols: list[str] | None = None) ->
             at(i)["alive"].alias("alive"),
         ),
     )
-    exploded = df.select(F.explode(versions).alias("__v"))
+    exploded = src.select(F.explode(versions).alias("__v"))
     out = exploded.select(
         *[F.col(f"__v.state.{c}").alias(c) for c in cols],
         F.col("__v.valid_from_ms").alias("valid_from_ms"),

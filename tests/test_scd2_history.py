@@ -49,9 +49,87 @@ def test_empty_script_single_interval(spark, dim):
     assert scd2_history(dim, "").count() == 3
 
 
-def test_chain_dependency_refused(spark, dim):
-    with pytest.raises(NotImplementedError, match="sequential snapshots"):
-        scd2_history(dim, "UPDATE t SET bal = 1 WHERE id = 1;\nDELETE FROM t WHERE bal = 1;")
+CHAIN_SCRIPT = (
+    "-- time=1000\nUPDATE t SET bal = bal * 2;\n"
+    "-- time=2000\nUPDATE t SET name = upper(name) WHERE bal > 100;\n"  # reads post-image bal
+    "-- time=3000\nDELETE FROM t WHERE name = 'ALICE';\n"  # reads post-image name
+)
+
+
+def test_chain_folds_through_sequential_select_chain(spark, dim):
+    """r13: read-after-write chains fold correctly when script order
+    agrees with effective-time order (the append-only log shape) —
+    ground truth is the documented workaround, apply_statements per
+    as-of boundary."""
+    from pyspark.sql import functions as F
+
+    from hive_scd_spark.scd import apply_statements
+
+    hist = scd2_history(dim, CHAIN_SCRIPT)
+    for t in [0, 999, 1000, 1999, 2000, 2999, 3000, 99999]:
+        from_hist = sorted(
+            (r.id, r.name, r.bal)
+            for r in hist.filter(
+                (F.col("valid_from_ms") <= t)
+                & (F.col("valid_to_ms").isNull() | (F.col("valid_to_ms") > t))
+            ).collect()
+        )
+        from_apply = sorted(
+            (r.id, r.name, r.bal)
+            for r in apply_statements(dim, CHAIN_SCRIPT, as_of=t).collect()
+        )
+        assert from_hist == from_apply, f"divergence at t={t}"
+    # alice: bal 100 -> 200 at t=1000, name -> ALICE at t=2000 (200 >
+    # 100 POST-image; the broken pre-image fold would skip this since
+    # the source bal is exactly 100), deleted at t=3000
+    alice = sorted(
+        (r.valid_from_ms, r.valid_to_ms, r.name, r.bal)
+        for r in hist.filter("id = 1").collect()
+    )
+    assert alice == [
+        (0, 1000, "alice", 100.0),
+        (1000, 2000, "alice", 200.0),
+        (2000, 3000, "ALICE", 200.0),
+    ]
+
+
+def test_chain_same_statement_preimage_preserved(spark, dim):
+    """WITHIN one statement SETs still see the pre-image; across
+    statements they see the post-image."""
+    out = scd2_history(
+        dim,
+        "-- time=1000\nUPDATE t SET bal = bal + 1, name = concat(name, bal) WHERE id = 1;\n"
+        "-- time=2000\nUPDATE t SET bal = bal * 10 WHERE id = 1;\n",
+    )
+    rows = sorted(
+        (r.valid_from_ms, r.name, r.bal) for r in out.filter("id = 1").collect()
+    )
+    # name uses the PRE-image bal (100.0) of its own statement; the
+    # second statement multiplies the POST-image bal (101.0)
+    assert rows == [
+        (0, "alice", 100.0),
+        (1000, "alice100.0", 101.0),
+        (2000, "alice100.0", 1010.0),
+    ]
+
+
+def test_chain_out_of_order_still_refused(spark, dim):
+    with pytest.raises(NotImplementedError, match="OUT-OF-ORDER"):
+        scd2_history(
+            dim,
+            "-- time=2000\nUPDATE t SET bal = 1 WHERE id = 1;\n"
+            "-- time=1000\nDELETE FROM t WHERE bal = 1;\n",
+        )
+
+
+def test_untimed_chain_folds(spark, dim):
+    """Untimed statements (effective=None -> boundary 0) chain too."""
+    out = scd2_history(
+        dim,
+        "UPDATE t SET bal = 1 WHERE id = 1;\nDELETE FROM t WHERE bal = 1;",
+    )
+    rows = sorted((r.id,) for r in out.collect())
+    assert rows == [(2,), (3,)]  # id=1 deleted via the chained post-image
 
 
 def test_asof_consistency_with_apply_statements(spark, dim):
