@@ -158,6 +158,11 @@ HEADLINE = [
     # round-13: batch-arrival PQ — arrival encode + codes-only ADC
     # probe against the standing corpus (frozen codebooks)
     "ann_pq_incremental",
+    # round-13 second tranche: rolling z-score anomaly flags (one
+    # key-partitioned window pass) and the cross-source n-gram
+    # contamination matrix (gram shuffle + source-bounded pair fan-out)
+    "events_anomaly_zscore",
+    "report_source_overlap",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -246,6 +251,13 @@ ITERATIVE = {
     # arrival cost is the scale artifacts' pq_incr rows (persisted
     # state, 0.96× @10x)
     "ann_pq_incremental",
+    # r13: heavy_hitters' rollup output is lazily localCheckpoint-ed
+    # (the two-consumer fix from the r12 ADVICE) — the same df→RDD
+    # materialize-at-build rule as minhash/pagerank applies, so the
+    # builder moves inside the timer (first timed r13 run measured the
+    # row at 0.10 s builder-untimed — an accounting artifact, not a
+    # 24× speedup; honest number ~2.3 s)
+    "sketch_heavy_hitters",
 }
 
 

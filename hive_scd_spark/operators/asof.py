@@ -149,3 +149,91 @@ def gap_fill_locf(
         F.last("__obs", ignorenulls=True).over(w).alias("filled_value"),
         F.col("__obs").isNotNull().alias("is_observed"),
     )
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    order_col: str,
+    lookback: int = 20,
+    min_history: int = 8,
+    z_threshold: float = 3.0,
+    scale: int = 1000,
+) -> DataFrame:
+    """Rolling z-score anomaly flags — the monitoring primitive a
+    pipeline health dashboard reads (ingest-volume spikes, metric
+    drift): each observation is scored against the mean/std of its
+    key's *lookback* PRECEDING observations (the current row is
+    excluded from its own baseline, the standard leave-one-out form).
+
+    Engine-exactness discipline: float ``avg``/``stddev`` window
+    aggregates are summation-order-dependent, so the baseline moments
+    are computed from EXACT integer window sums instead — values scale
+    to ``round(value·scale)`` BIGINTs, the window sums Σv and Σv² are
+    exact, and mean/variance derive from them in a fixed expression
+    shape (population variance ``Σv²/n − (Σv/n)²``).  The z-score is
+    ``ROUND(·, 6)`` and the flag compares the ROUNDED value, so both
+    are engine-identical by construction.  Overflow headroom: Σv²
+    needs ``n·(max|v|·scale)² < 2⁶³`` — at the default milli-scale
+    that allows |v| up to ~6.8e5 with lookback 20.
+
+    Rows with fewer than *min_history* prior observations get a NULL
+    z (no baseline, never flagged); a zero-variance baseline likewise
+    yields NULL z and ``is_anomaly`` false — a constant history says
+    nothing about spread, so flagging any deviation would be noise.
+    Window order is (time, *order_col*) — pass a unique id so frame
+    membership is total-ordered and deterministic in any engine.
+
+    Output: (key, time, order, value, n_baseline, z, is_anomaly).
+    Scale: ONE key-partitioned window pass — one shuffle on the key,
+    linear in rows, no joins, no Python."""
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
+    # FLOOR(x*scale + 0.5): the package's engine-exact rounding
+    # convention (range_join oracle precedent) — Spark round() is
+    # HALF_UP, DuckDB's is half-away-from-zero; floor(+0.5) is the
+    # same expression in both
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    base = events.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.col(order_col),
+        F.col(value_col),
+        v.alias("__v"),
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.col(time_col).asc(), F.col(order_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    stats = base.select(
+        "*",
+        F.count("__v").over(w).alias("__n"),
+        F.sum("__v").over(w).alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).over(w).alias("__ss"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s") / n
+    var = F.col("__ss") / n - mean * mean
+    z = F.round(
+        (F.col("__v").cast("double") - mean) / F.sqrt(var),
+        6,
+    )
+    usable = (F.col("__n") >= min_history) & (
+        F.col("__ss") * F.col("__n") > F.col("__s") * F.col("__s")
+    )
+    return stats.select(
+        key_col,
+        time_col,
+        order_col,
+        value_col,
+        F.col("__n").cast("long").alias("n_baseline"),
+        F.when(usable, z).alias("z"),
+        F.coalesce(
+            F.abs(F.when(usable, z)) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -148,3 +148,75 @@ def decontaminate(
         .distinct()
     )
     return train.join(hits, id_col, "left_anti")
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    n: int = 8,
+    max_sources_per_gram: int | None = None,
+) -> DataFrame:
+    """Cross-source contamination MATRIX: for every pair of sources,
+    how many distinct word n-gram hashes they share, with the Jaccard
+    over their distinct-gram sets — the census a curation team reads
+    before mixing sources (two crawls of the same sites, a dataset
+    re-released under a new name, a benchmark leaked into a crawl all
+    show up as an off-diagonal spike).
+
+    Pipeline: per-source DISTINCT gram set (the decontamination
+    hashing, ``_doc_ngram_hashes``'s row-local dedup then one
+    (source, hash) distinct), then the grouped inverted-index idiom
+    the winnow family uses — group by gram, collect the sorted source
+    list, emit each pair once via posexplode+slice.  Per-gram fan-out
+    is bounded by the SOURCE COUNT (tens), never the corpus: Σ|pairs|
+    ≤ |distinct grams| × C(n_sources, 2).  *max_sources_per_gram*
+    optionally drops grams present in more than that many sources
+    (the df-cap move — a gram in EVERY source is boilerplate and says
+    nothing about pairwise contamination); NULL keeps all.
+
+    Output: (source_a, source_b, n_shared, n_a, n_b, jaccard) with
+    source_a < source_b, jaccard = ROUND(shared / (n_a + n_b −
+    shared), 6) — integer counts, so the only float is the final
+    division.  Scale: one corpus explode + one gram-keyed shuffle +
+    one pair-keyed combiner-collapsed count; per-source totals are a
+    source-count-bounded aggregate that BROADCASTS back onto the 
+    pair rows."""
+    grams = _doc_ngram_hashes(df, source_col, text_col, n, "__src").distinct()
+    totals = grams.groupBy("__src").agg(F.count("*").alias("__tot"))
+    by_gram = grams.groupBy("__h").agg(
+        F.sort_array(F.collect_list("__src")).alias("__ss")
+    )
+    sized = by_gram.filter(F.size("__ss") >= 2)
+    if max_sources_per_gram is not None:
+        sized = sized.filter(F.size("__ss") <= max_sources_per_gram)
+    pairs_raw = sized.select(
+        F.posexplode("__ss").alias("__i", "source_a"), F.col("__ss")
+    ).select(
+        "source_a",
+        F.explode(F.slice("__ss", F.col("__i") + 2, F.size("__ss"))).alias(
+            "source_b"
+        ),
+    )
+    shared = pairs_raw.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_shared")
+    )
+    ta = totals.select(
+        F.col("__src").alias("source_a"), F.col("__tot").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("__src").alias("source_b"), F.col("__tot").alias("n_b")
+    )
+    out = shared.join(F.broadcast(ta), "source_a").join(F.broadcast(tb), "source_b")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+            6,
+        ).alias("jaccard"),
+    )

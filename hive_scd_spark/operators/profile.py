@@ -388,7 +388,14 @@ def heavy_hitters(
     grouped = flagged.rollup("__k").agg(
         F.count("*").alias("cnt"), F.grouping("__k").alias("__g")
     ).localCheckpoint(eager=False)
-    total = grouped.filter(F.col("__g") == 1).select(F.col("cnt").alias("__hh_n"))
+    # a real keys-empty aggregate (over the one () row), not a bare
+    # filter+select: the plan linter proves broadcast-crossJoin builds
+    # 1-row by REQUIRING a global aggregate as the build root, and the
+    # checkpoint scan underneath would otherwise be opaque to it
+    total = (
+        grouped.filter(F.col("__g") == 1)
+        .agg(F.max("cnt").alias("__hh_n"))
+    )
     counts = grouped.filter(
         (F.col("__g") == 0) & F.col("__k").isNotNull()
     ).select(F.col("__k").alias(key_col), "cnt")

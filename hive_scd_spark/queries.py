@@ -5666,6 +5666,41 @@ def text_robots_parse_screen(spark, sf_dir):
     return out.select("doc_id", "domain", "disallowed")
 
 
+
+def events_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags (operators/asof.py:
+    anomaly_zscore) — each event scored against the mean/std of its
+    user's 20 preceding observations (leave-one-out), the monitoring
+    primitive a pipeline health dashboard reads.  Engine-exact by
+    construction: baseline moments come from exact integer window sums
+    (milli-scaled values), z is ROUND(·,6), and the flag compares the
+    rounded value; the oracle replays the identical window frame
+    (ordered by time then event_id, so frame membership is
+    total-ordered) and the same fixed expression shape."""
+    from hive_scd_spark.operators.asof import anomaly_zscore
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts_us", "event_id", "value")
+    return anomaly_zscore(
+        ev, "user_id", "ts_us", "value", "event_id",
+        lookback=20, min_history=8, z_threshold=3.0, scale=1000,
+    )
+
+
+def report_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix (operators/decontam.py:
+    source_overlap_matrix): distinct shared 8-gram hashes + Jaccard
+    for every source pair — the census a curation team reads before
+    mixing sources (re-released datasets and benchmark leaks show up
+    as off-diagonal spikes).  Grouped inverted-index pair generation
+    (per-gram fan-out bounded by the SOURCE count, never the corpus);
+    the oracle replays the hashing, the per-source distinct sets, and
+    every pair count in DuckDB list ops."""
+    from hive_scd_spark.operators.decontam import source_overlap_matrix
+
+    docs = t(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, "source", "text", n=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50) ---------------------------------------
     # SCD core (the reference surface)
@@ -5773,8 +5808,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal_dedup_exact stay — each is its family's only window
     # representative.  The ten SCD core gates never rotate
     # (test_registry.py pins the invariant).
-    "q7_nation_volume": q7_nation_volume,
-    "q10_returned_items": q10_returned_items,
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -5874,7 +5907,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # shapes: q7/q10/q13/q14/q17/q18; q4 stays DuckDB-verified every
     # round via scripts/check_contract.py).
     "ann_pq_incremental": ann_pq_incremental,
+    # r13 second tranche (rotate-on-add): rolling z-score anomaly flags
+    # (the monitoring primitive; events family keeps gap_fill too) and
+    # the cross-source n-gram contamination matrix (reports family
+    # keeps source_divergence too).  Out: q7_nation_volume +
+    # q10_returned_items (each x2 — TPC-H keeps four fresh in-window
+    # shapes: q13/q14/q17/q18; both stay DuckDB-verified every round
+    # via scripts/check_contract.py).
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "report_source_overlap": report_source_overlap,
     # --- beyond the driver window (slot >50) ----------------------------
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
     "q4_order_priority": q4_order_priority,
     # r13 displaced veterans (see the r13 rotation comment above):
     "sketch_quantile_totalprice": sketch_quantile_totalprice,
@@ -8306,6 +8350,69 @@ ORACLES["ann_pq_adc_topk"] = _pq_oracle()
 ORACLES["ann_pq_incremental"] = _pq_oracle(
     train_where="vec_id % 25 <> 0", query_where="vec_id % 25 = 0"
 )
+
+# r13: rolling z-score — identical frame (time, event_id order), exact
+# integer window sums, the same fixed moment expressions, ROUND(z,6)
+ORACLES["events_anomaly_zscore"] = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+             CAST(FLOOR(value*1000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), s AS (
+      SELECT user_id, ts_us, event_id, value, v,
+             COUNT(v) OVER w AS n,
+             SUM(v) OVER w AS sv,
+             SUM(v*v) OVER w AS ss
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT user_id, ts_us, event_id, value,
+             CAST(n AS BIGINT) AS n_baseline,
+             CASE WHEN n >= 8 AND ss*n > sv*sv THEN
+               ROUND((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE)/n)
+                     / SQRT(CAST(ss AS DOUBLE)/n
+                            - (CAST(sv AS DOUBLE)/n)*(CAST(sv AS DOUBLE)/n)), 6)
+             END AS z
+      FROM s
+    )
+    SELECT user_id, ts_us, event_id, value, n_baseline, z,
+           COALESCE(ABS(z) > 3.0, FALSE) AS is_anomaly
+    FROM z
+"""
+
+# r13: cross-source overlap matrix — the decontamination gram hashing
+# (n=8: range end len-6 exclusive, slice w[i:i+7] inclusive), per-source
+# distinct sets, every pair count + Jaccard
+ORACLES["report_source_overlap"] = """
+    WITH w AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '[^0-9a-z_]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), g0 AS (
+      SELECT source,
+             unnest(list_distinct(list_transform(
+               range(1, CAST(len(w) AS BIGINT) - 6), i ->
+               ('0x' || substring(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT
+             ))) AS h
+      FROM w WHERE len(w) >= 8
+    ), g AS (SELECT DISTINCT source, h FROM g0),
+    tot AS (SELECT source, COUNT(*) AS t FROM g GROUP BY 1),
+    sh AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(ta.t AS BIGINT) AS n_a, CAST(tb.t AS BIGINT) AS n_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (ta.t + tb.t - n_shared), 6)
+             AS jaccard
+    FROM sh
+    JOIN tot ta ON ta.source = sh.source_a
+    JOIN tot tb ON tb.source = sh.source_b
+"""
 
 ORACLES["text_span_scrub"] = """
     WITH planted AS (

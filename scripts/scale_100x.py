@@ -207,6 +207,39 @@ def main():
     emb100 = spark.read.parquet(emb100_path)
     print(f"embeddings 1x={emb1.count()} {n}x={emb100.count()}", flush=True)
 
+    # events 100x: reuse scale_10x's key-shift replicator (r13 — the
+    # zscore row needs a true event stream, not the orders-derived one)
+    ev100_path = f"/tmp/scale100x_events_{n}"
+    s10.replicate(spark, f"{sf_dir}/events.parquet", ev100_path,
+                  ["event_id", "user_id"], n=n)
+    ev1 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev100 = spark.read.parquet(ev100_path)
+    print(f"events 1x={ev1.count()} {n}x={ev100.count()}", flush=True)
+
+    def zscore_gate(ev):
+        # r13: rolling z-score — ONE key-partitioned window pass; keys
+        # and rows grow with the stream, frame width fixed — expect
+        # ~linear
+        from hive_scd_spark.operators.asof import anomaly_zscore
+
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ts_us = F.expr("ts div 1000")
+        else:
+            ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        e2 = ev.select("user_id", ts_us.alias("ts_us"), "event_id", "value")
+        return anomaly_zscore(
+            e2, "user_id", "ts_us", "value", "event_id",
+            lookback=20, min_history=8,
+        )
+
+    def overlap_matrix_gate(d):
+        # r13: cross-source overlap matrix — gram shuffle grows with
+        # the corpus, pair fan-out stays source-count-bounded (20
+        # sources = at most 190 pair keys) — expect ~linear
+        from hive_scd_spark.operators.decontam import source_overlap_matrix
+
+        return source_overlap_matrix(d, "source", "text", n=8)
+
     from hive_scd_spark.operators.dedup import embedding_near_dup_pairs
     from hive_scd_spark.operators.similarity import ann_cosine_topk
 
@@ -601,6 +634,8 @@ def main():
         # round-12 session 2, later tranches
         ("select_nb_quality", nb_gate),
         ("text_code_quality", codeq_gate),
+        # round-13 second tranche
+        ("report_source_overlap", overlap_matrix_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),
@@ -617,6 +652,8 @@ def main():
         # round-12 session 2: frequent-items sketch over the 15M-element
         # Zipf stream derived from replicated orders
         + [("sketch_heavy_hitters", hh_gate, orders1, orders100)]
+        # round-13 second tranche: the true event stream
+        + [("events_anomaly_zscore", zscore_gate, ev1, ev100)]
     )
     # Inter-experiment isolation (session.gc_isolate — its docstring
     # carries the full two-mechanism rationale): at n=100 a dozen heavy

@@ -750,6 +750,30 @@ def main():
             end=_WINDOW_EPOCH_US + 60 * _WINDOW_STEP_US,
         )
 
+    def zscore_gate(ev):
+        # r13: rolling z-score — ONE key-partitioned window pass; keys
+        # and rows grow with the stream, frame width fixed — expect
+        # ~linear
+        from hive_scd_spark.operators.asof import anomaly_zscore
+
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ts_us = F.expr("ts div 1000")
+        else:
+            ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        e2 = ev.select("user_id", ts_us.alias("ts_us"), "event_id", "value")
+        return anomaly_zscore(
+            e2, "user_id", "ts_us", "value", "event_id",
+            lookback=20, min_history=8,
+        )
+
+    def overlap_matrix_gate(d):
+        # r13: cross-source overlap matrix — gram shuffle grows with
+        # the corpus, pair fan-out stays source-count-bounded (20
+        # sources = at most 190 pair keys) — expect ~linear
+        from hive_scd_spark.operators.decontam import source_overlap_matrix
+
+        return source_overlap_matrix(d, "source", "text", n=8)
+
     def softdedup_gate(d):
         # r12 session 2: 1/cluster_size weights over the minhash pairs
         from hive_scd_spark.operators.dedup import minhash_near_dup_pairs
@@ -816,6 +840,9 @@ def main():
         ("report_source_divergence", divergence_gate, docs1, docs10),
         ("range_join_interval_overlap", overlap_gate, ev1, ev10),
         ("events_gap_fill_locf", gapfill_gate, ev1, ev10),
+        # round-13 second tranche
+        ("events_anomaly_zscore", zscore_gate, ev1, ev10),
+        ("report_source_overlap", overlap_matrix_gate, docs1, docs10),
         ("sample_softdedup_weights", softdedup_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken

@@ -162,6 +162,11 @@ SWEEP = [
     ("text_code_quality", set()),
     # KL drift report: vocabulary-bounded shuffles + broadcast models
     ("report_source_divergence", set()),
+    # r13 second tranche: one key-partitioned window pass (zscore);
+    # gram shuffle + source-bounded pair fan-out + two broadcast
+    # totals joins (overlap matrix)
+    ("events_anomaly_zscore", set()),
+    ("report_source_overlap", set()),
 ]
 
 
