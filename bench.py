@@ -258,6 +258,11 @@ ITERATIVE = {
     # row at 0.10 s builder-untimed — an accounting artifact, not a
     # 24× speedup; honest number ~2.3 s)
     "sketch_heavy_hitters",
+    # r13: nb_logodds lazily checkpoints its (V+1)-row model (three
+    # nb_score references would otherwise re-derive the reference
+    # counting pipeline per reference) — same rule, builder-timed
+    "select_nb_quality",
+    "pipeline_scrub_classify_report",
 }
 
 

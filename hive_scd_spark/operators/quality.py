@@ -793,9 +793,20 @@ def nb_logodds(
     Train-once serving (the streaming lane): :func:`nb_model` builds
     the frozen (V+1)-row model table from the reference corpora, and
     :func:`nb_score` scores any frame against it — this function is
-    exactly ``nb_score(df, …, nb_model(pos, neg, …))``.
-    """
-    model = nb_model(pos, neg, id_col, text_col, vocab_size)
+    exactly ``nb_score(df, …, nb_model(pos, neg, …))`` with the model
+    lazily ``localCheckpoint``-ed: nb_score references the model table
+    THREE times (vocabulary membership, count join, totals), and
+    without a materialization point Catalyst re-derives the whole
+    reference-corpus counting pipeline per reference (measured: the
+    select_nb_quality gate's plan went 11 → 30 shuffles when this
+    composition first shipped un-checkpointed).  The model is
+    (V+1)-row metadata, so the checkpoint is the simhash-band-table
+    precedent, not a corpus materialization.  Accounting: the
+    checkpoint materializes at BUILD time under AQE, so NB gates sit
+    in bench.py's builder-timed (ITERATIVE) set."""
+    model = nb_model(pos, neg, id_col, text_col, vocab_size).localCheckpoint(
+        eager=False
+    )
     return nb_score(df, id_col, text_col, model, vocab_size, threshold)
 
 
