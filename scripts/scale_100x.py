@@ -673,6 +673,20 @@ def main():
     name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
     if name_filter:
         experiments = [e for e in experiments if name_filter in e[0]]
+    # SCALE100X_RESUME=1: merge the crash-tolerant checkpoint back in
+    # and skip labels already measured — the full suite (~40 min with
+    # the min-of-2 heavy-row protocol) can then be driven as a series
+    # of bounded invocations, each continuing where the last stopped;
+    # errored labels are NOT skipped (they retry)
+    if os.environ.get("SCALE100X_RESUME") == "1":
+        ckpt_path = f"/tmp/scale{n}x_checkpoint.json"
+        if os.path.exists(ckpt_path):
+            with open(ckpt_path) as ckpt:
+                prior = json.load(ckpt)
+            results.update(prior.get("results", {}))
+            experiments = [e for e in experiments if e[0] not in results]
+            print(f"resume: {len(results)} rows carried, "
+                  f"{len(experiments)} to run", flush=True)
     for label, fn, d1, d100 in experiments:
         isolate()
         try:
