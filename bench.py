@@ -263,6 +263,9 @@ ITERATIVE = {
     # counting pipeline per reference) — same rule, builder-timed
     "select_nb_quality",
     "pipeline_scrub_classify_report",
+    # r13: the overlap matrix checkpoints its gram-grouped inverted
+    # index (feeds both pair generation and totals) — same rule
+    "report_source_overlap",
 }
 
 

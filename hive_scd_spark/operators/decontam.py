@@ -178,14 +178,29 @@ def source_overlap_matrix(
     Output: (source_a, source_b, n_shared, n_a, n_b, jaccard) with
     source_a < source_b, jaccard = ROUND(shared / (n_a + n_b −
     shared), 6) — integer counts, so the only float is the final
-    division.  Scale: one corpus explode + one gram-keyed shuffle +
-    one pair-keyed combiner-collapsed count; per-source totals are a
-    source-count-bounded aggregate that BROADCASTS back onto the 
-    pair rows."""
-    grams = _doc_ngram_hashes(df, source_col, text_col, n, "__src").distinct()
-    totals = grams.groupBy("__src").agg(F.count("*").alias("__tot"))
+    division.  Scale: one corpus explode + ONE gram-keyed shuffle +
+    one pair-keyed combiner-collapsed count.  The per-(source, gram)
+    dedup folds INTO the gram groupBy (``collect_set``) instead of a
+    separate ``distinct()`` — one corpus-wide exchange, not two — and
+    the per-source totals then derive from the already-grouped table
+    (explode the source sets, count per source: |distinct grams of s| =
+    |grams whose set contains s|), a gram-count-×-avg-sources-sized
+    pass over grouped data that BROADCASTS back onto the pair rows.
+    The grouped table is lazily ``localCheckpoint``-ed — it feeds BOTH
+    the pair generation and the totals, and without the barrier
+    Catalyst re-derives the corpus explode + gram shuffle per consumer
+    (the shared-selection / simhash-band-table precedent; it is an
+    inverted index, the thing one materializes).  At true 100 TB the
+    same barrier would be a persisted table with a disk storage level
+    rather than an executor-memory checkpoint."""
+    grams = _doc_ngram_hashes(df, source_col, text_col, n, "__src")
     by_gram = grams.groupBy("__h").agg(
-        F.sort_array(F.collect_list("__src")).alias("__ss")
+        F.sort_array(F.collect_set("__src")).alias("__ss")
+    ).localCheckpoint(eager=False)
+    totals = (
+        by_gram.select(F.explode("__ss").alias("__src"))
+        .groupBy("__src")
+        .agg(F.count("*").alias("__tot"))
     )
     sized = by_gram.filter(F.size("__ss") >= 2)
     if max_sources_per_gram is not None:
