@@ -54,3 +54,41 @@ def test_bench_headline_is_registered_and_iterative_subset():
     assert unknown == [], f"bench names not in the registry: {unknown}"
     stray = [n for n in bench.ITERATIVE if n not in bench.HEADLINE]
     assert stray == [], f"ITERATIVE entries outside HEADLINE: {stray}"
+
+
+def test_bench_stdout_line_fits_tail_capture():
+    """The driver records only the last ~2 kB of bench stdout (the r12
+    artifact lost its head when the line outgrew the window).  Pin the
+    COMPACT line's worst-case size: every headline query at a 6-char
+    2dp timing, plus the fixed fields, must leave headroom under 2000
+    bytes — and the total/unit must be the LAST keys so truncation can
+    only ever eat query rows."""
+    import json
+
+    from bench import EXTRA_REPS, HEADLINE
+
+    from bench import tail_safe_line
+
+    out = {
+        "queries": {name: 999.99 - i for i, name in enumerate(HEADLINE)},
+        "sf": 0.1,
+        "reps": 2,
+        "metric": "headline_queries_total_runtime",
+        "value": 99999.999,
+        "unit": "sec",
+    }
+    line = tail_safe_line(dict(out))
+    assert len(line) <= 1990, len(line)
+    parsed = json.loads(line)  # valid JSON by construction
+    assert parsed["value"] == out["value"] and parsed["unit"] == "sec"
+    kept = parsed["queries"]
+    # most-expensive-first retention; omitted rows counted
+    assert len(kept) + parsed.get("queries_omitted", 0) == len(HEADLINE)
+    if parsed.get("queries_omitted"):
+        assert min(kept.values()) >= max(
+            v for k, v in out["queries"].items() if k not in kept
+        )
+    # a line that already fits passes through whole
+    small = dict(out, queries={"q1": 1.0})
+    assert json.loads(tail_safe_line(small))["queries"] == {"q1": 1.0}
+    assert EXTRA_REPS <= set(HEADLINE)
