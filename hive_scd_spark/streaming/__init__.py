@@ -19,6 +19,7 @@ rebuild's north-star extension (SURVEY.md §7.6).  Two pieces:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from hive_scd_spark.scd import apply_statements
@@ -807,6 +808,117 @@ def scrub_classify_sink(
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(ingest)
+    )
+
+
+def anomaly_ingest_sink(
+    stream_df: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    order_col: str,
+    lookback: int = 20,
+    min_history: int = 8,
+    z_threshold: float = 3.0,
+    scale: int = 1000,
+):
+    """Continuous rolling z-score anomaly flags — the streaming form of
+    :func:`~hive_scd_spark.operators.asof.anomaly_zscore` (the
+    monitoring lane: ingest-volume spikes and metric drift flagged as
+    events arrive, not in a nightly batch).
+
+    State is EXACT and lookback-bounded: per key, the last *lookback*
+    (time, order, value) observations.  Per micro-batch the batch rows
+    union the prior tail, run the batch operator, and only the BATCH
+    rows' scores append to *out_path*; the refreshed per-key tail
+    appends to *state_path* stamped with the epoch.  Replay safety is
+    the histogram sink's epoch discipline made causal: the tail read
+    for epoch b uses only rows stamped with the LATEST epoch < b (the
+    pre-batch state), so an at-least-once replay recomputes exactly
+    the same scores and the (epoch, key, order) dedup in
+    :func:`read_anomaly_state` restores exactly-once.
+
+    Ordering contract (documented, tested): batch-equivalence holds
+    for per-key IN-ORDER arrival across batches (each key's
+    (time, order) never goes backwards between epochs) — the standard
+    monitoring assumption.  A late straggler is scored against the
+    history PRESENT AT ARRIVAL; the batch path would instead rewrite
+    earlier scores, which a streaming monitor by definition cannot.
+
+    Scale: state is ≤ lookback rows per key (bounded, like the band
+    tables); per batch ONE key-partitioned window pass over
+    |batch| + |touched tails| rows."""
+    from hive_scd_spark.operators.asof import anomaly_zscore
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(key_col), F.col(time_col), F.col(order_col), F.col(value_col)
+        )
+        try:
+            st = spark.read.parquet(state_path)
+            # causal read: the latest complete epoch BEFORE this one —
+            # a replayed epoch must see the same pre-batch tail
+            prev = (
+                st.filter(F.col("epoch") < epoch_id)
+                .agg(F.max("epoch").alias("e"))
+                .first()["e"]
+            )
+            tail = (
+                st.filter(F.col("epoch") == prev).drop("epoch")
+                if prev is not None
+                else None
+            )
+        except Exception:  # noqa: BLE001 — first epoch: no state yet
+            tail = None
+        hist = batch if tail is None else tail.unionByName(batch)
+        scored = anomaly_zscore(
+            hist, key_col, time_col, value_col, order_col,
+            lookback=lookback, min_history=min_history,
+            z_threshold=z_threshold, scale=scale,
+        )
+        # only the batch's own rows are emitted (tail rows were scored
+        # in their own epochs); semi-join on the full identity
+        out_rows = scored.join(
+            batch.select(key_col, time_col, order_col),
+            [key_col, time_col, order_col],
+            "left_semi",
+        )
+        out_rows.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        w = W.partitionBy(key_col).orderBy(
+            F.col(time_col).desc(), F.col(order_col).desc()
+        )
+        new_tail = (
+            hist.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= lookback)
+            .drop("__rk")
+        )
+        new_tail.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest)
+    )
+
+
+def read_anomaly_state(spark, out_path: str, key_col: str, order_col: str) -> DataFrame:
+    """Exactly-once view over :func:`anomaly_ingest_sink`'s output:
+    replayed epochs rewrite identical rows (deterministic per epoch +
+    causal state read), so (epoch, key, order) dedup restores
+    exactly-once.  Read scores through this, never bare
+    ``spark.read``."""
+    return (
+        spark.read.parquet(out_path)
+        .dropDuplicates(["epoch", key_col, order_col])
+        .drop("epoch")
     )
 
 
