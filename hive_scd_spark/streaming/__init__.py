@@ -811,6 +811,14 @@ def scrub_classify_sink(
     )
 
 
+class LateArrivalError(ValueError):
+    """A micro-batch carried a per-key out-of-order event — its
+    (time, order) is ≤ the key's stored tail maximum — and the sink
+    was configured with ``on_late="error"`` (the default).  Scoring it
+    silently would diverge from the batch operator on the same data;
+    the contract fails loudly instead (the repo's TRUNCATE rule)."""
+
+
 def anomaly_ingest_sink(
     stream_df: DataFrame,
     out_path: str,
@@ -824,6 +832,8 @@ def anomaly_ingest_sink(
     min_history: int = 8,
     z_threshold: float = 3.0,
     scale: int = 1000,
+    on_late: str = "error",
+    keep_epochs: int | None = 8,
 ):
     """Continuous rolling z-score anomaly flags — the streaming form of
     :func:`~hive_scd_spark.operators.asof.anomaly_zscore` (the
@@ -833,47 +843,118 @@ def anomaly_ingest_sink(
     State is EXACT and lookback-bounded: per key, the last *lookback*
     (time, order, value) observations.  Per micro-batch the batch rows
     union the prior tail, run the batch operator, and only the BATCH
-    rows' scores append to *out_path*; the refreshed per-key tail
-    appends to *state_path* stamped with the epoch.  Replay safety is
-    the histogram sink's epoch discipline made causal: the tail read
-    for epoch b uses only rows stamped with the LATEST epoch < b (the
-    pre-batch state), so an at-least-once replay recomputes exactly
-    the same scores and the (epoch, key, order) dedup in
-    :func:`read_anomaly_state` restores exactly-once.
+    rows' scores append to *out_path*; the refreshed per-key tail is
+    written to *state_path* **partitioned by epoch with dynamic
+    partition overwrite** — an at-least-once replay of epoch b
+    REPLACES epoch b's partition with identical rows instead of
+    appending a duplicate tail (idempotent state, ADVICE r13), and the
+    causal read below prunes to one partition instead of scanning the
+    whole history.  Replay safety is the histogram sink's epoch
+    discipline made causal: the tail read for epoch b uses only rows
+    stamped with the LATEST epoch < b (the pre-batch state), so a
+    replay recomputes exactly the same scores and the (epoch, key,
+    order) dedup in :func:`read_anomaly_state` restores exactly-once.
 
-    Ordering contract (documented, tested): batch-equivalence holds
-    for per-key IN-ORDER arrival across batches (each key's
+    Ordering contract (ENFORCED, VERDICT r13 task 4): batch-equivalence
+    requires per-key IN-ORDER arrival across batches (each key's
     (time, order) never goes backwards between epochs) — the standard
-    monitoring assumption.  A late straggler is scored against the
-    history PRESENT AT ARRIVAL; the batch path would instead rewrite
-    earlier scores, which a streaming monitor by definition cannot.
+    monitoring assumption, but real event streams are late.  The sink
+    therefore checks every batch against the stored tail maxima and,
+    under ``on_late="error"`` (default), raises
+    :class:`LateArrivalError` so the query fails loudly rather than
+    silently diverging from the batch operator.  ``on_late="score"``
+    opts into the documented weaker contract: a late straggler is
+    scored against the history PRESENT AT ARRIVAL (the batch path
+    would instead rewrite earlier scores, which a streaming monitor by
+    definition cannot).  Note the contract binds EPOCHS, not source
+    writes: a multi-file drop can split across micro-batch boundaries
+    in file-listing order, which the checker correctly flags — deliver
+    each drop as one atomically-committed file (or per-key ordered
+    files) when using a file source.
 
-    Scale: state is ≤ lookback rows per key (bounded, like the band
-    tables); per batch ONE key-partitioned window pass over
-    |batch| + |touched tails| rows."""
+    Retention: *keep_epochs* bounds the state directory — after
+    writing epoch b, partitions older than ``b - keep_epochs`` are
+    deleted (driver-side metadata ops).  Structured Streaming replays
+    at most the last uncommitted batch, so any ``keep_epochs ≥ 1``
+    preserves replay correctness; ``None`` keeps everything (audit
+    mode).
+
+    Scale: state is ≤ lookback rows per key per retained epoch
+    (bounded, like the band tables); per batch ONE key-partitioned
+    window pass over |batch| + |touched tails| rows plus one
+    partition-pruned state read."""
     from hive_scd_spark.operators.asof import anomaly_zscore
+
+    if on_late not in ("error", "score"):
+        raise ValueError(f"on_late must be 'error' or 'score', got {on_late!r}")
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(
             F.col(key_col), F.col(time_col), F.col(order_col), F.col(value_col)
         )
-        try:
-            st = spark.read.parquet(state_path)
+        # Explicit existence check (ADVICE r13): ONLY path-not-found
+        # means "first epoch".  A corrupt footer or transient FS error
+        # must fail the batch (Structured Streaming retries), never be
+        # silently treated as empty history.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        tail = None
+        if fs.exists(jpath):
+            # the state schema is known (batch columns + the epoch
+            # partition column), so the read never needs inference —
+            # an existing-but-empty directory reads as zero rows
+            # instead of throwing UNABLE_TO_INFER_SCHEMA
+            from pyspark.sql import types as _T
+
+            st_schema = _T.StructType(
+                batch.schema.fields
+                + [_T.StructField("epoch", _T.LongType())]
+            )
+            st = spark.read.schema(st_schema).parquet(state_path)
             # causal read: the latest complete epoch BEFORE this one —
-            # a replayed epoch must see the same pre-batch tail
+            # a replayed epoch must see the same pre-batch tail.  Both
+            # filters hit the epoch PARTITION column, so old epochs
+            # are pruned at the directory listing, never scanned.
             prev = (
                 st.filter(F.col("epoch") < epoch_id)
                 .agg(F.max("epoch").alias("e"))
                 .first()["e"]
             )
-            tail = (
-                st.filter(F.col("epoch") == prev).drop("epoch")
-                if prev is not None
-                else None
+            if prev is not None:
+                # dropDuplicates is belt-and-braces: dynamic partition
+                # overwrite already makes replays exact, and epoch rows
+                # are deterministic, so duplicates would be exact copies
+                tail = (
+                    st.filter(F.col("epoch") == prev)
+                    .drop("epoch")
+                    .dropDuplicates([key_col, time_col, order_col])
+                )
+        if tail is not None and on_late == "error":
+            # arrival-contract check: any batch row at-or-before its
+            # key's stored tail maximum is out of order (bounded work:
+            # tails are ≤ lookback rows per touched key)
+            tmax = tail.groupBy(key_col).agg(
+                F.max(F.struct(F.col(time_col), F.col(order_col))).alias("__tmax")
             )
-        except Exception:  # noqa: BLE001 — first epoch: no state yet
-            tail = None
+            late = (
+                batch.join(tmax, key_col)
+                .filter(F.struct(F.col(time_col), F.col(order_col)) <= F.col("__tmax"))
+            )
+            sample = late.select(key_col, time_col, order_col).take(5)
+            if sample:
+                rows = ", ".join(
+                    f"({r[key_col]!r}, t={r[time_col]}, {r[order_col]})"
+                    for r in sample
+                )
+                raise LateArrivalError(
+                    f"anomaly_ingest_sink: epoch {epoch_id} carries "
+                    f"out-of-order event(s) — (time, order) at or before "
+                    f"the stored per-key tail maximum; first: {rows}.  "
+                    f"Scoring them would silently diverge from the batch "
+                    f"operator.  Deliver per-key in order, or opt into "
+                    f"score-at-arrival semantics with on_late='score'."
+                )
         hist = batch if tail is None else tail.unionByName(batch)
         scored = anomaly_zscore(
             hist, key_col, time_col, value_col, order_col,
@@ -898,9 +979,29 @@ def anomaly_ingest_sink(
             .filter(F.col("__rk") <= lookback)
             .drop("__rk")
         )
-        new_tail.withColumn("epoch", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(state_path)
+        # dynamic partition overwrite keyed by epoch: a replayed epoch
+        # rewrites ITS partition with identical rows (idempotent) and
+        # never touches other epochs' partitions
+        (
+            new_tail.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(state_path)
+        )
+        if keep_epochs is not None:
+            # retention: metadata-sized driver-side deletes of epoch
+            # partitions older than the replay horizon
+            cutoff = epoch_id - keep_epochs
+            for status in fs.listStatus(jpath):
+                name = status.getPath().getName()
+                if name.startswith("epoch="):
+                    try:
+                        e = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if e < cutoff:
+                        fs.delete(status.getPath(), True)
 
     return (
         stream_df.writeStream.outputMode("append")

@@ -87,3 +87,165 @@ def test_state_tail_is_lookback_bounded(spark, tmp_path):
         .collect()
     )
     assert per_key and all(r["n"] <= LOOKBACK for r in per_key)
+
+
+def test_state_write_is_idempotent_under_replay(spark, tmp_path):
+    """At-least-once replay of a committed epoch (ADVICE r13 high):
+    delete the last checkpoint commit and restart the stream — the
+    engine re-executes that epoch's state write.  Dynamic partition
+    overwrite must leave the state duplicate-free and every later
+    epoch's scores batch-identical."""
+    import os
+
+    drops = [_rows(0, 8), _rows(8, 14)]
+    out, state = _drive(spark, tmp_path, drops)
+    ckpt = str(tmp_path / "ckpt")
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    src = str(tmp_path / "src")
+    schema = "k string, t long, oid long, v double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = anomaly_ingest_sink(
+        stream, out, state, ckpt, "k", "t", "v", "oid",
+        lookback=LOOKBACK, min_history=MIN_HIST,
+    ).start()
+    try:
+        q.processAllAvailable()  # replays the last epoch
+        spark.createDataFrame(_rows(14, 20), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()  # a genuinely new epoch AFTER the replay
+    finally:
+        q.stop()
+    st = spark.read.parquet(state)
+    dup = (
+        st.groupBy("epoch", "k", "t", "oid")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, "replayed epoch appended duplicate state rows"
+    got = {
+        (r["k"], r["oid"]): (r["n_baseline"], r["z"], r["is_anomaly"])
+        for r in read_anomaly_state(spark, out, "k", "oid").collect()
+    }
+    all_rows = [r for d in drops for r in d] + _rows(14, 20)
+    batch = anomaly_zscore(
+        spark.createDataFrame(all_rows, schema),
+        "k", "t", "v", "oid", lookback=LOOKBACK, min_history=MIN_HIST,
+    )
+    exp = {
+        (r["k"], r["oid"]): (r["n_baseline"], r["z"], r["is_anomaly"])
+        for r in batch.collect()
+    }
+    assert got == exp
+
+
+def test_late_arrival_raises(spark, tmp_path):
+    """VERDICT r13 task 4: an out-of-order event (per-key (time, order)
+    at or before the stored tail maximum) fails the batch loudly under
+    the default on_late='error' instead of silently diverging."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, state, ckpt = (str(tmp_path / d) for d in ("out", "state", "ckpt"))
+    schema = "k string, t long, oid long, v double"
+    spark.createDataFrame(_rows(0, 8), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = anomaly_ingest_sink(
+        stream, out, state, ckpt, "k", "t", "v", "oid",
+        lookback=LOOKBACK, min_history=MIN_HIST,
+    ).start()
+    try:
+        q.processAllAvailable()
+        # k1's tail max is t=7 — t=3 is late
+        spark.createDataFrame(
+            [("k1", 3, 99, 11.0)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        with pytest.raises(StreamingQueryException, match="out-of-order"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+
+
+def test_late_arrival_scores_at_arrival_when_opted_in(spark, tmp_path):
+    """on_late='score' keeps the r13 weaker contract: the late row is
+    scored against the history present at arrival (the tail), loudly
+    documented rather than the default."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out, state, ckpt = (str(tmp_path / d) for d in ("out", "state", "ckpt"))
+    schema = "k string, t long, oid long, v double"
+    spark.createDataFrame(_rows(0, 8), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = anomaly_ingest_sink(
+        stream, out, state, ckpt, "k", "t", "v", "oid",
+        lookback=LOOKBACK, min_history=MIN_HIST, on_late="score",
+    ).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("k1", 3, 99, 11.0)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_anomaly_state(spark, out, "k", "oid")
+    assert got.filter("oid = 99").count() == 1
+
+
+def test_state_retention_bounds_epochs(spark, tmp_path):
+    """keep_epochs retention: old epoch partitions are deleted, the
+    causal read still sees the latest complete epoch, and scores stay
+    batch-identical (in-order data only ever reads the newest tail)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out, state, ckpt = (str(tmp_path / d) for d in ("out", "state", "ckpt"))
+    schema = "k string, t long, oid long, v double"
+    drops = [_rows(0, 4), _rows(4, 8), _rows(8, 12), _rows(12, 16), _rows(16, 20)]
+    spark.createDataFrame(drops[0], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = anomaly_ingest_sink(
+        stream, out, state, ckpt, "k", "t", "v", "oid",
+        lookback=LOOKBACK, min_history=MIN_HIST, keep_epochs=2,
+    ).start()
+    try:
+        q.processAllAvailable()
+        for d in drops[1:]:
+            spark.createDataFrame(d, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    st = spark.read.parquet(state)
+    epochs = sorted(r["epoch"] for r in st.select("epoch").distinct().collect())
+    assert len(epochs) <= 3 and max(epochs) == 4
+    got = {
+        (r["k"], r["oid"]): (r["n_baseline"], r["z"], r["is_anomaly"])
+        for r in read_anomaly_state(spark, out, "k", "oid").collect()
+    }
+    all_rows = [r for d in drops for r in d]
+    batch = anomaly_zscore(
+        spark.createDataFrame(all_rows, schema),
+        "k", "t", "v", "oid", lookback=LOOKBACK, min_history=MIN_HIST,
+    )
+    exp = {
+        (r["k"], r["oid"]): (r["n_baseline"], r["z"], r["is_anomaly"])
+        for r in batch.collect()
+    }
+    assert got == exp
