@@ -173,7 +173,11 @@ def source_overlap_matrix(
     ≤ |distinct grams| × C(n_sources, 2).  *max_sources_per_gram*
     optionally drops grams present in more than that many sources
     (the df-cap move — a gram in EVERY source is boilerplate and says
-    nothing about pairwise contamination); NULL keeps all.
+    nothing about pairwise contamination); NULL keeps all.  Under a
+    cap, EVERY reported statistic (n_shared, n_a, n_b, jaccard) is
+    over the capped gram universe, so jaccard stays the true Jaccard
+    of the capped per-source sets (ADVICE r13: capping only the
+    numerator would bias it low).
 
     Output: (source_a, source_b, n_shared, n_a, n_b, jaccard) with
     source_a < source_b, jaccard = ROUND(shared / (n_a + n_b −
@@ -197,14 +201,19 @@ def source_overlap_matrix(
     by_gram = grams.groupBy("__h").agg(
         F.sort_array(F.collect_set("__src")).alias("__ss")
     ).localCheckpoint(eager=False)
+    # the df cap applies BEFORE the totals (ADVICE r13): n_shared, n_a,
+    # n_b, and jaccard are all statistics over the SAME capped gram
+    # universe — otherwise shared excludes capped grams while both
+    # denominators include them and the "jaccard" is not the Jaccard
+    # of any consistent pair of sets
+    if max_sources_per_gram is not None:
+        by_gram = by_gram.filter(F.size("__ss") <= max_sources_per_gram)
     totals = (
         by_gram.select(F.explode("__ss").alias("__src"))
         .groupBy("__src")
         .agg(F.count("*").alias("__tot"))
     )
     sized = by_gram.filter(F.size("__ss") >= 2)
-    if max_sources_per_gram is not None:
-        sized = sized.filter(F.size("__ss") <= max_sources_per_gram)
     pairs_raw = sized.select(
         F.posexplode("__ss").alias("__i", "source_a"), F.col("__ss")
     ).select(

@@ -116,8 +116,18 @@ def _pin_fingerprint(name, fn, oracle_sql_text, sf_dir):
     h = hashlib.sha256()
     h.update(inspect.getsource(fn).encode())
     h.update((oracle_sql_text or "").encode())
-    with open(os.path.join(_REPO, "hive_scd_spark", "operators", "dedup.py"), "rb") as f:
-        h.update(f.read())
+    # hash the CLOSURE the baselines can reach — every .py in the
+    # package, sorted (ADVICE r13: hashing only dedup.py let a helper
+    # change in any other module leave a stale green pin standing;
+    # the whole package is metadata-sized either way)
+    pkg = os.path.join(_REPO, "hive_scd_spark")
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for fname in sorted(f for f in files if f.endswith(".py")):
+            fp = os.path.join(root, fname)
+            h.update(os.path.relpath(fp, pkg).encode())
+            with open(fp, "rb") as f:
+                h.update(f.read())
     for rel in _PIN_INPUTS[name]:
         st = os.stat(os.path.join(sf_dir, rel))
         h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
