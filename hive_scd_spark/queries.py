@@ -378,6 +378,35 @@ def scd2_customer_history(spark, sf_dir):
     return scd2_history(t(spark, sf_dir, "customer"), CUSTOMER_SCRIPT)
 
 
+CHAIN_OOO_SCRIPT = """\
+-- time=2024-06-01
+UPDATE customer SET c_mktsegment = 'PROMO' WHERE c_acctbal < 0;
+-- time=2024-03-01
+UPDATE customer SET c_acctbal = c_acctbal + 50.0 WHERE c_mktsegment = 'PROMO';
+"""
+
+
+def scd2_chain_outoforder(spark, sf_dir):
+    """Type-2 history over a read-after-write chain whose effective
+    times run AGAINST script order (scd.scd2_history →
+    _independent_boundary_states, VERDICT r13 task 6 — the case r13
+    refused).  Statement 1 (later effective time) assigns
+    c_mktsegment; statement 2 (earlier effective time) reads it, so
+    boundary states are not prefix-extensible and each boundary folds
+    its own applicable statements in script order:
+
+    - boundary 2024-03-01: only the +50 applies — no row is 'PROMO'
+      yet, so the state equals the base and the interval merges away;
+    - boundary 2024-06-01: BOTH apply in script order — negative
+      balances become 'PROMO' first, then gain +50 through the
+      post-image read.
+
+    The oracle replays the two-boundary fold directly."""
+    from hive_scd_spark.scd import scd2_history
+
+    return scd2_history(t(spark, sf_dir, "customer"), CHAIN_OOO_SCRIPT)
+
+
 def scd_customer_orders_revenue(spark, sf_dir):
     """Flagship: as-of dimension joined to facts — revenue per
     (post-update) market segment.  The dimension side broadcasts: at
@@ -5196,6 +5225,24 @@ ORACLES: dict[str, str] = {
                NOT del AS is_current
         FROM base WHERE neg
     """,
+    # chain + out-of-order effective times (r14): boundary 2024-03-01
+    # merges into the base interval (the +50 finds no 'PROMO' rows
+    # yet); boundary 2024-06-01 folds BOTH statements in script order,
+    # so negative balances turn 'PROMO' and gain +50 via the post-image
+    "scd2_chain_outoforder": """
+        WITH base AS (SELECT *, c_acctbal < 0 AS neg FROM customer)
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               0 AS valid_from_ms,
+               CASE WHEN neg THEN 1717200000000 END AS valid_to_ms,
+               NOT neg AS is_current
+        FROM base
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50.0, 'PROMO',
+               1717200000000 AS valid_from_ms,
+               CAST(NULL AS BIGINT) AS valid_to_ms,
+               TRUE AS is_current
+        FROM base WHERE neg
+    """,
     "scd_h2_dialect": """
         WITH s1 AS (
           SELECT o_orderkey,
@@ -5917,6 +5964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "report_source_overlap": report_source_overlap,
     # --- beyond the driver window (slot >50) ----------------------------
+    "scd2_chain_outoforder": scd2_chain_outoforder,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q4_order_priority": q4_order_priority,

@@ -319,6 +319,71 @@ def _chain_boundary_states(df, stmts, times, cols, field_types):
     return work
 
 
+def _independent_boundary_states(df, stmts, times, cols, field_types):
+    """Boundary states for read-after-write chains whose effective
+    times are OUT OF script order (VERDICT r13 task 6) — the case
+    where boundary states are not prefix-extensible, so the
+    :func:`_chain_boundary_states` single chain cannot fold them.
+
+    k INDEPENDENT sequential folds: boundary t_i restores the source
+    columns from saved copies, then folds ``applicable(stmts, t_i)``
+    in script order — exactly ``apply_statements`` semantics per
+    boundary (each statement sees the post-image of every earlier
+    applicable statement).  Correct for any script at k× projection
+    cost: Σ_i |applicable(t_i)| select steps, all collapsed by
+    Catalyst into one codegen stage (no joins, no per-time scans, no
+    extra shuffle — k is the number of script epochs, not rows)."""
+    base_cols = list(df.columns)
+    origs = [f"__o_{c}" for c in base_cols]
+    work = df.select(
+        *base_cols, *[F.col(c).alias(f"__o_{c}") for c in base_cols]
+    )
+    carried: list[str] = []
+    for i, t in enumerate(times):
+        # fresh fold: restore source values, reset liveness
+        work = work.select(
+            *[F.col(o).alias(c) for c, o in zip(base_cols, origs)],
+            *origs,
+            *carried,
+            F.lit(True).alias("__alive"),
+        )
+        for stmt in applicable(stmts, t):
+            cond = (
+                F.lit(True)
+                if stmt.where is None
+                else F.coalesce(F.expr(stmt.where).cast("boolean"), F.lit(False))
+            )
+            if stmt.kind == "delete":
+                work = work.select(
+                    *base_cols,
+                    *origs,
+                    *carried,
+                    (F.col("__alive") & ~cond).alias("__alive"),
+                )
+            else:
+                new = {}
+                for col, set_expr in stmt.sets:
+                    actual = next(
+                        (c for c in base_cols if c.lower() == col.lower()), col
+                    )
+                    new[actual] = F.when(
+                        cond, F.expr(set_expr).cast(field_types[actual])
+                    ).otherwise(F.col(actual))
+                work = work.select(
+                    *[new.get(c, F.col(c)).alias(c) for c in base_cols],
+                    *origs,
+                    *carried,
+                    "__alive",
+                )
+        snap = F.struct(
+            *[F.col(c).alias(c) for c in cols], F.col("__alive").alias("__alive")
+        )
+        name = f"__b{i}"
+        work = work.select(*base_cols, *origs, *carried, "__alive", snap.alias(name))
+        carried.append(name)
+    return work
+
+
 def scd2_history(df: DataFrame, stmts, tracked_cols: list[str] | None = None) -> DataFrame:
     """Materialize a **Type-2** history table from the Type-7 statement
     log: one row per (entity, state interval), with ``valid_from_ms`` /
@@ -338,10 +403,15 @@ def scd2_history(df: DataFrame, stmts, tracked_cols: list[str] | None = None) ->
     earlier statement assigned) fold through the SEQUENTIAL select
     chain (:func:`_chain_boundary_states`, r13) whenever script order
     agrees with effective-time order — the append-only ``.updates``
-    shape every real log has.  Only the pathological combination
-    (chain + out-of-order effective times, where boundary states are
-    not prefix-extensible) still refuses loudly; the workaround stays
-    ``apply_statements`` per as-of."""
+    shape every real log has.  Chains with OUT-OF-ORDER effective
+    times (boundary states not prefix-extensible) fold through k
+    independent per-boundary recomputes instead
+    (:func:`_independent_boundary_states`, r14) — correct for any
+    script at k× projection cost; no refusal path remains.  Chain
+    detection matches assigned columns against later statements'
+    expressions on identifier-token boundaries (not substrings), so a
+    column named ``a`` can no longer spuriously route a script whose
+    expressions merely contain the letter."""
     if isinstance(stmts, str):
         stmts = parse_script(stmts)
     stmts = list(stmts)
@@ -357,25 +427,25 @@ def scd2_history(df: DataFrame, stmts, tracked_cols: list[str] | None = None) ->
     # exactly like one boundary of apply_statements — valid only when
     # no statement reads a column an earlier statement assigned.
     # Chains route to the sequential select chain instead.
+    import re as _re
+
     chained = False
     assigned: set[str] = set()
     for stmt in stmts:
-        refs = ((stmt.where or "") + " " + " ".join(e for _c, e in stmt.sets)).lower()
-        if any(c.lower() in refs for c in assigned):
+        text = (stmt.where or "") + " " + " ".join(e for _c, e in stmt.sets)
+        # identifier-token match, not substring (VERDICT r13 §3): a
+        # column named `a` must not match inside `max` or 'data'
+        refs = set(_re.findall(r"[a-z_][a-z0-9_]*", text.lower()))
+        if assigned & refs:
             chained = True
             break
-        assigned.update(c for c, _e in stmt.sets)
+        assigned.update(c.lower() for c, _e in stmt.sets)
 
     if chained:
         keys = [0 if s.effective_ms is None else s.effective_ms for s in stmts]
-        if any(a > b for a, b in zip(keys, keys[1:])):
-            raise NotImplementedError(
-                "scd2_history: read-after-write statement chains with "
-                "OUT-OF-ORDER effective times cannot fold incrementally "
-                "(boundary states are not prefix-extensible) — use "
-                "apply_statements per as_of instead"
-            )
-        src = _chain_boundary_states(df, stmts, times, cols, field_types)
+        in_order = all(a <= b for a, b in zip(keys, keys[1:]))
+        fold = _chain_boundary_states if in_order else _independent_boundary_states
+        src = fold(df, stmts, times, cols, field_types)
         entries = [
             F.struct(
                 F.lit(t).alias("valid_from_ms"),

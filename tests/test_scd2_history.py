@@ -113,13 +113,69 @@ def test_chain_same_statement_preimage_preserved(spark, dim):
     ]
 
 
-def test_chain_out_of_order_still_refused(spark, dim):
-    with pytest.raises(NotImplementedError, match="OUT-OF-ORDER"):
-        scd2_history(
-            dim,
-            "-- time=2000\nUPDATE t SET bal = 1 WHERE id = 1;\n"
-            "-- time=1000\nDELETE FROM t WHERE bal = 1;\n",
+OUT_OF_ORDER_CHAIN = (
+    "-- time=2000\nUPDATE t SET bal = 1 WHERE id = 1;\n"
+    "-- time=1000\nDELETE FROM t WHERE bal = 1;\n"
+)
+
+
+def test_chain_out_of_order_folds_per_boundary(spark, dim):
+    """r14 (VERDICT r13 task 6): the chain + out-of-order-times case no
+    longer refuses — each boundary recomputes its own applicable-prefix
+    fold, so the history matches apply_statements at every as-of."""
+    from pyspark.sql import functions as F
+
+    from hive_scd_spark.scd import apply_statements
+
+    hist = scd2_history(dim, OUT_OF_ORDER_CHAIN)
+    for t in [0, 999, 1000, 1999, 2000, 99999]:
+        from_hist = sorted(
+            (r.id, r.name, r.bal)
+            for r in hist.filter(
+                (F.col("valid_from_ms") <= t)
+                & (F.col("valid_to_ms").isNull() | (F.col("valid_to_ms") > t))
+            ).collect()
         )
+        from_apply = sorted(
+            (r.id, r.name, r.bal)
+            for r in apply_statements(dim, OUT_OF_ORDER_CHAIN, as_of=t).collect()
+        )
+        assert from_hist == from_apply, f"divergence at t={t}"
+    # at t=1000 only the delete applies (bal=1 matches nobody); at
+    # t=2000 the update runs FIRST in script order, so id=1 is deleted
+    assert sorted(r.id for r in hist.filter("is_current").collect()) == [2, 3]
+    assert hist.filter("id = 1 and valid_to_ms = 2000").count() == 1
+
+
+def test_chain_detector_is_token_bounded(spark):
+    """r14: the chain detector matches identifier tokens, not
+    substrings — a column named `a` inside the identifier `ab` (or a
+    string literal) must not route a NON-chained out-of-order script
+    through the per-boundary recompute spuriously.  Both paths are
+    correct, so pin behavior via the composed pre-image semantics that
+    only the non-chained path exhibits structurally: the script below
+    is NOT a chain, and its result must match apply_statements."""
+    from hive_scd_spark.scd import apply_statements
+
+    dim2 = spark.createDataFrame(
+        [(1, 10.0, 2.0), (2, 20.0, 3.0)], "id int, a double, ab double"
+    )
+    # out-of-order times; stmt 2 references `ab`, never `a` — with the
+    # old substring detector this flagged chained + out-of-order and
+    # REFUSED; token matching routes it through the composed fold
+    script = (
+        "-- time=2000\nUPDATE t SET a = 99 WHERE id = 1;\n"
+        "-- time=1000\nUPDATE t SET ab = ab * 2 WHERE id = 2;\n"
+    )
+    hist = scd2_history(dim2, script)
+    cur = sorted(
+        (r.id, r.a, r.ab) for r in hist.filter("is_current").collect()
+    )
+    exp = sorted(
+        (r.id, r.a, r.ab)
+        for r in apply_statements(dim2, script, as_of=99999).collect()
+    )
+    assert cur == exp == [(1, 99.0, 2.0), (2, 20.0, 6.0)]
 
 
 def test_untimed_chain_folds(spark, dim):
