@@ -857,6 +857,32 @@ def simhash_near_dups(
     reference core (SURVEY §7.6); banding per Charikar 2002 / the
     LSH chapter of Mining of Massive Datasets.
     """
+    fp = simhash(df, id_col, text_col, bits=bits)
+    return banded_hamming_pairs(
+        fp, id_col, "simhash",
+        bits=bits, bands=bands, max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
+def banded_hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Banded Hamming-ball candidate join over ANY long-typed
+    fingerprint column — the machinery behind
+    :func:`simhash_near_dups`, factored out (r14) so other fingerprint
+    families (perceptual image hashes,
+    ``multimodal.multimodal_dedup_near``) reuse it unchanged.
+
+    Pigeonhole guarantee, hot-bucket census, plan shape, and the
+    ``max_bucket`` stance are documented at :func:`simhash_near_dups`;
+    everything there applies verbatim here.  Output
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits}")
     if max_hamming >= bands:
@@ -866,14 +892,13 @@ def simhash_near_dups(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    fp = simhash(df, id_col, text_col, bits=bits)
     banded = fp.select(
         F.col(id_col).alias("__id"),
-        F.col("simhash").alias("__fp"),
+        F.col(fp_col).alias("__fp"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", i * width)
+                    F.shiftright(fp_col, i * width)
                     .bitwiseAND(F.lit(mask))
                     .cast("long")
                     for i in range(bands)

@@ -263,3 +263,138 @@ def extract_audio_features(
             )
 
     return df.mapInPandas(per_batch, schema=AUDIO_SCHEMA)
+
+
+DHASH_SCHEMA = "media_id long, dhash long"
+
+_DH_ROWS, _DH_COLS = 8, 9  # 8x9 downsample -> 8x8 adjacent-compare bits
+
+
+def stub_dhash(payload: bytes) -> int:
+    """STUB perceptual hash — difference-hash (dHash) mechanics over
+    the payload's byte sequence treated as a 1-D "image": the byte
+    step-function is resampled to 72 segments by EXACT continuous
+    integration (integer arithmetic, no rounding), reshaped 8×9, and
+    each of the 64 adjacent-compare bits is ``seg[r][c] > seg[r][c+1]``
+    — the same downsample→compare structure as real dHash.
+
+    The continuous resample is the point: uniformly duplicating every
+    byte k× (the stand-in for a k× re-encode/upscale) leaves the step
+    function — and therefore every segment integral and every hash bit
+    — EXACTLY unchanged, so planted re-encodes are Hamming-0 and the
+    DuckDB oracle can replay the whole computation with integer ops.
+    :func:`pil_dhash` is the drop-in real perceptual hash."""
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = b.size
+    if n == 0:
+        return 0
+    segs = _DH_ROWS * _DH_COLS
+    # I(u) = integral of the byte step-function on the common 1/(segs*n)
+    # grid: byte i covers u in [i*segs, (i+1)*segs), segment s covers
+    # [s*n, (s+1)*n).  All integer; exact for every n.
+    prefix = np.concatenate(([0], np.cumsum(b)))
+    u = np.arange(segs + 1, dtype=np.int64) * n
+    q, r = u // segs, u % segs
+    bpad = np.concatenate((b, [0]))
+    integral = segs * prefix[q] + r * bpad[q]
+    seg = np.diff(integral).reshape(_DH_ROWS, _DH_COLS)
+    bits = (seg[:, :-1] > seg[:, 1:]).flatten()
+    h = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        h |= np.uint64(1) << np.uint64(k)
+    return int(np.int64(h))  # two's-complement into a Spark long
+
+
+def pil_dhash(payload: bytes) -> int:
+    """Real dHash via Pillow: grayscale → 9×8 resize → row-wise
+    adjacent-compare → 64-bit hash (two's-complement long).  Import
+    stays inside the function (feature detection, like
+    :func:`pil_decode_image`)."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        g = im.convert("L").resize((_DH_COLS, _DH_ROWS))
+        px = np.asarray(g, dtype=np.int64)
+    bits = (px[:, :-1] > px[:, 1:]).flatten()
+    h = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        h |= np.uint64(1) << np.uint64(k)
+    return int(np.int64(h))
+
+
+def dhash_images(
+    df: DataFrame, strict: bool = False, decoder: str = "stub"
+) -> DataFrame:
+    """Per-payload perceptual hash via the Arrow ``mapInPandas`` lane —
+    (media_id, dhash) with dhash a 64-bit two's-complement long.  Same
+    decoder-hook discipline as :func:`extract_image_features`:
+    ``"stub"`` (the oracle-checkable byte-resample dHash), ``"pil"``
+    (real image dHash; Pillow required on driver AND executors), or
+    ``"auto"``; ``strict=True`` refuses the stub."""
+    if decoder not in ("stub", "pil", "auto"):
+        raise ValueError(f"unknown decoder {decoder!r}: 'stub', 'pil', or 'auto'")
+    if decoder == "auto":
+        decoder = "pil" if pil_available() else "stub"
+    if decoder == "pil" and not pil_available():
+        raise NotImplementedError(
+            "decoder='pil' requires Pillow, which is not importable here"
+        )
+    if strict and decoder == "stub":
+        raise NotImplementedError(
+            "strict=True demands a real perceptual hash but decoder='stub' "
+            "was selected; "
+            + (
+                "pass decoder='pil'/'auto'"
+                if pil_available()
+                else "Pillow is not importable here — install it"
+            )
+            + ", or use strict=False for the deterministic byte-resample dHash"
+        )
+    hash_fn = pil_dhash if decoder == "pil" else stub_dhash
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pdf["payload"]
+                    .map(lambda b: hash_fn(bytes(b or b"")))
+                    .astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(per_batch, schema=DHASH_SCHEMA)
+
+
+def multimodal_dedup_near(
+    df: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+    strict: bool = False,
+    decoder: str = "stub",
+) -> DataFrame:
+    """Perceptual NEAR-duplicate media pairs (VERDICT r13 task 5) — the
+    second pass of a 100 TB media pipeline, after
+    content-hash exact dedup: resized/re-encoded copies of one image
+    share most dHash bits, so the banded Hamming-ball join
+    (:func:`~hive_scd_spark.operators.dedup.banded_hamming_pairs`, the
+    simhash machinery reused verbatim) finds every pair within
+    *max_hamming* with pigeonhole-exact recall and bucket-bounded cost.
+
+    Input is the :func:`attach_binary` shape (media_id, payload, ...);
+    output ``(id_a, id_b, hamming)`` with ``id_a < id_b``.  Scale: one
+    Arrow hashing pass (64 bits/payload of state), then the band-join
+    cost model documented at ``simhash_near_dups`` — never all-pairs."""
+    from hive_scd_spark.operators.dedup import banded_hamming_pairs
+
+    fp = dhash_images(df, strict=strict, decoder=decoder)
+    return banded_hamming_pairs(
+        fp, "media_id", "dhash",
+        bits=64, bands=bands, max_hamming=max_hamming, max_bucket=max_bucket,
+    )

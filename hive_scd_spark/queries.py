@@ -2573,6 +2573,46 @@ def multimodal_dedup_exact(spark, sf_dir):
     return canon.select("canonical_id", "n_copies", "checksum")
 
 
+def multimodal_dedup_near(spark, sf_dir):
+    """Perceptual NEAR-duplicate media dedup (operators/multimodal.py:
+    multimodal_dedup_near, VERDICT r13 task 5) — the pass exact
+    content-hash dedup cannot do: re-encoded/upscaled copies of one
+    image hash to the SAME dHash (the stub's continuous byte-resample
+    is exactly invariant under uniform k× upsampling), and the banded
+    Hamming-ball join (dedup.banded_hamming_pairs — the simhash
+    machinery reused) finds every pair within Hamming 3 with
+    pigeonhole-exact recall.
+
+    The gate plants the transforms: every doc_id % 10 == 0 gains a
+    2×-upsampled copy (id + 1000000), every doc_id % 10 == 5 a
+    3×-upsampled copy (id + 2000000); payloads are printable-ASCII
+    sanitized so bytes == codepoints and the DuckDB oracle replays the
+    ENTIRE computation — sanitize, upsample, exact integer segment
+    integrals, 64 compare bits, two's-complement pack, 16-bit banding,
+    bucket census, Hamming join — with integer ops."""
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        multimodal_dedup_near as near_pairs,
+    )
+
+    src = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t"))
+        .filter(F.length("t") >= 72)
+    )
+    up2 = src.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("t", "(.)", "$1$1").alias("t"),
+    )
+    up3 = src.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.regexp_replace("t", "(.)", "$1$1$1").alias("t"),
+    )
+    corpus = src.unionByName(up2).unionByName(up3)
+    media = attach_binary(corpus, id_col="doc_id", payload_col="t", media_type="image")
+    return near_pairs(media.select("media_id", "payload"))
+
+
 def q8_national_market_share(spark, sf_dir):
     """TPC-H Q8 shape: a nation's share of revenue by year — the
     LARGEST join expressible over the reduced schemas (7 tables:
@@ -5965,6 +6005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_source_overlap": report_source_overlap,
     # --- beyond the driver window (slot >50) ----------------------------
     "scd2_chain_outoforder": scd2_chain_outoforder,
+    "multimodal_dedup_near": multimodal_dedup_near,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q4_order_priority": q4_order_priority,
@@ -7195,6 +7236,95 @@ ORACLES["multimodal_dedup_exact"] = """
            md5(coalesce(text, '')) AS checksum
     FROM documents
     GROUP BY md5(coalesce(text, ''))
+"""
+
+# Full replay of the perceptual-hash near-dup pipeline (r14): sanitize
+# to printable ASCII (bytes == codepoints), plant the 2×/3× upsampled
+# copies, resample each byte step-function to 72 segments by EXACT
+# integer integration (I(u) = 72·P[q] + r·b[q+1] on the common
+# 1/(72n) grid), compare the 8×9 grid's row-adjacent segments into 64
+# bits, pack two's-complement, band into 4×16 bits, census buckets,
+# and Hamming-join — every step integer-exact on both engines.
+ORACLES["multimodal_dedup_near"] = """
+    WITH src AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id AS id, t FROM src WHERE length(t) >= 72),
+    corpus AS (
+      SELECT id, t FROM base
+      UNION ALL
+      SELECT id + 1000000, regexp_replace(t, '(.)', '\\1\\1', 'g')
+      FROM base WHERE id % 10 = 0
+      UNION ALL
+      SELECT id + 2000000, regexp_replace(t, '(.)', '\\1\\1\\1', 'g')
+      FROM base WHERE id % 10 = 5
+    ),
+    chars AS (
+      SELECT id, length(t) AS n, CAST(u.i AS BIGINT) AS i,
+             ord(substr(t, CAST(u.i AS INT), 1)) AS b
+      FROM corpus, UNNEST(range(1, length(t) + 1)) AS u(i)
+    ),
+    pref AS (
+      SELECT id, n, i, b,
+             sum(b) OVER (PARTITION BY id ORDER BY i) AS p
+      FROM chars
+    ),
+    grid AS (
+      SELECT c.id, c.n, CAST(s.s AS BIGINT) AS s,
+             (CAST(s.s AS BIGINT) * c.n) // 72 AS q,
+             (CAST(s.s AS BIGINT) * c.n) % 72 AS r
+      FROM (SELECT id, length(t) AS n FROM corpus) c,
+           UNNEST(range(0, 73)) AS s(s)
+    ),
+    ivals AS (
+      SELECT g.id, g.s,
+             72 * COALESCE(p1.p, 0) + g.r * COALESCE(p2.b, 0) AS ival
+      FROM grid g
+      LEFT JOIN pref p1 ON p1.id = g.id AND p1.i = g.q
+      LEFT JOIN pref p2 ON p2.id = g.id AND p2.i = g.q + 1
+    ),
+    segs AS (
+      SELECT id, s,
+             lead(ival) OVER (PARTITION BY id ORDER BY s) - ival AS seg
+      FROM ivals
+      QUALIFY s < 72
+    ),
+    bits AS (
+      SELECT a.id, CAST(k.k AS BIGINT) AS k,
+             CASE WHEN a.seg > b.seg THEN 1 ELSE 0 END AS bit
+      FROM UNNEST(range(0, 64)) AS k(k)
+      JOIN segs a ON a.s = 9 * (CAST(k.k AS BIGINT) // 8) + (CAST(k.k AS BIGINT) % 8)
+      JOIN segs b ON b.id = a.id AND b.s = a.s + 1
+    ),
+    hraw AS (
+      SELECT id,
+             sum(CASE WHEN bit = 1 THEN CAST(1 AS HUGEINT) << CAST(k AS INT)
+                      ELSE CAST(0 AS HUGEINT) END) AS hu
+      FROM bits GROUP BY id
+    ),
+    hashes AS (
+      SELECT id,
+             CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+                       THEN hu - CAST(18446744073709551616 AS HUGEINT)
+                       ELSE hu END AS BIGINT) AS h
+      FROM hraw
+    ),
+    banded AS (
+      SELECT id, h, CAST(bd.band AS INT) AS band,
+             (h >> (16 * CAST(bd.band AS INT))) & 65535 AS val
+      FROM hashes, UNNEST(range(0, 4)) AS bd(band)
+    ),
+    ok AS (
+      SELECT band, val FROM banded
+      GROUP BY band, val HAVING count(*) BETWEEN 2 AND 200
+    ),
+    kept AS (SELECT b.* FROM banded b JOIN ok USING (band, val))
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
 """
 
 ORACLES["q8_national_market_share"] = """

@@ -428,6 +428,37 @@ def main():
             d.select("doc_id", lined.alias("text")), "doc_id", "text"
         )
 
+    def multimodal_near_gate(d):
+        # r14: the registered gate's exact shape — printable-ASCII
+        # payloads, planted 2x/3x byte-upsampled copies, stub dHash,
+        # banded Hamming (ids +1e6/+2e6 per 100x replica id space:
+        # replica offsets are multiples of max_id+1 so the planted id
+        # ranges stay disjoint at n=100 for the sf0.1 base)
+        from hive_scd_spark.operators.multimodal import (
+            attach_binary,
+            multimodal_dedup_near,
+        )
+
+        src = (
+            d.select(
+                "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
+            )
+            .filter(F.length("t") >= 72)
+        )
+        up2 = src.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000000).alias("doc_id"),
+            F.regexp_replace("t", "(.)", "$1$1").alias("t"),
+        )
+        up3 = src.filter(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 200000000).alias("doc_id"),
+            F.regexp_replace("t", "(.)", "$1$1$1").alias("t"),
+        )
+        media = attach_binary(
+            src.unionByName(up2).unionByName(up3),
+            id_col="doc_id", payload_col="t", media_type="image",
+        )
+        return multimodal_dedup_near(media.select("media_id", "payload"))
+
     def winnow_gate(d):
         # substring-level fingerprint candidates; df cap bounds pair
         # fan-out whatever the corpus size
@@ -636,6 +667,10 @@ def main():
         ("text_code_quality", codeq_gate),
         # round-13 second tranche
         ("report_source_overlap", overlap_matrix_gate),
+        # round-14: perceptual near-dup media (stub dHash + banded
+        # Hamming; character bijections fully decorrelate replica
+        # byte statistics, so buckets stay replica-local)
+        ("multimodal_dedup_near", multimodal_near_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),

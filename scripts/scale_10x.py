@@ -294,6 +294,35 @@ def main():
         # replica-local — the in-replica Hamming-ball structure scales
         return simhash_near_dups(docs, "doc_id", "text")
 
+    def multimodal_near_gate(docs):
+        # r14: the registered gate's exact shape — printable-ASCII
+        # payloads, planted 2x/3x byte-upsampled copies (ids +1e6/+2e6,
+        # clear of the replica offsets), stub dHash, banded Hamming
+        from hive_scd_spark.operators.multimodal import (
+            attach_binary,
+            multimodal_dedup_near,
+        )
+
+        src = (
+            docs.select(
+                "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
+            )
+            .filter(F.length("t") >= 72)
+        )
+        up2 = src.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace("t", "(.)", "$1$1").alias("t"),
+        )
+        up3 = src.filter(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.regexp_replace("t", "(.)", "$1$1$1").alias("t"),
+        )
+        media = attach_binary(
+            src.unionByName(up2).unionByName(up3),
+            id_col="doc_id", payload_col="t", media_type="image",
+        )
+        return multimodal_dedup_near(media.select("media_id", "payload"))
+
     def fuzzy_gate(docs):
         # replicas carry distinct doc_ids → distinct md5 strings, so
         # typo pairs stay replica-local (planted rate preserved); the
@@ -844,6 +873,9 @@ def main():
         ("events_anomaly_zscore", zscore_gate, ev1, ev10),
         ("report_source_overlap", overlap_matrix_gate, docs1, docs10),
         ("sample_softdedup_weights", softdedup_gate, docs1, docs10),
+        # round-14: perceptual near-dup media (stub dHash + banded
+        # Hamming; planted 2x/3x upsampled copies per replica)
+        ("multimodal_dedup_near", multimodal_near_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

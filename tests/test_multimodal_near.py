@@ -1,0 +1,101 @@
+"""Perceptual near-dup media lane (multimodal.dhash_images /
+multimodal_dedup_near + dedup.banded_hamming_pairs) — VERDICT r13
+task 5."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hive_scd_spark.operators.multimodal import (
+    attach_binary,
+    dhash_images,
+    multimodal_dedup_near,
+    pil_available,
+    stub_dhash,
+)
+
+
+def test_stub_dhash_exact_under_uniform_upsample():
+    payload = b"the quick brown fox jumps over the lazy dog 0123456789" * 3
+    for k in (2, 3, 7):
+        up = bytes(c for c in payload for _ in range(k))
+        assert stub_dhash(up) == stub_dhash(payload)
+
+
+def test_stub_dhash_distinguishes_content():
+    a = stub_dhash(b"a completely different payload with its own byte shape" * 4)
+    b = stub_dhash(b"zzz 999 unrelated bytes with another distribution ///" * 4)
+    assert a != b
+
+
+def _media(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    return attach_binary(df, id_col="doc_id", payload_col="t", media_type="image")
+
+
+def test_planted_reencodes_found_at_hamming_zero(spark):
+    base = [
+        (i, f"document number {i} with some distinctive content " * 4 + "x" * i)
+        for i in range(1, 9)
+    ]
+    # plant a 2x "re-encode" of each original
+    planted = [(i + 100, "".join(c * 2 for c in t)) for i, t in base]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal_dedup_near(_media(spark, base + planted)).collect()
+    }
+    for i, _t in base:
+        assert pairs.get((i, i + 100)) == 0, f"planted pair {i} missed"
+
+
+def test_unrelated_media_not_paired(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, "".join(chr(rng.randrange(32, 127)) for _ in range(300)))
+        for i in range(1, 40)
+    ]
+    out = multimodal_dedup_near(_media(spark, rows)).collect()
+    assert out == []
+
+
+def test_dhash_matches_driver_function(spark):
+    rows = [(1, "alpha beta gamma " * 10), (2, "delta epsilon zeta " * 9)]
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_images(_media(spark, rows)).collect()
+    }
+    exp = {i: stub_dhash(t.encode()) for i, t in rows}
+    assert got == exp
+
+
+def test_strict_mode_refuses_stub(spark):
+    media = _media(spark, [(1, "x" * 100)])
+    if pil_available():
+        pytest.skip("Pillow importable — strict mode would use it")
+    with pytest.raises(NotImplementedError, match="real perceptual hash"):
+        dhash_images(media, strict=True)
+
+
+def test_pil_dhash_when_available(spark):
+    if not pil_available():
+        pytest.skip("Pillow not importable")
+    import io
+
+    from PIL import Image
+
+    from hive_scd_spark.operators.multimodal import pil_dhash
+
+    im = Image.new("L", (64, 64))
+    im.putdata([(x * 7 + y * 3) % 256 for y in range(64) for x in range(64)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    h1 = pil_dhash(buf.getvalue())
+    big = im.resize((128, 128))
+    buf2 = io.BytesIO()
+    big.save(buf2, format="PNG")
+    h2 = pil_dhash(buf2.getvalue())
+    assert bin(h1 ^ h2).count("1") <= 6  # resize keeps most bits
