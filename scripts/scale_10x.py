@@ -108,6 +108,23 @@ def timed(label, thunk):
     return dt
 
 
+# Designed CONTRAST rows (VERDICT r13 task 2): measured on purpose to
+# show what the production default avoids; their superlinear segments
+# are the baseline, not a regression.  The label rides IN the artifact.
+CONTRAST_ROWS = {
+    "dedup_winnow_pairs": (
+        "designed contrast row: UNCAPPED winnow pair generation - the "
+        "production default is the df-capped dedup_winnow_capped; "
+        "superlinear on boilerplate-dense corpora by construction "
+        "(guardable via winnow_pairs_from_selected pair_budget)"
+    ),
+    "dedup_embedding_lsh_fixed4": (
+        "designed contrast row: fixed-plane LSH pathology canary - "
+        "auto-sized planes are the production path"
+    ),
+}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale10x")
@@ -909,6 +926,8 @@ def main():
             results[label] = {
                 "t1": round(t1, 3), "t10": round(t10, 3), "ratio": ratio,
             }
+            if label in CONTRAST_ROWS:
+                results[label]["contrast"] = CONTRAST_ROWS[label]
         except Exception as exc:  # noqa: BLE001
             msg = str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
             errors[label] = f"{type(exc).__name__}: {msg[:300]}"

@@ -62,3 +62,39 @@ def test_keeper_diff_is_incidental_only(spark, sel):
     # tightening the cap can only DROP pairs, so clusters shrink and
     # the keeper set can only grow
     assert k32 >= k50
+
+
+def test_pair_budget_guard_raises_on_dense_corpus(spark):
+    """r14 (VERDICT r13 task 2): the opt-in Σ df·(df−1)/2 census fails
+    loudly when the kept fingerprints would generate more candidate
+    pairs than the budget — a boilerplate-dense corpus becomes a data
+    error, not a silent superlinear run."""
+    import pytest
+
+    from hive_scd_spark.operators.dedup import (
+        ShingleSkewError,
+        winnow_dup_pairs,
+    )
+
+    # 30 docs sharing one long boilerplate body -> every fingerprint is
+    # in all 30 docs (df=30, each contributing 435 pairs)
+    body = "shared boilerplate text that every document repeats " * 6
+    docs = spark.createDataFrame(
+        [(i, body) for i in range(30)], "doc_id long, text string"
+    )
+    with pytest.raises(ShingleSkewError, match="pair_budget"):
+        winnow_dup_pairs(docs, "doc_id", "text", pair_budget=100).collect()
+    # under budget: same corpus, generous budget -> runs fine
+    out = winnow_dup_pairs(docs, "doc_id", "text", pair_budget=10_000_000)
+    assert out.count() > 0
+
+
+def test_pair_budget_none_is_action_free(spark):
+    """Default pair_budget=None must not add the census action: the
+    gates stay plan-pure (no .first() at build)."""
+    import inspect
+
+    from hive_scd_spark.operators.dedup import winnow_pairs_from_selected
+
+    sig = inspect.signature(winnow_pairs_from_selected)
+    assert sig.parameters["pair_budget"].default is None
