@@ -670,6 +670,13 @@ def kn_trigram_logprob(
     )
 
     def trigrams_of(toks_frame):
+        # r14 (VERDICT r13 task 3): ONE window pass replaces the three
+        # shifted-alias self-joins — the instance stream is exchanged
+        # once on the doc key instead of three times on (doc, pos),
+        # and the sort-merge cascade disappears.  Same instance set:
+        # every position i with both successors present.
+        from pyspark.sql import Window as _W
+
         pos = toks_frame.select(
             id_col, F.posexplode("__toks").alias("__i", "__tok")
         )
@@ -680,16 +687,16 @@ def kn_trigram_logprob(
             .otherwise(F.lit("<unk>"))
             .alias("__w"),
         )
-        a = clipped.select(
-            F.col(id_col), (F.col("__i") + 2).alias("__j"), F.col("__w").alias("__w1")
+        w = _W.partitionBy(id_col).orderBy("__i")
+        return (
+            clipped.select(
+                F.col(id_col),
+                F.col("__w").alias("__w1"),
+                F.lead("__w", 1).over(w).alias("__w2"),
+                F.lead("__w", 2).over(w).alias("__w3"),
+            )
+            .filter(F.col("__w3").isNotNull())
         )
-        b = clipped.select(
-            F.col(id_col), (F.col("__i") + 1).alias("__j"), F.col("__w").alias("__w2")
-        )
-        c = clipped.select(
-            F.col(id_col), F.col("__i").alias("__j"), F.col("__w").alias("__w3")
-        )
-        return a.join(b, [id_col, "__j"]).join(c, [id_col, "__j"])
 
     train_tris = trigrams_of(train_toks)
     tri = train_tris.groupBy("__w1", "__w2", "__w3").agg(
@@ -707,8 +714,24 @@ def kn_trigram_logprob(
         F.sum("__cc1").alias("__T"), F.count("*").alias("__U")
     )
 
-    scored = (
+    # r14 (VERDICT r13 task 3): score DISTINCT trigram types once and
+    # join back weighted by per-doc counts — the hash_embed
+    # vocabulary-placement move.  With the clipped vocabulary the
+    # distinct scored set is bounded by (V+1)³ REGARDLESS of corpus
+    # size (V=30 ⇒ ≤ 29,791 rows), so every model join runs over a
+    # broadcast-sized frame while the corpus-sized stream pays only
+    # one (doc, trigram) combiner-collapsed groupBy and one join-back
+    # against the tiny scored table.  At 100× the old per-instance
+    # plan carried the instance stream through five joins; this one
+    # carries it through one.
+    per_doc = (
         (train_tris if train is None else trigrams_of(toks_of(df)))
+        .groupBy(id_col, "__w1", "__w2", "__w3")
+        .agg(F.count("*").cast("long").alias("__m"))
+    )
+    dist = per_doc.select("__w1", "__w2", "__w3").distinct()
+    scored_dist = (
+        dist
         .join(tri, ["__w1", "__w2", "__w3"], "left")
         .join(ctx3, ["__w1", "__w2"], "left")
         .join(cc2, ["__w2", "__w3"], "left")
@@ -739,12 +762,24 @@ def kn_trigram_logprob(
         / c2ctxd
         + F.lit(D) * F.col("__n3").cast("double") / c2ctxd * p2
     )
+    term = scored_dist.select(
+        "__w1", "__w2", "__w3",
+        F.log(p3).alias("__lnp3"),
+        F.col("__c3").isNull().alias("__unseen"),
+    )
+    # join-back: the scored table is type-bounded (≤ (V+1)³ — tiny at
+    # clipped vocabularies, corpus-type-bounded otherwise), so AQE
+    # picks broadcast when it fits instead of a forced hint; Σ m·ln /
+    # Σ m is the same average as the per-instance mean, grouped first
+    scored = per_doc.join(term, ["__w1", "__w2", "__w3"])
     agg = scored.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_trigrams"),
-        F.sum(F.when(F.col("__c3").isNull(), 1).otherwise(0))
+        F.sum("__m").cast("long").alias("n_trigrams"),
+        F.sum(F.when(F.col("__unseen"), F.col("__m")).otherwise(F.lit(0)))
         .cast("long")
         .alias("n_unseen"),
-        F.round(F.avg(F.log(p3)), 6).alias("avg_kn_logprob"),
+        F.round(
+            F.sum(F.col("__m") * F.col("__lnp3")) / F.sum("__m"), 6
+        ).alias("avg_kn_logprob"),
     )
     return (
         df.select(F.col(id_col))
