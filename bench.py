@@ -4,6 +4,18 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Two-session protocol (VERDICT r13 task 1): by default the harness runs
+TWO independent JVM sessions (subprocess children) and reports the
+per-query MIN across them — the r13 artifact had 12/48 rows >1.3× vs
+r12 purely from one session running hot, and a second JVM bounds that
+one-sided drift the way per-query min-of-reps bounds per-query spikes.
+The session envelope (per-session totals, per-query ratio median/p90)
+is recorded IN the artifact as "envelope"; its "noise_bound" (the p90
+ratio) is the stated floor for cross-round mover claims.  Record of
+record: logs/bench_last.json is written by the SAME run whose stdout
+tail the driver captures into BENCH_r{N}.json — builders must not
+commit separately-run round-named bench logs.
+
 Execution is measured with the built-in `noop` sink so the full plan
 runs (scan → transform → exchange) without driver-side collection —
 `count()` would let Catalyst prune the very projections we're timing.
@@ -163,6 +175,11 @@ HEADLINE = [
     # contamination matrix (gram shuffle + source-bounded pair fan-out)
     "events_anomaly_zscore",
     "report_source_overlap",
+    # round-14 (rotate-on-add): out-of-order chain SCD2 fold (plan-pure
+    # builder) and perceptual near-dup media (banded-Hamming over stub
+    # dHash; lazy band checkpoint -> builder-timed, the simhash rule)
+    "scd2_chain_outoforder",
+    "multimodal_dedup_near",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -180,22 +197,36 @@ assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 # sample_shuffle_order (1.90×), range_join_event_windows (1.57×),
 # dedup_cluster_assign (1.56×), dedup_minhash_incremental (1.47×).
 EXTRA_REPS = {
-    "ann_pq_adc_topk",
-    "pipeline_semantic_dedup",
+    # r14 inputs: top-10 by BENCH_r13 (pipeline_scrub_classify_report
+    # 5.80, ann_pq_incremental 5.33, pipeline_semantic_dedup 4.88,
+    # ann_pq_adc_topk 4.40, dedup_minhash_lsh 4.27,
+    # pipeline_crawl_to_corpus_v2 4.15, select_dsir_weights 3.79,
+    # graph_pagerank_dups 3.38, pipeline_mix_shuffle_pack 3.36,
+    # dedup_winnow_corpus 3.34)
     "pipeline_scrub_classify_report",
-    "pipeline_crawl_to_corpus_v2",
-    "graph_pagerank_dups",
-    "dedup_minhash_incremental",
-    "dedup_winnow_corpus",
-    "pipeline_corpus_to_sequences",
-    "text_kn_trigram_logprob",
-    "dedup_simhash_near",
-    # r12→r11 movers under the >1.3× rule
-    "sample_shuffle_order",
-    "range_join_event_windows",
-    "dedup_cluster_assign",
-    # r13: the new row enters reps=4 on arrival (rotate-on-add rule)
     "ann_pq_incremental",
+    "pipeline_semantic_dedup",
+    "ann_pq_adc_topk",
+    "dedup_minhash_lsh",
+    "pipeline_crawl_to_corpus_v2",
+    "select_dsir_weights",
+    "graph_pagerank_dups",
+    "pipeline_mix_shuffle_pack",
+    "dedup_winnow_corpus",
+    # ... union the 12 r13-vs-r12 movers > 1.3x (VERDICT r13 "What's
+    # wrong": the session-envelope cohort, re-measured under the r14
+    # two-session protocol)
+    "sketch_quantile_totalprice",
+    "select_nb_quality",
+    "decontam_bloom_screen",
+    "shard_assignment",
+    "report_source_divergence",
+    "text_unigram_logprob",
+    "text_hash_embed_ann",
+    "fuzzy_typo_pairs",
+    "text_bigram_logprob",
+    "dedup_winnow_capped",
+    "sample_token_budget_per_source",
 }
 assert EXTRA_REPS <= set(HEADLINE)
 
@@ -266,6 +297,9 @@ ITERATIVE = {
     # r13: the overlap matrix checkpoints its gram-grouped inverted
     # index (feeds both pair generation and totals) — same rule
     "report_source_overlap",
+    # r14: banded_hamming_pairs lazily checkpoints the band table (the
+    # dedup_simhash_near rule)
+    "multimodal_dedup_near",
 }
 
 
@@ -280,7 +314,9 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
+def run_session() -> dict:
+    """ONE bench session: warm-up + timed reps in this process's JVM.
+    Returns the full 3-decimal record (no printing, no exiting)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     spark = get_spark("bench")
@@ -291,10 +327,7 @@ def main() -> None:
     # be most of the measurement.
     # Fault isolation (VERDICT r4 #2): one broken builder must never
     # erase the whole round's perf evidence.  A query that fails in
-    # warm-up is skipped from the timed reps and reported in "errors";
-    # the JSON line still carries every surviving timing, with
-    # "partial": true and rc 2 (rc 1 only when EVERYTHING failed) so a
-    # partial total can never be mistaken for a complete round's.
+    # warm-up is skipped from the timed reps and reported in "errors".
     errors: dict[str, str] = {}
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     for name in HEADLINE:
@@ -313,14 +346,9 @@ def main() -> None:
         gc_isolate(spark)
 
     # Timed reps, per-query MIN: this box shows ±20-80% swings on
-    # identical code between back-to-back runs (co-tenant interference;
-    # e.g. dedup_minhash_lsh measured 2.36 s and 4.37 s in consecutive
-    # bench invocations of the same commit).  The min of isolated runs
-    # is the standard latency-benchmark answer to one-sided noise:
-    # spikes only ever ADD time, so the min is the best estimate of the
-    # true cost.  2 reps for cheap rows; 4 for EXTRA_REPS (the rows
-    # whose noise envelope dominated round-over-round comparisons).
-    # Recorded as "reps"/"reps_extra" in the JSON.
+    # identical code between back-to-back runs (co-tenant interference).
+    # The min of isolated runs is the standard latency-benchmark answer
+    # to one-sided noise.  2 reps for cheap rows; 4 for EXTRA_REPS.
     timings: dict[str, float] = {}
     for rep in range(4):
         for name in HEADLINE:
@@ -336,41 +364,89 @@ def main() -> None:
                 continue
             timings[name] = min(timings.get(name, t), t)
 
-    total = round(sum(timings.values()), 3)
-    # Tail-capture discipline (VERDICT r12 task 2): the driver records
-    # only the LAST ~2 kB of stdout, and r12's line outgrew it — the
-    # committed artifact lost its HEAD (the metric/value fields and the
-    # first ~15 timings).  Two defenses: (a) the stdout line is kept
-    # COMPACT (2-decimal timings, reps_extra as a count) and ordered
-    # queries-first / value-LAST, so any future truncation eats query
-    # rows and never the total; (b) the full 3-decimal record including
-    # the reps_extra list is written to logs/bench_last.json — the
-    # artifact of record lives in the repo regardless of tail capture.
     full = {
         "metric": "headline_queries_total_runtime",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         "reps": 2,
         "reps_extra": {"reps": 4, "queries": sorted(EXTRA_REPS)},
     }
-    out = {
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "sf": float(sf),
-        "reps": 2,
-        "metric": "headline_queries_total_runtime",
-        "value": total,
-        "unit": "sec",
-    }
     if errors:
-        # a partial total is NOT comparable with a complete round's total
-        # (a broken query reads as a speedup) — flag it loudly and exit
-        # nonzero while still emitting every surviving per-query number
         full["errors"] = errors
         full["partial"] = True
-        out["errors"] = {k: v[:80] for k, v in errors.items()}
-        out["partial"] = True
+    spark.stop()
+    return full
+
+
+def merge_sessions(fulls: list[dict]) -> dict:
+    """Per-query MIN across sessions (VERDICT r13 task 1) + the session
+    envelope recorded IN the artifact: cross-round per-query claims are
+    only as good as the noise floor, so the artifact states its own —
+    "noise_bound" is the p90 of per-query max/min across the sessions;
+    a cross-round comparison below that bound is session drift, not a
+    mover."""
+    timings: dict[str, float] = {}
+    for f in fulls:
+        for k, v in f.get("queries", {}).items():
+            timings[k] = min(timings.get(k, v), v)
+    errors: dict[str, str] = {}
+    for f in fulls:
+        for k, v in f.get("errors", {}).items():
+            if k not in timings:  # failed in every session that ran it
+                errors.setdefault(k, v)
+    common = [
+        k for k in timings
+        if all(k in f.get("queries", {}) for f in fulls)
+    ]
+    ratios = sorted(
+        max(f["queries"][k] for f in fulls) / max(min(f["queries"][k] for f in fulls), 1e-9)
+        for k in common
+    ) if len(fulls) > 1 and common else []
+
+    def pct(p):
+        return round(ratios[min(int(p * len(ratios)), len(ratios) - 1)], 3) if ratios else None
+
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": fulls[0].get("sf") if fulls else None,
+        "reps": 2,
+        "reps_extra": {"reps": 4, "queries": sorted(EXTRA_REPS)},
+        "sessions": len(fulls),
+        "envelope": {
+            "session_totals": [
+                round(sum(f.get("queries", {}).values()), 3) for f in fulls
+            ],
+            "per_query_ratio_median": pct(0.5),
+            "per_query_ratio_p90": pct(0.9),
+            "noise_bound": pct(0.9),
+            "note": (
+                "queries = per-query MIN across independent JVM sessions; "
+                "a cross-round per-query change below noise_bound is "
+                "within the measured session envelope, not a mover"
+            ),
+        },
+        "sessions_queries": [f.get("queries", {}) for f in fulls],
+    }
+    if errors:
+        full["errors"] = errors
+        full["partial"] = True
+    return full
+
+
+def emit(full: dict) -> int:
+    """Write the record of record and print the tail-safe line.
+
+    RECONCILIATION (VERDICT r13 task 1): logs/bench_last.json written
+    HERE is the full record of the SAME run whose stdout tail the
+    driver captures into BENCH_r{N}.json — they are one run by
+    construction.  Builders must not commit separately-run
+    logs/bench_sf0.1_round{N}.json files; the round's record is the
+    driver-committed bench_last.json + its BENCH_r{N}.json tail."""
     try:
         logdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs")
         os.makedirs(logdir, exist_ok=True)
@@ -378,9 +454,75 @@ def main() -> None:
             json.dump(full, f, indent=1, sort_keys=False)
     except OSError:
         pass  # never let the artifact-of-record write kill the line
+    out = {
+        "queries": {k: round(v, 2) for k, v in full["queries"].items()},
+        "sf": full.get("sf"),
+        "reps": 2,
+        "sessions": full.get("sessions", 1),
+        "noise_bound": (full.get("envelope") or {}).get("noise_bound"),
+        "metric": "headline_queries_total_runtime",
+        "value": full["value"],
+        "unit": "sec",
+    }
+    if full.get("errors"):
+        out["errors"] = {k: v[:80] for k, v in full["errors"].items()}
+        out["partial"] = True
     print(tail_safe_line(out))
-    if errors:
-        sys.exit(1 if not timings else 2)
+    if full.get("errors"):
+        return 1 if not full["queries"] else 2
+    return 0
+
+
+def main() -> None:
+    # Child mode: one session, full record to $SPARK_BENCH_OUT, silent.
+    if os.environ.get("SPARK_BENCH_CHILD") == "1":
+        full = run_session()
+        with open(os.environ["SPARK_BENCH_OUT"], "w") as f:
+            json.dump(full, f)
+        sys.exit(0 if not full.get("errors") else (1 if not full["queries"] else 2))
+
+    # Orchestrator (VERDICT r13 task 1): per-query min across
+    # SPARK_BENCH_SESSIONS independent JVM sessions (default 2 — the
+    # r13 artifact showed 12/48 rows >1.3x purely from one session
+    # running hot; a second JVM bounds one-sided session drift the way
+    # per-query min-of-reps bounds per-query spikes).  Set
+    # SPARK_BENCH_SESSIONS=1 for the old single-session behavior.
+    n_sessions = int(os.environ.get("SPARK_BENCH_SESSIONS", "2"))
+    if n_sessions <= 1:
+        sys.exit(emit(merge_sessions([run_session()])))
+
+    import subprocess
+
+    logdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs")
+    os.makedirs(logdir, exist_ok=True)
+    fulls = []
+    child_errs = {}
+    for i in range(n_sessions):
+        outp = os.path.join(logdir, f"bench_session{i + 1}.json")
+        if os.path.exists(outp):
+            os.remove(outp)
+        env = dict(os.environ, SPARK_BENCH_CHILD="1", SPARK_BENCH_OUT=outp)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+        )
+        if os.path.exists(outp):
+            with open(outp) as f:
+                fulls.append(json.load(f))
+        else:
+            tail = (proc.stderr or b"")[-500:].decode("utf-8", "replace")
+            child_errs[f"session{i + 1}"] = f"rc={proc.returncode}: {tail}"
+    if not fulls:
+        print(json.dumps({"metric": "headline_queries_total_runtime",
+                          "value": None, "errors": child_errs, "partial": True}))
+        sys.exit(1)
+    full = merge_sessions(fulls)
+    if child_errs:
+        full.setdefault("errors", {}).update(child_errs)
+        full["partial"] = True
+    sys.exit(emit(full))
 
 
 def tail_safe_line(out: dict, budget: int = 1990) -> str:

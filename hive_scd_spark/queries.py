@@ -5825,7 +5825,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal keeps multimodal_dedup_exact, joins keep
     # range_join_event_windows + both fuzzy joins.
     "fuzzy_typo_pairs": fuzzy_typo_pairs,
-    "decontam_bloom_screen": decontam_bloom_screen,
     # r12 rotation (VERDICT r11 task 1): the ENTIRE remaining
     # never-driver-verified pool — all 11 rotatable entries — takes
     # window slots in one shot, plus the two gates built this round
@@ -5848,7 +5847,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_url_domain_filter": text_url_domain_filter,
     "sample_split_assign": sample_split_assign,
     "text_script_detect": text_script_detect,
-    "corpus_source_report": corpus_source_report,
     "text_dedupe_lines_in_doc": text_dedupe_lines_in_doc,
     "sample_embedding_diverse": sample_embedding_diverse,
     "report_domain_census": report_domain_census,
@@ -5895,18 +5893,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal_dedup_exact stay — each is its family's only window
     # representative.  The ten SCD core gates never rotate
     # (test_registry.py pins the invariant).
-    "q13_customer_distribution": q13_customer_distribution,
-    "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
-    "text_clean_c4": text_clean_c4,
-    "text_robots_parse_screen": text_robots_parse_screen,
-    "text_bigram_logprob": text_bigram_logprob,
-    "pipeline_crawl_to_corpus_v2": pipeline_crawl_to_corpus_v2,
-    "dedup_winnow_corpus": dedup_winnow_corpus,
-    "variant_props_stats": variant_props_stats,
     # multimodal keeps its only window representative
-    "multimodal_dedup_exact": multimodal_dedup_exact,
     # r10 rotation (VERDICT r9 tasks 1+7): twelve never-driver-verified
     # entries take the slots of twelve multiply-green veterans.  In:
     # the full r9 crawl-first-mile family (source_warc_scan,
@@ -6003,9 +5992,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # via scripts/check_contract.py).
     "events_anomaly_zscore": events_anomaly_zscore,
     "report_source_overlap": report_source_overlap,
-    # --- beyond the driver window (slot >50) ----------------------------
+    # r14 rotation (VERDICT r13 task 7): rotate-on-add puts the two
+    # gates built this round straight into the window
+    # (scd2_chain_outoforder - the out-of-order chain SCD2 fold, task
+    # 6; multimodal_dedup_near - perceptual dHash + banded Hamming,
+    # task 5), and with the never-windowed debt at zero the remaining
+    # nine slots BACK-FILL the stalest out-of-window veterans (last
+    # driver-green r3, per scripts/rotation_report.py's new staleness
+    # pool) so no entry's most recent driver verification ages
+    # without bound.  Out (eleven multiply-green veterans, all still
+    # DuckDB-verified every round via scripts/check_contract.py):
+    # multimodal_dedup_exact (x8 - the family keeps the NEW near-dup
+    # gate plus back-filled image_features), variant_props_stats (x7),
+    # decontam_bloom_screen (x5 - decontam keeps report_source_overlap),
+    # dedup_winnow_corpus (x3 - dedup keeps winnow_capped),
+    # pipeline_crawl_to_corpus_v2 (x3 - pipelines keep mix_shuffle_pack
+    # + scrub_classify_report), q13 + q14 (x3 each - TPC-H keeps
+    # q17/q18), text_bigram_logprob (x3 - LM scoring keeps the KN
+    # gate), text_clean_c4 + text_robots_parse_screen (x3 each -
+    # cleaning keeps span_scrub + url_domain_filter + dedupe_lines),
+    # corpus_source_report (x2 - reports keep domain_census +
+    # source_divergence + source_overlap).
     "scd2_chain_outoforder": scd2_chain_outoforder,
     "multimodal_dedup_near": multimodal_dedup_near,
+    "agg_approx_distinct_check": agg_approx_distinct_check,
+    "agg_cube_status_priority": agg_cube_status_priority,
+    "agg_having_big_customers": agg_having_big_customers,
+    "agg_rollup_returnflag": agg_rollup_returnflag,
+    "date_functions_showcase": date_functions_showcase,
+    "join_left_outer_order_counts": join_left_outer_order_counts,
+    "knn_brute_force": knn_brute_force,
+    "multimodal_image_features": multimodal_image_features,
+    "scalar_functions_showcase": scalar_functions_showcase,
+    # --- beyond the driver window (slot >50) ----------------------------
+    # r14 displaced veterans (see the r14 rotation comment above):
+    "multimodal_dedup_exact": multimodal_dedup_exact,
+    "variant_props_stats": variant_props_stats,
+    "decontam_bloom_screen": decontam_bloom_screen,
+    "dedup_winnow_corpus": dedup_winnow_corpus,
+    "pipeline_crawl_to_corpus_v2": pipeline_crawl_to_corpus_v2,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "text_bigram_logprob": text_bigram_logprob,
+    "text_clean_c4": text_clean_c4,
+    "text_robots_parse_screen": text_robots_parse_screen,
+    "corpus_source_report": corpus_source_report,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q4_order_priority": q4_order_priority,
@@ -6068,21 +6099,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_near": dedup_simhash_near,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "shard_assignment": shard_assignment,
-    "agg_rollup_returnflag": agg_rollup_returnflag,
-    "agg_cube_status_priority": agg_cube_status_priority,
-    "agg_approx_distinct_check": agg_approx_distinct_check,
-    "agg_having_big_customers": agg_having_big_customers,
-    "scalar_functions_showcase": scalar_functions_showcase,
-    "date_functions_showcase": date_functions_showcase,
     "window_lead_ntile_orders": window_lead_ntile_orders,
-    "join_left_outer_order_counts": join_left_outer_order_counts,
     "sample_deterministic": sample_deterministic,
     "feature_histogram": feature_histogram,
     "unpivot_part_metrics": unpivot_part_metrics,
     "subquery_correlated_max_order": subquery_correlated_max_order,
     "text_token_count": text_token_count,
-    "multimodal_image_features": multimodal_image_features,
-    "knn_brute_force": knn_brute_force,
     # r6 rotation: displaced multiply-green veterans — every one stays
     # DuckDB-verified by scripts/check_contract.py each round
     "agg_grouping_sets": agg_grouping_sets,

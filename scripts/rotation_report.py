@@ -87,6 +87,21 @@ def main() -> None:
         pin = "  [PINNED: scd core, never rotates]" if q.startswith("scd") else ""
         print(f"  {q}: green x{n}, last r{last}{pin}")
 
+    # BACK-FILL pool (VERDICT r13 task 7): with the never-windowed debt
+    # at zero, window slots freed by multiply-green veterans go to the
+    # LONGEST-out-of-window veterans, so no entry's most recent driver
+    # verification ages without bound.  Ranked by last driver-green
+    # round (stalest first); rows-only gates excluded (cannot green).
+    out_window = [q for q in registry[WINDOW:] if q not in rows_only]
+    staleness = []
+    for q in out_window:
+        greens = [r for r, _ran, g in history.get(q, []) if g]
+        staleness.append((max(greens) if greens else 0, q))
+    print(f"\nback-fill pool ({len(staleness)} out-of-window, stalest first):")
+    for last, q in sorted(staleness)[:20]:
+        tag = f"last green r{last}" if last else "never green"
+        print(f"  {q}: {tag}")
+
 
 if __name__ == "__main__":
     main()
