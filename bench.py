@@ -511,6 +511,13 @@ def main() -> None:
         if os.path.exists(outp):
             with open(outp) as f:
                 fulls.append(json.load(f))
+            # interim line after each session: if a wall-clock limit
+            # kills the orchestrator mid-session-2, the driver's tail
+            # capture still holds a complete (fewer-session) artifact —
+            # the final line supersedes it in the tail when we get there
+            if fulls and i + 1 < n_sessions:
+                emit(merge_sessions(fulls))
+                sys.stdout.flush()
         else:
             tail = (proc.stderr or b"")[-500:].decode("utf-8", "replace")
             child_errs[f"session{i + 1}"] = f"rc={proc.returncode}: {tail}"
