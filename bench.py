@@ -180,6 +180,10 @@ HEADLINE = [
     # dHash; lazy band checkpoint -> builder-timed, the simhash rule)
     "scd2_chain_outoforder",
     "multimodal_dedup_near",
+    # round-14 second tranche: the media-family dedup endgame (pairs ->
+    # clusters -> keepers; dup_clusters localCheckpoints per CC round,
+    # the dedup_winnow_corpus rule -> builder-timed)
+    "multimodal_dedup_near_corpus",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -300,6 +304,9 @@ ITERATIVE = {
     # r14: banded_hamming_pairs lazily checkpoints the band table (the
     # dedup_simhash_near rule)
     "multimodal_dedup_near",
+    # r14: dup_clusters localCheckpoints per CC round inside
+    # dedup_corpus (the dedup_winnow_corpus rule)
+    "multimodal_dedup_near_corpus",
 }
 
 

@@ -2613,6 +2613,44 @@ def multimodal_dedup_near(spark, sf_dir):
     return near_pairs(media.select("media_id", "payload"))
 
 
+def multimodal_dedup_near_corpus(spark, sf_dir):
+    """The media-family dedup ENDGAME (r14): perceptual near-dup pairs
+    → connected components → one canonical medium per cluster + all
+    unpaired media — the same pairs → clusters → keepers last mile the
+    MinHash and winnowing families ship (cluster.dedup_corpus), driven
+    by the dHash banded-Hamming candidate generator.  Over the planted
+    corpus every 2×/3× upsampled copy is Hamming-0 with its original,
+    so each (d, d+1e6/2e6) pair collapses to the min-id keeper.  The
+    oracle replays the dHash pipeline (shared CTEs with the pair gate)
+    plus the recursive transitive closure.  Scale: the pair graph is
+    candidate-sized, never corpus-sized; the keep step is one left-anti
+    join (AQE broadcasts the loser list when small)."""
+    from hive_scd_spark.operators.cluster import dedup_corpus
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        multimodal_dedup_near as near_pairs,
+    )
+
+    src = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t"))
+        .filter(F.length("t") >= 72)
+    )
+    up2 = src.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("t", "(.)", "$1$1").alias("t"),
+    )
+    up3 = src.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.regexp_replace("t", "(.)", "$1$1$1").alias("t"),
+    )
+    corpus = src.unionByName(up2).unionByName(up3)
+    media = attach_binary(corpus, id_col="doc_id", payload_col="t", media_type="image")
+    pairs = near_pairs(media.select("media_id", "payload"))
+    keep = dedup_corpus(media, pairs, "media_id")
+    return keep.select("media_id", "n_bytes")
+
+
 def q8_national_market_share(spark, sf_dir):
     """TPC-H Q8 shape: a nation's share of revenue by year — the
     LARGEST join expressible over the reduced schemas (7 tables:
@@ -6015,6 +6053,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # source_divergence + source_overlap).
     "scd2_chain_outoforder": scd2_chain_outoforder,
     "multimodal_dedup_near": multimodal_dedup_near,
+    # second r14 tranche (rotate-on-add): the media-family dedup
+    # endgame (pairs -> clusters -> keepers over the dHash pair set).
+    # Out: scalar_functions_showcase returns to the back-fill pool
+    # (the remaining eight back-fills keep their slots).
+    "multimodal_dedup_near_corpus": multimodal_dedup_near_corpus,
     "agg_approx_distinct_check": agg_approx_distinct_check,
     "agg_cube_status_priority": agg_cube_status_priority,
     "agg_having_big_customers": agg_having_big_customers,
@@ -6023,8 +6066,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_outer_order_counts": join_left_outer_order_counts,
     "knn_brute_force": knn_brute_force,
     "multimodal_image_features": multimodal_image_features,
-    "scalar_functions_showcase": scalar_functions_showcase,
     # --- beyond the driver window (slot >50) ----------------------------
+    "scalar_functions_showcase": scalar_functions_showcase,
     # r14 displaced veterans (see the r14 rotation comment above):
     "multimodal_dedup_exact": multimodal_dedup_exact,
     "variant_props_stats": variant_props_stats,
@@ -7267,8 +7310,11 @@ ORACLES["multimodal_dedup_exact"] = """
 # 1/(72n) grid), compare the 8×9 grid's row-adjacent segments into 64
 # bits, pack two's-complement, band into 4×16 bits, census buckets,
 # and Hamming-join — every step integer-exact on both engines.
-ORACLES["multimodal_dedup_near"] = """
-    WITH src AS (
+# shared dHash pipeline CTEs (r14): the full integer replay up to the
+# near-dup pair set `npairs` — reused by the pair gate and the corpus
+# endgame gate (the winnow-corpus composition precedent)
+_DHASH_CTES = """
+    src AS (
       SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
       FROM documents
     ),
@@ -7341,13 +7387,38 @@ ORACLES["multimodal_dedup_near"] = """
       SELECT band, val FROM banded
       GROUP BY band, val HAVING count(*) BETWEEN 2 AND 200
     ),
-    kept AS (SELECT b.* FROM banded b JOIN ok USING (band, val))
-    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
-    FROM kept a
-    JOIN kept b ON a.band = b.band AND a.val = b.val AND a.id < b.id
-    WHERE bit_count(xor(a.h, b.h)) <= 3
+    kept AS (SELECT b.* FROM banded b JOIN ok USING (band, val)),
+    npairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+      FROM kept a
+      JOIN kept b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+    )"""
+
+ORACLES["multimodal_dedup_near"] = f"""
+    WITH {_DHASH_CTES}
+    SELECT id_a, id_b, hamming FROM npairs
 """
+
+# media endgame: pairs -> connected components -> one canonical medium
+# per cluster + all unpaired media (the dedup_corpus_canonical
+# recursive-closure oracle pattern over the dHash pair set)
+ORACLES["multimodal_dedup_near_corpus"] = f"""
+    WITH RECURSIVE {_DHASH_CTES},
+    und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM npairs
+            UNION SELECT id_b, id_a FROM npairs),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und) n
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT c.id AS media_id, CAST(length(c.t) AS BIGINT) AS n_bytes
+    FROM corpus c
+    WHERE c.id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+"""
+
 
 ORACLES["q8_national_market_share"] = """
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

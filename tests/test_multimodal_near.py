@@ -99,3 +99,21 @@ def test_pil_dhash_when_available(spark):
     big.save(buf2, format="PNG")
     h2 = pil_dhash(buf2.getvalue())
     assert bin(h1 ^ h2).count("1") <= 6  # resize keeps most bits
+
+
+def test_near_dup_corpus_keeps_canonical(spark):
+    """Media endgame (r14): pairs -> clusters -> keepers.  Every
+    planted re-encode collapses to its original (the min id); unpaired
+    media survive."""
+    from hive_scd_spark.operators.cluster import dedup_corpus
+
+    base = [
+        (i, f"document number {i} with some distinctive content " * 4 + "y" * i)
+        for i in range(1, 7)
+    ]
+    planted = [(i + 100, "".join(c * 2 for c in t)) for i, t in base[:4]]
+    media = _media(spark, base + planted)
+    pairs = multimodal_dedup_near(media)
+    keep = dedup_corpus(media, pairs, "media_id")
+    got = sorted(r["media_id"] for r in keep.collect())
+    assert got == [1, 2, 3, 4, 5, 6]
