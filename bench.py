@@ -184,6 +184,9 @@ HEADLINE = [
     # clusters -> keepers; dup_clusters localCheckpoints per CC round,
     # the dedup_winnow_corpus rule -> builder-timed)
     "multimodal_dedup_near_corpus",
+    # round-14 third tranche: audio perceptual near-dup (same
+    # checkpointed band join -> builder-timed)
+    "multimodal_dedup_near_audio",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -307,6 +310,7 @@ ITERATIVE = {
     # r14: dup_clusters localCheckpoints per CC round inside
     # dedup_corpus (the dedup_winnow_corpus rule)
     "multimodal_dedup_near_corpus",
+    "multimodal_dedup_near_audio",
 }
 
 

@@ -286,19 +286,34 @@ def stub_dhash(payload: bytes) -> int:
     :func:`pil_dhash` is the drop-in real perceptual hash."""
     import numpy as np
 
-    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-    n = b.size
+    return _envelope_hash(
+        np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    )
+
+
+def _envelope_hash(vals) -> int:
+    """Shared exact-integer envelope hash over any int64 value sequence
+    (bytes for the image stub, |PCM16 samples| for the audio stub):
+    continuous-resample to 72 segments, 8×9 grid, 64 row-adjacent
+    compare bits, two's-complement packed.
+
+    I(u) = integral of the value step-function on the common
+    1/(segs·n) grid: value i covers u in [i·segs, (i+1)·segs), segment
+    s covers [s·n, (s+1)·n).  All integer; exact for every n — so the
+    hash is EXACTLY invariant under uniform k× value duplication (the
+    re-encode/resample stand-in) and, because the comparisons are
+    scale-free, under positive integer amplitude scaling."""
+    import numpy as np
+
+    n = vals.size
     if n == 0:
         return 0
     segs = _DH_ROWS * _DH_COLS
-    # I(u) = integral of the byte step-function on the common 1/(segs*n)
-    # grid: byte i covers u in [i*segs, (i+1)*segs), segment s covers
-    # [s*n, (s+1)*n).  All integer; exact for every n.
-    prefix = np.concatenate(([0], np.cumsum(b)))
+    prefix = np.concatenate(([0], np.cumsum(vals)))
     u = np.arange(segs + 1, dtype=np.int64) * n
     q, r = u // segs, u % segs
-    bpad = np.concatenate((b, [0]))
-    integral = segs * prefix[q] + r * bpad[q]
+    vpad = np.concatenate((vals, [0]))
+    integral = segs * prefix[q] + r * vpad[q]
     seg = np.diff(integral).reshape(_DH_ROWS, _DH_COLS)
     bits = (seg[:, :-1] > seg[:, 1:]).flatten()
     h = np.uint64(0)
@@ -396,5 +411,125 @@ def multimodal_dedup_near(
     fp = dhash_images(df, strict=strict, decoder=decoder)
     return banded_hamming_pairs(
         fp, "media_id", "dhash",
+        bits=64, bands=bands, max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
+AHASH_SCHEMA = "media_id long, ahash long"
+
+
+def stub_audio_hash(payload: bytes) -> int:
+    """STUB audio perceptual hash — energy-envelope hash over the
+    payload interpreted as headerless little-endian PCM16 mono (the
+    :func:`fake_decode_audio` convention): |sample| magnitudes through
+    the shared exact-integer envelope machinery
+    (:func:`_envelope_hash`).  EXACTLY invariant under uniform k×
+    sample duplication (naive k× resample) and positive volume
+    scaling; a trailing odd byte is ignored on both sides of any such
+    transform, so the invariance survives odd payloads."""
+    import numpy as np
+
+    n2 = len(payload) // 2
+    s = np.frombuffer(payload[: 2 * n2], dtype="<i2").astype(np.int64)
+    return _envelope_hash(np.abs(s))
+
+
+def soundfile_audio_hash(payload: bytes) -> int:
+    """Real audio envelope hash via soundfile: decode, take |sample|,
+    resample the magnitude step-function to 72 segments (float — the
+    real path has no oracle), compare row-adjacent segments.  Import
+    stays inside the function (feature detection)."""
+    from io import BytesIO
+
+    import numpy as np
+    import soundfile as sf
+
+    data, _rate = sf.read(BytesIO(payload))
+    vals = np.abs(np.asarray(data, dtype=np.float64))
+    if vals.ndim > 1:
+        vals = vals.mean(axis=1)
+    n = vals.size
+    if n == 0:
+        return 0
+    segs = _DH_ROWS * _DH_COLS
+    prefix = np.concatenate(([0.0], np.cumsum(vals)))
+    u = np.arange(segs + 1, dtype=np.float64) * n / segs
+    q = np.minimum(u.astype(np.int64), n)
+    frac = u - q
+    vpad = np.concatenate((vals, [0.0]))
+    integral = prefix[q] + frac * vpad[np.minimum(q, n - 1)]
+    seg = np.diff(integral).reshape(_DH_ROWS, _DH_COLS)
+    bits = (seg[:, :-1] > seg[:, 1:]).flatten()
+    h = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        h |= np.uint64(1) << np.uint64(k)
+    return int(np.int64(h))
+
+
+def ahash_audio(
+    df: DataFrame, strict: bool = False, decoder: str = "stub"
+) -> DataFrame:
+    """Per-payload audio envelope hash via the Arrow ``mapInPandas``
+    lane — (media_id, ahash).  Same decoder-hook discipline as
+    :func:`extract_audio_features`: ``"stub"`` (headerless-PCM16
+    interpretation, the oracle-checkable default), ``"soundfile"``
+    (real decode), or ``"auto"``; ``strict=True`` refuses the stub."""
+    if decoder not in ("stub", "soundfile", "auto"):
+        raise ValueError(
+            f"unknown decoder {decoder!r}: 'stub', 'soundfile', or 'auto'"
+        )
+    if decoder == "auto":
+        decoder = "soundfile" if soundfile_available() else "stub"
+    if decoder == "soundfile" and not soundfile_available():
+        raise NotImplementedError(
+            "decoder='soundfile' requires the soundfile library, which is "
+            "not importable here"
+        )
+    if strict and decoder == "stub":
+        raise NotImplementedError(
+            "strict=True demands a real audio decoder but decoder='stub' "
+            "was selected; "
+            + (
+                "pass decoder='soundfile'/'auto'"
+                if soundfile_available()
+                else "soundfile is not importable here — install it"
+            )
+            + ", or use strict=False for the deterministic PCM16 envelope hash"
+        )
+    hash_fn = soundfile_audio_hash if decoder == "soundfile" else stub_audio_hash
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pdf["payload"]
+                    .map(lambda b: hash_fn(bytes(b or b"")))
+                    .astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(per_batch, schema=AHASH_SCHEMA)
+
+
+def multimodal_dedup_near_audio(
+    df: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+    strict: bool = False,
+    decoder: str = "stub",
+) -> DataFrame:
+    """Perceptual near-duplicate AUDIO pairs — the audio sibling of
+    :func:`multimodal_dedup_near`: re-sampled / re-leveled copies of
+    one clip share most envelope-hash bits, and the banded Hamming-ball
+    join (``dedup.banded_hamming_pairs``) finds every pair within
+    *max_hamming* with pigeonhole-exact recall.  Input is the
+    :func:`attach_binary` shape; output (id_a, id_b, hamming)."""
+    from hive_scd_spark.operators.dedup import banded_hamming_pairs
+
+    fp = ahash_audio(df, strict=strict, decoder=decoder)
+    return banded_hamming_pairs(
+        fp, "media_id", "ahash",
         bits=64, bands=bands, max_hamming=max_hamming, max_bucket=max_bucket,
     )

@@ -2613,6 +2613,42 @@ def multimodal_dedup_near(spark, sf_dir):
     return near_pairs(media.select("media_id", "payload"))
 
 
+def multimodal_dedup_near_audio(spark, sf_dir):
+    """Perceptual near-dup for the AUDIO lane (operators/multimodal.py:
+    multimodal_dedup_near_audio, r14) — the energy-envelope hash over
+    headerless-PCM16 payloads (the fake_decode_audio convention),
+    exactly invariant under uniform sample duplication (naive k×
+    resample) and positive volume scaling, then the shared banded
+    Hamming-ball join.  The gate plants the transforms: every
+    doc_id % 10 == 2 gains a 2×-sample-duplicated copy (id + 3e6),
+    every doc_id % 10 == 7 a 3× copy (id + 4e6); payloads are
+    printable-ASCII sanitized and the DuckDB oracle replays the ENTIRE
+    computation — PCM16 magnitude extraction, exact integer envelope
+    integrals, bit pack, banding, census, Hamming join — sharing the
+    envelope CTE tail with the image gate."""
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        multimodal_dedup_near_audio as near_pairs,
+    )
+
+    src = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t"))
+        .filter(F.length("t") >= 144)
+    )
+    up2 = src.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.regexp_replace("t", "(..)", "$1$1").alias("t"),
+    )
+    up3 = src.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.regexp_replace("t", "(..)", "$1$1$1").alias("t"),
+    )
+    corpus = src.unionByName(up2).unionByName(up3)
+    media = attach_binary(corpus, id_col="doc_id", payload_col="t", media_type="audio")
+    return near_pairs(media.select("media_id", "payload"))
+
+
 def multimodal_dedup_near_corpus(spark, sf_dir):
     """The media-family dedup ENDGAME (r14): perceptual near-dup pairs
     → connected components → one canonical medium per cluster + all
@@ -6058,15 +6094,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Out: scalar_functions_showcase returns to the back-fill pool
     # (the remaining eight back-fills keep their slots).
     "multimodal_dedup_near_corpus": multimodal_dedup_near_corpus,
+    # third r14 tranche (rotate-on-add): the audio perceptual near-dup
+    # sibling.  Out: knn_brute_force returns to the back-fill pool.
+    "multimodal_dedup_near_audio": multimodal_dedup_near_audio,
     "agg_approx_distinct_check": agg_approx_distinct_check,
     "agg_cube_status_priority": agg_cube_status_priority,
     "agg_having_big_customers": agg_having_big_customers,
     "agg_rollup_returnflag": agg_rollup_returnflag,
     "date_functions_showcase": date_functions_showcase,
     "join_left_outer_order_counts": join_left_outer_order_counts,
-    "knn_brute_force": knn_brute_force,
     "multimodal_image_features": multimodal_image_features,
     # --- beyond the driver window (slot >50) ----------------------------
+    "knn_brute_force": knn_brute_force,
     "scalar_functions_showcase": scalar_functions_showcase,
     # r14 displaced veterans (see the r14 rotation comment above):
     "multimodal_dedup_exact": multimodal_dedup_exact,
@@ -7313,38 +7352,11 @@ ORACLES["multimodal_dedup_exact"] = """
 # shared dHash pipeline CTEs (r14): the full integer replay up to the
 # near-dup pair set `npairs` — reused by the pair gate and the corpus
 # endgame gate (the winnow-corpus composition precedent)
-_DHASH_CTES = """
-    src AS (
-      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
-      FROM documents
-    ),
-    base AS (SELECT doc_id AS id, t FROM src WHERE length(t) >= 72),
-    corpus AS (
-      SELECT id, t FROM base
-      UNION ALL
-      SELECT id + 1000000, regexp_replace(t, '(.)', '\\1\\1', 'g')
-      FROM base WHERE id % 10 = 0
-      UNION ALL
-      SELECT id + 2000000, regexp_replace(t, '(.)', '\\1\\1\\1', 'g')
-      FROM base WHERE id % 10 = 5
-    ),
-    chars AS (
-      SELECT id, length(t) AS n, CAST(u.i AS BIGINT) AS i,
-             ord(substr(t, CAST(u.i AS INT), 1)) AS b
-      FROM corpus, UNNEST(range(1, length(t) + 1)) AS u(i)
-    ),
-    pref AS (
-      SELECT id, n, i, b,
-             sum(b) OVER (PARTITION BY id ORDER BY i) AS p
-      FROM chars
-    ),
-    grid AS (
-      SELECT c.id, c.n, CAST(s.s AS BIGINT) AS s,
-             (CAST(s.s AS BIGINT) * c.n) // 72 AS q,
-             (CAST(s.s AS BIGINT) * c.n) % 72 AS r
-      FROM (SELECT id, length(t) AS n FROM corpus) c,
-           UNNEST(range(0, 73)) AS s(s)
-    ),
+# common envelope-hash CTE tail (r14): integral bounds -> segments ->
+# 64 bits -> two's-complement pack -> banding -> census -> Hamming
+# pairs.  Shared by the image (byte) and audio (|PCM16|) replays —
+# both feed it (id, n, i, b) rows in `pref` and (id, n) in `grid`.
+_ENVELOPE_TAIL = """
     ivals AS (
       SELECT g.id, g.s,
              72 * COALESCE(p1.p, 0) + g.r * COALESCE(p2.b, 0) AS ival
@@ -7395,6 +7407,91 @@ _DHASH_CTES = """
       JOIN kept b ON a.band = b.band AND a.val = b.val AND a.id < b.id
       WHERE bit_count(xor(a.h, b.h)) <= 3
     )"""
+
+_DHASH_CTES = """
+
+    src AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id AS id, t FROM src WHERE length(t) >= 72),
+    corpus AS (
+      SELECT id, t FROM base
+      UNION ALL
+      SELECT id + 1000000, regexp_replace(t, '(.)', '\\1\\1', 'g')
+      FROM base WHERE id % 10 = 0
+      UNION ALL
+      SELECT id + 2000000, regexp_replace(t, '(.)', '\\1\\1\\1', 'g')
+      FROM base WHERE id % 10 = 5
+    ),
+    chars AS (
+      SELECT id, length(t) AS n, CAST(u.i AS BIGINT) AS i,
+             ord(substr(t, CAST(u.i AS INT), 1)) AS b
+      FROM corpus, UNNEST(range(1, length(t) + 1)) AS u(i)
+    ),
+    pref AS (
+      SELECT id, n, i, b,
+             sum(b) OVER (PARTITION BY id ORDER BY i) AS p
+      FROM chars
+    ),
+    grid AS (
+      SELECT c.id, c.n, CAST(s.s AS BIGINT) AS s,
+             (CAST(s.s AS BIGINT) * c.n) // 72 AS q,
+             (CAST(s.s AS BIGINT) * c.n) % 72 AS r
+      FROM (SELECT id, length(t) AS n FROM corpus) c,
+           UNNEST(range(0, 73)) AS s(s)
+    ),
+""" + _ENVELOPE_TAIL
+
+# audio head: samples are little-endian PCM16 magnitudes over the
+# ASCII-sanitized payload (high byte <= 126 so the sign branch is
+# never taken on this corpus; kept for fidelity); transforms are 2x
+# and 3x SAMPLE duplication (2-byte groups), the naive-resample
+# stand-in the envelope hash is exactly invariant under
+_AHASH_CTES = """
+    src AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id AS id, t FROM src WHERE length(t) >= 144),
+    corpus AS (
+      SELECT id, t FROM base
+      UNION ALL
+      SELECT id + 3000000, regexp_replace(t, '(..)', '\\1\\1', 'g')
+      FROM base WHERE id % 10 = 2
+      UNION ALL
+      SELECT id + 4000000, regexp_replace(t, '(..)', '\\1\\1\\1', 'g')
+      FROM base WHERE id % 10 = 7
+    ),
+    chars AS (
+      SELECT id, length(t) // 2 AS n, CAST(u.i AS BIGINT) AS i,
+             abs(CASE WHEN ord(substr(t, CAST(2 * u.i AS INT), 1)) * 256
+                           + ord(substr(t, CAST(2 * u.i - 1 AS INT), 1)) >= 32768
+                      THEN ord(substr(t, CAST(2 * u.i AS INT), 1)) * 256
+                           + ord(substr(t, CAST(2 * u.i - 1 AS INT), 1)) - 65536
+                      ELSE ord(substr(t, CAST(2 * u.i AS INT), 1)) * 256
+                           + ord(substr(t, CAST(2 * u.i - 1 AS INT), 1)) END) AS b
+      FROM corpus, UNNEST(range(1, length(t) // 2 + 1)) AS u(i)
+    ),
+    pref AS (
+      SELECT id, n, i, b,
+             sum(b) OVER (PARTITION BY id ORDER BY i) AS p
+      FROM chars
+    ),
+    grid AS (
+      SELECT c.id, c.n, CAST(s.s AS BIGINT) AS s,
+             (CAST(s.s AS BIGINT) * c.n) // 72 AS q,
+             (CAST(s.s AS BIGINT) * c.n) % 72 AS r
+      FROM (SELECT id, length(t) // 2 AS n FROM corpus) c,
+           UNNEST(range(0, 73)) AS s(s)
+    ),
+""" + _ENVELOPE_TAIL
+
+ORACLES["multimodal_dedup_near_audio"] = f"""
+    WITH {_AHASH_CTES}
+    SELECT id_a, id_b, hamming FROM npairs
+"""
+
 
 ORACLES["multimodal_dedup_near"] = f"""
     WITH {_DHASH_CTES}

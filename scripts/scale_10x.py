@@ -311,6 +311,34 @@ def main():
         # replica-local — the in-replica Hamming-ball structure scales
         return simhash_near_dups(docs, "doc_id", "text")
 
+    def multimodal_near_audio_gate(docs):
+        # r14: the audio sibling — PCM16 envelope hash, planted 2x/3x
+        # SAMPLE-duplicated copies (2-byte groups)
+        from hive_scd_spark.operators.multimodal import (
+            attach_binary,
+            multimodal_dedup_near_audio,
+        )
+
+        src = (
+            docs.select(
+                "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
+            )
+            .filter(F.length("t") >= 144)
+        )
+        up2 = src.filter(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.regexp_replace("t", "(..)", "$1$1").alias("t"),
+        )
+        up3 = src.filter(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.regexp_replace("t", "(..)", "$1$1$1").alias("t"),
+        )
+        media = attach_binary(
+            src.unionByName(up2).unionByName(up3),
+            id_col="doc_id", payload_col="t", media_type="audio",
+        )
+        return multimodal_dedup_near_audio(media.select("media_id", "payload"))
+
     def multimodal_near_gate(docs):
         # r14: the registered gate's exact shape — printable-ASCII
         # payloads, planted 2x/3x byte-upsampled copies (ids +1e6/+2e6,
@@ -893,6 +921,7 @@ def main():
         # round-14: perceptual near-dup media (stub dHash + banded
         # Hamming; planted 2x/3x upsampled copies per replica)
         ("multimodal_dedup_near", multimodal_near_gate, docs1, docs10),
+        ("multimodal_dedup_near_audio", multimodal_near_audio_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

@@ -117,3 +117,67 @@ def test_near_dup_corpus_keeps_canonical(spark):
     keep = dedup_corpus(media, pairs, "media_id")
     got = sorted(r["media_id"] for r in keep.collect())
     assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_audio_hash_invariances():
+    """Audio stub (r14): EXACT invariance under uniform k× sample
+    duplication and positive volume scaling."""
+    import numpy as np
+
+    from hive_scd_spark.operators.multimodal import stub_audio_hash
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-9000, 9000, size=200).astype("<i2")
+    payload = s.tobytes()
+    h = stub_audio_hash(payload)
+    dup2 = np.repeat(s, 2).astype("<i2").tobytes()
+    dup3 = np.repeat(s, 3).astype("<i2").tobytes()
+    vol3 = (s.astype(np.int64) * 3).astype("<i2").tobytes()  # no clipping
+    assert stub_audio_hash(dup2) == h
+    assert stub_audio_hash(dup3) == h
+    assert stub_audio_hash(vol3) == h
+    other = rng.integers(-9000, 9000, size=200).astype("<i2").tobytes()
+    assert stub_audio_hash(other) != h
+
+
+def test_audio_near_dup_planted_recall(spark):
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        multimodal_dedup_near_audio,
+    )
+
+    base = [
+        (i, f"audio clip number {i} with distinctive waveform bytes " * 4)
+        for i in range(1, 9)
+    ]
+    planted = [
+        (i + 100, "".join(t[j : j + 2] * 2 for j in range(0, len(t) - 1, 2)))
+        for i, t in base
+    ]
+    df = spark.createDataFrame(base + planted, "doc_id long, t string")
+    media = attach_binary(df, id_col="doc_id", payload_col="t", media_type="audio")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal_dedup_near_audio(
+            media.select("media_id", "payload")
+        ).collect()
+    }
+    for i, _t in base:
+        assert pairs.get((i, i + 100)) == 0, f"planted audio pair {i} missed"
+
+
+def test_audio_strict_mode_refuses_stub(spark):
+    import pytest
+
+    from hive_scd_spark.operators.multimodal import (
+        ahash_audio,
+        attach_binary,
+        soundfile_available,
+    )
+
+    if soundfile_available():
+        pytest.skip("soundfile importable — strict mode would use it")
+    df = spark.createDataFrame([(1, "x" * 200)], "doc_id long, t string")
+    media = attach_binary(df, id_col="doc_id", payload_col="t", media_type="audio")
+    with pytest.raises(NotImplementedError, match="real audio decoder"):
+        ahash_audio(media, strict=True)
