@@ -445,6 +445,34 @@ def main():
             d.select("doc_id", lined.alias("text")), "doc_id", "text"
         )
 
+    def multimodal_near_audio_gate(d):
+        # r14: the audio sibling — PCM16 envelope hash, planted 2x/3x
+        # SAMPLE-duplicated copies (2-byte groups)
+        from hive_scd_spark.operators.multimodal import (
+            attach_binary,
+            multimodal_dedup_near_audio,
+        )
+
+        src = (
+            d.select(
+                "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
+            )
+            .filter(F.length("t") >= 144)
+        )
+        up2 = src.filter(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 300000000).alias("doc_id"),
+            F.regexp_replace("t", "(..)", "$1$1").alias("t"),
+        )
+        up3 = src.filter(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 400000000).alias("doc_id"),
+            F.regexp_replace("t", "(..)", "$1$1$1").alias("t"),
+        )
+        media = attach_binary(
+            src.unionByName(up2).unionByName(up3),
+            id_col="doc_id", payload_col="t", media_type="audio",
+        )
+        return multimodal_dedup_near_audio(media.select("media_id", "payload"))
+
     def multimodal_near_gate(d):
         # r14: the registered gate's exact shape — printable-ASCII
         # payloads, planted 2x/3x byte-upsampled copies, stub dHash,
@@ -688,6 +716,7 @@ def main():
         # Hamming; character bijections fully decorrelate replica
         # byte statistics, so buckets stay replica-local)
         ("multimodal_dedup_near", multimodal_near_gate),
+        ("multimodal_dedup_near_audio", multimodal_near_audio_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),
