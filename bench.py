@@ -187,6 +187,9 @@ HEADLINE = [
     # round-14 third tranche: audio perceptual near-dup (same
     # checkpointed band join -> builder-timed)
     "multimodal_dedup_near_audio",
+    # round-14 fourth tranche: video frame-hash near-dup (winnow
+    # inverted-index idiom; plan-pure builder)
+    "multimodal_dedup_near_video",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 

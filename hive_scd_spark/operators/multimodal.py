@@ -533,3 +533,93 @@ def multimodal_dedup_near_audio(
         fp, "media_id", "ahash",
         bits=64, bands=bands, max_hamming=max_hamming, max_bucket=max_bucket,
     )
+
+
+FRAME_HASH_SCHEMA = "media_id long, frame_idx long, fhash long"
+
+
+def frame_dhash(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 1,
+    strict: bool = False,
+    decoder: str = "stub",
+) -> DataFrame:
+    """Per-FRAME perceptual hashes — the video lane's fingerprint
+    (r14): slice each payload into fixed *frame_bytes* windows (the
+    :func:`chunk_payload` frame-sampling convention; *stride* keeps
+    every stride-th window) and hash each window through the shared
+    envelope machinery (:func:`stub_dhash`; ``"pil"`` decodes each
+    window as an image when Pillow exists — real pipelines substitute
+    codec frame extraction).  1→N Arrow batch shape; output
+    (media_id, frame_idx, fhash)."""
+    if frame_bytes < 1:
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if decoder not in ("stub", "pil", "auto"):
+        raise ValueError(f"unknown decoder {decoder!r}: 'stub', 'pil', or 'auto'")
+    if decoder == "auto":
+        decoder = "pil" if pil_available() else "stub"
+    if decoder == "pil" and not pil_available():
+        raise NotImplementedError(
+            "decoder='pil' requires Pillow, which is not importable here"
+        )
+    if strict and decoder == "stub":
+        raise NotImplementedError(
+            "strict=True demands a real frame decoder but decoder='stub' "
+            "was selected; pass decoder='pil'/'auto' where Pillow exists, "
+            "or use strict=False for the deterministic byte-window frames"
+        )
+    hash_fn = pil_dhash if decoder == "pil" else stub_dhash
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "fhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                n = max((len(b) + frame_bytes - 1) // frame_bytes, 1)
+                for i in range(0, n, stride):
+                    w = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["fhash"].append(hash_fn(w))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+                    "fhash": pd.Series(out["fhash"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(per_batch, schema=FRAME_HASH_SCHEMA)
+
+
+def multimodal_dedup_near_video(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 1,
+    min_shared: int = 2,
+    max_df: int = 50,
+    strict: bool = False,
+    decoder: str = "stub",
+) -> DataFrame:
+    """Perceptual near-duplicate VIDEO pairs (r14) — clips sharing
+    ≥ *min_shared* distinct frame hashes: trimmed, re-cut, or
+    partially-overlapping copies of one clip share the frames that
+    survive the cut, and the grouped inverted-index idiom
+    (``dedup.winnow_pairs_from_selected`` reused with the frame hash
+    as the fingerprint) pairs them with ONE hash-keyed shuffle,
+    *max_df*-bounded fan-out, and a map-side pair count — never
+    all-pairs.  Output (id_a, id_b, n_shared) where n_shared counts
+    distinct shared frame hashes."""
+    from hive_scd_spark.operators.dedup import winnow_pairs_from_selected
+
+    frames = frame_dhash(
+        df, frame_bytes=frame_bytes, stride=stride,
+        strict=strict, decoder=decoder,
+    ).select("media_id", "fhash").distinct()
+    return winnow_pairs_from_selected(
+        frames, "media_id",
+        max_df=max_df, min_shared=min_shared, fingerprint_col="fhash",
+    )

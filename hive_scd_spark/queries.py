@@ -2649,6 +2649,44 @@ def multimodal_dedup_near_audio(spark, sf_dir):
     return near_pairs(media.select("media_id", "payload"))
 
 
+def multimodal_dedup_near_video(spark, sf_dir):
+    """Perceptual near-dup for the VIDEO lane (operators/multimodal.py:
+    multimodal_dedup_near_video, r14): frame-sampled envelope hashes
+    (fixed 64-byte windows — the chunk_payload frame convention) pair
+    clips that share ≥2 distinct frame hashes through the grouped
+    inverted-index idiom (winnow_pairs_from_selected reused with the
+    frame hash as the fingerprint).  The gate plants the two
+    real-world transforms a content-hash pass misses: every
+    doc_id % 10 == 4 gains a HEAD-TRIMMED copy (first frame cut,
+    id + 5e6 — its frames are the original's shifted by exactly one
+    window) and every doc_id % 10 == 9 a TAIL-TRIMMED copy (last 64
+    bytes cut, id + 6e6 — full frames identical, the short tail
+    differs).  The DuckDB oracle replays frame slicing, every
+    per-frame envelope hash (shared CTEs), the df cap, and the pair
+    counts."""
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        multimodal_dedup_near_video as near_pairs,
+    )
+
+    src = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t"))
+        .filter(F.length("t") >= 192)
+    )
+    head_trim = src.filter(F.col("doc_id") % 10 == 4).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.expr("substring(t, 65)").alias("t"),
+    )
+    tail_trim = src.filter(F.col("doc_id") % 10 == 9).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.expr("substring(t, 1, length(t) - 64)").alias("t"),
+    )
+    corpus = src.unionByName(head_trim).unionByName(tail_trim)
+    media = attach_binary(corpus, id_col="doc_id", payload_col="t", media_type="video")
+    return near_pairs(media.select("media_id", "payload"))
+
+
 def multimodal_dedup_near_corpus(spark, sf_dir):
     """The media-family dedup ENDGAME (r14): perceptual near-dup pairs
     → connected components → one canonical medium per cluster + all
@@ -6097,14 +6135,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # third r14 tranche (rotate-on-add): the audio perceptual near-dup
     # sibling.  Out: knn_brute_force returns to the back-fill pool.
     "multimodal_dedup_near_audio": multimodal_dedup_near_audio,
+    # fourth r14 tranche (rotate-on-add): the video frame-hash sibling.
+    # Out: join_left_outer_order_counts returns to the back-fill pool.
+    "multimodal_dedup_near_video": multimodal_dedup_near_video,
     "agg_approx_distinct_check": agg_approx_distinct_check,
     "agg_cube_status_priority": agg_cube_status_priority,
     "agg_having_big_customers": agg_having_big_customers,
     "agg_rollup_returnflag": agg_rollup_returnflag,
     "date_functions_showcase": date_functions_showcase,
-    "join_left_outer_order_counts": join_left_outer_order_counts,
     "multimodal_image_features": multimodal_image_features,
     # --- beyond the driver window (slot >50) ----------------------------
+    "join_left_outer_order_counts": join_left_outer_order_counts,
     "knn_brute_force": knn_brute_force,
     "scalar_functions_showcase": scalar_functions_showcase,
     # r14 displaced veterans (see the r14 rotation comment above):
@@ -7356,7 +7397,11 @@ ORACLES["multimodal_dedup_exact"] = """
 # 64 bits -> two's-complement pack -> banding -> census -> Hamming
 # pairs.  Shared by the image (byte) and audio (|PCM16|) replays —
 # both feed it (id, n, i, b) rows in `pref` and (id, n) in `grid`.
-_ENVELOPE_TAIL = """
+# integral bounds -> segments -> 64 bits -> two's-complement pack —
+# shared by every envelope-hash replay (image bytes, |PCM16|, video
+# frames); expects (id, n, i, b) rows in `pref` and (id, n) in `grid`
+_ENVELOPE_HASH_CTES = """
+
     ivals AS (
       SELECT g.id, g.s,
              72 * COALESCE(p1.p, 0) + g.r * COALESCE(p2.b, 0) AS ival
@@ -7390,6 +7435,11 @@ _ENVELOPE_TAIL = """
                        ELSE hu END AS BIGINT) AS h
       FROM hraw
     ),
+"""
+
+# whole-payload banding + Hamming pairs (image/audio); video pairs
+# clips on shared FRAME hashes instead (see the video oracle)
+_BAND_PAIR_TAIL = """
     banded AS (
       SELECT id, h, CAST(bd.band AS INT) AS band,
              (h >> (16 * CAST(bd.band AS INT))) & 65535 AS val
@@ -7407,6 +7457,9 @@ _ENVELOPE_TAIL = """
       JOIN kept b ON a.band = b.band AND a.val = b.val AND a.id < b.id
       WHERE bit_count(xor(a.h, b.h)) <= 3
     )"""
+
+_ENVELOPE_TAIL = _ENVELOPE_HASH_CTES + _BAND_PAIR_TAIL
+
 
 _DHASH_CTES = """
 
@@ -7491,6 +7544,60 @@ ORACLES["multimodal_dedup_near_audio"] = f"""
     WITH {_AHASH_CTES}
     SELECT id_a, id_b, hamming FROM npairs
 """
+
+# video: per-frame envelope hashes (fid = clip_id * 100000 + frame);
+# clips pair on >= 2 shared DISTINCT frame hashes under the df cap —
+# the winnow inverted-index idiom replayed in SQL
+_VHASH_CTES = """
+    src AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id AS id, t FROM src WHERE length(t) >= 192),
+    clips AS (
+      SELECT id, t FROM base
+      UNION ALL
+      SELECT id + 5000000, substr(t, 65) FROM base WHERE id % 10 = 4
+      UNION ALL
+      SELECT id + 6000000, substr(t, 1, CAST(length(t) - 64 AS INT))
+      FROM base WHERE id % 10 = 9
+    ),
+    corpus AS (
+      SELECT c.id * 100000 + CAST(f.f AS BIGINT) AS id,
+             substr(c.t, CAST(64 * f.f + 1 AS INT), 64) AS t
+      FROM clips c,
+           UNNEST(range(0, (length(c.t) + 63) // 64)) AS f(f)
+    ),
+    chars AS (
+      SELECT id, length(t) AS n, CAST(u.i AS BIGINT) AS i,
+             ord(substr(t, CAST(u.i AS INT), 1)) AS b
+      FROM corpus, UNNEST(range(1, length(t) + 1)) AS u(i)
+    ),
+    pref AS (
+      SELECT id, n, i, b,
+             sum(b) OVER (PARTITION BY id ORDER BY i) AS p
+      FROM chars
+    ),
+    grid AS (
+      SELECT c.id, length(c.t) AS n, CAST(s.s AS BIGINT) AS s,
+             (CAST(s.s AS BIGINT) * length(c.t)) // 72 AS q,
+             (CAST(s.s AS BIGINT) * length(c.t)) % 72 AS r
+      FROM corpus c, UNNEST(range(0, 73)) AS s(s)
+    ),
+""" + _ENVELOPE_HASH_CTES
+
+ORACLES["multimodal_dedup_near_video"] = f"""
+    WITH {_VHASH_CTES}
+    fsel AS (SELECT DISTINCT id // 100000 AS mid, h FROM hashes),
+    ok AS (SELECT h FROM fsel GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+    kept AS (SELECT f.* FROM fsel f JOIN ok USING (h))
+    SELECT a.mid AS id_a, b.mid AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.h = b.h AND a.mid < b.mid
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+
 
 
 ORACLES["multimodal_dedup_near"] = f"""

@@ -311,6 +311,33 @@ def main():
         # replica-local — the in-replica Hamming-ball structure scales
         return simhash_near_dups(docs, "doc_id", "text")
 
+    def multimodal_near_video_gate(docs):
+        # r14: video frame-hash near-dup — head/tail-trimmed copies
+        from hive_scd_spark.operators.multimodal import (
+            attach_binary,
+            multimodal_dedup_near_video,
+        )
+
+        src = (
+            docs.select(
+                "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
+            )
+            .filter(F.length("t") >= 192)
+        )
+        head_trim = src.filter(F.col("doc_id") % 10 == 4).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.expr("substring(t, 65)").alias("t"),
+        )
+        tail_trim = src.filter(F.col("doc_id") % 10 == 9).select(
+            (F.col("doc_id") + 6000000).alias("doc_id"),
+            F.expr("substring(t, 1, length(t) - 64)").alias("t"),
+        )
+        media = attach_binary(
+            src.unionByName(head_trim).unionByName(tail_trim),
+            id_col="doc_id", payload_col="t", media_type="video",
+        )
+        return multimodal_dedup_near_video(media.select("media_id", "payload"))
+
     def multimodal_near_audio_gate(docs):
         # r14: the audio sibling — PCM16 envelope hash, planted 2x/3x
         # SAMPLE-duplicated copies (2-byte groups)
@@ -922,6 +949,7 @@ def main():
         # Hamming; planted 2x/3x upsampled copies per replica)
         ("multimodal_dedup_near", multimodal_near_gate, docs1, docs10),
         ("multimodal_dedup_near_audio", multimodal_near_audio_gate, docs1, docs10),
+        ("multimodal_dedup_near_video", multimodal_near_video_gate, docs1, docs10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in

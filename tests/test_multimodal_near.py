@@ -181,3 +181,60 @@ def test_audio_strict_mode_refuses_stub(spark):
     media = attach_binary(df, id_col="doc_id", payload_col="t", media_type="audio")
     with pytest.raises(NotImplementedError, match="real audio decoder"):
         ahash_audio(media, strict=True)
+
+
+def test_video_trim_copies_found(spark):
+    """Video lane (r14): head-trimmed and tail-trimmed copies share
+    their surviving frames with the original."""
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        multimodal_dedup_near_video,
+    )
+
+    import random
+
+    def clip(i):
+        rng = random.Random(1000 + i)  # per-clip content, no shared windows
+        return "".join(chr(rng.randrange(33, 123)) for _ in range(320))
+
+    base = [(i, clip(i)) for i in range(1, 7)]
+    head_trim = [(i + 100, t[64:]) for i, t in base[:3]]
+    tail_trim = [(i + 200, t[:-64]) for i, t in base[3:]]
+    df = spark.createDataFrame(
+        base + head_trim + tail_trim, "doc_id long, t string"
+    )
+    media = attach_binary(df, id_col="doc_id", payload_col="t", media_type="video")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in multimodal_dedup_near_video(
+            media.select("media_id", "payload")
+        ).collect()
+    }
+    for i, _t in base[:3]:
+        assert pairs.get((i, i + 100), 0) >= 2, f"head-trim pair {i} missed"
+    for i, _t in base[3:]:
+        assert pairs.get((i, i + 200), 0) >= 2, f"tail-trim pair {i} missed"
+    # unrelated clips share no frames
+    assert (1, 2) not in pairs
+
+
+def test_frame_dhash_matches_driver_slices(spark):
+    from hive_scd_spark.operators.multimodal import (
+        attach_binary,
+        frame_dhash,
+        stub_dhash,
+    )
+
+    text = "abcdefgh" * 20  # 160 bytes -> frames of 64: 64, 64, 32
+    df = spark.createDataFrame([(1, text)], "doc_id long, t string")
+    media = attach_binary(df, id_col="doc_id", payload_col="t", media_type="video")
+    got = {
+        (r["media_id"], r["frame_idx"]): r["fhash"]
+        for r in frame_dhash(media).collect()
+    }
+    b = text.encode()
+    exp = {
+        (1, i): stub_dhash(b[i * 64 : (i + 1) * 64])
+        for i in range(3)
+    }
+    assert got == exp
