@@ -445,6 +445,33 @@ def main():
             d.select("doc_id", lined.alias("text")), "doc_id", "text"
         )
 
+    def multimodal_near_video_gate(d):
+        # r14: video frame-hash near-dup — head/tail-trimmed copies
+        from hive_scd_spark.operators.multimodal import (
+            attach_binary,
+            multimodal_dedup_near_video,
+        )
+
+        src = (
+            d.select(
+                "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
+            )
+            .filter(F.length("t") >= 192)
+        )
+        head_trim = src.filter(F.col("doc_id") % 10 == 4).select(
+            (F.col("doc_id") + 500000000).alias("doc_id"),
+            F.expr("substring(t, 65)").alias("t"),
+        )
+        tail_trim = src.filter(F.col("doc_id") % 10 == 9).select(
+            (F.col("doc_id") + 600000000).alias("doc_id"),
+            F.expr("substring(t, 1, length(t) - 64)").alias("t"),
+        )
+        media = attach_binary(
+            src.unionByName(head_trim).unionByName(tail_trim),
+            id_col="doc_id", payload_col="t", media_type="video",
+        )
+        return multimodal_dedup_near_video(media.select("media_id", "payload"))
+
     def multimodal_near_audio_gate(d):
         # r14: the audio sibling — PCM16 envelope hash, planted 2x/3x
         # SAMPLE-duplicated copies (2-byte groups)
@@ -717,6 +744,7 @@ def main():
         # byte statistics, so buckets stay replica-local)
         ("multimodal_dedup_near", multimodal_near_gate),
         ("multimodal_dedup_near_audio", multimodal_near_audio_gate),
+        ("multimodal_dedup_near_video", multimodal_near_video_gate),
     ]
     emb_experiments = [
         ("dedup_embedding_lsh_auto", emb_lsh_auto_gate),
