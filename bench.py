@@ -31,6 +31,7 @@ can reclaim the cache with `queries.release_shared_caches(spark)`.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -207,36 +208,27 @@ assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 # sample_shuffle_order (1.90×), range_join_event_windows (1.57×),
 # dedup_cluster_assign (1.56×), dedup_minhash_incremental (1.47×).
 EXTRA_REPS = {
-    # r14 inputs: top-10 by BENCH_r13 (pipeline_scrub_classify_report
-    # 5.80, ann_pq_incremental 5.33, pipeline_semantic_dedup 4.88,
-    # ann_pq_adc_topk 4.40, dedup_minhash_lsh 4.27,
-    # pipeline_crawl_to_corpus_v2 4.15, select_dsir_weights 3.79,
-    # graph_pagerank_dups 3.38, pipeline_mix_shuffle_pack 3.36,
-    # dedup_winnow_corpus 3.34)
+    # r15 inputs: top-10 by BENCH_r14 (pipeline_scrub_classify_report
+    # 5.94, ann_pq_incremental 5.25, pipeline_semantic_dedup 4.98,
+    # ann_pq_adc_topk 4.23, pipeline_crawl_to_corpus_v2 4.05,
+    # dedup_minhash_lsh 3.87, dedup_minhash_incremental 3.60,
+    # graph_pagerank_dups 3.50, pipeline_corpus_to_sequences 3.32,
+    # dedup_winnow_corpus 3.29)
     "pipeline_scrub_classify_report",
     "ann_pq_incremental",
     "pipeline_semantic_dedup",
     "ann_pq_adc_topk",
-    "dedup_minhash_lsh",
     "pipeline_crawl_to_corpus_v2",
-    "select_dsir_weights",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "graph_pagerank_dups",
-    "pipeline_mix_shuffle_pack",
+    "pipeline_corpus_to_sequences",
     "dedup_winnow_corpus",
-    # ... union the 12 r13-vs-r12 movers > 1.3x (VERDICT r13 "What's
-    # wrong": the session-envelope cohort, re-measured under the r14
-    # two-session protocol)
-    "sketch_quantile_totalprice",
-    "select_nb_quality",
-    "decontam_bloom_screen",
-    "shard_assignment",
-    "report_source_divergence",
-    "text_unigram_logprob",
-    "text_hash_embed_ann",
-    "fuzzy_typo_pairs",
-    "text_bigram_logprob",
-    "dedup_winnow_capped",
-    "sample_token_budget_per_source",
+    # ... union the r14 movers (VERDICT r14 task 2): the ONLY row above
+    # the r14 noise bound (1.323) plus the two below-bound watch rows
+    "range_join_event_windows",
+    "sample_shuffle_order",
+    "text_quality_stats",
 }
 assert EXTRA_REPS <= set(HEADLINE)
 
@@ -420,7 +412,13 @@ def merge_sessions(fulls: list[dict]) -> dict:
     ) if len(fulls) > 1 and common else []
 
     def pct(p):
-        return round(ratios[min(int(p * len(ratios)), len(ratios) - 1)], 3) if ratios else None
+        # ADVICE r14: ceil(p*n)-1 is the standard nearest-rank index;
+        # the old int(p*n) resolved p90 to the MAX for small n (n=10 →
+        # index 9), overstating noise_bound.
+        if not ratios:
+            return None
+        idx = max(0, math.ceil(p * len(ratios)) - 1)
+        return round(ratios[idx], 3)
 
     full = {
         "metric": "headline_queries_total_runtime",

@@ -62,6 +62,20 @@ class LocalFS:
     def file_size(self, path: str) -> int:
         return os.stat(path).st_size
 
+    def list_dir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def delete(self, path: str, recursive: bool = True) -> None:
+        if os.path.isdir(path):
+            if recursive:
+                import shutil
+
+                shutil.rmtree(path)
+            else:
+                os.rmdir(path)
+        elif os.path.exists(path):
+            os.remove(path)
+
     def join(self, base: str, name: str) -> str:
         return os.path.join(base, name)
 
@@ -149,6 +163,15 @@ class HadoopFS:
     def file_size(self, path: str) -> int:
         return int(self._fs.getFileStatus(self._Path(path)).getLen())
 
+    def list_dir(self, path: str) -> list[str]:
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._Path(path))
+        ]
+
+    def delete(self, path: str, recursive: bool = True) -> None:
+        self._fs.delete(self._Path(path), recursive)
+
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._Path(path))
         try:
@@ -171,7 +194,19 @@ class HadoopFS:
 
 def fs_for(spark: SparkSession, path: str) -> LocalFS | HadoopFS:
     """Pick the implementation by scheme.  Plain paths stay on ``os``
-    (no JVM round-trips); any URI scheme goes through Hadoop."""
+    (no JVM round-trips — also works under Spark Connect, where the
+    session has no ``_jvm``); any URI scheme goes through Hadoop.
+    On a Connect session a URI-scheme path fails LOUDLY here (ADVICE
+    r14): the py4j gateway is feature-detected, so callers get one
+    clear message instead of an ``AttributeError`` deep in a batch."""
     if has_uri_scheme(path):
+        if getattr(spark, "_jvm", None) is None:
+            raise RuntimeError(
+                f"fs_for: path {path!r} carries a URI scheme, which "
+                f"requires the Hadoop FileSystem API via the session "
+                f"JVM — unavailable on this session (Spark Connect has "
+                f"no py4j gateway).  Use a classic session, or a plain "
+                f"local path (os-backed, Connect-safe)."
+            )
         return HadoopFS(spark, path)
     return LocalFS()

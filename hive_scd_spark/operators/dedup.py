@@ -1266,7 +1266,11 @@ def winnow_pairs_from_selected(
     measured a 33.8× segment); the budget makes that a data error,
     not a silent slowdown.  Opt-in because the census is one extra
     metadata-sized aggregate (the engine gates stay action-free by
-    default)."""
+    default).  With the budget set, the grouped inverted index is
+    lazily ``localCheckpoint``-ed BEFORE the census action (the
+    report_source_overlap pattern, ADVICE r14): the census materializes
+    it once and the returned pair plan reads the checkpoint blocks, so
+    the upstream gram/fingerprint pipeline runs ONCE, not twice."""
     e = sel.select(
         F.col(id_col).alias("__id"), F.col(fingerprint_col).alias("__f")
     )
@@ -1276,6 +1280,7 @@ def winnow_pairs_from_selected(
         .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_df))
     )
     if pair_budget is not None:
+        grouped = grouped.localCheckpoint(eager=False)
         sz = F.size("__ids").cast("long")
         census = grouped.select(
             (sz * (sz - 1) / 2).cast("long").alias("__pairs"), "__f", sz.alias("__df")

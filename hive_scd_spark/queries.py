@@ -5377,23 +5377,37 @@ ORACLES: dict[str, str] = {
                NOT del AS is_current
         FROM base WHERE neg
     """,
-    # chain + out-of-order effective times (r14): boundary 2024-03-01
-    # merges into the base interval (the +50 finds no 'PROMO' rows
-    # yet); boundary 2024-06-01 folds BOTH statements in script order,
-    # so negative balances turn 'PROMO' and gain +50 via the post-image
+    # chain + out-of-order effective times (r14; oracle generalized r15
+    # per ADVICE — no silent no-pre-existing-'PROMO' assumption).  Per
+    # ROW the fold resolves to one of three shapes:
+    #   pre ('PROMO' already in base, any balance): boundary 2024-03
+    #   adds +50 (stmt 2 reads base segment); boundary 2024-06 folds
+    #   stmt1→stmt2 to the SAME state (stmt1 is a no-op or re-assigns
+    #   'PROMO', stmt2 re-adds +50 to the recomputed-from-base state),
+    #   so the 06 interval merges into the 03 one;
+    #   neg (negative balance, not pre): 2024-03 state equals base
+    #   (not 'PROMO' yet — merges away); 2024-06 folds both in script
+    #   order → 'PROMO', +50;
+    #   neither: untouched.
+    # TPC-H data has no 'PROMO' segment, so pre is empty today — the
+    # oracle models it anyway so the gate survives generator drift.
     "scd2_chain_outoforder": """
-        WITH base AS (SELECT *, c_acctbal < 0 AS neg FROM customer)
+        WITH base AS (SELECT *, c_acctbal < 0 AS neg,
+                             c_mktsegment = 'PROMO' AS pre
+                      FROM customer)
         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
                0 AS valid_from_ms,
-               CASE WHEN neg THEN 1717200000000 END AS valid_to_ms,
-               NOT neg AS is_current
+               CASE WHEN pre THEN 1709251200000
+                    WHEN neg THEN 1717200000000 END AS valid_to_ms,
+               (NOT pre AND NOT neg) AS is_current
         FROM base
         UNION ALL
         SELECT c_custkey, c_name, c_nationkey, c_acctbal + 50.0, 'PROMO',
-               1717200000000 AS valid_from_ms,
+               CASE WHEN pre THEN 1709251200000
+                    ELSE 1717200000000 END AS valid_from_ms,
                CAST(NULL AS BIGINT) AS valid_to_ms,
                TRUE AS is_current
-        FROM base WHERE neg
+        FROM base WHERE pre OR neg
     """,
     "scd_h2_dialect": """
         WITH s1 AS (

@@ -896,11 +896,16 @@ def anomaly_ingest_sink(
         # Explicit existence check (ADVICE r13): ONLY path-not-found
         # means "first epoch".  A corrupt footer or transient FS error
         # must fail the batch (Structured Streaming retries), never be
-        # silently treated as empty history.
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        # silently treated as empty history.  FS ops go through the
+        # scheme-dispatching facade (ADVICE r14): plain local paths are
+        # os-backed — no py4j, Spark-Connect-safe; URI-scheme paths
+        # need the classic session's JVM and fail with one clear
+        # message on Connect (fs.fs_for).
+        from hive_scd_spark.fs import fs_for
+
+        fsx = fs_for(spark, state_path)
         tail = None
-        if fs.exists(jpath):
+        if fsx.exists(state_path):
             # the state schema is known (batch columns + the epoch
             # partition column), so the read never needs inference —
             # an existing-but-empty directory reads as zero rows
@@ -993,15 +998,14 @@ def anomaly_ingest_sink(
             # retention: metadata-sized driver-side deletes of epoch
             # partitions older than the replay horizon
             cutoff = epoch_id - keep_epochs
-            for status in fs.listStatus(jpath):
-                name = status.getPath().getName()
+            for name in fsx.list_dir(state_path):
                 if name.startswith("epoch="):
                     try:
                         e = int(name.split("=", 1)[1])
                     except ValueError:
                         continue
                     if e < cutoff:
-                        fs.delete(status.getPath(), True)
+                        fsx.delete(fsx.join(state_path, name), True)
 
     return (
         stream_df.writeStream.outputMode("append")
