@@ -809,6 +809,80 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    k: int = 5,
+    n_probe: int = 4,
+    n_candidates: int = 32,
+    stride: int = 29,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF×PQ composed index — the layout real 100 TB ANN serving uses
+    (VERDICT r14 task 3): the coarse quantizer prunes WHICH inverted
+    lists each query scans (:func:`ivf_assign` — ~n_probe/n_lists of
+    the corpus), PQ asymmetric distance scores WHAT remains through
+    the broadcast lookup table (codes are n_sub longs per row, the
+    64×-compressed representation), and the exact cosine rerank runs
+    only on the broadcast *n_candidates*-row shortlist.
+
+    Composition contract: the ADC scan in :func:`_pq_adc_from_codes`
+    is IDENTICAL to :func:`pq_adc_topk`'s (same round-6 LUT entries,
+    same fixed-order n_sub-term sum, same tie rules) — restricted by
+    an equi-join to the (query, probed-list) pairs the IVF probe
+    selects exactly as :func:`ivf_cosine_topk` selects them (round-6
+    cosine to the broadcast centroids, top-*n_probe* by sim desc /
+    list id asc).  Both halves therefore replay in SQL: the oracle is
+    the pq_adc oracle with three IVF CTEs splicing the probe
+    restriction into the scored join.
+
+    Scale: at 100 TB the assignment and code tables are computed once
+    and stored; serving cost per query batch is one broadcast of
+    (n_q × n_probe LUT rows + centroids), one equi-join over the
+    probed slice of the code table, and one bounded rerank fetch —
+    no full-corpus scan of either vectors or codes.
+
+    Output: (query_id, neighbor_id, cos, rk)."""
+    cent = (
+        centroids
+        if centroids is not None
+        else _ivf_centroids(corpus, id_col, vec_col, stride)
+    )
+    assign = ivf_assign(
+        corpus, id_col, vec_col, stride, centroids=cent
+    ).withColumnRenamed("list_id", "__ivf_list")
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, n_sub).join(
+        assign, id_col
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        vector_norm(F.col(vec_col)).alias("__qn"),
+    )
+    probes = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "list_id",
+        _pair_cos(
+            F.col("__qv"), F.col("__centv"), F.col("__qn"), F.col("__centn")
+        ).alias("__sim"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("list_id"))
+    probed = (
+        probes.withColumn("__rk", F.row_number().over(wp))
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", F.col("list_id").alias("__ivf_list"))
+    )
+    return _pq_adc_from_codes(
+        codes, corpus, queries, codebooks, id_col, vec_col, dim, n_sub,
+        n_candidates, k, probed=probed,
+    )
+
+
 def _pq_adc_from_codes(
     codes: DataFrame,
     vectors: DataFrame,
@@ -820,12 +894,21 @@ def _pq_adc_from_codes(
     n_sub: int,
     n_candidates: int,
     k: int,
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """ADC scan + exact rerank over a PRE-ENCODED code table — the
     shared back half of :func:`pq_adc_topk` (which encodes the corpus
-    inline) and :func:`pq_incremental_topk` (which probes a persisted
-    code table, encoding only the arriving batch).  *vectors* supplies
-    full embeddings for the shortlist rerank only."""
+    inline), :func:`pq_incremental_topk` (which probes a persisted
+    code table, encoding only the arriving batch), and
+    :func:`ivf_pq_topk` (which passes *probed*).  *vectors* supplies
+    full embeddings for the shortlist rerank only.
+
+    *probed* (optional): a (query_id, ``__ivf_list``) table of the
+    inverted lists each query scans; *codes* must then carry an
+    ``__ivf_list`` column.  The ADC scan becomes an equi-join on the
+    list id — each query touches only its probed lists' codes instead
+    of the whole code table (the IVF coarse prune); without it the
+    scan is the broadcast cross join over all codes."""
     from functools import reduce as _reduce
 
     qsub = _subvectors(queries, id_col, vec_col, dim, n_sub).withColumnRenamed(
@@ -875,12 +958,25 @@ def _pq_adc_from_codes(
         ),
         6,
     )
-    scored = (
-        codes.withColumnRenamed(id_col, "neighbor_id")
-        .crossJoin(F.broadcast(lut))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc"))
-    )
+    if probed is None:
+        scored = (
+            codes.withColumnRenamed(id_col, "neighbor_id")
+            .crossJoin(F.broadcast(lut))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", adc.alias("adc"))
+        )
+    else:
+        # coarse prune: (query, probed list) × per-query LUT rides one
+        # broadcast (n_q × n_probe rows); the code table is touched
+        # through an equi-join on its stored list id, so each query
+        # scores only ~n_probe/n_lists of the corpus codes
+        plut = probed.join(lut, "query_id")
+        scored = (
+            codes.withColumnRenamed(id_col, "neighbor_id")
+            .join(F.broadcast(plut), "__ivf_list")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", adc.alias("adc"))
+        )
     wa = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     shortlist = (
         scored.withColumn("__ark", F.row_number().over(wa))

@@ -2352,6 +2352,29 @@ def ann_pq_incremental(spark, sf_dir):
     )
 
 
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVF×PQ composed ANN (operators/similarity.py: ivf_pq_topk —
+    VERDICT r14 task 3), the layout real 100 TB ANN serving uses: the
+    stride-sampled coarse quantizer prunes WHICH inverted lists each
+    query scans (top-4 probes of ~17 lists — the ivf_cosine_topk probe
+    rule verbatim), the frozen 4×16 PQ codebooks score WHAT remains
+    through the broadcast ADC lookup table (the ann_pq_adc_topk scan
+    restricted by one equi-join on the stored list id), and the exact
+    cosine rerank touches only the 32-row-per-query shortlist.  The
+    oracle replays all four k-means trainings, the IVF assignment and
+    probe selection, every LUT entry, the fixed-order ADC sum over
+    probed lists only, and both ranks — full value-level verification
+    of the composed pipeline."""
+    from hive_scd_spark.operators.similarity import ivf_pq_topk, pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, dim=64, n_sub=4, n_codes=16, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_pq_topk(
+        emb, queries, cb, dim=64, n_sub=4, k=5, n_probe=4, n_candidates=32
+    )
+
+
 def sample_deterministic(spark, sf_dir):
     """Reproducible sampling — the training-pipeline requirement Spark's
     ``df.sample`` (partition-layout-dependent RNG) cannot give: hash the
@@ -6152,13 +6175,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fourth r14 tranche (rotate-on-add): the video frame-hash sibling.
     # Out: join_left_outer_order_counts returns to the back-fill pool.
     "multimodal_dedup_near_video": multimodal_dedup_near_video,
+    # r15 rotation (rotate-on-add, VERDICT r14 task 3): the IVF×PQ
+    # composed ANN gate takes a window slot on creation.  Out:
+    # multimodal_image_features returns to the back-fill pool (x2 —
+    # the multimodal family keeps four in-window reps: dedup_near,
+    # dedup_near_corpus, dedup_near_audio, dedup_near_video).
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "agg_approx_distinct_check": agg_approx_distinct_check,
     "agg_cube_status_priority": agg_cube_status_priority,
     "agg_having_big_customers": agg_having_big_customers,
     "agg_rollup_returnflag": agg_rollup_returnflag,
     "date_functions_showcase": date_functions_showcase,
-    "multimodal_image_features": multimodal_image_features,
     # --- beyond the driver window (slot >50) ----------------------------
+    "multimodal_image_features": multimodal_image_features,
     "join_left_outer_order_counts": join_left_outer_order_counts,
     "knn_brute_force": knn_brute_force,
     "scalar_functions_showcase": scalar_functions_showcase,
@@ -8741,15 +8770,59 @@ def _pq_oracle(
     n_codes: int = 16,
     train_where: str = "",
     query_where: str = "vec_id < 8",
+    ivf_probe: int | None = None,
+    ivf_stride: int = 29,
 ) -> str:
     """PQ pipeline replay.  *train_where* restricts codebook training
     (seeds + both Lloyd iterations) to a sub-corpus — empty trains on
     everything (the batch gate); the incremental gate trains on the
     STANDING corpus only, encodes everything, and queries the arriving
     batch (*query_where*), replaying pq_incremental_topk's frozen-
-    codebook parity contract value-for-value."""
+    codebook parity contract value-for-value.
+
+    *ivf_probe* splices the IVF coarse prune into the ADC scan (the
+    ivf_pq_topk composition, VERDICT r14 task 3): three extra CTEs
+    replay the stride-sampled centroids, the corpus list assignment,
+    and each query's top-*ivf_probe* probe selection (round-6 cosine,
+    ties → smallest list id — the ivf_cosine_topk oracle verbatim),
+    and the scored join is restricted to (probed list, owning query)
+    pairs.  Everything else — LUT, fixed-order ADC sum, both ranks —
+    is byte-identical to the plain PQ oracle."""
     tw = f"WHERE {train_where}" if train_where else ""
     ctes = []
+    if ivf_probe is not None:
+        dot_vc = _pq_sql_dot("v.embedding", "c.centv")
+        dot_qc = _pq_sql_dot("q.embedding", "c.centv")
+        ctes.append(
+            """ifnorm AS (
+      SELECT vec_id, embedding,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)"""
+        )
+        ctes.append(
+            f"""icent AS (
+      SELECT vec_id AS ivf_list, embedding AS centv, nrm AS centn
+      FROM ifnorm WHERE vec_id % {ivf_stride} = 0)"""
+        )
+        ctes.append(
+            f"""iassign AS (
+      SELECT vec_id, ivf_list FROM (
+        SELECT v.vec_id, c.ivf_list,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 ROUND({dot_vc} / (v.nrm * c.centn), 6) DESC,
+                 c.ivf_list ASC) AS rk
+        FROM ifnorm v, icent c) WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""iprobes AS (
+      SELECT query_id, ivf_list FROM (
+        SELECT q.vec_id AS query_id, c.ivf_list,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND({dot_qc} / (q.nrm * c.centn), 6) DESC,
+                 c.ivf_list ASC) AS rk
+        FROM ifnorm q, icent c WHERE {query_where}) WHERE rk <= {ivf_probe})"""
+        )
     for s in range(n_sub):
         lo, hi = s * width + 1, (s + 1) * width
         ctes.append(
@@ -8787,6 +8860,14 @@ def _pq_oracle(
         for s in range(1, n_sub)
     )
     adc_sum = " + ".join(f"l{s}.d" for s in range(n_sub))
+    ivf_joins = (
+        """
+      JOIN iassign ia ON ia.vec_id = e0.vec_id
+      JOIN iprobes ip ON ip.ivf_list = ia.ivf_list
+                     AND ip.query_id = l0.query_id"""
+        if ivf_probe is not None
+        else ""
+    )
     ctes.append(
         f"""scored AS (
       SELECT l0.query_id, e0.vec_id AS neighbor_id,
@@ -8794,7 +8875,7 @@ def _pq_oracle(
       FROM enc0 e0
       {enc_joins}
       JOIN lut0 l0 ON l0.list_id = e0.list_id
-      {lut_joins}
+      {lut_joins}{ivf_joins}
       WHERE e0.vec_id != l0.query_id)"""
     )
     ctes.append(
@@ -8833,6 +8914,7 @@ def _pq_oracle(
 
 
 ORACLES["ann_pq_adc_topk"] = _pq_oracle()
+ORACLES["ann_ivf_pq_topk"] = _pq_oracle(ivf_probe=4)
 
 # incremental: train on the standing corpus, encode the union, query
 # the arriving batch — the frozen-codebook parity replay

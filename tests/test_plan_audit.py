@@ -146,6 +146,11 @@ SWEEP = [
     # (_pq_adc_from_codes) — same query-set-bounded LUT / codebook
     # BNLJ builds, same exemption
     ("ann_pq_incremental", {"nested-loop"}),
+    # r15: the IVF×PQ composition — the coarse-probe crossJoin builds
+    # against the stride-sampled centroid table and the LUT builds are
+    # both query-set/codebook-bounded (the ANN bounded-build contract);
+    # the ADC scan itself is an equi-join on the stored list id
+    ("ann_ivf_pq_topk", {"nested-loop"}),
     # span pipeline: row-local taggers + one reassembly shuffle
     ("text_span_scrub", set()),
     # NB classifier (V-bounded model broadcasts + 1-row totals) and the
