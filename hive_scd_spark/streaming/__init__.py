@@ -834,6 +834,7 @@ def anomaly_ingest_sink(
     scale: int = 1000,
     on_late: str = "error",
     keep_epochs: int | None = 8,
+    allowed_lateness: float | None = None,
 ):
     """Continuous rolling z-score anomaly flags — the streaming form of
     :func:`~hive_scd_spark.operators.asof.anomaly_zscore` (the
@@ -866,7 +867,26 @@ def anomaly_ingest_sink(
     opts into the documented weaker contract: a late straggler is
     scored against the history PRESENT AT ARRIVAL (the batch path
     would instead rewrite earlier scores, which a streaming monitor by
-    definition cannot).  Note the contract binds EPOCHS, not source
+    definition cannot).
+
+    ``on_late="buffer"`` (VERDICT r14 task 4) is the bounded-lateness
+    middle ground: with an *allowed_lateness* horizon L (same units as
+    the NUMERIC *time_col*), events are held unscored until the key's
+    max seen event time advances L past them, then scored in
+    event-time order against their TRUE preceding window — emitted
+    scores are exactly the batch operator's.  The invariant that makes
+    this sound: a row is finalized only when ``time <= key_max - L``,
+    and an arrival at-or-before the FINALIZED frontier still raises
+    :class:`LateArrivalError` — so no accepted arrival can ever
+    precede an emitted score, and buffered rows re-sort freely.
+    Buffered rows are strictly later (in event time) than every
+    finalized row, so finalized baselines never depend on the buffer.
+    Cost of the contract: scores are delayed until the watermark
+    passes (a key that stops sending never finalizes its last L of
+    events — the standard allowed-lateness tradeoff), and state grows
+    by the unscored buffer (bounded by L × per-key event rate).
+
+    Note the contract binds EPOCHS, not source
     writes: a multi-file drop can split across micro-batch boundaries
     in file-listing order, which the checker correctly flags — deliver
     each drop as one atomically-committed file (or per-key ordered
@@ -885,8 +905,28 @@ def anomaly_ingest_sink(
     partition-pruned state read."""
     from hive_scd_spark.operators.asof import anomaly_zscore
 
-    if on_late not in ("error", "score"):
-        raise ValueError(f"on_late must be 'error' or 'score', got {on_late!r}")
+    if on_late not in ("error", "score", "buffer"):
+        raise ValueError(
+            f"on_late must be 'error', 'score' or 'buffer', got {on_late!r}"
+        )
+    if on_late == "buffer":
+        if allowed_lateness is None or allowed_lateness <= 0:
+            raise ValueError(
+                "on_late='buffer' requires allowed_lateness > 0 "
+                f"(got {allowed_lateness!r})"
+            )
+        t_type = dict(stream_df.dtypes).get(time_col, "")
+        if t_type.startswith(("timestamp", "date")):
+            raise NotImplementedError(
+                f"on_late='buffer' needs a numeric event-time column to "
+                f"apply the allowed_lateness horizon; {time_col!r} is "
+                f"{t_type} — cast to epoch millis upstream"
+            )
+    elif allowed_lateness is not None:
+        raise ValueError(
+            "allowed_lateness only applies to on_late='buffer' "
+            f"(on_late={on_late!r})"
+        )
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -905,6 +945,7 @@ def anomaly_ingest_sink(
 
         fsx = fs_for(spark, state_path)
         tail = None
+        buf = None
         if fsx.exists(state_path):
             # the state schema is known (batch columns + the epoch
             # partition column), so the read never needs inference —
@@ -912,8 +953,14 @@ def anomaly_ingest_sink(
             # instead of throwing UNABLE_TO_INFER_SCHEMA
             from pyspark.sql import types as _T
 
+            extra = (
+                [_T.StructField("__fin", _T.BooleanType())]
+                if on_late == "buffer"
+                else []
+            )
             st_schema = _T.StructType(
                 batch.schema.fields
+                + extra
                 + [_T.StructField("epoch", _T.LongType())]
             )
             st = spark.read.schema(st_schema).parquet(state_path)
@@ -930,15 +977,23 @@ def anomaly_ingest_sink(
                 # dropDuplicates is belt-and-braces: dynamic partition
                 # overwrite already makes replays exact, and epoch rows
                 # are deterministic, so duplicates would be exact copies
-                tail = (
+                prevrows = (
                     st.filter(F.col("epoch") == prev)
                     .drop("epoch")
                     .dropDuplicates([key_col, time_col, order_col])
                 )
-        if tail is not None and on_late == "error":
+                if on_late == "buffer":
+                    tail = prevrows.filter(F.col("__fin")).drop("__fin")
+                    buf = prevrows.filter(~F.col("__fin")).drop("__fin")
+                else:
+                    tail = prevrows
+        if tail is not None and on_late in ("error", "buffer"):
             # arrival-contract check: any batch row at-or-before its
             # key's stored tail maximum is out of order (bounded work:
-            # tails are ≤ lookback rows per touched key)
+            # tails are ≤ lookback rows per touched key).  In buffer
+            # mode the tail holds FINALIZED rows only, so this is
+            # exactly the beyond-allowed-lateness condition: such a
+            # row would precede an already-emitted score.
             tmax = tail.groupBy(key_col).agg(
                 F.max(F.struct(F.col(time_col), F.col(order_col))).alias("__tmax")
             )
@@ -952,24 +1007,59 @@ def anomaly_ingest_sink(
                     f"({r[key_col]!r}, t={r[time_col]}, {r[order_col]})"
                     for r in sample
                 )
+                if on_late == "buffer":
+                    raise LateArrivalError(
+                        f"anomaly_ingest_sink: epoch {epoch_id} carries "
+                        f"event(s) beyond the allowed_lateness horizon "
+                        f"({allowed_lateness}) — (time, order) at or "
+                        f"before a FINALIZED (already scored and "
+                        f"emitted) observation; first: {rows}.  Raise "
+                        f"allowed_lateness, or deliver closer to order."
+                    )
                 raise LateArrivalError(
                     f"anomaly_ingest_sink: epoch {epoch_id} carries "
                     f"out-of-order event(s) — (time, order) at or before "
                     f"the stored per-key tail maximum; first: {rows}.  "
                     f"Scoring them would silently diverge from the batch "
                     f"operator.  Deliver per-key in order, or opt into "
-                    f"score-at-arrival semantics with on_late='score'."
+                    f"score-at-arrival semantics with on_late='score', "
+                    f"or bounded-lateness buffering with "
+                    f"on_late='buffer'."
                 )
-        hist = batch if tail is None else tail.unionByName(batch)
+        if on_late == "buffer":
+            # watermark finalization: a pending row is scorable once
+            # the key's max seen event time is ≥ allowed_lateness past
+            # it — no accepted future arrival can precede it (the
+            # check above rejects anything at-or-before the finalized
+            # frontier), so its event-time window is complete.
+            pending = (
+                batch if buf is None else buf.unionByName(batch)
+            ).localCheckpoint()
+            km = pending.groupBy(key_col).agg(
+                F.max(time_col).alias("__km")
+            )
+            pend = pending.join(km, key_col)
+            horizon = F.col("__km") - F.lit(allowed_lateness)
+            fin_new = pend.filter(F.col(time_col) <= horizon).drop("__km")
+            buf_new = pend.filter(F.col(time_col) > horizon).drop("__km")
+            emit = fin_new
+            # buffered rows are strictly LATER in event time than every
+            # finalized row, so finalized baselines never read them:
+            # score over finalized history only
+            hist = fin_new if tail is None else tail.unionByName(fin_new)
+        else:
+            emit = batch
+            buf_new = None
+            hist = batch if tail is None else tail.unionByName(batch)
         scored = anomaly_zscore(
             hist, key_col, time_col, value_col, order_col,
             lookback=lookback, min_history=min_history,
             z_threshold=z_threshold, scale=scale,
         )
-        # only the batch's own rows are emitted (tail rows were scored
-        # in their own epochs); semi-join on the full identity
+        # only newly-emittable rows leave the sink (tail rows were
+        # scored in their own epochs); semi-join on the full identity
         out_rows = scored.join(
-            batch.select(key_col, time_col, order_col),
+            emit.select(key_col, time_col, order_col),
             [key_col, time_col, order_col],
             "left_semi",
         )
@@ -984,11 +1074,16 @@ def anomaly_ingest_sink(
             .filter(F.col("__rk") <= lookback)
             .drop("__rk")
         )
+        state_rows = new_tail
+        if on_late == "buffer":
+            state_rows = new_tail.withColumn("__fin", F.lit(True)).unionByName(
+                buf_new.withColumn("__fin", F.lit(False))
+            )
         # dynamic partition overwrite keyed by epoch: a replayed epoch
         # rewrites ITS partition with identical rows (idempotent) and
         # never touches other epochs' partitions
         (
-            new_tail.withColumn("epoch", F.lit(epoch_id))
+            state_rows.withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")

@@ -249,3 +249,136 @@ def test_state_retention_bounds_epochs(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# on_late='buffer' — bounded lateness (VERDICT r14 task 4)
+# ---------------------------------------------------------------------------
+
+L = 5
+
+
+def _k1(lo, hi):
+    return [("k1", i, i, 10.0 + (i % 3)) for i in range(lo, hi)]
+
+
+def _drive_buffer(spark, tmp_path, drops):
+    src = tmp_path / "src"
+    src.mkdir()
+    out, state, ckpt = (str(tmp_path / d) for d in ("out", "state", "ckpt"))
+    schema = "k string, t long, oid long, v double"
+    spark.createDataFrame(drops[0], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = anomaly_ingest_sink(
+        stream, out, state, ckpt, "k", "t", "v", "oid",
+        lookback=LOOKBACK, min_history=MIN_HIST,
+        on_late="buffer", allowed_lateness=L,
+    ).start()
+    try:
+        q.processAllAvailable()
+        for d in drops[1:]:
+            spark.createDataFrame(d, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return out, state
+
+
+def test_buffer_holds_unfinalized_rows(spark, tmp_path):
+    """With max event time 9 and L=5 only t <= 4 is finalized; the
+    last L of events sit in the state buffer unscored (the standard
+    allowed-lateness emission delay)."""
+    out, state = _drive_buffer(spark, tmp_path, [_k1(0, 10)])
+    got = read_anomaly_state(spark, out, "k", "oid")
+    assert {r["t"] for r in got.collect()} == {0, 1, 2, 3, 4}
+    st = spark.read.parquet(state)
+    buffered = {r["t"] for r in st.filter("NOT __fin").collect()}
+    assert buffered == {5, 6, 7, 8, 9}
+
+
+def test_buffer_late_within_l_scores_batch_identical(spark, tmp_path):
+    """The r14-task-4 money pin: a late event (t=7 arriving after the
+    stream has seen t=9) lands INSIDE the allowed-lateness window, is
+    buffered, and when the watermark passes it scores EXACTLY as the
+    batch operator would have — true event-time baseline, not
+    history-at-arrival."""
+    drops = [
+        _k1(0, 10),
+        [("k1", 7, 99, 13.5)] + _k1(10, 15),  # late t=7 + progress to 14
+    ]
+    out, _ = _drive_buffer(spark, tmp_path, drops)
+    got = {
+        (r["k"], r["oid"]): (r["n_baseline"], r["z"], r["is_anomaly"])
+        for r in read_anomaly_state(spark, out, "k", "oid").collect()
+    }
+    # finalized horizon after drop 2: km=14, t <= 9 — includes the late
+    # event and the t=8/9 rows whose baselines CONTAIN it
+    all_rows = drops[0] + drops[1]
+    batch = anomaly_zscore(
+        spark.createDataFrame(all_rows, "k string, t long, oid long, v double"),
+        "k", "t", "v", "oid", lookback=LOOKBACK, min_history=MIN_HIST,
+    )
+    exp = {
+        (r["k"], r["oid"]): (r["n_baseline"], r["z"], r["is_anomaly"])
+        for r in batch.filter("t <= 9").collect()
+    }
+    assert got == exp
+    assert ("k1", 99) in got  # the late event itself was scored
+
+
+def test_buffer_beyond_l_still_raises(spark, tmp_path):
+    """An arrival at-or-before the FINALIZED frontier (t=2 when t <= 4
+    is already scored and emitted) is beyond what the lateness buffer
+    can absorb — it must raise, not silently rewrite history."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, state, ckpt = (str(tmp_path / d) for d in ("out", "state", "ckpt"))
+    schema = "k string, t long, oid long, v double"
+    spark.createDataFrame(_k1(0, 10), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = anomaly_ingest_sink(
+        stream, out, state, ckpt, "k", "t", "v", "oid",
+        lookback=LOOKBACK, min_history=MIN_HIST,
+        on_late="buffer", allowed_lateness=L,
+    ).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("k1", 2, 99, 11.0)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        with pytest.raises(StreamingQueryException, match="allowed_lateness"):
+            q.processAllAvailable()
+            q.awaitTermination(30)
+    finally:
+        q.stop()
+
+
+def test_buffer_mode_validation(spark, tmp_path):
+    import pytest
+
+    schema = "k string, t long, oid long, v double"
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+    args = (stream, "o", "s", "c", "k", "t", "v", "oid")
+    with pytest.raises(ValueError, match="allowed_lateness > 0"):
+        anomaly_ingest_sink(*args, on_late="buffer")
+    with pytest.raises(ValueError, match="allowed_lateness > 0"):
+        anomaly_ingest_sink(*args, on_late="buffer", allowed_lateness=0)
+    with pytest.raises(ValueError, match="only applies"):
+        anomaly_ingest_sink(*args, on_late="error", allowed_lateness=5)
+    ts_stream = spark.readStream.schema(
+        "k string, t timestamp, oid long, v double"
+    ).parquet(str(tmp_path))
+    with pytest.raises(NotImplementedError, match="numeric event-time"):
+        anomaly_ingest_sink(
+            ts_stream, "o", "s", "c", "k", "t", "v", "oid",
+            on_late="buffer", allowed_lateness=5,
+        )
