@@ -322,6 +322,105 @@ def _envelope_hash(vals) -> int:
     return int(np.int64(h))  # two's-complement into a Spark long
 
 
+def decode_bmp(payload: bytes):
+    """Dependency-free decoder for uncompressed BI_RGB BMP — the one
+    real image format this container can exercise without PIL
+    (VERDICT r14 task 5): 24/32-bit true color and 8-bit paletted,
+    BITMAPINFOHEADER-or-later, bottom-up or top-down row order,
+    4-byte row stride.  Returns an H×W int64 array of ITU-R 601 luma
+    ×1000 (``299·R + 587·G + 114·B`` — integer, never divided: the
+    downstream grid hash is scale-free, so staying in scaled integers
+    keeps the whole pipeline exact)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0:
+        raise ValueError(f"only uncompressed BI_RGB supported, got compression {comp}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported bit depth {bpp} (8/24/32 only)")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    top_down = h < 0
+    H, W = abs(h), w
+    stride = ((W * bpp + 31) // 32) * 4
+    if data_off + stride * H > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * H, offset=data_off
+    ).reshape(H, stride)
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4).astype(np.int64)
+        idx = rows[:, :W]
+        # palette entries are BGRA
+        gray = 299 * pal[idx, 2] + 587 * pal[idx, 1] + 114 * pal[idx, 0]
+    else:
+        nb = bpp // 8
+        pix = rows[:, : W * nb].reshape(H, W, nb).astype(np.int64)
+        gray = 299 * pix[..., 2] + 587 * pix[..., 1] + 114 * pix[..., 0]
+    return gray if top_down else gray[::-1]
+
+
+def _grid_hash_2d(img) -> int:
+    """Exact-integer 2-D dHash over an int64 grayscale array: the 1-D
+    continuous-integration resample of :func:`_envelope_hash` applied
+    SEPARABLY (columns → 9 segments, then rows → 8), 64 row-adjacent
+    compare bits.  Exactness inherits per axis: a k× nearest-neighbor
+    upscale duplicates pixels uniformly along each axis, each axis's
+    step-function integral is unchanged up to one global constant
+    factor, and the compare bits are scale-free — so integer-factor
+    resized copies are Hamming-0 BY CONSTRUCTION, not approximately."""
+    import numpy as np
+
+    H, W = img.shape
+    if H == 0 or W == 0:
+        return 0
+
+    def seg_integrals(a, s):
+        # a: (rows, n) int64 → (rows, s) exact segment integrals ×(s·n)
+        n = a.shape[1]
+        prefix = np.concatenate(
+            [np.zeros((a.shape[0], 1), dtype=np.int64), np.cumsum(a, axis=1)],
+            axis=1,
+        )
+        u = np.arange(s + 1, dtype=np.int64) * n
+        q, r = u // s, u % s
+        apad = np.concatenate(
+            [a, np.zeros((a.shape[0], 1), dtype=np.int64)], axis=1
+        )
+        return np.diff(s * prefix[:, q] + r * apad[:, q], axis=1)
+
+    cols = seg_integrals(img, _DH_COLS)          # H × 9
+    seg = seg_integrals(cols.T, _DH_ROWS).T      # 8 × 9
+    bits = (seg[:, :-1] > seg[:, 1:]).flatten()
+    h = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        h |= np.uint64(1) << np.uint64(k)
+    return int(np.int64(h))
+
+
+def bmp_dhash(payload: bytes) -> int:
+    """REAL-format dHash with zero dependencies: :func:`decode_bmp`
+    (real 2-D image geometry — width, height, row stride, channel
+    order) → exact-integer separable 9×8 area resample → 64
+    adjacent-compare bits.  This is the CI-exercised real-media path
+    (VERDICT r14 task 5); :func:`pil_dhash` stays the preferred
+    feature-detected decoder for compressed formats."""
+    return _grid_hash_2d(decode_bmp(payload))
+
+
 def pil_dhash(payload: bytes) -> int:
     """Real dHash via Pillow: grayscale → 9×8 resize → row-wise
     adjacent-compare → 64-bit hash (two's-complement long).  Import
@@ -349,10 +448,14 @@ def dhash_images(
     (media_id, dhash) with dhash a 64-bit two's-complement long.  Same
     decoder-hook discipline as :func:`extract_image_features`:
     ``"stub"`` (the oracle-checkable byte-resample dHash), ``"pil"``
-    (real image dHash; Pillow required on driver AND executors), or
+    (real image dHash; Pillow required on driver AND executors),
+    ``"bmp"`` (dependency-free real-format dHash for uncompressed
+    BMP payloads — :func:`bmp_dhash`; satisfies ``strict``), or
     ``"auto"``; ``strict=True`` refuses the stub."""
-    if decoder not in ("stub", "pil", "auto"):
-        raise ValueError(f"unknown decoder {decoder!r}: 'stub', 'pil', or 'auto'")
+    if decoder not in ("stub", "pil", "bmp", "auto"):
+        raise ValueError(
+            f"unknown decoder {decoder!r}: 'stub', 'pil', 'bmp', or 'auto'"
+        )
     if decoder == "auto":
         decoder = "pil" if pil_available() else "stub"
     if decoder == "pil" and not pil_available():
@@ -368,9 +471,11 @@ def dhash_images(
                 if pil_available()
                 else "Pillow is not importable here — install it"
             )
-            + ", or use strict=False for the deterministic byte-resample dHash"
+            + ", pass decoder='bmp' for uncompressed-BMP payloads "
+            "(dependency-free), or use strict=False for the "
+            "deterministic byte-resample dHash"
         )
-    hash_fn = pil_dhash if decoder == "pil" else stub_dhash
+    hash_fn = {"pil": pil_dhash, "bmp": bmp_dhash, "stub": stub_dhash}[decoder]
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
