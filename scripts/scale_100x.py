@@ -115,9 +115,76 @@ CONTRAST_ROWS = {
 }
 
 
+# Heavy rows (t100 > ~20 s in BENCH_100x_r14): under SCALE100X_ISOLATE
+# each runs in its OWN subprocess JVM (VERDICT r14 task 1b) — the r14
+# session OOM'd at pipeline_semantic_dedup because heap debt from ten
+# prior experiments had consumed the unified pool; per-row JVMs make
+# that impossible by construction, the way bench.py isolates its two
+# sessions.  A label listed here but no longer in the experiment set
+# just yields one quick no-op subprocess.
+HEAVY_100X = (
+    "pipeline_semantic_dedup",
+    "pipeline_semantic_dedup_embed",
+    "report_source_overlap",
+    "graph_pagerank_dups",
+    "decontam_ngram_overlap",
+    "dedup_exact_substring",
+    "dedup_minhash_lsh",
+    "dedup_cluster_assign",
+    "dedup_winnow_pairs",
+    "decontam_bloom_screen",
+    "dedup_embedding_lsh_auto",
+    "select_dsir_weights",
+)
+
+
+def orchestrate(sf_dir: str, n: int) -> None:
+    """SCALE100X_ISOLATE=1 driver: run the suite as a sequence of
+    subprocess JVMs — one batch for every non-heavy label, then one
+    process PER heavy label — merging through the crash-tolerant
+    checkpoint (each child runs with SCALE100X_RESUME=1 and skips
+    what's already measured).  The replicated /tmp corpora are built
+    by the first child and reused by the rest (_SUCCESS markers)."""
+    import json
+    import subprocess
+
+    ckpt_path = f"/tmp/scale{n}x_checkpoint.json"
+    if os.environ.get("SCALE100X_RESUME") != "1" and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
+    env = dict(os.environ, SCALE100X_RESUME="1")
+    env.pop("SCALE100X_ISOLATE", None)
+    me = os.path.abspath(__file__)
+    # "!a,b,c" = everything EXCEPT the heavy set; "label," = exactly it
+    groups = ["!" + ",".join(HEAVY_100X)] + [f"{h}," for h in HEAVY_100X]
+    for g in groups:
+        rc = subprocess.call([sys.executable, me, sf_dir, str(n), g], env=env)
+        print(f"[isolate] group rc={rc}: {g[:80]}", flush=True)
+    prior = {"results": {}, "errors": {}}
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            prior = json.load(f)
+    out = {
+        "metric": f"scale{n}x_ratios",
+        "unit": "sec",
+        "sf_base": os.path.basename(sf_dir.rstrip("/")),
+        "replication": n,
+        "queries": prior.get("results", {}),
+        "isolated": True,
+        "heavy_isolated": sorted(HEAVY_100X),
+    }
+    if prior.get("errors"):
+        out["errors"] = prior["errors"]
+        out["partial"] = True
+    print(json.dumps(out))
+    if prior.get("errors"):
+        sys.exit(1 if not prior.get("results") else 2)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    if os.environ.get("SCALE100X_ISOLATE") == "1" and len(sys.argv) <= 3:
+        return orchestrate(sf_dir, n)
     spark = get_spark("scale100x")
     docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # cache key encodes the REPLICATION SCHEME: a machine that ran the
@@ -207,6 +274,14 @@ def main():
             emb, "doc_id", "vec",
             threshold=0.95, use_lsh=True, n_planes="auto", n_bands=2,
             dim=32, target_bucket=8, n_rows=d.count(),
+        )
+
+    def semantic_embed_gate(d):
+        # PROFILE split (VERDICT r14 task 1c): hash_embed alone — the
+        # full pipeline_semantic_dedup row minus this isolates the LSH
+        # bucket join + pair-verify share of the composed ratio
+        return hash_embed(d, "doc_id", "text", dim=32).select(
+            "doc_id", F.col("vec").cast("array<double>").alias("vec")
         )
 
     # embeddings 100x: reuse scale_10x's isometric sign-flip replicator
@@ -686,6 +761,20 @@ def main():
             dim=64, n_sub=4, n_candidates=32, k=5,
         )
 
+    def ivf_pq_gate(emb):
+        # round-15 (VERDICT r14 task 3): the composed IVF x PQ serving
+        # row.  Centroid COUNT held fixed (stride ∝ corpus — the
+        # ivf_cosine_topk lesson); codebook/query set recipe constants.
+        from hive_scd_spark.operators.similarity import ivf_pq_topk, pq_codebooks
+
+        nvec = emb.count()
+        cb = pq_codebooks(emb, dim=64, n_sub=4, n_codes=16, n_iter=2)
+        return ivf_pq_topk(
+            emb, emb.filter(F.col("vec_id") < 8), cb,
+            dim=64, n_sub=4, k=5, n_probe=4, n_candidates=32,
+            stride=max(1, round(nvec / 172)),
+        )
+
     def nb_gate(d):
         # r12 session 2: NB classifier — V-bounded model, linear scans
         from hive_scd_spark.operators.quality import nb_logodds
@@ -715,6 +804,7 @@ def main():
         ("decontam_ngram_overlap", decontam_gate),
         ("pack_sequences_ctx", pack_gate),
         ("pipeline_semantic_dedup", semantic_gate),
+        ("pipeline_semantic_dedup_embed", semantic_embed_gate),
         ("fuzzy_typo_pairs", fuzzy_gate),
         ("decontam_bloom_screen", bloom_gate),
         ("text_bpe_batched", bpe_batched_gate),
@@ -753,6 +843,8 @@ def main():
         ("ann_pq_adc_topk", pq_gate),
         # round-13: arrival probe against persisted PQ state
         ("ann_pq_incremental", pq_incr_gate),
+        # round-15: the composed IVF x PQ serving row (task 3)
+        ("ann_ivf_pq_topk", ivf_pq_gate),
     ]
     experiments = (
         [(lbl, fn, docs1, docs100) for lbl, fn in doc_experiments]
@@ -781,18 +873,30 @@ def main():
     # re-measures a single row without paying the whole suite
     name_filter = sys.argv[3] if len(sys.argv) > 3 else ""
     if name_filter:
-        experiments = [e for e in experiments if name_filter in e[0]]
+        # "!a,b,c" = exclude exact set; "a,b" (or trailing comma) =
+        # include exact set; plain token = substring (legacy) — the
+        # set forms exist for the SCALE100X_ISOLATE orchestrator
+        if name_filter.startswith("!"):
+            excl = set(name_filter[1:].split(","))
+            experiments = [e for e in experiments if e[0] not in excl]
+        elif "," in name_filter:
+            incl = set(name_filter.split(","))
+            experiments = [e for e in experiments if e[0] in incl]
+        else:
+            experiments = [e for e in experiments if name_filter in e[0]]
     # SCALE100X_RESUME=1: merge the crash-tolerant checkpoint back in
     # and skip labels already measured — the full suite (~40 min with
     # the min-of-2 heavy-row protocol) can then be driven as a series
     # of bounded invocations, each continuing where the last stopped;
-    # errored labels are NOT skipped (they retry)
+    # errored labels are NOT skipped (they retry; a retry that succeeds
+    # clears the carried error)
     if os.environ.get("SCALE100X_RESUME") == "1":
         ckpt_path = f"/tmp/scale{n}x_checkpoint.json"
         if os.path.exists(ckpt_path):
             with open(ckpt_path) as ckpt:
                 prior = json.load(ckpt)
             results.update(prior.get("results", {}))
+            errors.update(prior.get("errors", {}))
             experiments = [e for e in experiments if e[0] not in results]
             print(f"resume: {len(results)} rows carried, "
                   f"{len(experiments)} to run", flush=True)
@@ -816,6 +920,7 @@ def main():
             print(f"{label:55s} {n}x/1x ratio = {ratio:6.2f}", flush=True)
             results[label] = {"t1": round(t1, 3), f"t{n}": round(t100, 3),
                               "ratio": ratio, "reps100": reps100}
+            errors.pop(label, None)  # a successful retry clears the error
             if label in CONTRAST_ROWS:
                 results[label]["contrast"] = CONTRAST_ROWS[label]
         except Exception as exc:  # noqa: BLE001

@@ -883,6 +883,132 @@ def main():
         pairs = minhash_near_dup_pairs(d, "doc_id", "text", k=8, threshold=0.3)
         return soft_dedup_weights(d.select("doc_id"), pairs, "doc_id")
 
+    # ------------------------------------------------------------------
+    # round-15 (VERDICT r14 task 1a): the seven 100x-only labels gain
+    # 10x siblings so every decade segment is computable — each gate
+    # body mirrors its scale_100x.py twin EXACTLY (same operator, same
+    # constants) so t10/t100 compare like for like.
+    # ------------------------------------------------------------------
+    def minhash_lsh_gate(d):
+        return minhash_near_dup_pairs(d, "doc_id", "text", k=8, threshold=0.3)
+
+    def exact_dedup_gate(d):
+        from hive_scd_spark.operators.dedup import exact_dedup
+
+        return exact_dedup(d, "doc_id", text_col="text")
+
+    def pack_ctx_gate(d):
+        from hive_scd_spark.operators.text import token_counts
+
+        toks = token_counts(d, "doc_id", "text").select(
+            "doc_id", F.col("n_regex_tokens").alias("n_tokens")
+        )
+        return pack_sequences(toks, "doc_id", "n_tokens", 512)
+
+    def semantic_gate(d):
+        from hive_scd_spark.operators.similarity import hash_embed
+
+        emb = hash_embed(d, "doc_id", "text", dim=32).select(
+            "doc_id", F.col("vec").cast("array<double>").alias("vec")
+        ).localCheckpoint(eager=False)
+        return embedding_near_dup_pairs(
+            emb, "doc_id", "vec",
+            threshold=0.95, use_lsh=True, n_planes="auto", n_bands=2,
+            dim=32, target_bucket=8, n_rows=d.count(),
+        )
+
+    def semantic_embed_gate(d):
+        # PROFILE split (VERDICT r14 task 1c): the hash_embed
+        # materialization ALONE — pipeline_semantic_dedup minus this
+        # row isolates the LSH bucket join + pair verify share, so the
+        # full row's ratio decomposes instead of being one opaque number
+        from hive_scd_spark.operators.similarity import hash_embed
+
+        return hash_embed(d, "doc_id", "text", dim=32).select(
+            "doc_id", F.col("vec").cast("array<double>").alias("vec")
+        )
+
+    def bloom_screen_gate(d):
+        from hive_scd_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+            bloom_to_hex,
+        )
+
+        is_eval = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 700)
+        bm = bloom_to_hex(
+            bloom_build(d.filter(is_eval), "text", n=13, m_bits=1 << 18, k=4)
+        )
+        return bloom_probe(d.filter(~is_eval), "doc_id", "text", bm).filter(
+            F.col("n_hit") > 0
+        )
+
+    def bpe_batched_gate(d):
+        from hive_scd_spark.operators.text import bpe_tokenize_batched
+
+        return bpe_tokenize_batched(d, "doc_id", "text").select(
+            "doc_id", "n_tokens"
+        )
+
+    # orders 10x for the mergeable-quantile sketch (the scale_100x
+    # replication shape at n=10): id-shifted replicas, values untouched
+    orders10_path = "/tmp/scale10x_orders"
+    if not os.path.exists(os.path.join(orders10_path, "_SUCCESS")):
+        o1 = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        oshift = o1.agg(F.max("o_orderkey")).first()[0] + 1
+        reps = spark.range(10).select(F.col("id").alias("__rep"))
+        (
+            o1.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("o_orderkey") + F.col("__rep") * oshift).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderdate",
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(orders10_path)
+        )
+    orders1 = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    orders10 = spark.read.parquet(orders10_path)
+
+    def sketch_gate(o):
+        from hive_scd_spark.operators.profile import (
+            histogram_merge,
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        stats = o.agg(
+            F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+        ).first()
+        lo, hi, nb = float(stats["lo"]), float(stats["hi"]), 128
+        monthly = histogram_sketch(
+            o.withColumn("mon", F.date_trunc("month", "o_orderdate")),
+            "o_totalprice", lo, hi, nb, by=["mon"],
+        )
+        return histogram_quantiles(
+            histogram_merge(monthly), [0.5, 0.9, 0.99], lo, hi, nb
+        )
+
+    def ivf_pq_gate(emb):
+        # round-15 (VERDICT r14 task 3): the composed IVF x PQ serving
+        # row.  Centroid COUNT held fixed (stride ∝ corpus — the
+        # ivf_cosine_topk lesson: fixed stride makes assignment
+        # quadratic); codebook and query set are recipe constants.
+        from hive_scd_spark.operators.similarity import ivf_pq_topk, pq_codebooks
+
+        nvec = emb.count()
+        cb = pq_codebooks(emb, dim=64, n_sub=4, n_codes=16, n_iter=2)
+        return ivf_pq_topk(
+            emb, emb.filter(F.col("vec_id") < 8), cb,
+            dim=64, n_sub=4, k=5, n_probe=4, n_candidates=32,
+            stride=max(1, round(nvec / 172)),
+        )
+
     experiments = [
         ("dedup_cluster_assign", cluster_gate, docs1, docs10),
         ("shard_assignment", shard_gate, docs1, docs10),
@@ -950,6 +1076,19 @@ def main():
         ("multimodal_dedup_near", multimodal_near_gate, docs1, docs10),
         ("multimodal_dedup_near_audio", multimodal_near_audio_gate, docs1, docs10),
         ("multimodal_dedup_near_video", multimodal_near_video_gate, docs1, docs10),
+        # round-15 (VERDICT r14 task 1a): decade-congruence — the seven
+        # labels that previously existed only at 100x
+        ("dedup_minhash_lsh", minhash_lsh_gate, docs1, docs10),
+        ("dedup_exact", exact_dedup_gate, docs1, docs10),
+        ("pack_sequences_ctx", pack_ctx_gate, docs1, docs10),
+        ("pipeline_semantic_dedup", semantic_gate, docs1, docs10),
+        ("decontam_bloom_screen", bloom_screen_gate, docs1, docs10),
+        ("text_bpe_batched", bpe_batched_gate, docs1, docs10),
+        ("sketch_quantile_totalprice", sketch_gate, orders1, orders10),
+        # round-15 (task 1c): semantic-dedup PROFILE split — embed-only
+        ("pipeline_semantic_dedup_embed", semantic_embed_gate, docs1, docs10),
+        # round-15 (task 3): the IVF x PQ composed serving row
+        ("ann_ivf_pq_topk", ivf_pq_gate, emb1, emb10),
     ]
     # Fault-isolated protocol (same contract as bench.py): one broken
     # gate never erases the round's scaling evidence — it lands in
@@ -971,7 +1110,16 @@ def main():
     # re-measures a single row without paying the whole suite
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
     if name_filter:
-        experiments = [e for e in experiments if name_filter in e[0]]
+        # same grammar as scale_100x.py: "!a,b" = exclude exact set,
+        # "a,b" = include exact set, plain token = substring
+        if name_filter.startswith("!"):
+            excl = set(name_filter[1:].split(","))
+            experiments = [e for e in experiments if e[0] not in excl]
+        elif "," in name_filter:
+            incl = set(name_filter.split(","))
+            experiments = [e for e in experiments if e[0] in incl]
+        else:
+            experiments = [e for e in experiments if name_filter in e[0]]
     for label, fn, d1, d10 in experiments:
         isolate()
         try:
