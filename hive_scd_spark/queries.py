@@ -6181,16 +6181,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the multimodal family keeps four in-window reps: dedup_near,
     # dedup_near_corpus, dedup_near_audio, dedup_near_video).
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    # r15 staleness back-fill (the r14 discipline): with the IN-pool
+    # debt at zero, the remaining window slots go to the five stalest
+    # out-of-window veterans (last driver-green r3, per
+    # scripts/rotation_report.py) so no entry's most recent driver
+    # verification ages without bound.  Out: agg_approx_distinct_check,
+    # agg_cube_status_priority, agg_having_big_customers,
+    # agg_rollup_returnflag, date_functions_showcase (each x4
+    # driver-green r11-r14; all stay DuckDB-verified every round via
+    # scripts/check_contract.py).
+    "join_left_outer_order_counts": join_left_outer_order_counts,
+    "knn_brute_force": knn_brute_force,
+    "scalar_functions_showcase": scalar_functions_showcase,
+    "text_token_count": text_token_count,
+    "window_lead_ntile_orders": window_lead_ntile_orders,
+    # --- beyond the driver window (slot >50) ----------------------------
     "agg_approx_distinct_check": agg_approx_distinct_check,
     "agg_cube_status_priority": agg_cube_status_priority,
     "agg_having_big_customers": agg_having_big_customers,
     "agg_rollup_returnflag": agg_rollup_returnflag,
     "date_functions_showcase": date_functions_showcase,
-    # --- beyond the driver window (slot >50) ----------------------------
     "multimodal_image_features": multimodal_image_features,
-    "join_left_outer_order_counts": join_left_outer_order_counts,
-    "knn_brute_force": knn_brute_force,
-    "scalar_functions_showcase": scalar_functions_showcase,
     # r14 displaced veterans (see the r14 rotation comment above):
     "multimodal_dedup_exact": multimodal_dedup_exact,
     "variant_props_stats": variant_props_stats,
@@ -6265,12 +6276,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_near": dedup_simhash_near,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "shard_assignment": shard_assignment,
-    "window_lead_ntile_orders": window_lead_ntile_orders,
+    # (window_lead_ntile_orders, text_token_count: promoted to the r15
+    # window back-fill — see the rotation comment above)
     "sample_deterministic": sample_deterministic,
     "feature_histogram": feature_histogram,
     "unpivot_part_metrics": unpivot_part_metrics,
     "subquery_correlated_max_order": subquery_correlated_max_order,
-    "text_token_count": text_token_count,
     # r6 rotation: displaced multiply-green veterans — every one stays
     # DuckDB-verified by scripts/check_contract.py each round
     "agg_grouping_sets": agg_grouping_sets,
