@@ -191,6 +191,9 @@ HEADLINE = [
     # round-14 fourth tranche: video frame-hash near-dup (winnow
     # inverted-index idiom; plan-pure builder)
     "multimodal_dedup_near_video",
+    # round-15 (rotate-on-add): IVF x PQ composed ANN serving (codebook
+    # training actions sit inside the builder -> builder-timed)
+    "ann_ivf_pq_topk",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -306,6 +309,9 @@ ITERATIVE = {
     # dedup_corpus (the dedup_winnow_corpus rule)
     "multimodal_dedup_near_corpus",
     "multimodal_dedup_near_audio",
+    # r15: the composed IVF x PQ gate trains its PQ codebooks at build
+    # (the ann_pq_adc_topk seed-collect rule)
+    "ann_ivf_pq_topk",
 }
 
 
