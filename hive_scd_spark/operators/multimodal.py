@@ -539,6 +539,73 @@ def stub_audio_hash(payload: bytes) -> int:
     return _envelope_hash(np.abs(s))
 
 
+def decode_wav(payload: bytes):
+    """Dependency-free decoder for RIFF/WAVE PCM — the audio sibling
+    of :func:`decode_bmp` (closing the r14 "real decoder paths
+    unexercised" gap for audio): 8-bit unsigned or 16-bit signed PCM
+    (format tag 1), any channel count, word-aligned chunk walk.
+    Returns ``(samples, rate)`` where *samples* is the int64 channel
+    SUM per frame (an integer mixdown — the downstream envelope hash
+    is scale-free, so summing instead of averaging keeps the whole
+    pipeline exact) and *rate* the declared sample rate."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1:
+                raise ValueError(
+                    f"only PCM (format tag 1) supported, got {audio_fmt}"
+                )
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported bit depth {bits} (8/16 only)")
+            if n_ch < 1:
+                raise ValueError("zero channels")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    n_ch, rate, bits = fmt
+    if bits == 16:
+        n = len(data) // (2 * n_ch)
+        s = np.frombuffer(data, dtype="<i2", count=n * n_ch).astype(np.int64)
+    else:
+        n = len(data) // n_ch
+        s = np.frombuffer(data, dtype=np.uint8, count=n * n_ch).astype(
+            np.int64
+        ) - 128
+    return s.reshape(n, n_ch).sum(axis=1), rate
+
+
+def wav_audio_hash(payload: bytes) -> int:
+    """REAL-format audio envelope hash with zero dependencies:
+    :func:`decode_wav` (real container geometry — chunk walk, channel
+    interleave, sample width) → |integer mixdown| through the shared
+    exact envelope machinery (:func:`_envelope_hash`), so the stub's
+    proven invariances — uniform k× sample duplication, positive
+    volume scaling — hold EXACTLY on the real format too.  This is
+    the CI-exercised real-audio path; :func:`soundfile_audio_hash`
+    stays the feature-detected decoder for compressed formats."""
+    import numpy as np
+
+    samples, _rate = decode_wav(payload)
+    return _envelope_hash(np.abs(samples))
+
+
 def soundfile_audio_hash(payload: bytes) -> int:
     """Real audio envelope hash via soundfile: decode, take |sample|,
     resample the magnitude step-function to 72 segments (float — the
@@ -578,10 +645,13 @@ def ahash_audio(
     lane — (media_id, ahash).  Same decoder-hook discipline as
     :func:`extract_audio_features`: ``"stub"`` (headerless-PCM16
     interpretation, the oracle-checkable default), ``"soundfile"``
-    (real decode), or ``"auto"``; ``strict=True`` refuses the stub."""
-    if decoder not in ("stub", "soundfile", "auto"):
+    (real decode), ``"wav"`` (dependency-free real-format hash for
+    RIFF/WAVE PCM payloads — :func:`wav_audio_hash`; satisfies
+    ``strict``), or ``"auto"``; ``strict=True`` refuses the stub."""
+    if decoder not in ("stub", "soundfile", "wav", "auto"):
         raise ValueError(
-            f"unknown decoder {decoder!r}: 'stub', 'soundfile', or 'auto'"
+            f"unknown decoder {decoder!r}: 'stub', 'soundfile', 'wav', "
+            f"or 'auto'"
         )
     if decoder == "auto":
         decoder = "soundfile" if soundfile_available() else "stub"
@@ -599,9 +669,15 @@ def ahash_audio(
                 if soundfile_available()
                 else "soundfile is not importable here — install it"
             )
-            + ", or use strict=False for the deterministic PCM16 envelope hash"
+            + ", pass decoder='wav' for RIFF/WAVE PCM payloads "
+            "(dependency-free), or use strict=False for the "
+            "deterministic PCM16 envelope hash"
         )
-    hash_fn = soundfile_audio_hash if decoder == "soundfile" else stub_audio_hash
+    hash_fn = {
+        "soundfile": soundfile_audio_hash,
+        "wav": wav_audio_hash,
+        "stub": stub_audio_hash,
+    }[decoder]
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
