@@ -969,8 +969,11 @@ def _pq_adc_from_codes(
         # coarse prune: (query, probed list) × per-query LUT rides one
         # broadcast (n_q × n_probe rows); the code table is touched
         # through an equi-join on its stored list id, so each query
-        # scores only ~n_probe/n_lists of the corpus codes
-        plut = probed.join(lut, "query_id")
+        # scores only ~n_probe/n_lists of the corpus codes.  The LUT
+        # side of the plut build is broadcast too — both inputs are
+        # query-set-bounded, so a sort-merge shuffle there would be
+        # two needless exchanges of metadata-sized tables.
+        plut = probed.join(F.broadcast(lut), "query_id")
         scored = (
             codes.withColumnRenamed(id_col, "neighbor_id")
             .join(F.broadcast(plut), "__ivf_list")
