@@ -591,6 +591,28 @@ def decode_wav(payload: bytes):
     return s.reshape(n, n_ch).sum(axis=1), rate
 
 
+def split_bmp_frames(payload: bytes) -> list[bytes]:
+    """Walk a concatenated-BMP video container (the r15 real-format
+    frame source): each frame is a complete BMP whose
+    BITMAPFILEHEADER declares its own byte length at offset 2, so the
+    walk is a real container parse — no fixed-window guessing — and a
+    malformed frame fails loudly instead of shifting every later
+    frame."""
+    import struct
+
+    frames = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        if pos + 14 > n or payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"bad BMP frame magic at byte {pos}")
+        size = struct.unpack_from("<I", payload, pos + 2)[0]
+        if size < 14 or pos + size > n:
+            raise ValueError(f"bad BMP frame size {size} at byte {pos}")
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return frames
+
+
 def wav_audio_hash(payload: bytes) -> int:
     """REAL-format audio envelope hash with zero dependencies:
     :func:`decode_wav` (real container geometry — chunk walk, channel
@@ -732,14 +754,22 @@ def frame_dhash(
     every stride-th window) and hash each window through the shared
     envelope machinery (:func:`stub_dhash`; ``"pil"`` decodes each
     window as an image when Pillow exists — real pipelines substitute
-    codec frame extraction).  1→N Arrow batch shape; output
+    codec frame extraction).  ``"bmpseq"`` (r15) replaces the
+    byte-window slicing with a REAL container walk: the payload is a
+    concatenated-BMP sequence, frames split on each header's declared
+    file size (:func:`split_bmp_frames`) and hash through
+    :func:`bmp_dhash` — real 2-D frame geometry, dependency-free,
+    satisfies ``strict``; *frame_bytes* is ignored (the container
+    declares frame boundaries).  1→N Arrow batch shape; output
     (media_id, frame_idx, fhash)."""
     if frame_bytes < 1:
         raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    if decoder not in ("stub", "pil", "auto"):
-        raise ValueError(f"unknown decoder {decoder!r}: 'stub', 'pil', or 'auto'")
+    if decoder not in ("stub", "pil", "bmpseq", "auto"):
+        raise ValueError(
+            f"unknown decoder {decoder!r}: 'stub', 'pil', 'bmpseq', or 'auto'"
+        )
     if decoder == "auto":
         decoder = "pil" if pil_available() else "stub"
     if decoder == "pil" and not pil_available():
@@ -750,21 +780,28 @@ def frame_dhash(
         raise NotImplementedError(
             "strict=True demands a real frame decoder but decoder='stub' "
             "was selected; pass decoder='pil'/'auto' where Pillow exists, "
-            "or use strict=False for the deterministic byte-window frames"
+            "decoder='bmpseq' for concatenated-BMP containers "
+            "(dependency-free), or use strict=False for the "
+            "deterministic byte-window frames"
         )
-    hash_fn = pil_dhash if decoder == "pil" else stub_dhash
+    hash_fn = {"pil": pil_dhash, "bmpseq": bmp_dhash, "stub": stub_dhash}[decoder]
+
+    def frames_of(b: bytes) -> list[bytes]:
+        if decoder == "bmpseq":
+            return split_bmp_frames(b)
+        n = max((len(b) + frame_bytes - 1) // frame_bytes, 1)
+        return [b[i * frame_bytes : (i + 1) * frame_bytes] for i in range(n)]
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "fhash": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload or b"")
-                n = max((len(b) + frame_bytes - 1) // frame_bytes, 1)
-                for i in range(0, n, stride):
-                    w = b[i * frame_bytes : (i + 1) * frame_bytes]
+                fr = frames_of(b)
+                for i in range(0, len(fr), stride):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
-                    out["fhash"].append(hash_fn(w))
+                    out["fhash"].append(hash_fn(fr[i]))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(out["media_id"], dtype="int64"),
