@@ -194,6 +194,10 @@ HEADLINE = [
     # round-15 (rotate-on-add): IVF x PQ composed ANN serving (codebook
     # training actions sit inside the builder -> builder-timed)
     "ann_ivf_pq_topk",
+    # round-15 second tranche: the frozen-index incremental serving
+    # loop (state build in-gate -> builder-timed, the ann_pq_incremental
+    # rule; the AMORTIZED arrival cost is the scale artifacts' row)
+    "ann_ivf_pq_incremental",
 ]
 assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 
@@ -310,8 +314,10 @@ ITERATIVE = {
     "multimodal_dedup_near_corpus",
     "multimodal_dedup_near_audio",
     # r15: the composed IVF x PQ gate trains its PQ codebooks at build
-    # (the ann_pq_adc_topk seed-collect rule)
+    # (the ann_pq_adc_topk seed-collect rule); the incremental gate
+    # additionally builds its frozen state tables in-gate
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_incremental",
 }
 
 

@@ -198,6 +198,22 @@ def _ivf_centroids(df: DataFrame, id_col: str, vec_col: str, stride: int) -> Dat
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 29,
+) -> DataFrame:
+    """Public stride-sampled centroid table — the freezable coarse-
+    quantizer state for the incremental serving loop
+    (:func:`ivf_pq_incremental_topk`): train/sample ONCE on the
+    standing corpus, persist, and pass to every arrival batch.
+    Same (list_id, __centv, __centn) shape as
+    :func:`kmeans_centroids`, so trained centroids swap in without
+    touching the query path."""
+    return _ivf_centroids(df, id_col, vec_col, stride)
+
+
 def _nearest_centroid(vecs: DataFrame, cent: DataFrame, out_cols: list[str]) -> DataFrame:
     """Assign each (__id, __v, __n) row to its nearest centroid by
     cosine (ties → smallest list_id).  Broadcast crossJoin +
@@ -859,6 +875,23 @@ def ivf_pq_topk(
     codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, n_sub).join(
         assign, id_col
     )
+    probed = _ivf_probes(queries, cent, id_col, vec_col, n_probe)
+    return _pq_adc_from_codes(
+        codes, corpus, queries, codebooks, id_col, vec_col, dim, n_sub,
+        n_candidates, k, probed=probed,
+    )
+
+
+def _ivf_probes(
+    queries: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Each query's top-*n_probe* inverted lists by round-6 cosine to
+    the broadcast centroids (ties → smallest list id — the
+    ivf_cosine_topk probe rule).  Returns (query_id, __ivf_list)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -872,14 +905,70 @@ def ivf_pq_topk(
         ).alias("__sim"),
     )
     wp = W.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("list_id"))
-    probed = (
+    return (
         probes.withColumn("__rk", F.row_number().over(wp))
         .filter(F.col("__rk") <= n_probe)
         .select("query_id", F.col("list_id").alias("__ivf_list"))
     )
+
+
+def ivf_pq_incremental_topk(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    corpus_codes: DataFrame | None = None,
+    corpus_assign: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    k: int = 5,
+    n_probe: int = 4,
+    n_candidates: int = 32,
+) -> DataFrame:
+    """Batch-arrival IVF×PQ — the FULL frozen-index serving loop
+    (:func:`pq_incremental_topk` composed with the coarse quantizer):
+    centroids and codebooks are trained ONCE on the standing corpus
+    and frozen; the persisted index state is the code table
+    (*corpus_codes*) plus the list assignment (*corpus_assign*);
+    arrivals pay one bounded batch pass each for encode and
+    assignment (both against broadcasts), then probe standing ∪ batch
+    through the ADC lookup table restricted to their top-*n_probe*
+    lists.  Pass None for either state table to compute it from
+    *corpus_df* (a one-off run); the production loop persists both
+    and appends the batch's rows after the top-k.
+
+    Parity contract: output is IDENTICAL to the batch path
+    ``ivf_pq_topk(corpus ∪ new, new, codebooks,
+    centroids=centroids)`` — encode- and assign-on-arrival against
+    frozen state are exactly the batch operations restricted to the
+    new rows.  Output: (query_id, neighbor_id, cos, rk).
+
+    Scale: this is the true 100 TB ANN ingest shape — per batch,
+    O(|batch|) encode+assign, one equi-join over the probed slice of
+    the persisted codes, one broadcast-shortlist rerank; the standing
+    corpus is never re-encoded, re-assigned, or re-scanned in full."""
+    new_vecs = new_df.select(F.col(id_col), F.col(vec_col))
+    if corpus_codes is None:
+        corpus_codes = pq_encode(corpus_df, codebooks, id_col, vec_col, dim, n_sub)
+    if corpus_assign is None:
+        corpus_assign = ivf_assign(
+            corpus_df, id_col, vec_col, centroids=centroids
+        )
+    new_codes = pq_encode(new_vecs, codebooks, id_col, vec_col, dim, n_sub)
+    new_assign = ivf_assign(new_vecs, id_col, vec_col, centroids=centroids)
+    all_assign = corpus_assign.unionByName(new_assign).withColumnRenamed(
+        "list_id", "__ivf_list"
+    )
+    all_codes = corpus_codes.unionByName(new_codes).join(all_assign, id_col)
+    all_vecs = corpus_df.select(F.col(id_col), F.col(vec_col)).unionByName(
+        new_vecs
+    )
+    probed = _ivf_probes(new_vecs, centroids, id_col, vec_col, n_probe)
     return _pq_adc_from_codes(
-        codes, corpus, queries, codebooks, id_col, vec_col, dim, n_sub,
-        n_candidates, k, probed=probed,
+        all_codes, all_vecs, new_vecs, codebooks, id_col, vec_col, dim,
+        n_sub, n_candidates, k, probed=probed,
     )
 
 

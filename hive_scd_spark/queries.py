@@ -2375,6 +2375,45 @@ def ann_ivf_pq_topk(spark, sf_dir):
     )
 
 
+def ann_ivf_pq_incremental(spark, sf_dir):
+    """Batch-arrival IVF×PQ (operators/similarity.py:
+    ivf_pq_incremental_topk) — the FULL frozen-index serving loop:
+    centroids (stride sample) and PQ codebooks train ONCE on the
+    standing corpus (vec_id % 25 != 0) and freeze; the standing code
+    table and list assignment are the persisted index state; the
+    arrival batch (vec_id % 25 == 0, the daily-ingest shape) is
+    encoded AND assigned on arrival against broadcasts, then probes
+    standing ∪ batch through the ADC lookup table restricted to its
+    top-4 lists.  No retrain, no re-encode, no re-assignment, no
+    full-corpus scan.  The oracle replays training on the standing
+    slice, the standing-restricted centroid sample, encode +
+    assignment over the union, probe selection for the arrivals,
+    every LUT entry, the fixed-order ADC sum over probed lists, and
+    both ranks — value-level proof that arrival-time encode+assign
+    against frozen state equals the batch path restricted to the new
+    queries."""
+    from hive_scd_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_pq_incremental_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    standing = emb.filter(F.col("vec_id") % 25 != 0)
+    new = emb.filter(F.col("vec_id") % 25 == 0)
+    cb = pq_codebooks(standing, dim=64, n_sub=4, n_codes=16, n_iter=2)
+    cent = ivf_centroids(standing)
+    corpus_codes = pq_encode(standing, cb, dim=64, n_sub=4)
+    corpus_assign = ivf_assign(standing, centroids=cent)
+    return ivf_pq_incremental_topk(
+        new, standing, cb, cent,
+        corpus_codes=corpus_codes, corpus_assign=corpus_assign,
+        dim=64, n_sub=4, k=5, n_probe=4, n_candidates=32,
+    )
+
+
 def sample_deterministic(spark, sf_dir):
     """Reproducible sampling — the training-pipeline requirement Spark's
     ``df.sample`` (partition-layout-dependent RNG) cannot give: hash the
@@ -6181,6 +6220,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the multimodal family keeps four in-window reps: dedup_near,
     # dedup_near_corpus, dedup_near_audio, dedup_near_video).
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    # r15 second tranche (rotate-on-add): the frozen-index incremental
+    # serving loop (arrival encode+assign, persisted codes+assignment,
+    # probe-restricted ADC).  Out: window_lead_ntile_orders returns to
+    # the back-fill pool (it re-verifies next round).
+    "ann_ivf_pq_incremental": ann_ivf_pq_incremental,
     # r15 staleness back-fill (the r14 discipline): with the IN-pool
     # debt at zero, the remaining window slots go to the five stalest
     # out-of-window veterans (last driver-green r3, per
@@ -6194,8 +6238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute_force": knn_brute_force,
     "scalar_functions_showcase": scalar_functions_showcase,
     "text_token_count": text_token_count,
-    "window_lead_ntile_orders": window_lead_ntile_orders,
     # --- beyond the driver window (slot >50) ----------------------------
+    "window_lead_ntile_orders": window_lead_ntile_orders,
     "agg_approx_distinct_check": agg_approx_distinct_check,
     "agg_cube_status_priority": agg_cube_status_priority,
     "agg_having_big_customers": agg_having_big_customers,
@@ -8783,6 +8827,7 @@ def _pq_oracle(
     query_where: str = "vec_id < 8",
     ivf_probe: int | None = None,
     ivf_stride: int = 29,
+    ivf_cent_where: str = "",
 ) -> str:
     """PQ pipeline replay.  *train_where* restricts codebook training
     (seeds + both Lloyd iterations) to a sub-corpus — empty trains on
@@ -8811,10 +8856,11 @@ def _pq_oracle(
                   x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings)"""
         )
+        cent_and = f" AND {ivf_cent_where}" if ivf_cent_where else ""
         ctes.append(
             f"""icent AS (
       SELECT vec_id AS ivf_list, embedding AS centv, nrm AS centn
-      FROM ifnorm WHERE vec_id % {ivf_stride} = 0)"""
+      FROM ifnorm WHERE vec_id % {ivf_stride} = 0{cent_and})"""
         )
         ctes.append(
             f"""iassign AS (
@@ -8926,6 +8972,12 @@ def _pq_oracle(
 
 ORACLES["ann_pq_adc_topk"] = _pq_oracle()
 ORACLES["ann_ivf_pq_topk"] = _pq_oracle(ivf_probe=4)
+ORACLES["ann_ivf_pq_incremental"] = _pq_oracle(
+    train_where="vec_id % 25 != 0",
+    query_where="vec_id % 25 = 0",
+    ivf_probe=4,
+    ivf_cent_where="vec_id % 25 != 0",
+)
 
 # incremental: train on the standing corpus, encode the union, query
 # the arriving batch — the frozen-codebook parity replay

@@ -99,3 +99,46 @@ def test_probe_restriction_binds(emb, cb):
     # vector is corpus-assigned the same way (same argmax, same ties)
     for r in got.collect():
         assert assign[r["neighbor_id"]] == assign[r["query_id"]]
+
+
+def test_incremental_parity_with_batch(spark, emb, cb):
+    """ivf_pq_incremental_topk ≡ ivf_pq_topk(corpus ∪ new, new) with
+    frozen centroids+codebooks — arrival-time encode+assign against
+    frozen state are exactly the batch ops restricted to new rows;
+    also pins the corpus_codes/corpus_assign=None convenience path."""
+    from hive_scd_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_pq_incremental_topk,
+        pq_encode,
+    )
+
+    standing = emb.filter(F.col("vec_id") % 25 != 0)
+    new = emb.filter(F.col("vec_id") % 25 == 0)
+    cent = ivf_centroids(standing)
+    state = dict(
+        corpus_codes=pq_encode(standing, cb, dim=DIM, n_sub=N_SUB),
+        corpus_assign=ivf_assign(standing, centroids=cent),
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    inc = as_set(
+        ivf_pq_incremental_topk(
+            new, standing, cb, cent, dim=DIM, n_sub=N_SUB,
+            k=5, n_probe=4, n_candidates=32, **state,
+        )
+    )
+    batch = as_set(
+        ivf_pq_topk(
+            emb, new, cb, dim=DIM, n_sub=N_SUB,
+            k=5, n_probe=4, n_candidates=32, centroids=cent,
+        )
+    )
+    assert inc == batch and len(inc) > 0
+    # convenience path (state computed from corpus_df) is identical
+    conv = as_set(
+        ivf_pq_incremental_topk(
+            new, standing, cb, cent, dim=DIM, n_sub=N_SUB,
+            k=5, n_probe=4, n_candidates=32,
+        )
+    )
+    assert conv == inc

@@ -151,6 +151,9 @@ SWEEP = [
     # both query-set/codebook-bounded (the ANN bounded-build contract);
     # the ADC scan itself is an equi-join on the stored list id
     ("ann_ivf_pq_topk", {"nested-loop"}),
+    # r15 second tranche: the frozen-index serving loop shares the same
+    # bounded centroid/LUT builds
+    ("ann_ivf_pq_incremental", {"nested-loop"}),
     # span pipeline: row-local taggers + one reassembly shuffle
     ("text_span_scrub", set()),
     # NB classifier (V-bounded model broadcasts + 1-row totals) and the
