@@ -336,15 +336,30 @@ def pagerank(
     # full substring-dedup pipeline — re-executes in EVERY iteration
     # (measured 12.3 s vs ~1.2 s for the edge pipeline alone at sf0.1)
     e = e.distinct().localCheckpoint(eager=False)
-    deg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    # checkpoint the loop INVARIANTS once instead of the loop VARIABLE
+    # every round (optimization r15): deg and nodes are referenced by
+    # every iteration, so un-checkpointed they re-derive per round; the
+    # per-round rank checkpoint, by contrast, was pure lineage hygiene
+    # (fixed iteration count — no convergence probe reads the rounds),
+    # and each one forced a df→RDD stage materialization + cache pass.
+    # With invariants pinned and rounds left lazy, the whole fixed-K
+    # recursion executes as ONE query (measured at sf0.1: 35 → 20 Spark
+    # jobs for graph_pagerank_dups builder+noop; values are
+    # bit-identical — checkpoints never change data).  Deep-unroll
+    # safety: lineage depth grows ~4 operators/round, so re-pin the
+    # rank every 8 rounds to bound plan depth for large `iters`.
+    deg = e.groupBy("__s").agg(F.count("*").alias("__deg")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     base = scale * 3 // 20  # floor(0.15 * scale), exactly
     r = nodes.withColumn("rank_scaled", F.lit(scale).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(r, e.__s == r.node)
             .join(deg, "__s")
@@ -354,15 +369,13 @@ def pagerank(
             )
         )
         sums = contrib.groupBy("node").agg(F.sum("__c").alias("__in"))
-        r = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr("(17 * coalesce(__in, 0L)) div 20")
-                ).alias("rank_scaled"),
-            )
-            .localCheckpoint(eager=False)
+        r = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr("(17 * coalesce(__in, 0L)) div 20")
+            ).alias("rank_scaled"),
         )
+        if (i + 1) % 8 == 0 and (i + 1) < iters:
+            r = r.localCheckpoint(eager=False)
     return r
