@@ -318,6 +318,22 @@ ITERATIVE = {
     # additionally builds its frozen state tables in-gate
     "ann_ivf_pq_topk",
     "ann_ivf_pq_incremental",
+    # r15 OPTIMIZATION round: the LM scoring operators gained lazy
+    # model-table pins (vocab / count tables / per-doc stream — each
+    # was re-derived once per broadcast reference; see
+    # operators/quality.py).  ANY lazy localCheckpoint materializes at
+    # BUILD time under AQE, so these three move into the builder-timed
+    # set — the same accounting rule as sketch_heavy_hitters (r13).
+    # Total measured work per row is UNCHANGED (builder + action
+    # together still cover the whole computation).
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_kn_trigram_logprob",
+    # r15 OPTIMIZATION round: DSIR pins its grouped (doc, bucket) table
+    # + both bucket models (the raw-pool feature explode ran twice, and
+    # each ≤ n_buckets model table was re-derived per broadcast
+    # reference) — same builder-timed accounting move as the LM gates.
+    "select_dsir_weights",
 }
 
 

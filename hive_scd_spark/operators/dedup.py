@@ -588,6 +588,16 @@ def embedding_near_dup_pairs(
         # candidate generation carries only (id, band, bucket) — the
         # vectors join back by id at the scoring step
         bb = lsh_band_buckets(df, id_col, vec_col, n_planes, n_bands, dim)
+        # lazy checkpoint (optimization r15): the self-join below
+        # references the bucket table from BOTH sides, and the bucket
+        # projection has no exchange of its own for ReuseExchange to
+        # share — so the n_planes×n_bands interpreted hyperplane folds
+        # (the expensive part: one fold over the full vector per plane
+        # per row) ran twice.  eager=False keeps the materialization
+        # inside the first action (the minhash-candidates rule); the
+        # one HEADLINE caller (pipeline_semantic_dedup) is
+        # builder-timed.
+        bb = bb.localCheckpoint(eager=False)
         x = bb.alias("x")
         y = bb.alias("y")
         cand = (

@@ -129,8 +129,19 @@ def dsir_importance_weights(
     """
     feats_raw = hashed_ngram_features(raw, id_col, text_col, n_buckets, salt)
     feats_tgt = hashed_ngram_features(target, id_col, text_col, n_buckets, salt)
-    q = _bucket_logprobs(feats_raw, n_buckets, "q")
-    p = _bucket_logprobs(feats_tgt, n_buckets, "p")
+    # Optimization r15: q and p are referenced by BOTH the totals
+    # aggregate and the model join, and broadcast-side subplans get no
+    # exchange reuse — unpinned, the raw-pool feature explode ran a
+    # third time just to rebuild q for the totals.  Both tables are
+    # ≤ n_buckets rows (type-bounded), so the pins are model-table-
+    # sized.  A stronger restructure (pin the grouped (doc, bucket)
+    # table and derive q from it) was measured and REJECTED: the pin
+    # is corpus-sized and its materialization cost t100 23.6 → 55.6 s
+    # at 100× — the combiner-collapsed q shuffle it avoided was far
+    # cheaper than storing the grouped stream.  Accounting: the bench
+    # gate is builder-timed (checkpoints materialize at build).
+    q = _bucket_logprobs(feats_raw, n_buckets, "q").localCheckpoint(eager=False)
+    p = _bucket_logprobs(feats_tgt, n_buckets, "p").localCheckpoint(eager=False)
     # ONE 1-row frame carrying both ln-model denominators, built as a
     # single aggregate over the tagged union of the two (bucket, cnt)
     # tables (each ≤ n_buckets rows) — the linter-exempt
