@@ -752,9 +752,11 @@ def kn_trigram_logprob(
     ctx3 = tri.groupBy("__w1", "__w2").agg(
         F.sum("__c3").alias("__c2ctx"), F.count("*").alias("__n3")
     )
-    cc2 = tri.groupBy("__w2", "__w3").agg(
-        F.count("*").alias("__cc2")
-    ).localCheckpoint(eager=False)
+    # cc2 is NOT pinned: its input is the already-pinned tri table, so
+    # each of its three consumers re-runs only a (V+1)³-bounded groupBy
+    # over cached blocks — cheaper at sf0.1 than a third checkpoint's
+    # build-time materialization, and bounded at any scale.
+    cc2 = tri.groupBy("__w2", "__w3").agg(F.count("*").alias("__cc2"))
     ctx2 = cc2.groupBy("__w2").agg(
         F.sum("__cc2").alias("__ctx2"), F.count("*").alias("__n2")
     )
