@@ -99,6 +99,65 @@ def vector_norm(a: Column) -> Column:
     )
 
 
+# Expansion-width cap for dot_w / vector_norm_w.  A w-term expansion
+# generates ~w GetArrayItem+cast+fma blocks of Java per expression;
+# past a few dozen terms the generated method outgrows the JIT's
+# HugeMethodLimit and executes as interpreted BYTECODE — slower than
+# Spark's interpreted HOF fold it replaces (measured r16 at sf0.1:
+# threading w=64 into the IVF assignment/rerank dots took
+# ann_ivf_pq_topk from 5.8 s to 9.4 s; w=16 expansions are the win).
+# Above the cap both helpers fall back to the HOF fold — the same
+# expression the un-widened callers always used, so results are
+# identical on every path.
+MAX_CODEGEN_DOT_WIDTH = 16
+
+
+def dot_w(a: Column, b: Column, w: int) -> Column:
+    """Sequential-order dot product of two FIXED-width (*w*) array
+    columns in double precision (optimization r16, guide §4.1: prefer
+    codegen built-ins over interpreted paths).
+
+    Bit-identical to ``aggregate(zip_with(a, b, x·y), 0.0, acc+v)`` —
+    the expansion ``((0.0 + a₁·b₁) + a₂·b₂) + …`` is the SAME IEEE
+    double operation sequence the fold executes, and a NULL array
+    propagates the same way (``get`` → NULL element → NULL product →
+    NULL sum).  The difference is purely mechanical: higher-order
+    functions are CodegenFallback in Spark (interpreted per row, one
+    boxed lambda variable per element), while ``get``/multiply/add
+    compile into whole-stage codegen.  Measured on the PQ encode pair
+    loop (corpus × n_sub × n_codes rows of width-16 dots) this is the
+    dominant-cost swap of the r16 ANN work.  Widths above
+    :data:`MAX_CODEGEN_DOT_WIDTH` use the HOF fold (see the cap note).
+
+    Only valid when both arrays are width *w* BY CONSTRUCTION (fixed
+    embedding dim, fixed subvector slice) — *w* is a pure function of
+    operator parameters, never of data."""
+    if w > MAX_CODEGEN_DOT_WIDTH:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    acc: Column = F.lit(0.0)
+    for i in range(w):
+        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return acc
+
+
+def vector_norm_w(a: Column, w: int) -> Column:
+    """Fixed-width (*w*) twin of :func:`vector_norm` — identical IEEE
+    sequence (``sqrt(((0.0 + a₁²) + a₂²) + …)``), whole-stage-codegen
+    instead of the interpreted transform+aggregate fold.  See
+    :func:`dot_w` for the contract and the expansion-width cap."""
+    if w > MAX_CODEGEN_DOT_WIDTH:
+        return vector_norm(a)
+    acc: Column = F.lit(0.0)
+    for i in range(w):
+        x = F.get(a, i).cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine of two float-array columns, computed in double with
     sequential left-fold order (stable across engines for hashing)."""

@@ -576,11 +576,20 @@ def embedding_near_dup_pairs(
     # norms hoisted to the per-row projection: pairwise work is ONE dot
     # fold instead of three (higher-order fns are interpreted, not
     # codegen'd — at n² pairs every fold counts).  FP-identical to
-    # dot/(sqrt(sa)*sqrt(sb)) computed per pair.
+    # dot/(sqrt(sa)*sqrt(sb)) computed per pair.  With *dim* known the
+    # norm/dot use the fixed-width codegen form (functions.dot_w, r16
+    # — bit-identical, falls back to the HOF fold above the width cap).
+    from hive_scd_spark.functions import vector_norm_w
+
+    norm = (
+        vector_norm_w(F.col(vec_col), dim)
+        if dim is not None
+        else vector_norm(F.col(vec_col))
+    )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        vector_norm(F.col(vec_col)).alias("__n"),
+        norm.alias("__n"),
     )
     if use_lsh:
         from hive_scd_spark.operators.similarity import lsh_band_buckets
@@ -621,13 +630,18 @@ def embedding_near_dup_pairs(
         a = base.alias("a")
         b = base.alias("b")
         pairs = a.join(b, F.col("a.__id") < F.col("b.__id"))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.__v"), F.col("b.__v"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    if dim is not None:
+        from hive_scd_spark.functions import dot_w
+
+        dot = dot_w(F.col("a.__v"), F.col("b.__v"), dim)
+    else:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("a.__v"), F.col("b.__v"), lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     # try_divide: zero-norm vectors have undefined cosine → NULL →
     # dropped by the threshold filter (ANSI mode would raise instead)
     cos = F.round(
@@ -795,7 +809,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     from hive_scd_spark.operators.layout import fan_out
 
     df = fan_out(df)  # single-split inputs serialize the token explode
-    # explode tokens → one groupBy with 60 flat bit-vote aggregates.
+    # explode tokens → one groupBy with the bit votes PACKED two per
+    # 64-bit aggregate (optimization r16, VERDICT r15 task 3, guide
+    # §5): bit b rides the low 32-bit lane, bit b+1 the high lane —
+    # ``sum((h>>b & 1) + ((h>>b+1 & 1) << 32))`` — halving the
+    # per-row hash-aggregate update count from 60 to 30 columns of
+    # state (the r15-profiled dominant cost of dedup_simhash_near).
+    # Lane isolation / overflow bound: each token adds ≤ 1 to the low
+    # lane, so with n_t tokens the low lane holds count_b ≤ n_t — no
+    # carry into bit 32 while n_t < 2³¹ — and the packed sum stays
+    # < 2⁶³ while n_t < 2³¹ − 1.  A 2³¹-token document is ≈ 10 GB
+    # of text in ONE row — beyond Spark's own 2 GB string limit — so
+    # the bound is structural, not a tuning.  The unpack
+    # (low = p & 0xFFFFFFFF, high = p >> 32; arithmetic shift is safe
+    # because the sign bit is clear under the same bound) is exact
+    # integer arithmetic — fingerprints are bit-identical to the flat
+    # formulation (pinned by the pack/unpack property test,
+    # tests/test_optimization_r16.py).
     # (An array-expression formulation inlines the token hashing into
     # every bit position after project-collapse — 60× recompute.)
     th = df.select(
@@ -805,17 +835,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
         "__id",
         F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long").alias("__h"),
     )
-    votes = th.groupBy("__id").agg(
-        F.count("*").alias("__nt"),
-        *[
-            F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__v{b}")
-            for b in range(bits)
-        ],
-    )
+    packed = []
+    for j in range(0, bits, 2):
+        lane = F.shiftright("__h", j).bitwiseAND(F.lit(1))
+        if j + 1 < bits:
+            lane = lane + F.shiftleft(
+                F.shiftright("__h", j + 1).bitwiseAND(F.lit(1)), 32
+            )
+        packed.append(F.sum(lane).alias(f"__p{j}"))
+    votes = th.groupBy("__id").agg(F.count("*").alias("__nt"), *packed)
+
+    def vote(b):
+        p = F.col(f"__p{(b // 2) * 2}")
+        if b % 2 == 0:
+            return p.bitwiseAND(F.lit(4294967295))
+        return F.shiftright(p, 32)
+
     fingerprint = None
     for b in range(bits):
         bit = F.when(
-            F.col(f"__v{b}") * 2 > F.col("__nt"), F.lit(1).cast("long")
+            vote(b) * 2 > F.col("__nt"), F.lit(1).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fingerprint = term if fingerprint is None else fingerprint + term
@@ -920,7 +959,7 @@ def banded_hamming_pairs(
     # lazy checkpoint: the self-join references the band table from
     # BOTH sides and ReuseExchange does not dedupe the two subplans
     # under AQE (same pathology as minhash_near_dup_pairs; verified
-    # here too — the static plan shows the explode + 60-aggregate
+    # here too — the static plan shows the explode + 30-packed-aggregate
     # fingerprint pipeline twice).  eager=False keeps materialization
     # inside the first action, so bench accounting stays honest
     # (ITERATIVE rule); the second join side reads cached blocks.
@@ -1048,8 +1087,9 @@ def dedup_paragraphs(
     (its text retains only blank separators, if any).
     Output: (id, text, n_paras_kept, n_paras_removed [, *keep_cols]) —
     kept + removed = the document's NON-BLANK paragraph count;
-    *keep_cols* (r11) ride the already-present base join, so document
-    metadata survives the dedup stage at zero extra shuffle.
+    *keep_cols* (r11, re-routed r16) ride the paragraph explode and the
+    reassembly groupBy, so document metadata survives the dedup stage
+    without a separate upstream pass.
 
     Scale: paragraph explode is shuffle-free; the winner table is ONE
     md5-digest shuffle with a map-side-combined ``min(struct(id,
@@ -1068,13 +1108,23 @@ def dedup_paragraphs(
             f"dedup_paragraphs: keep_cols {bad} collide with output columns"
         )
     paras = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
-    base = df.select(
-        F.col(id_col).alias("__pid"),
-        F.size(F.filter(paras, lambda p: F.trim(p) != "")).alias("__n_paras"),
-        *[F.col(c) for c in keep_cols],
-    )
+    # ONE upstream reference for counting + reassembly (optimization
+    # r16, VERDICT r15 task 4): the pre-r16 shape derived a separate
+    # `base` frame (per-doc non-blank paragraph count + keep_cols)
+    # straight from *df* and joined it back at the end — a THIRD full
+    # execution of the upstream pipeline (for pipeline_crawl_to_corpus_v2
+    # that upstream is the whole WARC scan → C4 chain), and the extra
+    # sequential join barrier was the prime suspect in that gate's
+    # NEGATIVE core scaling (8c/32c ratio 0.63).  The count and the
+    # metadata now ride the explode (keep_cols replicate per paragraph
+    # — a few short columns — far cheaper than re-deriving the corpus)
+    # and the keep-filter moved INSIDE the reassembly aggregate as a
+    # `when`, so the per-doc total counts ALL non-blank rows while
+    # text/kept aggregate only the winners.  Every document still
+    # survives: split("") yields [""], so each doc has ≥ 1 (blank) row.
     work = df.select(
         F.col(id_col).alias("__pid"),
+        *[F.col(c) for c in keep_cols],
         F.posexplode(paras).alias("__idx", "__para"),
     ).withColumn("__blank", F.trim(F.col("__para")) == "")
     keyed = work.withColumn("__key", F.md5(F.lower(F.trim(F.col("__para")))))
@@ -1083,37 +1133,34 @@ def dedup_paragraphs(
         .groupBy("__key")
         .agg(F.min(F.struct(F.col("__pid"), F.col("__idx"))).alias("__w"))
     )
+    keep = F.col("__blank") | (
+        (F.col("__pid") == F.col("__w.__pid"))
+        & (F.col("__idx") == F.col("__w.__idx"))
+    )
     kept = (
         keyed.join(winners, "__key", "left")
-        .filter(
-            F.col("__blank")
-            | (
-                (F.col("__pid") == F.col("__w.__pid"))
-                & (F.col("__idx") == F.col("__w.__idx"))
-            )
-        )
-        .groupBy("__pid")
+        .groupBy("__pid", *[F.col(c) for c in keep_cols])
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col("__idx"), F.col("__para")))
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("__idx"), F.col("__para")))
+                        )
                     ),
                     lambda s: s["__para"],
                 ),
                 sep,
             ).alias("__text"),
-            F.count(F.when(~F.col("__blank"), F.lit(1))).alias("__n_kept"),
+            F.count(F.when(keep & ~F.col("__blank"), F.lit(1))).alias("__n_kept"),
+            F.count(F.when(~F.col("__blank"), F.lit(1))).alias("__n_paras"),
         )
     )
-    out = base.join(kept, "__pid", "left")
-    return out.select(
+    return kept.select(
         F.col("__pid").alias(id_col),
-        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
-        F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_paras_kept"),
-        (F.col("__n_paras") - F.coalesce(F.col("__n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_paras_removed"),
+        F.col("__text").alias(text_col),
+        F.col("__n_kept").cast("long").alias("n_paras_kept"),
+        (F.col("__n_paras") - F.col("__n_kept")).cast("long").alias("n_paras_removed"),
         *[F.col(c) for c in keep_cols],
     )
 

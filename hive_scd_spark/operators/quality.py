@@ -22,6 +22,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hive_scd_spark.operators._materialize import pin_model_table
+
 
 def _ws_tokens(text_col):
     """The shared tokenizer (see functions.ws_tokens for the contract)."""
@@ -207,15 +209,38 @@ def unigram_logprob(
         ).alias("__tok"),
     )
     real = F.col("__tok") != ""
-    # counts pin (r15): both the 1-row total and the topK vocab
-    # broadcast derive from it, and broadcast-side subplans get no
-    # exchange reuse — unpinned, the corpus token-count pass ran once
-    # per consumer.  |distinct tokens| rows, vocabulary-bounded.
-    counts = (
-        toks_df.filter(real).groupBy("__tok").agg(F.count("*").alias("__cnt"))
-    ).localCheckpoint(eager=False)
-    total_df = counts.agg(F.sum("__cnt").cast("double").alias("__total"))
-    vocab = counts.orderBy(F.col("__cnt").desc(), F.col("__tok")).limit(vocab_size)
+    # Model build (r16, replacing the r15 counts checkpoint): the full
+    # counts table is DISTINCT-TOKEN-sized — parameter-UNbounded
+    # (Heaps' law: token types grow with corpus size; ADVICE r15), so
+    # it must not be pinned.  Only its two derived tables are
+    # model-sized: the 1-row total and the ≤ vocab_size topK.  Collect
+    # BOTH in one driver job — the two union branches share the token-
+    # count Exchange (ReusedExchange in the probe plan), so the corpus
+    # count pass still runs exactly once — then rebuild them as local
+    # DataFrames (operators/_materialize.py: the r15 lazy checkpoint
+    # cost ~0.4 s of fixed df→RDD materialization per bench rep; a
+    # (V+1)-row collect costs ~0).  EAGER at call time (ADVICE r15).
+    counts = toks_df.filter(real).groupBy("__tok").agg(
+        F.count("*").alias("__cnt")
+    )
+    # NULL never occurs as a token (split yields strings; '' is the
+    # empty/NULL-doc sentinel), so a NULL __tok row can tag the total
+    probe = pin_model_table(
+        counts.orderBy(F.col("__cnt").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .unionAll(
+            counts.agg(F.sum("__cnt").alias("__cnt")).select(
+                F.lit(None).cast("string").alias("__tok"), "__cnt"
+            )
+        ),
+        row_bound=vocab_size + 1,
+    )
+    vocab = probe.filter(F.col("__tok").isNotNull())
+    # the cast to double runs in Spark, exactly as the old
+    # counts.agg(sum(...).cast("double")) plan did
+    total_df = probe.filter(F.col("__tok").isNull()).select(
+        F.col("__cnt").cast("double").alias("__total")
+    )
     scored = (
         toks_df.join(F.broadcast(vocab), on="__tok", how="left")
         .join(F.broadcast(total_df))
@@ -455,18 +480,22 @@ def bigram_logprob(
         )
 
     train_toks = toks_of(df if train is None else train)
-    # vocab pin (r15): the clipped-vocabulary broadcast is referenced
-    # by BOTH tokenization passes (train counts + scored stream) and
-    # broadcast-side subplans get no exchange reuse — without the pin
-    # the train-corpus topK re-derived per reference.  ≤ V rows.
-    vocab = (
+    # vocab pin (r15, mechanism r16): the clipped-vocabulary broadcast
+    # is referenced by BOTH tokenization passes (train counts + scored
+    # stream) and broadcast-side subplans get no exchange reuse —
+    # without the pin the train-corpus topK re-derived per reference.
+    # ≤ V rows → pin_model_table: driver-collected when V fits the
+    # materialize bound (the r15 lazy checkpoint cost ~0.4–0.9 s fixed
+    # per bench rep; a tiny collect costs ~0 and the table broadcasts
+    # anyway).  EAGER at call time when collected.
+    vocab = pin_model_table(
         train_toks.select(F.explode("__toks").alias("__tok"))
         .groupBy("__tok")
         .agg(F.count("*").alias("__cnt"))
         .orderBy(F.col("__cnt").desc(), F.col("__tok"))
         .limit(vocab_size)
-        .select("__tok", F.lit(1).alias("__inv"))
-        .localCheckpoint(eager=False)
+        .select("__tok", F.lit(1).alias("__inv")),
+        row_bound=vocab_size,
     )
 
     def pairs_of(toks_frame):
@@ -495,10 +524,14 @@ def bigram_logprob(
     # (V+1)²-bounded, so the pin is model-table-sized (r15).  ctx is
     # derived FROM bi (Σ_w2 c(w1,w2) ≡ count of train pairs per w1 —
     # integer-identical) so the train instance stream is scanned once.
-    bi = (
-        train_pairs.groupBy("__w1", "__w2")
-        .agg(F.count("*").alias("__bc"))
-        .localCheckpoint(eager=False)
+    # r16: pin_model_table — the (V+1)² bound exceeds the collect
+    # threshold at any realistic V, so this stays an executor-side
+    # lazy checkpoint (measured r16: a 16k+-row LocalRelation is
+    # re-shipped per consumer stage and loses to checkpoint blocks
+    # at both sf0.1 and 100×; see operators/_materialize.py).
+    bi = pin_model_table(
+        train_pairs.groupBy("__w1", "__w2").agg(F.count("*").alias("__bc")),
+        row_bound=(vocab_size + 1) ** 2,
     )
     ctx = bi.groupBy("__w1").agg(F.sum("__bc").alias("__cc"))
     # Optimization r15, VERDICT r14 task 7 RESOLVED AGAINST the
@@ -692,18 +725,22 @@ def kn_trigram_logprob(
         )
 
     train_toks = toks_of(df if train is None else train)
-    # vocab pin (r15): the clipped-vocabulary broadcast is referenced
-    # by BOTH tokenization passes (train counts + scored stream) and
-    # broadcast-side subplans get no exchange reuse — without the pin
-    # the train-corpus topK re-derived per reference.  ≤ V rows.
-    vocab = (
+    # vocab pin (r15, mechanism r16): the clipped-vocabulary broadcast
+    # is referenced by BOTH tokenization passes (train counts + scored
+    # stream) and broadcast-side subplans get no exchange reuse —
+    # without the pin the train-corpus topK re-derived per reference.
+    # ≤ V rows → pin_model_table: driver-collected when V fits the
+    # materialize bound (the r15 lazy checkpoint cost ~0.4–0.9 s fixed
+    # per bench rep; a tiny collect costs ~0 and the table broadcasts
+    # anyway).  EAGER at call time when collected.
+    vocab = pin_model_table(
         train_toks.select(F.explode("__toks").alias("__tok"))
         .groupBy("__tok")
         .agg(F.count("*").alias("__cnt"))
         .orderBy(F.col("__cnt").desc(), F.col("__tok"))
         .limit(vocab_size)
-        .select("__tok", F.lit(1).alias("__inv"))
-        .localCheckpoint(eager=False)
+        .select("__tok", F.lit(1).alias("__inv")),
+        row_bound=vocab_size,
     )
 
     def trigrams_of(toks_frame):
@@ -743,12 +780,20 @@ def kn_trigram_logprob(
     # vocab join → window → count) re-derived once per reference.
     # Both tables are trigram-TYPE-bounded (vocabulary-clipped ⇒
     # ≤ (V+1)³ rows), so these are the nb_logodds model-checkpoint
-    # precedent, not corpus materializations.  Accounting: checkpoints
-    # materialize at build under AQE, so the bench gate moves into the
+    # precedent, not corpus materializations.  Accounting: the pin
+    # runs actions at build, so the bench gate sits in the
     # builder-timed (ITERATIVE) set — total measured work unchanged.
-    tri = train_tris.groupBy("__w1", "__w2", "__w3").agg(
-        F.count("*").alias("__c3")
-    ).localCheckpoint(eager=False)
+    # r16: pin_model_table — the (V+1)³ bound exceeds the collect
+    # threshold even for clipped vocabularies (V=30 ⇒ 29,791), so
+    # this stays an executor-side lazy checkpoint (measured r16:
+    # all-collect kn 5.19 s vs tri-as-checkpoint 4.50 s at sf0.1,
+    # parity at 100×; see operators/_materialize.py).
+    tri = pin_model_table(
+        train_tris.groupBy("__w1", "__w2", "__w3").agg(
+            F.count("*").alias("__c3")
+        ),
+        row_bound=(vocab_size + 1) ** 3,
+    )
     ctx3 = tri.groupBy("__w1", "__w2").agg(
         F.sum("__c3").alias("__c2ctx"), F.count("*").alias("__n3")
     )
@@ -885,18 +930,22 @@ def nb_logodds(
     the frozen (V+1)-row model table from the reference corpora, and
     :func:`nb_score` scores any frame against it — this function is
     exactly ``nb_score(df, …, nb_model(pos, neg, …))`` with the model
-    lazily ``localCheckpoint``-ed: nb_score references the model table
+    pinned by parameter bound (pin_model_table, r16 — previously a lazy
+    ``localCheckpoint``, r13): nb_score references the model table
     THREE times (vocabulary membership, count join, totals), and
     without a materialization point Catalyst re-derives the whole
     reference-corpus counting pipeline per reference (measured: the
     select_nb_quality gate's plan went 11 → 30 shuffles when this
     composition first shipped un-checkpointed).  The model is
-    (V+1)-row metadata, so the checkpoint is the simhash-band-table
-    precedent, not a corpus materialization.  Accounting: the
-    checkpoint materializes at BUILD time under AQE, so NB gates sit
-    in bench.py's builder-timed (ITERATIVE) set."""
-    model = nb_model(pos, neg, id_col, text_col, vocab_size).localCheckpoint(
-        eager=False
+    (V+1)-row metadata, so the pin is model-table-sized, not a corpus
+    materialization — and the driver collect skips the checkpoint's
+    fixed df→RDD build cost (operators/_materialize.py).  Accounting:
+    the pin runs actions at BUILD time, so NB gates sit in bench.py's
+    builder-timed (ITERATIVE) set.  EAGER at call time (ADVICE r15):
+    training runs during this call, not at first downstream action."""
+    model = pin_model_table(
+        nb_model(pos, neg, id_col, text_col, vocab_size),
+        row_bound=vocab_size + 1,
     )
     return nb_score(df, id_col, text_col, model, vocab_size, threshold)
 
@@ -929,17 +978,19 @@ def nb_model(
         )
 
     train = toks_of(pos).unionByName(toks_of(neg))
-    # vocab pin (r15): referenced by BOTH class counting passes via
-    # clipped() — broadcast-side subplans get no exchange reuse, so
-    # unpinned the pos∪neg topK re-derived per class.  ≤ V rows.
-    vocab = (
+    # vocab pin (r15, mechanism r16): referenced by BOTH class
+    # counting passes via clipped() — broadcast-side subplans get no
+    # exchange reuse, so unpinned the pos∪neg topK re-derived per
+    # class.  ≤ V rows → driver-collected (operators/_materialize.py).
+    # EAGER at call time: building the model runs the vocab job NOW.
+    vocab = pin_model_table(
         train.select(F.explode("__toks").alias("__tok"))
         .groupBy("__tok")
         .agg(F.count("*").alias("__cnt"))
         .orderBy(F.col("__cnt").desc(), F.col("__tok"))
         .limit(vocab_size)
-        .select("__tok", F.lit(1).alias("__inv"))
-        .localCheckpoint(eager=False)
+        .select("__tok", F.lit(1).alias("__inv")),
+        row_bound=vocab_size,
     )
 
     def clipped(frame):

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hive_scd_spark.functions import hash32, ws_tokens
+from hive_scd_spark.operators._materialize import pin_model_table
 
 
 def hashed_ngram_features(
@@ -139,9 +140,15 @@ def dsir_importance_weights(
     # is corpus-sized and its materialization cost t100 23.6 → 55.6 s
     # at 100× — the combiner-collapsed q shuffle it avoided was far
     # cheaper than storing the grouped stream.  Accounting: the bench
-    # gate is builder-timed (checkpoints materialize at build).
-    q = _bucket_logprobs(feats_raw, n_buckets, "q").localCheckpoint(eager=False)
-    p = _bucket_logprobs(feats_tgt, n_buckets, "p").localCheckpoint(eager=False)
+    # gate is builder-timed (the pin runs actions at build).
+    # r16 mechanism: driver-collect instead of lazy localCheckpoint —
+    # both tables are ≤ n_buckets rows and explicitly F.broadcast
+    # downstream (a broadcast collects to the driver anyway), and the
+    # checkpoint's fixed df→RDD build cost was the driver-measured
+    # 2.14× sf0.1 regression on select_dsir_weights (VERDICT r15).
+    # EAGER at call time (ADVICE r15): both model fits run NOW.
+    q = pin_model_table(_bucket_logprobs(feats_raw, n_buckets, "q"), n_buckets)
+    p = pin_model_table(_bucket_logprobs(feats_tgt, n_buckets, "p"), n_buckets)
     # ONE 1-row frame carrying both ln-model denominators, built as a
     # single aggregate over the tagged union of the two (bucket, cnt)
     # tables (each ≤ n_buckets rows) — the linter-exempt

@@ -15,42 +15,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from hive_scd_spark.functions import vector_norm
+from hive_scd_spark.functions import dot_w, vector_norm, vector_norm_w
+
+# Why these trainers pin (optimization r15, guide §2.4/§5): they
+# return LAZY plans, and every downstream reference — pq_encode's
+# codebook broadcast, the ADC LUT build, a second encode in the
+# incremental gates — re-executes the whole Lloyd-iteration subtree.
+# Measured on ann_ivf_pq_incremental at sf0.1: 92 Exchange nodes in
+# one plan, 6.3 s; the training subtree appeared 3×.  The helper moved
+# to operators/_materialize.py in r16 (the LM/DSIR pins share it); the
+# rationale, value-fidelity and accounting notes live there.
+from hive_scd_spark.operators._materialize import materialize_small as _materialize_small
 
 
-def _materialize_small(df: DataFrame) -> DataFrame:
-    """Materialize a metadata-sized model table (codebooks, trained
-    centroids) as a LOCAL DataFrame: one driver collect + re-create
-    with the identical schema.
-
-    Why (optimization r15, guide §2.4/§5): the training functions
-    return LAZY plans, and every downstream reference — pq_encode's
-    codebook broadcast, the ADC LUT build, a second encode in the
-    incremental gates — re-executes the whole Lloyd-iteration subtree.
-    Measured on ann_ivf_pq_incremental at sf0.1: 92 Exchange nodes in
-    one plan, 6.3 s; the training subtree appeared 3×.  Collecting the
-    ≤ n_sub×n_codes rows once turns each reuse into a local-relation
-    scan.  Values are bit-identical: collect() round-trips doubles and
-    arrays exactly, and the schema is pinned to df.schema.
-
-    Scale/accounting: these tables are broadcast unconditionally
-    downstream, so a driver collect is within the existing memory
-    envelope (a broadcast collects to the driver anyway); the collect
-    is an ACTION at build time, which is why every bench gate calling
-    a trainer sits in bench.py's builder-timed (ITERATIVE) set and the
-    scale scripts time builder-inclusive."""
-    rows = df.collect()
-    return df.sparkSession.createDataFrame(rows, df.schema)
-
-
-def _pair_cos(qv, cv, qn, cn):
+def _pair_cos(qv, cv, qn, cn, w: int | None = None):
     """round(dot/(|q|·|c|), 6) with norms precomputed per row — one
-    interpreted fold per pair instead of three (see dedup module note)."""
-    dot = F.aggregate(
-        F.zip_with(qv, cv, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    fold per pair instead of three (see dedup module note).
+
+    With *w* (the statically-known vector width — a pure function of
+    operator parameters) the dot is the whole-stage-codegen
+    :func:`~hive_scd_spark.functions.dot_w` expansion; without it the
+    generic interpreted HOF fold.  Same IEEE sequence, same NULL
+    propagation — bit-identical results (optimization r16)."""
+    if w is not None:
+        dot = dot_w(qv, cv, w)
+    else:
+        dot = F.aggregate(
+            F.zip_with(qv, cv, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     # try_divide: zero-norm vector → NULL cosine (ANSI-safe), which
     # sorts last under DESC ordering and never enters a top-k
     return F.round(F.try_divide(dot, qn * cn), 6)
@@ -209,17 +203,29 @@ def lsh_band_buckets(
     )
 
 
-def _ivf_centroids(df: DataFrame, id_col: str, vec_col: str, stride: int) -> DataFrame:
+def _ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stride: int,
+    dim: int | None = None,
+) -> DataFrame:
     """Deterministic sampled centroids: every vector whose id divides
     *stride*.  An id-stride sample is statistically uniform over a
     hash-assigned id space, is reproducible in plain SQL
     (oracle-checkable), and can be swapped for k-means-trained
     centroids (:func:`kmeans_centroids`) without touching the query
-    path — both produce the same (list_id, __centv, __centn) shape."""
+    path — both produce the same (list_id, __centv, __centn) shape.
+    *dim*: statically-known width → codegen norm (r16)."""
+    norm = (
+        vector_norm_w(F.col(vec_col), dim)
+        if dim is not None
+        else vector_norm(F.col(vec_col))
+    )
     return df.filter((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("list_id"),
         F.col(vec_col).alias("__centv"),
-        vector_norm(F.col(vec_col)).alias("__centn"),
+        norm.alias("__centn"),
     )
 
 
@@ -228,6 +234,7 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stride: int = 29,
+    dim: int | None = None,
 ) -> DataFrame:
     """Public stride-sampled centroid table — the freezable coarse-
     quantizer state for the incremental serving loop
@@ -244,20 +251,28 @@ def ivf_centroids(
     The table is broadcast unconditionally downstream, so the driver
     collect is within the existing envelope (see
     :func:`_materialize_small`); callers are builder-timed."""
-    return _materialize_small(_ivf_centroids(df, id_col, vec_col, stride))
+    return _materialize_small(_ivf_centroids(df, id_col, vec_col, stride, dim))
 
 
-def _nearest_centroid(vecs: DataFrame, cent: DataFrame, out_cols: list[str]) -> DataFrame:
+def _nearest_centroid(
+    vecs: DataFrame,
+    cent: DataFrame,
+    out_cols: list[str],
+    w: int | None = None,
+) -> DataFrame:
     """Assign each (__id, __v, __n) row to its nearest centroid by
     cosine (ties → smallest list_id).  Broadcast crossJoin +
     ``max(struct(sim, -list_id))`` argmax: the groupBy partial-aggregates
     map-side, so the only shuffle is one row per input vector — no
-    window over the n×k scored pairs."""
+    window over the n×k scored pairs.  *w*: statically-known vector
+    width → codegen dot (see _pair_cos, r16)."""
     scored = vecs.crossJoin(F.broadcast(cent)).select(
         *[F.col(c) for c in out_cols],
         F.struct(
-            _pair_cos(F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn"))
-            .alias("sim"),
+            _pair_cos(
+                F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn"),
+                w=w,
+            ).alias("sim"),
             (-F.col("list_id")).alias("neg_list"),
         ).alias("__sl"),
     )
@@ -370,6 +385,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     stride: int = 29,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     (by cosine, ties → smallest centroid id) centroid.  One broadcast
@@ -377,20 +393,26 @@ def ivf_assign(
     window).  Output: (id, list_id) — at scale this is computed once
     and stored alongside the corpus.  *centroids* defaults to the
     oracle-checkable id-stride sample; pass
-    :func:`kmeans_centroids` output for trained lists."""
+    :func:`kmeans_centroids` output for trained lists.  *dim*:
+    statically-known width → codegen dot/norm (r16, bit-identical)."""
     from hive_scd_spark.operators.layout import fan_out
 
     cent = (
         centroids
         if centroids is not None
-        else _ivf_centroids(df, id_col, vec_col, stride)
+        else _ivf_centroids(df, id_col, vec_col, stride, dim)
+    )
+    norm = (
+        vector_norm_w(F.col(vec_col), dim)
+        if dim is not None
+        else vector_norm(F.col(vec_col))
     )
     vecs = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        vector_norm(F.col(vec_col)).alias("__n"),
+        norm.alias("__n"),
     )
-    return _nearest_centroid(vecs, cent, ["__id"]).select(
+    return _nearest_centroid(vecs, cent, ["__id"], w=dim).select(
         F.col("__id").alias(id_col), "list_id"
     )
 
@@ -734,7 +756,8 @@ def pq_codebooks(
             "__v",
             F.struct(
                 _pair_cos(
-                    F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn")
+                    F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn"),
+                    w=w,
                 ).alias("sim"),
                 (-F.col("list_id")).alias("neg_list"),
             ).alias("__sl"),
@@ -774,13 +797,15 @@ def pq_codebooks(
 
 
 def _subvectors(df, id_col, vec_col, dim, n_sub):
-    """(id, sub_id, __v, __n) — one row per (vector, subspace)."""
+    """(id, sub_id, __v, __n) — one row per (vector, subspace).
+    Subvector width is dim//n_sub by construction, so the norm is the
+    fixed-width codegen form (bit-identical; see functions.dot_w)."""
     w = dim // n_sub
     subs = F.array(
         *[F.slice(F.col(vec_col), s * w + 1, w) for s in range(n_sub)]
     )
     return df.select(F.col(id_col), F.posexplode(subs).alias("sub_id", "__v")).select(
-        id_col, "sub_id", "__v", vector_norm(F.col("__v")).alias("__n")
+        id_col, "sub_id", "__v", vector_norm_w(F.col("__v"), w).alias("__n")
     )
 
 
@@ -811,8 +836,10 @@ def pq_encode(
         id_col,
         "sub_id",
         F.struct(
-            _pair_cos(F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn"))
-            .alias("sim"),
+            _pair_cos(
+                F.col("__v"), F.col("__centv"), F.col("__n"), F.col("__centn"),
+                w=dim // n_sub,
+            ).alias("sim"),
             (-F.col("list_id")).alias("neg_list"),
         ).alias("__sl"),
     )
@@ -919,15 +946,15 @@ def ivf_pq_topk(
     cent = (
         centroids
         if centroids is not None
-        else _materialize_small(_ivf_centroids(corpus, id_col, vec_col, stride))
+        else _materialize_small(_ivf_centroids(corpus, id_col, vec_col, stride, dim))
     )
     assign = ivf_assign(
-        corpus, id_col, vec_col, stride, centroids=cent
+        corpus, id_col, vec_col, stride, centroids=cent, dim=dim
     ).withColumnRenamed("list_id", "__ivf_list")
     codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, n_sub).join(
         assign, id_col
     )
-    probed = _ivf_probes(queries, cent, id_col, vec_col, n_probe)
+    probed = _ivf_probes(queries, cent, id_col, vec_col, n_probe, dim=dim)
     return _pq_adc_from_codes(
         codes, corpus, queries, codebooks, id_col, vec_col, dim, n_sub,
         n_candidates, k, probed=probed,
@@ -940,20 +967,27 @@ def _ivf_probes(
     id_col: str,
     vec_col: str,
     n_probe: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Each query's top-*n_probe* inverted lists by round-6 cosine to
     the broadcast centroids (ties → smallest list id — the
     ivf_cosine_topk probe rule).  Returns (query_id, __ivf_list)."""
+    norm = (
+        vector_norm_w(F.col(vec_col), dim)
+        if dim is not None
+        else vector_norm(F.col(vec_col))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        vector_norm(F.col(vec_col)).alias("__qn"),
+        norm.alias("__qn"),
     )
     probes = q.crossJoin(F.broadcast(cent)).select(
         "query_id",
         "list_id",
         _pair_cos(
-            F.col("__qv"), F.col("__centv"), F.col("__qn"), F.col("__centn")
+            F.col("__qv"), F.col("__centv"), F.col("__qn"), F.col("__centn"),
+            w=dim,
         ).alias("__sim"),
     )
     wp = W.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("list_id"))
@@ -1006,10 +1040,10 @@ def ivf_pq_incremental_topk(
         corpus_codes = pq_encode(corpus_df, codebooks, id_col, vec_col, dim, n_sub)
     if corpus_assign is None:
         corpus_assign = ivf_assign(
-            corpus_df, id_col, vec_col, centroids=centroids
+            corpus_df, id_col, vec_col, centroids=centroids, dim=dim
         )
     new_codes = pq_encode(new_vecs, codebooks, id_col, vec_col, dim, n_sub)
-    new_assign = ivf_assign(new_vecs, id_col, vec_col, centroids=centroids)
+    new_assign = ivf_assign(new_vecs, id_col, vec_col, centroids=centroids, dim=dim)
     all_assign = corpus_assign.unionByName(new_assign).withColumnRenamed(
         "list_id", "__ivf_list"
     )
@@ -1017,7 +1051,7 @@ def ivf_pq_incremental_topk(
     all_vecs = corpus_df.select(F.col(id_col), F.col(vec_col)).unionByName(
         new_vecs
     )
-    probed = _ivf_probes(new_vecs, centroids, id_col, vec_col, n_probe)
+    probed = _ivf_probes(new_vecs, centroids, id_col, vec_col, n_probe, dim=dim)
     return _pq_adc_from_codes(
         all_codes, all_vecs, new_vecs, codebooks, id_col, vec_col, dim,
         n_sub, n_candidates, k, probed=probed,
@@ -1059,18 +1093,9 @@ def _pq_adc_from_codes(
         "query_id",
         "sub_id",
         "list_id",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("__v"),
-                    F.col("__centv"),
-                    lambda x, y: x.cast("double") * y.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        ).alias("d"),
+        # fixed-width codegen dot — bit-identical to the interpreted
+        # zip_with/aggregate fold it replaces (functions.dot_w, r16)
+        F.round(dot_w(F.col("__v"), F.col("__centv"), dim // n_sub), 6).alias("d"),
     )
     lut = (
         lut_entries.groupBy("query_id", "sub_id")
@@ -1130,12 +1155,12 @@ def _pq_adc_from_codes(
     cvec = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        vector_norm(F.col(vec_col)).alias("__cn"),
+        vector_norm_w(F.col(vec_col), dim).alias("__cn"),
     )
     qvec = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        vector_norm(F.col(vec_col)).alias("__qn"),
+        vector_norm_w(F.col(vec_col), dim).alias("__qn"),
     )
     rerank = (
         shortlist.join(cvec, "neighbor_id")
@@ -1144,7 +1169,8 @@ def _pq_adc_from_codes(
             "query_id",
             "neighbor_id",
             _pair_cos(
-                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"),
+                w=dim,
             ).alias("cos"),
         )
     )

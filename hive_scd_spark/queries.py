@@ -1063,13 +1063,27 @@ def shared_warc_records(spark, sf_dir):
     pipeline that scans a crawl drop a single time and fans out."""
     from hive_scd_spark.sources.warc import read_warc
 
+    # coalesce the persisted scan to the session's core count
+    # (optimization r16, guide §2.2/§6 — fewer, larger partitions):
+    # the 8 KiB byte-range splits give the scan ~312 partitions at
+    # sf0.1, and every downstream reference re-read the CACHE as 312
+    # tiny tasks — profiled on pipeline_crawl_to_corpus_v2: 4 big
+    # stages × 312 task launches ≈ 1,250 scheduler round-trips per
+    # run, the measured cause of its NEGATIVE core scaling (more cores
+    # = more scheduling contention over the same micro-tasks; 8c/32c
+    # ratio 0.63 in PERF_r15).  coalesce (no shuffle) fuses into the
+    # one-per-session decode, so the byte path (framing, split
+    # exactly-once-ness, gzip realignment) is still fully exercised;
+    # defaultParallelism scales with the cluster, never a constant.
     return _shared_df(
         spark,
         "warc_records",
         sf_dir,
         lambda: read_warc(
             spark, _warc_fixture(spark, sf_dir), split_bytes=8192
-        ).select("record_id", "http_status", "payload", "target_uri"),
+        )
+        .select("record_id", "http_status", "payload", "target_uri")
+        .coalesce(spark.sparkContext.defaultParallelism),
     )
 
 
@@ -2414,9 +2428,12 @@ def ann_ivf_pq_incremental(spark, sf_dir):
     standing = emb.filter(F.col("vec_id") % 25 != 0)
     new = emb.filter(F.col("vec_id") % 25 == 0)
     cb = pq_codebooks(standing, dim=64, n_sub=4, n_codes=16, n_iter=2)
-    cent = ivf_centroids(standing)
+    # dim=64 is the embeddings fixture's fixed width — threading it in
+    # switches the assignment dot/norm to the codegen fixed-width form
+    # (bit-identical; optimization r16, functions.dot_w)
+    cent = ivf_centroids(standing, dim=64)
     corpus_codes = pq_encode(standing, cb, dim=64, n_sub=4)
-    corpus_assign = ivf_assign(standing, centroids=cent)
+    corpus_assign = ivf_assign(standing, centroids=cent, dim=64)
     return ivf_pq_incremental_topk(
         new, standing, cb, cent,
         corpus_codes=corpus_codes, corpus_assign=corpus_assign,
