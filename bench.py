@@ -215,12 +215,44 @@ assert not {"dedup_ngram_jaccard", "dedup_embedding_cosine"} & set(HEADLINE)
 # sample_shuffle_order (1.90×), range_join_event_windows (1.57×),
 # dedup_cluster_assign (1.56×), dedup_minhash_incremental (1.47×).
 EXTRA_REPS = {
-    # r15 inputs: top-10 by BENCH_r14 (pipeline_scrub_classify_report
-    # 5.94, ann_pq_incremental 5.25, pipeline_semantic_dedup 4.98,
-    # ann_pq_adc_topk 4.23, pipeline_crawl_to_corpus_v2 4.05,
-    # dedup_minhash_lsh 3.87, dedup_minhash_incremental 3.60,
-    # graph_pagerank_dups 3.50, pipeline_corpus_to_sequences 3.32,
-    # dedup_winnow_corpus 3.29)
+    # r16 inputs: top-10 by BENCH_r15 (ann_ivf_pq_incremental 7.23,
+    # ann_ivf_pq_topk 6.87, ann_pq_incremental 6.61, ann_pq_adc_topk
+    # 5.95, pipeline_semantic_dedup 5.39, pipeline_crawl_to_corpus_v2
+    # 5.13, select_dsir_weights 5.07, text_kn_trigram_logprob 4.32,
+    # pipeline_scrub_classify_report 4.14, dedup_minhash_lsh 4.09)
+    "ann_ivf_pq_incremental",
+    "ann_ivf_pq_topk",
+    "ann_pq_incremental",
+    "ann_pq_adc_topk",
+    "pipeline_semantic_dedup",
+    "pipeline_crawl_to_corpus_v2",
+    "select_dsir_weights",
+    "text_kn_trigram_logprob",
+    "pipeline_scrub_classify_report",
+    "dedup_minhash_lsh",
+    # ... union the r15 movers: every common-set row in PERF_r15 whose
+    # max(speedup, 1/speedup) exceeded the r15 noise bound 1.323 —
+    # mostly the four pinned-gate regressions this round recovers plus
+    # the rows r15's own rep rotation demoted to min-of-4 (VERDICT r15
+    # task 5 diagnosed those as phantom movers; 4 reps pins them down)
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "scd2_chain_outoforder",
+    "report_source_divergence",
+    "report_source_overlap",
+    "multimodal_dedup_near",
+    "multimodal_dedup_near_audio",
+    "pipeline_mix_shuffle_pack",
+    "text_remove_boilerplate",
+    "text_span_scrub",
+}
+assert EXTRA_REPS <= set(HEADLINE)
+
+# The PRIOR round's committed EXTRA_REPS set (VERDICT r15 task 5a: a
+# cross-round per-query comparison is invalid for rows whose rep count
+# changed — min-of-8 vs min-of-4 across the two sessions biases
+# exactly those rows — so the artifact must carry the delta itself).
+PREV_EXTRA_REPS = {
     "pipeline_scrub_classify_report",
     "ann_pq_incremental",
     "pipeline_semantic_dedup",
@@ -231,13 +263,11 @@ EXTRA_REPS = {
     "graph_pagerank_dups",
     "pipeline_corpus_to_sequences",
     "dedup_winnow_corpus",
-    # ... union the r14 movers (VERDICT r14 task 2): the ONLY row above
-    # the r14 noise bound (1.323) plus the two below-bound watch rows
     "range_join_event_windows",
     "sample_shuffle_order",
     "text_quality_stats",
 }
-assert EXTRA_REPS <= set(HEADLINE)
+REPS_CHANGED = sorted(EXTRA_REPS ^ PREV_EXTRA_REPS)
 
 
 # Iterative operators run their convergence loop (Spark actions) inside
@@ -406,6 +436,7 @@ def run_session() -> dict:
         "sf": float(sf),
         "reps": 2,
         "reps_extra": {"reps": 4, "queries": sorted(EXTRA_REPS)},
+        "reps_changed_vs_prev": REPS_CHANGED,
     }
     if errors:
         full["errors"] = errors
@@ -456,6 +487,7 @@ def merge_sessions(fulls: list[dict]) -> dict:
         "sf": fulls[0].get("sf") if fulls else None,
         "reps": 2,
         "reps_extra": {"reps": 4, "queries": sorted(EXTRA_REPS)},
+        "reps_changed_vs_prev": REPS_CHANGED,
         "sessions": len(fulls),
         "envelope": {
             "session_totals": [
@@ -498,6 +530,16 @@ def emit(full: dict) -> int:
         "queries": {k: round(v, 2) for k, v in full["queries"].items()},
         "sf": full.get("sf"),
         "reps": 2,
+        # rotation-proofing (VERDICT r15 task 5a): how many rows run 4
+        # reps this round and how many rows' rep count CHANGED vs the
+        # prior round — a cross-round mover in the changed set is
+        # min-of-8-vs-min-of-4 bias, not a regression.  The name lists
+        # live in logs/bench_last.json ("reps_extra",
+        # "reps_changed_vs_prev"); the tail carries counts because all
+        # 75 query rows already cannot fit the 2000-byte window (75
+        # names alone serialize to ~2.2 KB — see tail_safe_line).
+        "reps4": len(EXTRA_REPS),
+        "reps_changed": len(REPS_CHANGED),
         "sessions": full.get("sessions", 1),
         "noise_bound": (full.get("envelope") or {}).get("noise_bound"),
         "metric": "headline_queries_total_runtime",

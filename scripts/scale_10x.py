@@ -338,6 +338,41 @@ def main():
         )
         return multimodal_dedup_near_video(media.select("media_id", "payload"))
 
+    def multimodal_video_decode_only_gate(docs):
+        # r16 (VERDICT r15 task 7): decode-share isolation row — the
+        # SAME media table as multimodal_dedup_near_video but stopping
+        # at the distinct frame-hash table (the Arrow MapInPandas
+        # decode lane), so decode share = this row / the full gate and
+        # the band-join remainder is the difference.
+        from hive_scd_spark.operators.multimodal import (
+            attach_binary,
+            frame_dhash,
+        )
+
+        src = (
+            docs.select(
+                "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("t")
+            )
+            .filter(F.length("t") >= 192)
+        )
+        head_trim = src.filter(F.col("doc_id") % 10 == 4).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.expr("substring(t, 65)").alias("t"),
+        )
+        tail_trim = src.filter(F.col("doc_id") % 10 == 9).select(
+            (F.col("doc_id") + 6000000).alias("doc_id"),
+            F.expr("substring(t, 1, length(t) - 64)").alias("t"),
+        )
+        media = attach_binary(
+            src.unionByName(head_trim).unionByName(tail_trim),
+            id_col="doc_id", payload_col="t", media_type="video",
+        )
+        return (
+            frame_dhash(media.select("media_id", "payload"))
+            .select("media_id", "fhash")
+            .distinct()
+        )
+
     def multimodal_near_audio_gate(docs):
         # r14: the audio sibling — PCM16 envelope hash, planted 2x/3x
         # SAMPLE-duplicated copies (2-byte groups)
@@ -1114,6 +1149,8 @@ def main():
         ("multimodal_dedup_near", multimodal_near_gate, docs1, docs10),
         ("multimodal_dedup_near_audio", multimodal_near_audio_gate, docs1, docs10),
         ("multimodal_dedup_near_video", multimodal_near_video_gate, docs1, docs10),
+        # r16: decode-vs-band-join isolation (share = this / full gate)
+        ("multimodal_video_decode_only", multimodal_video_decode_only_gate, docs1, docs10),
         # round-15 (VERDICT r14 task 1a): decade-congruence — the seven
         # labels that previously existed only at 100x
         ("dedup_minhash_lsh", minhash_lsh_gate, docs1, docs10),
